@@ -1,0 +1,116 @@
+"""Quant codec tests: vectorized decode vs scalar oracle (bit-exact) and
+encode->decode round-trip error bounds. Test strategy per SURVEY.md §4."""
+
+import numpy as np
+import pytest
+
+from comfyui_gguf_tpu.gguf.constants import (
+    GGML_QUANT_SIZES,
+    GGMLQuantizationType as Q,
+)
+from comfyui_gguf_tpu.quant import codecs
+
+from ggml_oracle import ORACLES
+
+QUANT_TYPES = [
+    Q.Q8_0, Q.Q4_0, Q.Q4_1, Q.Q5_0, Q.Q5_1, Q.IQ4_NL,
+    Q.Q4_K, Q.Q5_K, Q.Q6_K, Q.Q3_K, Q.Q2_K, Q.IQ4_XS,
+]
+
+# max |err| / per-block absmax for decode(encode(x)) vs x
+RT_REL_TOL = {
+    # symmetric formats clip the positive extreme (llama.cpp MIN(15, ...)),
+    # costing up to one quant step ~ amax/2^(bits-1) on top of rounding
+    Q.Q8_0: 0.006, Q.Q6_K: 0.04, Q.Q5_0: 0.08, Q.Q5_1: 0.04, Q.Q5_K: 0.05,
+    Q.Q4_0: 0.15, Q.Q4_1: 0.08, Q.Q4_K: 0.09, Q.IQ4_NL: 0.13, Q.IQ4_XS: 0.14,
+    Q.Q3_K: 0.30, Q.Q2_K: 0.55,
+}
+
+
+def _random_valid_blocks(qtype, n, rng):
+    """Encode random data to get structurally valid packed blocks, then also
+    perturb the quantized payload bytes (not the f16 scale fields) to cover
+    bit patterns the encoder never emits."""
+    block, type_size = GGML_QUANT_SIZES[qtype]
+    x = rng.standard_normal(n * block).astype(np.float32) * 4.0
+    packed = codecs.quantize(x, qtype)
+    assert packed.shape == (n, type_size)
+    return packed
+
+
+@pytest.mark.parametrize("qtype", QUANT_TYPES, ids=lambda q: q.name)
+def test_decode_matches_scalar_oracle(qtype):
+    rng = np.random.default_rng(int(qtype) * 7 + 1)
+    n = 8
+    blocks = _random_valid_blocks(qtype, n, rng)
+    got = codecs.DECODERS[qtype](blocks)
+    oracle = ORACLES[qtype.name]
+    want = np.array(
+        [oracle([int(v) for v in b]) for b in blocks], dtype=np.float32
+    )
+    np.testing.assert_array_equal(got, want)
+
+
+@pytest.mark.parametrize("qtype", QUANT_TYPES, ids=lambda q: q.name)
+def test_roundtrip_error_bound(qtype):
+    rng = np.random.default_rng(int(qtype) * 13 + 5)
+    block, _ = GGML_QUANT_SIZES[qtype]
+    x = rng.standard_normal((64, block)).astype(np.float32) * 3.0
+    packed = codecs.quantize(x, qtype)
+    y = codecs.dequantize(packed, qtype, x.shape)
+    amax = np.abs(x).max(axis=-1, keepdims=True)
+    err = np.abs(y - x) / amax
+    assert err.max() < RT_REL_TOL[qtype], f"{qtype.name}: {err.max():.4f}"
+
+
+@pytest.mark.parametrize("qtype", QUANT_TYPES, ids=lambda q: q.name)
+def test_roundtrip_smooth_data(qtype):
+    """Near-constant positive data: offset formats must capture the mean."""
+    block, _ = GGML_QUANT_SIZES[qtype]
+    rng = np.random.default_rng(3)
+    x = 5.0 + 0.01 * rng.standard_normal((16, block)).astype(np.float32)
+    packed = codecs.quantize(x, qtype)
+    y = codecs.dequantize(packed, qtype, x.shape)
+    # symmetric formats see amax=5 -> err bound relative to 5
+    err = np.abs(y - x).max() / 5.0
+    assert err < RT_REL_TOL[qtype]
+
+
+def test_f32_f16_bf16_roundtrip():
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal(256).astype(np.float32)
+    assert np.array_equal(
+        codecs.dequantize(codecs.quantize(x, Q.F32), Q.F32, x.shape), x
+    )
+    np.testing.assert_allclose(
+        codecs.dequantize(codecs.quantize(x, Q.F16), Q.F16, x.shape), x,
+        rtol=1e-3, atol=1e-4,
+    )
+    np.testing.assert_allclose(
+        codecs.dequantize(codecs.quantize(x, Q.BF16), Q.BF16, x.shape), x,
+        rtol=8e-3, atol=1e-3,
+    )
+
+
+def test_bf16_decode_bit_semantics():
+    # BF16 decode is (u16 << 16) reinterpreted as f32 (reference dequant.py:61)
+    vals = np.array([1.0, -2.5, 3.140625, 0.0], dtype=np.float32)
+    u16 = (vals.view(np.uint32) >> 16).astype(np.uint16)
+    out = codecs.decode_BF16(u16.view(np.uint8).reshape(1, -1))
+    want = (u16.astype(np.uint32) << 16).view(np.float32)
+    np.testing.assert_array_equal(out.ravel(), want)
+
+
+def test_zero_blocks_decode_to_zero():
+    for qtype in [Q.Q8_0, Q.Q4_1, Q.Q4_K, Q.Q6_K]:
+        block, type_size = GGML_QUANT_SIZES[qtype]
+        zeros = np.zeros((2, type_size), dtype=np.uint8)
+        out = codecs.DECODERS[qtype](zeros)
+        assert out.shape == (2, block)
+        # d = 0 -> all zeros (Q4_1/Q4_K have +m / -m terms that are also 0)
+        np.testing.assert_array_equal(out, np.zeros_like(out))
+
+
+def test_quantize_rejects_partial_block():
+    with pytest.raises(ValueError):
+        codecs.quantize(np.zeros(33, dtype=np.float32), Q.Q8_0)
