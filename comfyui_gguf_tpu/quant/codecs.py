@@ -115,27 +115,51 @@ def decode_BF16(blocks: np.ndarray) -> np.ndarray:
 
 
 # --------------------------------------------------------------------------
-# decode: legacy 32-element blocks
+# component extraction: every quant format decomposes as
+#     w = A * (q - zp) + B        (B optional; per-group A/B along the block)
+# with integer codes q. This is the single source of truth: full decode
+# combines components; the planar TPU re-tiling (quant/planar.py) packs them.
 # --------------------------------------------------------------------------
 
-def decode_Q8_0(blocks: np.ndarray) -> np.ndarray:
-    blocks = _u8(blocks)
-    d, qs = _split(blocks, 2)
-    return _f16(d) * qs.view(np.int8).astype(np.float32)
+class Components:
+    """q: (n, block) small-int codes; scales/offsets: (n, block//gs) f32."""
+
+    __slots__ = ("q", "scales", "offsets", "zero_point", "group_size")
+
+    def __init__(self, q, scales, offsets=None, zero_point=0, group_size=32):
+        self.q = q
+        self.scales = scales
+        self.offsets = offsets
+        self.zero_point = zero_point
+        self.group_size = group_size
+
+    def combine(self) -> np.ndarray:
+        """Bit-exact GGML dequantization from components (all f32 math)."""
+        n, block = self.q.shape
+        gs = self.group_size
+        A = np.repeat(self.scales, gs, axis=1)
+        qf = self.q.astype(np.float32)
+        if self.zero_point:
+            qf = qf - np.float32(self.zero_point)
+        w = A * qf
+        if self.offsets is not None:
+            w = w + np.repeat(self.offsets, gs, axis=1)
+        return w
 
 
-def decode_Q4_0(blocks: np.ndarray) -> np.ndarray:
-    blocks = _u8(blocks)
-    d, qs = _split(blocks, 2)
-    q = _unpack_nibbles_16(qs).astype(np.int8) - 8
-    return _f16(d) * q.astype(np.float32)
+def components_Q8_0(blocks: np.ndarray) -> Components:
+    d, qs = _split(_u8(blocks), 2)
+    return Components(qs.view(np.int8), _f16(d))
 
 
-def decode_Q4_1(blocks: np.ndarray) -> np.ndarray:
-    blocks = _u8(blocks)
-    d, m, qs = _split(blocks, 2, 2)
-    q = _unpack_nibbles_16(qs).astype(np.float32)
-    return _f16(d) * q + _f16(m)
+def components_Q4_0(blocks: np.ndarray) -> Components:
+    d, qs = _split(_u8(blocks), 2)
+    return Components(_unpack_nibbles_16(qs), _f16(d), zero_point=8)
+
+
+def components_Q4_1(blocks: np.ndarray) -> Components:
+    d, m, qs = _split(_u8(blocks), 2, 2)
+    return Components(_unpack_nibbles_16(qs), _f16(d), offsets=_f16(m))
 
 
 def _unpack_qh32(qh_bytes: np.ndarray) -> np.ndarray:
@@ -145,26 +169,45 @@ def _unpack_qh32(qh_bytes: np.ndarray) -> np.ndarray:
     return ((qh >> shifts) & 1).astype(np.uint8)
 
 
-def decode_Q5_0(blocks: np.ndarray) -> np.ndarray:
-    blocks = _u8(blocks)
-    d, qh, qs = _split(blocks, 2, 4)
+def components_Q5_0(blocks: np.ndarray) -> Components:
+    d, qh, qs = _split(_u8(blocks), 2, 4)
     q = _unpack_nibbles_16(qs) | (_unpack_qh32(qh) << 4)
-    q = q.astype(np.int8) - 16
-    return _f16(d) * q.astype(np.float32)
+    return Components(q, _f16(d), zero_point=16)
+
+
+def components_Q5_1(blocks: np.ndarray) -> Components:
+    d, m, qh, qs = _split(_u8(blocks), 2, 2, 4)
+    q = _unpack_nibbles_16(qs) | (_unpack_qh32(qh) << 4)
+    return Components(q, _f16(d), offsets=_f16(m))
+
+
+def components_IQ4_NL(blocks: np.ndarray) -> Components:
+    d, qs = _split(_u8(blocks), 2)
+    return Components(IQ4_KVALUES[_unpack_nibbles_16(qs)], _f16(d))
+
+
+def decode_Q8_0(blocks: np.ndarray) -> np.ndarray:
+    return components_Q8_0(blocks).combine()
+
+
+def decode_Q4_0(blocks: np.ndarray) -> np.ndarray:
+    return components_Q4_0(blocks).combine()
+
+
+def decode_Q4_1(blocks: np.ndarray) -> np.ndarray:
+    return components_Q4_1(blocks).combine()
+
+
+def decode_Q5_0(blocks: np.ndarray) -> np.ndarray:
+    return components_Q5_0(blocks).combine()
 
 
 def decode_Q5_1(blocks: np.ndarray) -> np.ndarray:
-    blocks = _u8(blocks)
-    d, m, qh, qs = _split(blocks, 2, 2, 4)
-    q = (_unpack_nibbles_16(qs) | (_unpack_qh32(qh) << 4)).astype(np.float32)
-    return _f16(d) * q + _f16(m)
+    return components_Q5_1(blocks).combine()
 
 
 def decode_IQ4_NL(blocks: np.ndarray) -> np.ndarray:
-    blocks = _u8(blocks)
-    d, qs = _split(blocks, 2)
-    idx = _unpack_nibbles_16(qs)
-    return _f16(d) * IQ4_KVALUES[idx].astype(np.float32)
+    return components_IQ4_NL(blocks).combine()
 
 
 # --------------------------------------------------------------------------
@@ -196,63 +239,52 @@ def _pack_scale_min_k4(sc: np.ndarray, mn: np.ndarray) -> np.ndarray:
     return np.concatenate([a, b, c], axis=1)
 
 
-def decode_Q4_K(blocks: np.ndarray) -> np.ndarray:
+def components_Q4_K(blocks: np.ndarray) -> Components:
     blocks = _u8(blocks)
     d, dmin, scales, qs = _split(blocks, 2, 2, K_SCALE_SIZE)
     sc, mn = _unpack_scale_min_k4(scales)
-    d = _f16(d)
-    dmin = _f16(dmin)
     n = blocks.shape[0]
     # qs: 4 groups of 32 bytes; each group -> sub-block 2g (lo), 2g+1 (hi)
     g = qs.reshape(n, 4, 32)
-    q = np.concatenate([g & 0x0F, g >> 4], axis=-1).reshape(n, 8, 32)
-    dl = (d * sc.astype(np.float32))[:, :, None]
-    ml = (dmin * mn.astype(np.float32))[:, :, None]
-    return (dl * q.astype(np.float32) - ml).reshape(n, QK_K)
+    q = np.concatenate([g & 0x0F, g >> 4], axis=-1).reshape(n, QK_K)
+    A = _f16(d) * sc.astype(np.float32)  # (n, 8)
+    B = -(_f16(dmin) * mn.astype(np.float32))
+    return Components(q, A, offsets=B, group_size=32)
 
 
-def decode_Q5_K(blocks: np.ndarray) -> np.ndarray:
+def components_Q5_K(blocks: np.ndarray) -> Components:
     blocks = _u8(blocks)
     d, dmin, scales, qh, qs = _split(blocks, 2, 2, K_SCALE_SIZE, QK_K // 8)
     sc, mn = _unpack_scale_min_k4(scales)
-    d = _f16(d)
-    dmin = _f16(dmin)
     n = blocks.shape[0]
     g = qs.reshape(n, 4, 32)
     ql = np.concatenate([g & 0x0F, g >> 4], axis=-1).reshape(n, 8, 32)
     shifts = np.arange(8, dtype=np.uint8)[None, :, None]
     hb = (qh.reshape(n, 1, 32) >> shifts) & 1  # (n, 8, 32): bit j -> sub j
-    q = ql | (hb << 4)
-    dl = (d * sc.astype(np.float32))[:, :, None]
-    ml = (dmin * mn.astype(np.float32))[:, :, None]
-    return (dl * q.astype(np.float32) - ml).reshape(n, QK_K)
+    q = (ql | (hb << 4)).reshape(n, QK_K)
+    A = _f16(d) * sc.astype(np.float32)
+    B = -(_f16(dmin) * mn.astype(np.float32))
+    return Components(q, A, offsets=B, group_size=32)
 
 
-def decode_Q6_K(blocks: np.ndarray) -> np.ndarray:
+def components_Q6_K(blocks: np.ndarray) -> Components:
     blocks = _u8(blocks)
     ql, qh, scales, d = _split(blocks, QK_K // 2, QK_K // 4, QK_K // 16)
     n = blocks.shape[0]
-    d = _f16(d)  # (n, 1)
     sc = scales.view(np.int8).astype(np.float32)  # (n, 16)
-
     gl = ql.reshape(n, 2, 64)
-    lo = np.concatenate([gl & 0x0F, gl >> 4], axis=-1).reshape(n, 2, 2, 64)
-    lo = lo.reshape(n, 256)  # order: (half, nibble, byte)
+    lo = np.concatenate([gl & 0x0F, gl >> 4], axis=-1).reshape(n, QK_K)
     gh = qh.reshape(n, 2, 32)
     shifts = np.array([0, 2, 4, 6], dtype=np.uint8)[None, None, :, None]
-    hi = (gh[:, :, None, :] >> shifts) & 0x03  # (n, 2, 4, 32)
-    hi = hi.reshape(n, 256)
+    hi = ((gh[:, :, None, :] >> shifts) & 0x03).reshape(n, QK_K)
     q = (lo | (hi << 4)).astype(np.int8) - 32
-    vals = (d[:, :, None] * sc[:, :, None]) * q.reshape(n, 16, 16).astype(np.float32)
-    return vals.reshape(n, QK_K)
+    return Components(q, _f16(d) * sc, group_size=16)
 
 
-def decode_Q3_K(blocks: np.ndarray) -> np.ndarray:
+def components_Q3_K(blocks: np.ndarray) -> Components:
     blocks = _u8(blocks)
     hmask, qs, scales, d = _split(blocks, QK_K // 8, QK_K // 4, 12)
     n = blocks.shape[0]
-    d = _f16(d)
-
     ls = scales[:, :8]
     hs = scales[:, 8:12]
     lo4 = np.concatenate([ls & 0x0F, ls >> 4], axis=1)  # idx = half*8 + i
@@ -262,54 +294,65 @@ def decode_Q3_K(blocks: np.ndarray) -> np.ndarray:
 
     gq = qs.reshape(n, 2, 32)
     shifts = np.array([0, 2, 4, 6], dtype=np.uint8)[None, None, :, None]
-    ql = ((gq[:, :, None, :] >> shifts) & 0x03).reshape(n, 256)
+    ql = ((gq[:, :, None, :] >> shifts) & 0x03).reshape(n, QK_K)
     shifts8 = np.arange(8, dtype=np.uint8)[None, :, None]
-    qh = ((hmask[:, None, :] >> shifts8) & 0x01).reshape(n, 256)
+    qh = ((hmask[:, None, :] >> shifts8) & 0x01).reshape(n, QK_K)
     q = ql.astype(np.int8) - (((qh ^ 1) << 2)).astype(np.int8)
-    vals = (d[:, :, None] * sc[:, :, None].astype(np.float32)) * q.reshape(
-        n, 16, 16
-    ).astype(np.float32)
-    return vals.reshape(n, QK_K)
+    return Components(q, _f16(d) * sc.astype(np.float32), group_size=16)
 
 
-def decode_Q2_K(blocks: np.ndarray) -> np.ndarray:
+def components_Q2_K(blocks: np.ndarray) -> Components:
     blocks = _u8(blocks)
     scales, qs, d, dmin = _split(blocks, QK_K // 16, QK_K // 4, 2)
     n = blocks.shape[0]
-    d = _f16(d)
-    dmin = _f16(dmin)
-    dl = d * (scales & 0x0F).astype(np.float32)  # (n, 16)
-    ml = dmin * (scales >> 4).astype(np.float32)
+    A = _f16(d) * (scales & 0x0F).astype(np.float32)  # (n, 16)
+    B = -(_f16(dmin) * (scales >> 4).astype(np.float32))
     gq = qs.reshape(n, 2, 32)
     shifts = np.array([0, 2, 4, 6], dtype=np.uint8)[None, None, :, None]
-    q = ((gq[:, :, None, :] >> shifts) & 0x03).reshape(n, 16, 16)
-    vals = dl[:, :, None] * q.astype(np.float32) - ml[:, :, None]
-    return vals.reshape(n, QK_K)
+    q = ((gq[:, :, None, :] >> shifts) & 0x03).reshape(n, QK_K)
+    return Components(q, A, offsets=B, group_size=16)
 
 
-def decode_IQ4_XS(blocks: np.ndarray) -> np.ndarray:
+def components_IQ4_XS(blocks: np.ndarray) -> Components:
     blocks = _u8(blocks)
     d, scales_h, scales_l, qs = _split(blocks, 2, 2, QK_K // 64)
     n = blocks.shape[0]
-    d = _f16(d)
     sh = scales_h.reshape(n, 2).view("<u2").astype(np.uint32)  # (n, 1)
     shifts2 = (2 * np.arange(8, dtype=np.uint32))[None, :]
     hi2 = ((sh >> shifts2) & 0x03).astype(np.uint8)  # (n, 8)
-    lo4 = np.concatenate(
-        [scales_l & 0x0F, scales_l >> 4], axis=1
-    )  # order: (nibble, byte) -> idx = half*4 + i ... but spec is per-pair
     # llama.cpp order: sub j low4 = (scales_l[j//2] >> 4*(j&1)) & 0xF
     sl = np.empty((n, 8), dtype=np.uint8)
     sl[:, 0::2] = scales_l & 0x0F
     sl[:, 1::2] = scales_l >> 4
-    del lo4
     sc = (sl | (hi2 << 4)).astype(np.int8) - 32  # (n, 8)
     g = qs.reshape(n, 8, 16)
-    idx = np.concatenate([g & 0x0F, g >> 4], axis=-1)  # (n, 8, 32)
-    vals = (d[:, :, None] * sc[:, :, None].astype(np.float32)) * IQ4_KVALUES[
-        idx
-    ].astype(np.float32)
-    return vals.reshape(n, QK_K)
+    idx = np.concatenate([g & 0x0F, g >> 4], axis=-1).reshape(n, QK_K)
+    A = _f16(d) * sc.astype(np.float32)
+    return Components(IQ4_KVALUES[idx], A, group_size=32)
+
+
+def decode_Q4_K(blocks: np.ndarray) -> np.ndarray:
+    return components_Q4_K(blocks).combine()
+
+
+def decode_Q5_K(blocks: np.ndarray) -> np.ndarray:
+    return components_Q5_K(blocks).combine()
+
+
+def decode_Q6_K(blocks: np.ndarray) -> np.ndarray:
+    return components_Q6_K(blocks).combine()
+
+
+def decode_Q3_K(blocks: np.ndarray) -> np.ndarray:
+    return components_Q3_K(blocks).combine()
+
+
+def decode_Q2_K(blocks: np.ndarray) -> np.ndarray:
+    return components_Q2_K(blocks).combine()
+
+
+def decode_IQ4_XS(blocks: np.ndarray) -> np.ndarray:
+    return components_IQ4_XS(blocks).combine()
 
 
 # --------------------------------------------------------------------------
@@ -530,6 +573,21 @@ def encode_IQ4_XS(x: np.ndarray) -> np.ndarray:
 # --------------------------------------------------------------------------
 # registries / public API
 # --------------------------------------------------------------------------
+
+COMPONENT_EXTRACTORS = {
+    Q.Q8_0: components_Q8_0,
+    Q.Q4_0: components_Q4_0,
+    Q.Q4_1: components_Q4_1,
+    Q.Q5_0: components_Q5_0,
+    Q.Q5_1: components_Q5_1,
+    Q.Q2_K: components_Q2_K,
+    Q.Q3_K: components_Q3_K,
+    Q.Q4_K: components_Q4_K,
+    Q.Q5_K: components_Q5_K,
+    Q.Q6_K: components_Q6_K,
+    Q.IQ4_NL: components_IQ4_NL,
+    Q.IQ4_XS: components_IQ4_XS,
+}
 
 DECODERS = {
     Q.F32: decode_F32,

@@ -1,0 +1,178 @@
+"""Planar (TPU-friendly) re-tiling of GGML quantized tensors.
+
+The GGUF on-disk layout packs each row as a sequence of heterogeneous byte
+blocks (scales interleaved with codes). That layout is hostile to TPU lane
+tiling, so at load time every 2-D quantized weight is re-tiled ONCE into a
+structure-of-arrays "planar" form (SURVEY.md §7.3 "one-time re-tiling"):
+
+    w[k, r] = scales[k // gs, r] * (q[k, r] - zero_point) + offsets[k // gs, r]
+
+stored **K-major** (transposed): the lane (minor) dimension is R = out
+features, so a fused Pallas kernel computes ``x @ w`` with no transposes, the
+per-group scale expansion broadcasts along the sublane axis, and
+tensor-parallel sharding maps to simple lane/sublane partitioning.
+
+Two code layouts:
+  * ``nib4``: 4-bit codes, two per byte, **global split along K** —
+    ``qs[j, r]`` holds code for k=j in its low nibble and k=j+K/2 in its high
+    nibble. Unpacking is a single concat along the sublane axis.
+  * ``int8``: one (possibly zero-point-folded) int8 code per element.
+
+The decomposition per format comes from quant.codecs.COMPONENT_EXTRACTORS
+(single source of truth with the tested decoders). Dequantization here is
+bit-identical to codecs.dequantize (asserted in tests/test_planar.py).
+
+Replaces the per-forward torch unpacking of reference dequant.py:30-44 +
+ops.py:166-191 with load-time re-tiling + on-device fused math.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..gguf.constants import GGML_QUANT_SIZES, GGMLQuantizationType
+from . import codecs
+
+Q = GGMLQuantizationType
+
+# formats whose codes fit in a nibble and keep a packed 4-bit plane
+_NIB4_TYPES = frozenset({Q.Q4_0, Q.Q4_1, Q.Q4_K, Q.Q2_K})
+
+# lane-dimension padding granularity (TPU lane width)
+LANE = 128
+
+
+@partial(
+    jax.tree_util.register_dataclass,
+    data_fields=["qs", "scales", "offsets"],
+    meta_fields=["qtype", "layout", "group_size", "zero_point", "shape"],
+)
+@dataclasses.dataclass(frozen=True)
+class PlanarQuant:
+    """Packed quantized 2-D weight in planar K-major layout.
+
+    shape is the LOGICAL torch-order weight shape (out=R, in=K); array leaves
+    are stored transposed with R padded up to a multiple of LANE.
+    """
+
+    qs: jax.Array  # nib4: (K//2, Rp) uint8 | int8: (K, Rp) int8
+    scales: jax.Array  # (K//gs, Rp) float32
+    offsets: jax.Array | None  # (K//gs, Rp) float32 or None
+    qtype: int
+    layout: str  # "nib4" | "int8"
+    group_size: int
+    zero_point: int
+    shape: tuple[int, int]  # logical (R, K)
+
+    @property
+    def out_features(self) -> int:
+        return self.shape[0]
+
+    @property
+    def in_features(self) -> int:
+        return self.shape[1]
+
+    @property
+    def padded_out(self) -> int:
+        return self.qs.shape[-1]
+
+    @property
+    def nbytes_packed(self) -> int:
+        n = self.qs.size * self.qs.dtype.itemsize
+        n += self.scales.size * self.scales.dtype.itemsize
+        if self.offsets is not None:
+            n += self.offsets.size * self.offsets.dtype.itemsize
+        return n
+
+
+def planarize(
+    data: np.ndarray,
+    qtype: GGMLQuantizationType,
+    shape: tuple[int, int],
+    device=None,
+) -> PlanarQuant:
+    """Re-tile raw GGUF packed blocks into PlanarQuant (host-side, one-time).
+
+    data: (n_blocks, type_size) uint8 (as produced by gguf.reader).
+    shape: logical (out=R, in=K) weight shape.
+    """
+    qtype = GGMLQuantizationType(qtype)
+    if len(shape) != 2:
+        raise ValueError(f"planarize needs 2-D logical shape, got {shape}")
+    R, K = int(shape[0]), int(shape[1])
+    comp = codecs.COMPONENT_EXTRACTORS[qtype](np.ascontiguousarray(data))
+    gs = comp.group_size
+    if K % (2 * gs) != 0:
+        raise ValueError(f"in_features {K} not divisible by 2*group_size {2*gs}")
+
+    q = comp.q.reshape(R, K)
+    scales = comp.scales.reshape(R, K // gs).T  # (K//gs, R)
+    offsets = None if comp.offsets is None else comp.offsets.reshape(R, K // gs).T
+
+    rp = -(-R // LANE) * LANE
+    pad = rp - R
+
+    if qtype in _NIB4_TYPES:
+        layout = "nib4"
+        zp = comp.zero_point
+        qt = q.T.astype(np.uint8)  # (K, R)
+        packed = qt[: K // 2] | (qt[K // 2 :] << 4)  # (K//2, R)
+        qs = np.pad(packed, ((0, 0), (0, pad)))
+    else:
+        layout = "int8"
+        # fold zero-point into signed codes
+        qi = q.astype(np.int16) - int(comp.zero_point)
+        if qi.min() < -128 or qi.max() > 127:
+            raise ValueError(f"{qtype.name}: codes out of int8 range")
+        zp = 0
+        qs = np.pad(qi.astype(np.int8).T, ((0, 0), (0, pad)))
+
+    scales = np.pad(scales, ((0, 0), (0, pad)))
+    if offsets is not None:
+        offsets = np.pad(offsets, ((0, 0), (0, pad)))
+
+    put = partial(jax.device_put, device=device) if device else jnp.asarray
+    return PlanarQuant(
+        qs=put(qs),
+        scales=put(scales.astype(np.float32)),
+        offsets=None if offsets is None else put(offsets.astype(np.float32)),
+        qtype=int(qtype),
+        layout=layout,
+        group_size=gs,
+        zero_point=zp,
+        shape=(R, K),
+    )
+
+
+def unpack_codes(p: PlanarQuant) -> jax.Array:
+    """Integer codes in logical order, shape (K, Rp)."""
+    if p.layout == "nib4":
+        return jnp.concatenate([p.qs & 0x0F, p.qs >> 4], axis=0)
+    return p.qs
+
+
+def dequantize_kmajor(p: PlanarQuant, dtype=jnp.float32) -> jax.Array:
+    """Dequantize to a dense (K, R) array (i.e. W^T), logical R (un-padded).
+
+    Bit-identical (in float32) to codecs.dequantize of the original blocks.
+    """
+    q = unpack_codes(p).astype(jnp.float32)
+    if p.zero_point:
+        q = q - jnp.float32(p.zero_point)
+    K = p.in_features
+    gs = p.group_size
+    a = jnp.repeat(p.scales, gs, axis=0, total_repeat_length=K)
+    w = a * q
+    if p.offsets is not None:
+        w = w + jnp.repeat(p.offsets, gs, axis=0, total_repeat_length=K)
+    return w[:, : p.out_features].astype(dtype)
+
+
+def dequantize(p: PlanarQuant, dtype=jnp.float32) -> jax.Array:
+    """Dequantize to the logical torch-order (out=R, in=K) weight."""
+    return dequantize_kmajor(p, dtype).T

@@ -1,0 +1,81 @@
+"""Planar re-tiling must be a lossless re-encoding: dequantize(planarize(x))
+== codecs.dequantize(x) bit-exactly (float32)."""
+
+import numpy as np
+import pytest
+
+from comfyui_gguf_tpu.gguf.constants import GGMLQuantizationType as Q
+from comfyui_gguf_tpu.quant import codecs, planar
+
+QUANT_TYPES = [
+    Q.Q8_0, Q.Q4_0, Q.Q4_1, Q.Q5_0, Q.Q5_1, Q.IQ4_NL,
+    Q.Q4_K, Q.Q5_K, Q.Q6_K, Q.Q3_K, Q.Q2_K, Q.IQ4_XS,
+]
+
+
+@pytest.mark.parametrize("qtype", QUANT_TYPES, ids=lambda q: q.name)
+def test_planar_dequant_bit_exact(qtype):
+    rng = np.random.default_rng(int(qtype))
+    R, K = 48, 512  # R deliberately not a multiple of 128 (tests padding)
+    x = rng.standard_normal((R, K)).astype(np.float32) * 2.0
+    packed = codecs.quantize(x, qtype)
+    want = codecs.dequantize(packed, qtype, (R, K))
+
+    p = planar.planarize(packed, qtype, (R, K))
+    assert p.padded_out == 128
+    got = np.asarray(planar.dequantize(p))
+    assert got.shape == (R, K)
+    np.testing.assert_array_equal(got, want)
+
+
+@pytest.mark.parametrize("qtype", [Q.Q4_0, Q.Q4_K, Q.Q2_K], ids=lambda q: q.name)
+def test_nib4_layout(qtype):
+    rng = np.random.default_rng(0)
+    R, K = 128, 256
+    x = rng.standard_normal((R, K)).astype(np.float32)
+    p = planar.planarize(codecs.quantize(x, qtype), qtype, (R, K))
+    assert p.layout == "nib4"
+    assert p.qs.shape == (K // 2, R)
+    assert p.qs.dtype == np.uint8
+
+
+@pytest.mark.parametrize(
+    "qtype", [Q.Q8_0, Q.Q5_0, Q.Q5_K, Q.Q6_K, Q.Q3_K, Q.IQ4_NL, Q.IQ4_XS],
+    ids=lambda q: q.name,
+)
+def test_int8_layout_zero_point_folded(qtype):
+    rng = np.random.default_rng(1)
+    R, K = 128, 512
+    x = rng.standard_normal((R, K)).astype(np.float32)
+    p = planar.planarize(codecs.quantize(x, qtype), qtype, (R, K))
+    assert p.layout == "int8"
+    assert p.zero_point == 0
+    assert p.qs.dtype == np.int8
+
+
+def test_compression_ratio():
+    # packed planar Q4_K must stay well under bf16 size
+    R, K = 256, 1024
+    x = np.random.default_rng(2).standard_normal((R, K)).astype(np.float32)
+    p = planar.planarize(codecs.quantize(x, Q.Q4_K), Q.Q4_K, (R, K))
+    bf16_bytes = R * K * 2
+    assert p.nbytes_packed < 0.45 * bf16_bytes  # 4 bits + f32 scale/offset /32
+
+
+def test_planar_is_pytree():
+    import jax
+
+    R, K = 128, 256
+    x = np.random.default_rng(3).standard_normal((R, K)).astype(np.float32)
+    p = planar.planarize(codecs.quantize(x, Q.Q4_K), Q.Q4_K, (R, K))
+    leaves, treedef = jax.tree_util.tree_flatten(p)
+    assert len(leaves) == 3  # qs, scales, offsets
+    p2 = jax.tree_util.tree_unflatten(treedef, leaves)
+    assert p2.shape == p.shape and p2.layout == p.layout
+
+    # usable as a jit argument
+    @jax.jit
+    def f(pq):
+        return planar.dequantize_kmajor(pq).sum()
+
+    assert np.isfinite(float(f(p)))
