@@ -1,0 +1,181 @@
+"""Quantization-aware functional layer library.
+
+TPU-native replacement for the reference's ``GGMLOps`` custom layer classes
+(reference ops.py:227-271) and its ``GGMLLayer.get_weight`` lazy-dequant
+machinery (reference ops.py:166-191). Design differences, per SURVEY.md §7.4:
+
+* Layers are pure functions over plain pytrees — no tensor subclasses. The
+  torch-specific ``GGMLTensor`` traps (clone/detach/copy_, reference
+  ops.py:57-91) have no JAX analogue and vanish.
+* A weight leaf is either a dense ``jax.Array`` or a packed
+  ``quant.planar.PlanarQuant``. Packed 2-D weights never materialize in HBM:
+  ``linear`` routes them through the fused dequant+matmul kernel
+  (ops/qmatmul.py). Everything else (norms, biases, convs, embeddings) is
+  dense, matching the reference's eager-dequant special cases
+  (reference loader.py:122-124, 384-397).
+* LoRA is an epilogue on the *output* (rank-factored) rather than a rewrite
+  of the dequantized weight (reference ops.py:184-190) — mathematically the
+  same linear map, but it keeps the MXU on packed weights and makes the
+  patch cost O(rank·(K+R)) instead of O(K·R). See lora.py.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.qmatmul import quantized_matmul
+from ..quant.planar import PlanarQuant, dequantize as planar_dequantize
+
+
+@dataclasses.dataclass(frozen=True)
+class QuantConfig:
+    """Runtime dequant policy.
+
+    Mirrors the reference's loader-node knobs ``dequant_dtype`` /
+    ``patch_dtype`` (reference nodes.py:179-191, consumed dequant.py:22 and
+    ops.py:185-190). ``prefer_pallas=None`` auto-selects by backend.
+    """
+
+    dequant_dtype: Any = jnp.bfloat16
+    patch_dtype: Any = None  # None = follow dequant_dtype
+    prefer_pallas: bool | None = None
+    compute_dtype: Any = jnp.bfloat16
+
+    @property
+    def effective_patch_dtype(self):
+        return self.patch_dtype or self.dequant_dtype
+
+
+DEFAULT_CONFIG = QuantConfig()
+
+
+def is_quantized(leaf) -> bool:
+    return isinstance(leaf, PlanarQuant)
+
+
+def materialize(leaf, dtype=jnp.float32) -> jax.Array:
+    """Dense logical-shape weight from any leaf (debug / fallback path)."""
+    if isinstance(leaf, PlanarQuant):
+        return planar_dequantize(leaf, dtype)
+    return jnp.asarray(leaf, dtype)
+
+
+def linear(x: jax.Array, weight, bias=None, *,
+           cfg: QuantConfig = DEFAULT_CONFIG) -> jax.Array:
+    """x: (..., K) -> (..., R). weight: PlanarQuant or dense (R, K)."""
+    if isinstance(weight, PlanarQuant):
+        out = quantized_matmul(
+            x, weight,
+            dequant_dtype=cfg.dequant_dtype,
+            out_dtype=x.dtype,
+            prefer_pallas=cfg.prefer_pallas,
+        )
+    else:
+        w = weight.astype(cfg.compute_dtype)
+        out = jnp.dot(x.astype(cfg.compute_dtype), w.T,
+                      preferred_element_type=jnp.float32).astype(x.dtype)
+    if bias is not None:
+        out = out + bias.astype(out.dtype)
+    return out
+
+
+def embedding(ids: jax.Array, table, *,
+              cfg: QuantConfig = DEFAULT_CONFIG) -> jax.Array:
+    """ids: int (...,) -> (..., D). table: dense (V, D) (big quantized
+    embeddings are eagerly dequantized at load, reference loader.py:384-397).
+    """
+    if isinstance(table, PlanarQuant):
+        table = planar_dequantize(table, cfg.dequant_dtype)
+    return jnp.take(table, ids, axis=0)
+
+
+def layer_norm(x: jax.Array, weight=None, bias=None, *,
+               eps: float = 1e-5) -> jax.Array:
+    """LayerNorm with optional affine, fp32 statistics (VPU-friendly)."""
+    xf = x.astype(jnp.float32)
+    mu = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(xf - mu), axis=-1, keepdims=True)
+    y = (xf - mu) * jax.lax.rsqrt(var + eps)
+    if weight is not None:
+        y = y * materialize(weight, jnp.float32)
+    if bias is not None:
+        y = y + materialize(bias, jnp.float32)
+    return y.astype(x.dtype)
+
+
+def rms_norm(x: jax.Array, weight=None, *, eps: float = 1e-6,
+             offset: float = 0.0) -> jax.Array:
+    """RMSNorm (T5/Llama style), fp32 statistics.
+
+    ``offset=1.0`` supports (1+w) parameterizations (e.g. Gemma-style).
+    """
+    xf = x.astype(jnp.float32)
+    var = jnp.mean(jnp.square(xf), axis=-1, keepdims=True)
+    y = xf * jax.lax.rsqrt(var + eps)
+    if weight is not None:
+        y = y * (materialize(weight, jnp.float32) + offset)
+    return y.astype(x.dtype)
+
+
+def group_norm(x: jax.Array, weight=None, bias=None, *, num_groups: int = 32,
+               eps: float = 1e-6) -> jax.Array:
+    """GroupNorm over NHWC input (TPU-native channel-minor layout)."""
+    *lead, c = x.shape
+    xf = x.astype(jnp.float32).reshape(x.shape[0], -1, num_groups,
+                                       c // num_groups)
+    mu = jnp.mean(xf, axis=(1, 3), keepdims=True)
+    var = jnp.mean(jnp.square(xf - mu), axis=(1, 3), keepdims=True)
+    y = ((xf - mu) * jax.lax.rsqrt(var + eps)).reshape(x.shape)
+    if weight is not None:
+        y = y * materialize(weight, jnp.float32)
+    if bias is not None:
+        y = y + materialize(bias, jnp.float32)
+    return y.astype(x.dtype)
+
+
+def conv2d(x: jax.Array, weight, bias=None, *, stride=1, padding=0,
+           cfg: QuantConfig = DEFAULT_CONFIG) -> jax.Array:
+    """2-D conv, NHWC activations, weight (O, I, kh, kw) dense or packed.
+
+    Channel-minor (NHWC) is the TPU-native layout: the channel dim maps onto
+    lanes so XLA tiles the conv onto the MXU.
+    """
+    w = materialize(weight, cfg.compute_dtype)
+    if isinstance(stride, int):
+        stride = (stride, stride)
+    if isinstance(padding, int):
+        padding = ((padding, padding), (padding, padding))
+    out = jax.lax.conv_general_dilated(
+        x.astype(cfg.compute_dtype), w,
+        window_strides=stride,
+        padding=padding,
+        dimension_numbers=("NHWC", "OIHW", "NHWC"),
+        preferred_element_type=jnp.float32,
+    ).astype(x.dtype)
+    if bias is not None:
+        out = out + bias.astype(out.dtype)
+    return out
+
+
+def conv3d(x: jax.Array, weight, bias=None, *, stride=1, padding=0,
+           cfg: QuantConfig = DEFAULT_CONFIG) -> jax.Array:
+    """3-D conv (video patch embeds: HyVid/Wan), NDHWC activations."""
+    w = materialize(weight, cfg.compute_dtype)
+    if isinstance(stride, int):
+        stride = (stride, stride, stride)
+    if isinstance(padding, int):
+        padding = ((padding, padding),) * 3
+    out = jax.lax.conv_general_dilated(
+        x.astype(cfg.compute_dtype), w,
+        window_strides=stride,
+        padding=padding,
+        dimension_numbers=("NDHWC", "OIDHW", "NDHWC"),
+        preferred_element_type=jnp.float32,
+    ).astype(x.dtype)
+    if bias is not None:
+        out = out + bias.astype(out.dtype)
+    return out

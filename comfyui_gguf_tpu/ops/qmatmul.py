@@ -1,0 +1,262 @@
+"""Fused dequantize + matmul — the TPU hot path.
+
+Replaces the reference's per-forward unpack-then-linear stack
+(reference dequant.py:30-44 per-block torch unpacking followed by
+``torch.nn.functional.linear`` at ops.py:244): packed planar weight
+components stream HBM→VMEM, codes are unpacked and scaled in-register on the
+VPU, and the MXU consumes the dequantized tile directly — no fp16 weight is
+ever materialized in HBM.
+
+Two implementations with identical semantics:
+
+* ``pallas_qmm`` — Pallas TPU kernel. Grid (m, r, k) with k innermost; the
+  fp32 accumulator tile lives in VMEM across the k loop. The planar "nib4"
+  layout's global K-split (quant/planar.py) means one packed byte holds the
+  codes for logical rows j and j+K/2, so the kernel reads two x tiles per
+  step and issues two MXU dots per unpacked byte-plane.
+* ``xla_qmm`` — pure jax.numpy dequant→dot. XLA fuses the unpack arithmetic
+  into the matmul prologue; used as the correctness oracle, the CPU path,
+  and the fallback for shapes the kernel doesn't tile.
+
+``quantized_matmul`` dispatches between them.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..quant.planar import PlanarQuant, dequantize_kmajor
+
+LANE = 128
+
+
+def _cdiv(a: int, b: int) -> int:
+    return -(-a // b)
+
+
+# ---------------------------------------------------------------------------
+# XLA reference path
+# ---------------------------------------------------------------------------
+
+def xla_qmm(x: jax.Array, pq: PlanarQuant, *, dequant_dtype=jnp.bfloat16,
+            out_dtype=None) -> jax.Array:
+    """x: (..., K) @ W^T -> (..., R) via XLA-fused dequant."""
+    w = dequantize_kmajor(pq, dequant_dtype)  # (K, R)
+    out = jnp.dot(x.astype(dequant_dtype), w, preferred_element_type=jnp.float32)
+    return out.astype(out_dtype or x.dtype)
+
+
+# ---------------------------------------------------------------------------
+# Pallas fused kernel
+# ---------------------------------------------------------------------------
+
+def _expand_scales(s, gs: int, rows: int, rt: int):
+    """(rows//gs, rt) per-group values -> (rows, rt) per-element (VPU)."""
+    g = rows // gs
+    return jnp.broadcast_to(s.reshape(g, 1, rt), (g, gs, rt)).reshape(rows, rt)
+
+
+def _make_nib4_kernel(*, zp, gs, kt, rt, n_k, compute_dtype, has_offsets):
+    def kernel(*refs):
+        if has_offsets:
+            (x_lo_ref, x_hi_ref, qs_ref, sc_lo_ref, sc_hi_ref,
+             of_lo_ref, of_hi_ref, out_ref, acc_ref) = refs
+        else:
+            (x_lo_ref, x_hi_ref, qs_ref, sc_lo_ref, sc_hi_ref,
+             out_ref, acc_ref) = refs
+        k = pl.program_id(2)
+
+        @pl.when(k == 0)
+        def _():
+            acc_ref[:] = jnp.zeros_like(acc_ref)
+
+        # (kt, rt) u8: codes for rows j (lo nibble) and j+K/2 (hi nibble).
+        # Mosaic has no u8 shifts or u8->f32 casts; widen to i32 first.
+        qs = qs_ref[:].astype(jnp.int32)
+        lo = (qs & 0x0F).astype(jnp.float32)
+        hi = ((qs >> 4) & 0x0F).astype(jnp.float32)
+        if zp:
+            lo = lo - float(zp)
+            hi = hi - float(zp)
+        w_lo = lo * _expand_scales(sc_lo_ref[:], gs, kt, rt)
+        w_hi = hi * _expand_scales(sc_hi_ref[:], gs, kt, rt)
+        if has_offsets:
+            w_lo = w_lo + _expand_scales(of_lo_ref[:], gs, kt, rt)
+            w_hi = w_hi + _expand_scales(of_hi_ref[:], gs, kt, rt)
+
+        acc_ref[:] += jnp.dot(
+            x_lo_ref[:], w_lo.astype(compute_dtype),
+            preferred_element_type=jnp.float32,
+        ) + jnp.dot(
+            x_hi_ref[:], w_hi.astype(compute_dtype),
+            preferred_element_type=jnp.float32,
+        )
+
+        @pl.when(k == n_k - 1)
+        def _():
+            out_ref[:] = acc_ref[:].astype(out_ref.dtype)
+
+    return kernel
+
+
+def _make_int8_kernel(*, gs, kt, rt, n_k, compute_dtype, has_offsets):
+    def kernel(*refs):
+        if has_offsets:
+            x_ref, qs_ref, sc_ref, of_ref, out_ref, acc_ref = refs
+        else:
+            x_ref, qs_ref, sc_ref, out_ref, acc_ref = refs
+        k = pl.program_id(2)
+
+        @pl.when(k == 0)
+        def _():
+            acc_ref[:] = jnp.zeros_like(acc_ref)
+
+        w = (qs_ref[:].astype(jnp.int32).astype(jnp.float32)
+             * _expand_scales(sc_ref[:], gs, kt, rt))
+        if has_offsets:
+            w = w + _expand_scales(of_ref[:], gs, kt, rt)
+
+        acc_ref[:] += jnp.dot(
+            x_ref[:], w.astype(compute_dtype),
+            preferred_element_type=jnp.float32,
+        )
+
+        @pl.when(k == n_k - 1)
+        def _():
+            out_ref[:] = acc_ref[:].astype(out_ref.dtype)
+
+    return kernel
+
+
+def _pick_kt(k_rows: int, gs: int) -> int | None:
+    for cand in (512, 256, 128, 64, 32, 16):
+        if k_rows % cand == 0 and cand % gs == 0:
+            return cand
+    return None
+
+
+def _pick_tiles(m: int, k_rows: int, rp: int, gs: int):
+    """(mt, kt, rt) tile sizes. kt tiles the stored code rows (K/2 for nib4)."""
+    mt = min(256, max(8, 1 << max(0, (m - 1)).bit_length())) if m > 0 else 8
+    rt = 256 if rp % 256 == 0 else LANE
+    return mt, _pick_kt(k_rows, gs), rt
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("dequant_dtype", "out_dtype", "interpret"),
+)
+def pallas_qmm(x: jax.Array, pq: PlanarQuant, *, dequant_dtype=jnp.bfloat16,
+               out_dtype=None, interpret: bool = False) -> jax.Array:
+    """Fused x @ W^T with W kept packed. x: (..., K) -> (..., R)."""
+    out_dtype = out_dtype or x.dtype
+    R, K = pq.shape
+    rp = pq.padded_out
+    lead = x.shape[:-1]
+    x2 = x.reshape(-1, K)
+    m = x2.shape[0]
+    gs = pq.group_size
+    has_offsets = pq.offsets is not None
+    nib4 = pq.layout == "nib4"
+    k_rows = pq.qs.shape[0]  # K//2 for nib4, K for int8
+
+    mt, kt, rt = _pick_tiles(m, k_rows, rp, gs)
+    if kt is None:
+        raise ValueError(f"untileable K rows {k_rows} (gs={gs})")
+    mp = _cdiv(m, mt) * mt
+    if mp != m:
+        x2 = jnp.pad(x2, ((0, mp - m), (0, 0)))
+    x2 = x2.astype(dequant_dtype)
+
+    n_m, n_r, n_k = mp // mt, rp // rt, k_rows // kt
+    grid = (n_m, n_r, n_k)
+    sg = kt // gs  # scale rows per k tile
+
+    def vmem(block, index_map):
+        return pl.BlockSpec(block, index_map, memory_space=pltpu.VMEM)
+
+    out_spec = vmem((mt, rt), lambda i, j, k: (i, j))
+    cost = pl.CostEstimate(
+        flops=2 * mp * K * rp,
+        bytes_accessed=pq.nbytes_packed + mp * K * 2 + mp * rp * 2,
+        transcendentals=0,
+    )
+
+    if nib4:
+        kernel = _make_nib4_kernel(
+            zp=pq.zero_point, gs=gs, kt=kt, rt=rt, n_k=n_k,
+            compute_dtype=dequant_dtype, has_offsets=has_offsets,
+        )
+        # lo covers logical k rows [k*kt, (k+1)*kt); hi the same + K/2,
+        # i.e. block index shifted by n_k.
+        in_specs = [
+            vmem((mt, kt), lambda i, j, k: (i, k)),
+            vmem((mt, kt), lambda i, j, k: (i, k + n_k)),
+            vmem((kt, rt), lambda i, j, k: (k, j)),
+            vmem((sg, rt), lambda i, j, k: (k, j)),
+            vmem((sg, rt), lambda i, j, k: (k + n_k, j)),
+        ]
+        args = [x2, x2, pq.qs, pq.scales, pq.scales]
+        if has_offsets:
+            in_specs += [
+                vmem((sg, rt), lambda i, j, k: (k, j)),
+                vmem((sg, rt), lambda i, j, k: (k + n_k, j)),
+            ]
+            args += [pq.offsets, pq.offsets]
+    else:
+        kernel = _make_int8_kernel(
+            gs=gs, kt=kt, rt=rt, n_k=n_k,
+            compute_dtype=dequant_dtype, has_offsets=has_offsets,
+        )
+        in_specs = [
+            vmem((mt, kt), lambda i, j, k: (i, k)),
+            vmem((kt, rt), lambda i, j, k: (k, j)),
+            vmem((sg, rt), lambda i, j, k: (k, j)),
+        ]
+        args = [x2, pq.qs, pq.scales]
+        if has_offsets:
+            in_specs.append(vmem((sg, rt), lambda i, j, k: (k, j)))
+            args.append(pq.offsets)
+
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=out_spec,
+        out_shape=jax.ShapeDtypeStruct((mp, rp), out_dtype),
+        scratch_shapes=[pltpu.VMEM((mt, rt), jnp.float32)],
+        cost_estimate=cost,
+        interpret=interpret,
+    )(*args)
+
+    return out[:m, :R].reshape(*lead, R)
+
+
+# ---------------------------------------------------------------------------
+# dispatcher
+# ---------------------------------------------------------------------------
+
+def pallas_tileable(pq: PlanarQuant) -> bool:
+    return _pick_kt(pq.qs.shape[0], pq.group_size) is not None
+
+
+@functools.cache
+def _have_tpu() -> bool:
+    return any(d.platform == "tpu" for d in jax.devices())
+
+
+def quantized_matmul(x: jax.Array, pq: PlanarQuant, *,
+                     dequant_dtype=jnp.bfloat16, out_dtype=None,
+                     prefer_pallas: bool | None = None) -> jax.Array:
+    """x @ W^T with packed planar W. Dispatches Pallas on TPU, XLA otherwise."""
+    if prefer_pallas is None:
+        prefer_pallas = _have_tpu()
+    if prefer_pallas and pallas_tileable(pq):
+        return pallas_qmm(x, pq, dequant_dtype=dequant_dtype,
+                          out_dtype=out_dtype)
+    return xla_qmm(x, pq, dequant_dtype=dequant_dtype, out_dtype=out_dtype)

@@ -1,0 +1,71 @@
+"""Fused dequant+matmul kernel vs dequant-then-dot oracle (SURVEY.md §4)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from comfyui_gguf_tpu.gguf.constants import GGMLQuantizationType as Q
+from comfyui_gguf_tpu.ops.qmatmul import pallas_qmm, quantized_matmul, xla_qmm
+from comfyui_gguf_tpu.quant import codecs, planar
+
+QTYPES = [Q.Q4_0, Q.Q4_1, Q.Q5_0, Q.Q5_1, Q.Q8_0, Q.Q2_K, Q.Q3_K, Q.Q4_K,
+          Q.Q5_K, Q.Q6_K, Q.IQ4_NL, Q.IQ4_XS]
+
+
+def _mk_planar(qtype, R, K, seed=0):
+    rng = np.random.default_rng(seed)
+    w = rng.standard_normal((R, K), dtype=np.float32)
+    blocks = codecs.quantize(w, qtype)
+    ref = codecs.dequantize(blocks, qtype, (R, K))
+    pq = planar.planarize(blocks, qtype, (R, K))
+    return pq, ref
+
+
+@pytest.mark.parametrize("qtype", QTYPES)
+def test_xla_qmm_matches_host_dequant(qtype):
+    R, K = 192, 512
+    pq, ref = _mk_planar(qtype, R, K)
+    rng = np.random.default_rng(1)
+    x = rng.standard_normal((4, K), dtype=np.float32)
+    got = np.asarray(xla_qmm(jnp.asarray(x), pq, dequant_dtype=jnp.float32))
+    want = x @ ref.T
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
+
+
+@pytest.mark.parametrize("qtype", QTYPES)
+def test_pallas_qmm_matches_xla(qtype):
+    R, K = 256, 512
+    pq, _ = _mk_planar(qtype, R, K)
+    rng = np.random.default_rng(2)
+    x = jnp.asarray(rng.standard_normal((48, K), dtype=np.float32))
+    got = np.asarray(
+        pallas_qmm(x, pq, dequant_dtype=jnp.float32, interpret=True)
+    )
+    want = np.asarray(xla_qmm(x, pq, dequant_dtype=jnp.float32))
+    # fp32 accumulation order differs between the tiled kernel and one dot
+    np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-4)
+
+
+def test_pallas_qmm_unpadded_out_features():
+    # R=200 pads to 256 lanes; result must slice back to logical R
+    pq, ref = _mk_planar(Q.Q4_K, 200, 512, seed=3)
+    rng = np.random.default_rng(4)
+    x = rng.standard_normal((10, 512), dtype=np.float32)
+    got = np.asarray(
+        pallas_qmm(jnp.asarray(x), pq, dequant_dtype=jnp.float32,
+                   interpret=True)
+    )
+    assert got.shape == (10, 200)
+    np.testing.assert_allclose(got, x @ ref.T, rtol=2e-4, atol=2e-4)
+
+
+def test_quantized_matmul_batched_leading_dims():
+    pq, ref = _mk_planar(Q.Q8_0, 128, 256, seed=5)
+    rng = np.random.default_rng(6)
+    x = rng.standard_normal((2, 3, 256), dtype=np.float32)
+    got = np.asarray(
+        quantized_matmul(jnp.asarray(x), pq, dequant_dtype=jnp.float32,
+                         prefer_pallas=False)
+    )
+    assert got.shape == (2, 3, 128)
+    np.testing.assert_allclose(got, x @ ref.T, rtol=2e-4, atol=2e-4)

@@ -1,0 +1,80 @@
+"""Native tokenizer tests (unigram Viterbi + byte-level BPE)."""
+
+import numpy as np
+
+from comfyui_gguf_tpu.loader import TokenizerSpec
+from comfyui_gguf_tpu.tokenizer import BPETokenizer, UnigramTokenizer
+
+
+def _uni_spec():
+    tokens = ["<pad>", "</s>", "<unk>",
+              "▁", "▁hello", "▁world", "hell", "o", "w", "orld", "▁he",
+              "llo"]
+    scores = [0.0, 0.0, 0.0,
+              -1.0, -5.0, -5.5, -6.0, -2.0, -2.5, -7.0, -4.0, -6.5]
+    types = [3, 3, 2] + [1] * 9
+    # byte tokens for fallback
+    for b in range(256):
+        tokens.append(f"<0x{b:02X}>")
+        scores.append(-10.0)
+        types.append(6)
+    return TokenizerSpec(model="t5", tokens=tokens, scores=scores,
+                         token_types=types, eos_id=1, pad_id=0, unk_id=2,
+                         add_space_prefix=True, add_eos=True)
+
+
+def test_unigram_picks_best_segmentation():
+    tok = UnigramTokenizer(_uni_spec())
+    ids = tok.encode("hello world", add_eos=False)
+    # "▁hello" (-5) beats "▁he"+"llo" (-10.5); "▁world" (-5.5) beats others
+    assert ids == [tok.piece_to_id["▁hello"], tok.piece_to_id["▁world"]]
+
+
+def test_unigram_eos_and_decode_roundtrip():
+    tok = UnigramTokenizer(_uni_spec())
+    ids = tok.encode("hello world")
+    assert ids[-1] == 1  # eos appended
+    assert tok.decode(ids) == "hello world"
+
+
+def test_unigram_byte_fallback():
+    tok = UnigramTokenizer(_uni_spec())
+    ids = tok.encode("héllo", add_eos=False)  # é not in vocab → UTF-8 bytes
+    assert all(0 <= i < tok.vocab_size for i in ids)
+    assert tok.decode(ids) == "héllo"
+
+
+def test_unigram_batch_padding():
+    tok = UnigramTokenizer(_uni_spec())
+    ids, mask = tok.encode_batch(["hello", "hello world"], max_length=8)
+    assert ids.shape == (2, 8) and mask.shape == (2, 8)
+    assert mask[0].sum() < mask[1].sum()
+    assert ids[0, mask[0].sum():].tolist() == [0] * (8 - mask[0].sum())
+
+
+def _bpe_spec():
+    # minimal byte-level vocab: single chars + one merge
+    from comfyui_gguf_tpu.tokenizer.bpe import bytes_to_unicode
+    b2u = bytes_to_unicode()
+    chars = [b2u[b] for b in range(256)]
+    tokens = chars + ["he", "hell", "hello", "Ġhello", "<|endoftext|>"]
+    types = [1] * len(chars) + [1, 1, 1, 1, 3]
+    merges = ["h e", "he l", "hel l", "hell o", "Ġ hello"]
+    return TokenizerSpec(model="gpt2", tokens=tokens, scores=None,
+                         token_types=types, merges=merges,
+                         eos_id=len(tokens) - 1, add_eos=False)
+
+
+def test_bpe_merges():
+    tok = BPETokenizer(_bpe_spec())
+    ids = tok.encode("hello", add_special=False)
+    assert ids == [tok.vocab["hello"]]
+    assert tok.decode(ids) == "hello"
+
+
+def test_bpe_space_prefix_and_specials():
+    tok = BPETokenizer(_bpe_spec())
+    ids = tok.encode("hello hello<|endoftext|>", add_special=False)
+    assert tok.vocab["<|endoftext|>"] in ids
+    assert tok.vocab["Ġhello"] in ids
+    assert tok.decode(ids) == "hello hello"
