@@ -44,6 +44,8 @@ class ArchSpec:
     # substrings of tensors that must never be quantized (embedders /
     # modulation / final layers, reference tools/lcpp.patch:327-425)
     keys_noquant: tuple[str, ...] = ()
+    # exact-match tensor names that must never be quantized
+    keys_noquant_exact: tuple[str, ...] = ()
 
 
 ARCH_SPECS: tuple[ArchSpec, ...] = (
@@ -54,8 +56,8 @@ ARCH_SPECS: tuple[ArchSpec, ...] = (
             ("double_blocks.0.img_attn.proj.weight",),
         ),
         keys_banned=("transformer_blocks.0.attn.norm_added_k.weight",),
-        keys_noquant=("img_in.", "txt_in.", "time_in.", "vector_in.",
-                      "guidance_in.", "final_layer.", "norm"),
+        keys_noquant=("txt_in.", "img_in.", "time_in.", "vector_in.",
+                      "guidance_in.", "final_layer."),
     ),
     ArchSpec(
         arch="sd3",
@@ -64,8 +66,9 @@ ARCH_SPECS: tuple[ArchSpec, ...] = (
             ("joint_blocks.0.x_block.attn.qkv.weight",),
         ),
         keys_banned=("transformer_blocks.0.attn.add_q_proj.weight",),
-        keys_noquant=("pos_embed", "x_embedder.", "y_embedder.", "t_embedder.",
-                      "context_embedder.", "final_layer.", "norm"),
+        keys_noquant=("final_layer.", "time_text_embed.", "context_embedder.",
+                      "t_embedder.", "y_embedder.", "x_embedder."),
+        keys_noquant_exact=("proj_out.weight", "pos_embed"),
     ),
     ArchSpec(
         arch="aura",
@@ -76,9 +79,10 @@ ARCH_SPECS: tuple[ArchSpec, ...] = (
         keys_banned=(
             "joint_transformer_blocks.3.ff_context.out_projection.weight",),
         keys_hiprec=("positional_encoding", "register_tokens"),
-        keys_noquant=("init_x_linear.", "cond_seq_linear.", "t_embedder.",
-                      "final_linear.", "modF.", "positional_encoding",
-                      "register_tokens", "norm"),
+        keys_noquant=("t_embedder.", "init_x_linear."),
+        keys_noquant_exact=("modF.1.weight", "cond_seq_linear.weight",
+                            "final_linear.weight", "positional_encoding",
+                            "register_tokens"),
     ),
     ArchSpec(
         arch="hidream",
@@ -88,8 +92,8 @@ ARCH_SPECS: tuple[ArchSpec, ...] = (
         ),
         keys_hiprec=(".ff_i.gate.weight", "img_emb.emb_pos"),
         keys_noquant=("p_embedder.", "t_embedder.", "x_embedder.",
-                      "final_layer.", ".ff_i.gate.", "caption_projection.",
-                      "norm"),
+                      "final_layer.", ".ff_i.gate.weight",
+                      "caption_projection."),
     ),
     ArchSpec(
         arch="cosmos",
@@ -99,8 +103,8 @@ ARCH_SPECS: tuple[ArchSpec, ...] = (
         ),
         keys_hiprec=("pos_embedder",),
         keys_ignore=("_extra_state", "accum_"),
-        keys_noquant=("p_embedder.", "t_embedder.", "x_embedder.",
-                      "pos_embedder.", "final_layer.", "norm"),
+        keys_noquant=("p_embedder.", "t_embedder.", "t_embedding_norm.",
+                      "x_embedder.", "pos_embedder.", "final_layer."),
     ),
     ArchSpec(
         arch="ltxv",
@@ -110,8 +114,8 @@ ARCH_SPECS: tuple[ArchSpec, ...] = (
              "caption_projection.linear_2.weight"),
         ),
         keys_hiprec=("scale_shift_table",),
-        keys_noquant=("patchify_proj.", "adaln_single.", "caption_projection.",
-                      "proj_out.", "scale_shift_table", "norm"),
+        keys_noquant=("adaln_single.", "caption_projection.",
+                      "patchify_proj.", "proj_out.", "scale_shift_table"),
     ),
     ArchSpec(
         arch="hyvid",
@@ -120,8 +124,8 @@ ARCH_SPECS: tuple[ArchSpec, ...] = (
              "txt_in.individual_token_refiner.blocks.1.self_attn_qkv.weight"),
         ),
         has_nd_tensors=True,
-        keys_noquant=("img_in.", "txt_in.", "time_in.", "vector_in.",
-                      "guidance_in.", "final_layer.", "norm"),
+        keys_noquant=("txt_in.", "img_in.", "time_in.", "vector_in.",
+                      "guidance_in.", "final_layer."),
     ),
     ArchSpec(
         arch="wan",
@@ -131,9 +135,9 @@ ARCH_SPECS: tuple[ArchSpec, ...] = (
         ),
         keys_hiprec=(".modulation",),
         has_nd_tensors=True,
-        keys_noquant=("patch_embedding.", "text_embedding.", "time_embedding.",
-                      "time_projection.", "img_emb.", "head.", ".modulation",
-                      "norm"),
+        keys_noquant=("modulation.", "patch_embedding.", "text_embedding.",
+                      "time_projection.", "time_embedding.", "img_emb.",
+                      "head."),
     ),
     ArchSpec(
         arch="sdxl",
@@ -145,9 +149,9 @@ ARCH_SPECS: tuple[ArchSpec, ...] = (
             ("label_emb.0.0.weight",),
         ),
         shape_fix=True,
-        keys_noquant=("time_embed.", "label_emb.", "input_blocks.0.0.",
-                      "out.", "skip_connection.", "norm", "emb_layers.",
-                      "proj_in.", "proj_out."),
+        keys_noquant=("class_embedding.", "time_embedding.", "add_embedding.",
+                      "time_embed.", "label_emb.", "conv_in.", "conv_out."),
+        keys_noquant_exact=("input_blocks.0.0.weight", "out.2.weight"),
     ),
     ArchSpec(
         arch="sd1",
@@ -158,17 +162,17 @@ ARCH_SPECS: tuple[ArchSpec, ...] = (
              "output_blocks.5.2.conv.weight", "output_blocks.8.2.conv.weight"),
         ),
         shape_fix=True,
-        keys_noquant=("time_embed.", "label_emb.", "input_blocks.0.0.",
-                      "out.", "skip_connection.", "norm", "emb_layers.",
-                      "proj_in.", "proj_out."),
+        keys_noquant=("class_embedding.", "time_embedding.", "add_embedding.",
+                      "time_embed.", "label_emb.", "conv_in.", "conv_out."),
+        keys_noquant_exact=("input_blocks.0.0.weight", "out.2.weight"),
     ),
     ArchSpec(
         arch="lumina2",
         keys_detect=(
             ("cap_embedder.1.weight", "context_refiner.0.attention.qkv.weight"),
         ),
-        keys_noquant=("x_embedder.", "t_embedder.", "cap_embedder.",
-                      "final_layer.", "norm"),
+        keys_noquant=("t_embedder.", "x_embedder.", "final_layer.",
+                      "cap_embedder.", "context_refiner.", "noise_refiner."),
     ),
 )
 

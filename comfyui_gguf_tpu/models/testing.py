@@ -1,0 +1,252 @@
+"""Synthetic model builders for tests / compile checks / benches.
+
+Generates random state dicts with the exact key naming + shapes of real
+GGUF checkpoints so the whole pipeline (quantize → planarize → model
+forward) can be exercised without multi-GB downloads.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+from ..gguf.constants import GGMLQuantizationType as Q
+from ..quant import codecs
+from ..quant.planar import planarize
+from .flux import FluxConfig
+
+
+@dataclasses.dataclass(frozen=True)
+class TinyFluxDims:
+    hidden: int = 128
+    heads: int = 4
+    ctx: int = 64
+    vec: int = 32
+    in_ch: int = 16
+    depth_double: int = 2
+    depth_single: int = 2
+    axes_dim: tuple[int, ...] = (8, 12, 12)
+
+    @property
+    def mlp(self) -> int:
+        return 4 * self.hidden
+
+    def config(self) -> FluxConfig:
+        return FluxConfig(
+            in_channels=self.in_ch, hidden=self.hidden, n_heads=self.heads,
+            depth_double=self.depth_double, depth_single=self.depth_single,
+            axes_dim=self.axes_dim, context_dim=self.ctx, vec_dim=self.vec,
+            guidance_embed=True,
+        )
+
+
+# flux1-dev/schnell real dims (12B params)
+FLUX_DEV_DIMS = TinyFluxDims(
+    hidden=3072, heads=24, ctx=4096, vec=768, in_ch=64,
+    depth_double=19, depth_single=38, axes_dim=(16, 56, 56),
+)
+
+
+def flux_state_dict(dims: TinyFluxDims, seed: int = 0,
+                    dtype=np.float32) -> dict[str, np.ndarray]:
+    """Random flux state dict with BFL key naming (see models/flux.py)."""
+    rng = np.random.default_rng(seed)
+    HID, CTX, VEC, INCH, MLP = (dims.hidden, dims.ctx, dims.vec, dims.in_ch,
+                                dims.mlp)
+    hd = HID // dims.heads
+
+    def t(*shape):
+        return (rng.standard_normal(shape) * 0.02).astype(dtype)
+
+    sd = {
+        "img_in.weight": t(HID, INCH), "img_in.bias": t(HID),
+        "txt_in.weight": t(HID, CTX), "txt_in.bias": t(HID),
+        "time_in.in_layer.weight": t(HID, 256),
+        "time_in.in_layer.bias": t(HID),
+        "time_in.out_layer.weight": t(HID, HID),
+        "time_in.out_layer.bias": t(HID),
+        "vector_in.in_layer.weight": t(HID, VEC),
+        "vector_in.in_layer.bias": t(HID),
+        "vector_in.out_layer.weight": t(HID, HID),
+        "vector_in.out_layer.bias": t(HID),
+        "guidance_in.in_layer.weight": t(HID, 256),
+        "guidance_in.in_layer.bias": t(HID),
+        "guidance_in.out_layer.weight": t(HID, HID),
+        "guidance_in.out_layer.bias": t(HID),
+        "final_layer.linear.weight": t(INCH, HID),
+        "final_layer.linear.bias": t(INCH),
+        "final_layer.adaLN_modulation.1.weight": t(2 * HID, HID),
+        "final_layer.adaLN_modulation.1.bias": t(2 * HID),
+    }
+    for i in range(dims.depth_double):
+        p = f"double_blocks.{i}."
+        for s in ("img", "txt"):
+            sd[p + f"{s}_mod.lin.weight"] = t(6 * HID, HID)
+            sd[p + f"{s}_mod.lin.bias"] = t(6 * HID)
+            sd[p + f"{s}_attn.qkv.weight"] = t(3 * HID, HID)
+            sd[p + f"{s}_attn.qkv.bias"] = t(3 * HID)
+            sd[p + f"{s}_attn.norm.query_norm.scale"] = t(hd) + 1
+            sd[p + f"{s}_attn.norm.key_norm.scale"] = t(hd) + 1
+            sd[p + f"{s}_attn.proj.weight"] = t(HID, HID)
+            sd[p + f"{s}_attn.proj.bias"] = t(HID)
+            sd[p + f"{s}_mlp.0.weight"] = t(MLP, HID)
+            sd[p + f"{s}_mlp.0.bias"] = t(MLP)
+            sd[p + f"{s}_mlp.2.weight"] = t(HID, MLP)
+            sd[p + f"{s}_mlp.2.bias"] = t(HID)
+    for i in range(dims.depth_single):
+        p = f"single_blocks.{i}."
+        sd[p + "linear1.weight"] = t(3 * HID + MLP, HID)
+        sd[p + "linear1.bias"] = t(3 * HID + MLP)
+        sd[p + "linear2.weight"] = t(HID, HID + MLP)
+        sd[p + "linear2.bias"] = t(HID)
+        sd[p + "modulation.lin.weight"] = t(3 * HID, HID)
+        sd[p + "modulation.lin.bias"] = t(3 * HID)
+        sd[p + "norm.query_norm.scale"] = t(hd) + 1
+        sd[p + "norm.key_norm.scale"] = t(hd) + 1
+    return sd
+
+
+def quantize_flux_params(sd: dict[str, np.ndarray], qtype=Q.Q8_0,
+                         device=None) -> dict:
+    """Pack the big 2-D weights into PlanarQuant (mixed-precision policy:
+    embedders / final layer / norms stay dense — mirrors the reference
+    quantizer's exclusion lists, tools/lcpp.patch:327-425)."""
+    import jax.numpy as jnp
+
+    out = {}
+    for k, v in sd.items():
+        if (v.ndim == 2 and v.shape[1] % 256 == 0 and "norm" not in k
+                and not k.startswith(("final_layer.", "img_in", "txt_in",
+                                      "time_in", "vector_in", "guidance_in"))):
+            blocks = codecs.quantize(v, qtype)
+            out[k] = planarize(blocks, qtype, v.shape, device=device)
+        else:
+            dt = jnp.float32 if v.ndim <= 1 else jnp.bfloat16
+            out[k] = jnp.asarray(v, dtype=dt)
+    return out
+
+
+def random_planar(qtype, shape: tuple[int, int], rng: np.random.Generator,
+                  device=None):
+    """Random PlanarQuant with the exact HBM layout of a real weight —
+    contents are noise, which is all a throughput benchmark needs (skips
+    the slow host-side encode of billions of parameters)."""
+    import jax
+    import jax.numpy as jnp
+
+    from ..quant.planar import LANE, PlanarQuant, _NIB4_TYPES
+
+    R, K = shape
+    rp = -(-R // LANE) * LANE
+    comp = codecs.COMPONENT_EXTRACTORS[qtype](
+        codecs.quantize(rng.standard_normal((1, 512), dtype=np.float32)
+                        .repeat(1, axis=0), qtype))
+    gs = comp.group_size
+    has_offsets = comp.offsets is not None
+    nib4 = qtype in _NIB4_TYPES
+    put = (lambda x: jax.device_put(x, device)) if device else jnp.asarray
+    if nib4:
+        qs = put(rng.integers(0, 256, (K // 2, rp), dtype=np.uint8))
+        zp = comp.zero_point
+        layout = "nib4"
+    else:
+        qs = put(rng.integers(-127, 128, (K, rp)).astype(np.int8))
+        zp = 0
+        layout = "int8"
+    scales = put((rng.standard_normal((K // gs, rp)) * 0.01
+                  ).astype(np.float32))
+    offsets = (put((rng.standard_normal((K // gs, rp)) * 0.01
+                    ).astype(np.float32)) if has_offsets else None)
+    return PlanarQuant(qs=qs, scales=scales, offsets=offsets,
+                       qtype=int(qtype), layout=layout, group_size=gs,
+                       zero_point=zp, shape=(R, K))
+
+
+def flux_random_quant_params(dims: TinyFluxDims, qtype=Q.Q4_K, seed: int = 0,
+                             device=None) -> dict:
+    """Full flux param dict with random packed weights at real layout,
+    built tensor-by-tensor (no 48GB host state dict)."""
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(seed)
+    HID, CTX, VEC, INCH, MLP = (dims.hidden, dims.ctx, dims.vec, dims.in_ch,
+                                dims.mlp)
+    hd = HID // dims.heads
+
+    def dense(*shape):
+        dt = jnp.float32 if len(shape) <= 1 else jnp.bfloat16
+        return jnp.asarray(
+            (rng.standard_normal(shape) * 0.02).astype(np.float32), dtype=dt)
+
+    def packed(r, k):
+        return random_planar(qtype, (r, k), rng, device=device)
+
+    params = {
+        "img_in.weight": dense(HID, INCH), "img_in.bias": dense(HID),
+        "txt_in.weight": dense(HID, CTX), "txt_in.bias": dense(HID),
+        "time_in.in_layer.weight": dense(HID, 256),
+        "time_in.in_layer.bias": dense(HID),
+        "time_in.out_layer.weight": dense(HID, HID),
+        "time_in.out_layer.bias": dense(HID),
+        "vector_in.in_layer.weight": dense(HID, VEC),
+        "vector_in.in_layer.bias": dense(HID),
+        "vector_in.out_layer.weight": dense(HID, HID),
+        "vector_in.out_layer.bias": dense(HID),
+        "guidance_in.in_layer.weight": dense(HID, 256),
+        "guidance_in.in_layer.bias": dense(HID),
+        "guidance_in.out_layer.weight": dense(HID, HID),
+        "guidance_in.out_layer.bias": dense(HID),
+        "final_layer.linear.weight": dense(INCH, HID),
+        "final_layer.linear.bias": dense(INCH),
+        "final_layer.adaLN_modulation.1.weight": dense(2 * HID, HID),
+        "final_layer.adaLN_modulation.1.bias": dense(2 * HID),
+    }
+    for i in range(dims.depth_double):
+        p = f"double_blocks.{i}."
+        for s in ("img", "txt"):
+            params[p + f"{s}_mod.lin.weight"] = packed(6 * HID, HID)
+            params[p + f"{s}_mod.lin.bias"] = dense(6 * HID)
+            params[p + f"{s}_attn.qkv.weight"] = packed(3 * HID, HID)
+            params[p + f"{s}_attn.qkv.bias"] = dense(3 * HID)
+            params[p + f"{s}_attn.norm.query_norm.scale"] = dense(hd)
+            params[p + f"{s}_attn.norm.key_norm.scale"] = dense(hd)
+            params[p + f"{s}_attn.proj.weight"] = packed(HID, HID)
+            params[p + f"{s}_attn.proj.bias"] = dense(HID)
+            params[p + f"{s}_mlp.0.weight"] = packed(MLP, HID)
+            params[p + f"{s}_mlp.0.bias"] = dense(MLP)
+            params[p + f"{s}_mlp.2.weight"] = packed(HID, MLP)
+            params[p + f"{s}_mlp.2.bias"] = dense(HID)
+    for i in range(dims.depth_single):
+        p = f"single_blocks.{i}."
+        params[p + "linear1.weight"] = packed(3 * HID + MLP, HID)
+        params[p + "linear1.bias"] = dense(3 * HID + MLP)
+        params[p + "linear2.weight"] = packed(HID, HID + MLP)
+        params[p + "linear2.bias"] = dense(HID)
+        params[p + "modulation.lin.weight"] = packed(3 * HID, HID)
+        params[p + "modulation.lin.bias"] = dense(3 * HID)
+        params[p + "norm.query_norm.scale"] = dense(hd)
+        params[p + "norm.key_norm.scale"] = dense(hd)
+    return params
+
+
+def flux_example_inputs(dims: TinyFluxDims, batch: int = 1, h_lat: int = 8,
+                        w_lat: int = 8, txt_len: int = 16, seed: int = 1,
+                        dtype=None):
+    """(img, img_ids, txt, txt_ids, t, y, guidance) matching flux.forward."""
+    import jax.numpy as jnp
+    from .flux import make_img_ids, patchify
+
+    dtype = dtype or jnp.bfloat16
+    rng = np.random.default_rng(seed)
+    lat_c = dims.in_ch // 4
+    latent = jnp.asarray(
+        rng.standard_normal((batch, h_lat, w_lat, lat_c)), dtype)
+    img = patchify(latent)
+    img_ids = jnp.asarray(make_img_ids(h_lat // 2, w_lat // 2, batch))
+    txt = jnp.asarray(rng.standard_normal((batch, txt_len, dims.ctx)), dtype)
+    txt_ids = jnp.zeros((batch, txt_len, 3), jnp.int32)
+    t = jnp.ones((batch,), jnp.float32)
+    y = jnp.asarray(rng.standard_normal((batch, dims.vec)), dtype)
+    g = jnp.full((batch,), 4.0, jnp.float32)
+    return img, img_ids, txt, txt_ids, t, y, g

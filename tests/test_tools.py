@@ -1,0 +1,127 @@
+"""Offline toolchain tests: convert → quantize → fix_5d → load round trip
+(SURVEY.md §2.16-2.18, §3.5)."""
+
+import numpy as np
+import pytest
+
+from comfyui_gguf_tpu.gguf.constants import (
+    GGMLQuantizationType as Q,
+    LlamaFileType as F,
+)
+from comfyui_gguf_tpu.gguf.reader import GGUFReader
+from comfyui_gguf_tpu.loader import gguf_sd_loader
+from comfyui_gguf_tpu.tools import convert, fix_5d_tensors, quantize
+
+
+def _flux_like_sd(rng):
+    """Minimal key set that fingerprints as flux and exercises the rules."""
+    def t(*s):
+        return rng.standard_normal(s).astype(np.float32)
+
+    return {
+        "double_blocks.0.img_attn.proj.weight": t(256, 512),
+        "double_blocks.0.img_attn.qkv.weight": t(768, 512),
+        "double_blocks.0.img_mlp.2.weight": t(512, 1024),  # ffn_down-like? no
+        "double_blocks.0.img_attn.proj.bias": t(256),
+        "img_in.weight": t(256, 64),  # excluded from quantization
+        "time_in.in_layer.weight": t(256, 256),  # excluded
+        "final_layer.linear.weight": t(64, 256),  # excluded
+        "norm.scale": t(32),
+        "tiny.weight": t(8, 8),  # ≤1024 params → F32
+    }
+
+
+def test_convert_dtype_policy(tmp_path):
+    rng = np.random.default_rng(0)
+    sd = _flux_like_sd(rng)
+    import safetensors.torch
+    import torch
+
+    st = {k: torch.from_numpy(v) for k, v in sd.items()}
+    src = tmp_path / "model.safetensors"
+    safetensors.torch.save_file(st, str(src))
+
+    out = convert.convert_file(str(src), str(tmp_path / "m-F16.gguf"))
+    r = GGUFReader(out)
+    by_name = {t.name: t for t in r.tensors}
+    assert by_name["double_blocks.0.img_attn.proj.weight"].qtype == Q.F16
+    assert by_name["double_blocks.0.img_attn.proj.bias"].qtype == Q.F32  # 1-D
+    assert by_name["tiny.weight"].qtype == Q.F32  # ≤1024 params
+    assert r.get_int("general.file_type") == int(F.MOSTLY_F16)
+    assert r.get_str("general.architecture") == "flux"
+
+
+def test_quantize_mixed_precision_rules(tmp_path):
+    rng = np.random.default_rng(1)
+    sd = _flux_like_sd(rng)
+    import safetensors.torch
+    import torch
+
+    src = tmp_path / "model.safetensors"
+    safetensors.torch.save_file(
+        {k: torch.from_numpy(v) for k, v in sd.items()}, str(src))
+    f16 = convert.convert_file(str(src), str(tmp_path / "m-F16.gguf"))
+    q = quantize.quantize_file(f16, str(tmp_path / "m-Q4_K_M.gguf"), "Q4_K_M")
+
+    r = GGUFReader(q)
+    by_name = {t.name: t for t in r.tensors}
+    # base tensors → Q4_K; fused qkv bumped to Q5_K (Q4_K_M rule)
+    assert by_name["double_blocks.0.img_attn.proj.weight"].qtype == Q.Q4_K
+    assert by_name["double_blocks.0.img_attn.qkv.weight"].qtype == Q.Q5_K
+    # exclusions stay F16 (embedders/final)
+    assert by_name["img_in.weight"].qtype == Q.F16
+    assert by_name["time_in.in_layer.weight"].qtype == Q.F16
+    assert by_name["final_layer.linear.weight"].qtype == Q.F16
+    # 1-D stays F32
+    assert by_name["double_blocks.0.img_attn.proj.bias"].qtype == Q.F32
+    # loadable by the normal loader
+    loaded, arch = gguf_sd_loader(q, return_arch=True)
+    assert arch == "flux"
+    assert loaded["double_blocks.0.img_attn.qkv.weight"].qtype == Q.Q5_K
+
+
+def test_qtype_row_fallback():
+    qs = quantize.QuantState()
+    # rows not divisible by 256 → F16 fallback for K-quants
+    t = quantize.tensor_qtype("blk.w.weight", (64, 192), F.MOSTLY_Q4_K_S, qs)
+    assert t == Q.F16 and qs.n_fallback == 1
+
+
+def test_qtype_attn_v_ladder():
+    qs = quantize.QuantState()
+    names = ["a.attn_v.weight", "b.attn_v.weight", "c.attn_v.weight",
+             "d.attn_v.weight", "e.attn_v.weight"]
+    types = [quantize.tensor_qtype(n, (256, 256), F.MOSTLY_Q4_K_S, qs)
+             for n in names]
+    # first 4 attn_v bumped to Q5_K, rest Q4_K (reference lcpp.patch:152-156)
+    assert types == [Q.Q5_K] * 4 + [Q.Q4_K]
+
+
+def test_qtype_ffn_down_q4_0():
+    qs = quantize.QuantState()
+    t = quantize.tensor_qtype("blk.0.ffn_down.weight", (256, 256),
+                              F.MOSTLY_Q4_0, qs)
+    assert t == Q.Q4_1
+
+
+def test_fix_5d_roundtrip(tmp_path):
+    rng = np.random.default_rng(2)
+    import safetensors.numpy
+
+    w5 = rng.standard_normal((8, 4, 2, 3, 3)).astype(np.float32)
+    sidecar = tmp_path / "fix_5d_tensors_wan.safetensors"
+    safetensors.numpy.save_file({"patch_embedding.weight": w5}, str(sidecar))
+
+    from comfyui_gguf_tpu.gguf.writer import GGUFWriter
+
+    w = GGUFWriter("wan")
+    w.add_tensor("blocks.0.self_attn.q.weight",
+                 rng.standard_normal((16, 16)).astype(np.float32))
+    base = tmp_path / "wan-Q8_0.gguf"
+    w.write_to_file(str(base))
+
+    out = fix_5d_tensors.fix_file(str(base), str(sidecar))
+    sd = gguf_sd_loader(out, return_arch=False)
+    got = sd["patch_embedding.weight"]
+    assert got.shape == (8, 4, 2, 3, 3)
+    np.testing.assert_allclose(got.dequantize(), w5)
