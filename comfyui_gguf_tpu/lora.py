@@ -1,0 +1,226 @@
+"""LoRA patch pipeline: load, map keys, attach to packed weights, apply at
+matmul time.
+
+The reference defers LoRA application to dequant time — patches are stored
+on the packed ``GGMLTensor`` (reference nodes.py:37-47) and
+``comfy.lora.calculate_weight`` rewrites the dequantized fp weight every
+forward (reference ops.py:166-191). The TPU-native equivalent keeps the
+weight packed and applies the patch as a *rank-factored epilogue on the
+output*:
+
+    y = x @ (W + s·B·A)ᵀ  =  qmm(x, W_packed) + s·((x @ Aᵀ) @ Bᵀ)
+
+which is the same linear map at O(r·(K+R)) extra FLOPs instead of a dense
+O(K·R) weight rewrite, and — unlike the reference — never materializes the
+patched weight. Full-rank patch types (diff) fold into a dense delta added
+the same way. ``patch_dtype`` mirrors the reference's loader knob
+(reference nodes.py:179-191).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import logging
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+log = logging.getLogger(__name__)
+
+
+@partial(jax.tree_util.register_dataclass,
+         data_fields=["up", "down", "mid", "diff"],
+         meta_fields=["scale"])
+@dataclasses.dataclass(frozen=True)
+class LoRAPatch:
+    """One additive patch: ΔW = scale · up @ (mid @)? down, or dense diff."""
+
+    up: jax.Array | None  # (R, r)
+    down: jax.Array | None  # (r, K)
+    mid: jax.Array | None  # (r, r) LoCon mid block, rarely present
+    diff: jax.Array | None  # dense (R, K) delta (patch type "diff")
+    scale: float
+
+
+@partial(jax.tree_util.register_dataclass,
+         data_fields=["base", "patches"], meta_fields=[])
+@dataclasses.dataclass(frozen=True)
+class PatchedWeight:
+    """A weight leaf (dense array or PlanarQuant) + pending LoRA patches."""
+
+    base: object
+    patches: tuple[LoRAPatch, ...]
+
+
+def apply_patch_epilogue(x: jax.Array, out: jax.Array,
+                         patches: tuple[LoRAPatch, ...],
+                         patch_dtype=None) -> jax.Array:
+    """out += Σ scale · x @ ΔWᵀ, rank-factored when possible."""
+    dt = patch_dtype or x.dtype
+    acc = out
+    for p in patches:
+        if p.diff is not None:
+            delta = jnp.dot(x.astype(dt), p.diff.astype(dt).T,
+                            preferred_element_type=jnp.float32)
+        else:
+            h = jnp.dot(x.astype(dt), p.down.astype(dt).T,
+                        preferred_element_type=jnp.float32).astype(dt)
+            if p.mid is not None:
+                h = jnp.dot(h, p.mid.astype(dt).T,
+                            preferred_element_type=jnp.float32).astype(dt)
+            delta = jnp.dot(h, p.up.astype(dt).T,
+                            preferred_element_type=jnp.float32)
+        acc = acc + (p.scale * delta).astype(acc.dtype)
+    return acc
+
+
+# ---------------------------------------------------------------------------
+# LoRA file loading + key mapping
+# ---------------------------------------------------------------------------
+
+def load_lora_safetensors(path: str) -> dict[str, np.ndarray]:
+    import torch
+    from safetensors.torch import load_file
+
+    return {
+        k: (v.float().numpy() if v.dtype in (torch.bfloat16, torch.float16)
+            else v.numpy())
+        for k, v in load_file(path).items()
+    }
+
+
+_PREFIXES = ("lora_unet_", "lora_transformer_", "lora_te_", "")
+_SUFFIX_SETS = (
+    # kohya: lora_up/lora_down/alpha
+    (".lora_up.weight", ".lora_down.weight", ".alpha"),
+    # PEFT/diffusers: lora_B/lora_A
+    (".lora_B.weight", ".lora_A.weight", ".alpha"),
+    (".lora.up.weight", ".lora.down.weight", ".alpha"),
+)
+
+
+def group_lora_keys(lora_sd: dict[str, np.ndarray]):
+    """Group raw LoRA keys → {base_name: {"up","down","alpha","diff","mid"}}."""
+    groups: dict[str, dict[str, np.ndarray]] = {}
+    for k, v in lora_sd.items():
+        for up_s, down_s, alpha_s in _SUFFIX_SETS:
+            if k.endswith(up_s):
+                groups.setdefault(k[: -len(up_s)], {})["up"] = v
+                break
+            if k.endswith(down_s):
+                groups.setdefault(k[: -len(down_s)], {})["down"] = v
+                break
+            if k.endswith(alpha_s):
+                groups.setdefault(k[: -len(alpha_s)], {})["alpha"] = v
+                break
+        else:
+            if k.endswith(".diff"):
+                groups.setdefault(k[: -len(".diff")], {})["diff"] = v
+            elif k.endswith(".lora_mid.weight"):
+                groups.setdefault(k[: -len(".lora_mid.weight")], {})["mid"] = v
+    return groups
+
+
+def map_lora_to_model_keys(groups: dict, model_keys) -> dict:
+    """Resolve LoRA base names to model weight keys.
+
+    Handles kohya underscore-mangled names (``lora_unet_double_blocks_0_…``)
+    by matching against underscore-collapsed model keys, plus plain and
+    ``transformer.``-prefixed dotted names.
+    """
+    by_mangled: dict[str, str] = {}
+    for mk in model_keys:
+        if not mk.endswith(".weight"):
+            continue
+        stem = mk[: -len(".weight")]
+        by_mangled[stem.replace(".", "_")] = mk
+        by_mangled[stem] = mk
+
+    mapped = {}
+    unmatched = []
+    for base, parts in groups.items():
+        cand = base
+        for pfx in _PREFIXES:
+            if base.startswith(pfx):
+                cand = base[len(pfx):]
+                break
+        if cand.startswith("transformer."):
+            cand = cand[len("transformer."):]
+        mk = by_mangled.get(cand) or by_mangled.get(cand.replace(".", "_"))
+        if mk is None:
+            unmatched.append(base)
+            continue
+        mapped[mk] = parts
+    if unmatched:
+        log.warning("LoRA: %d unmatched keys (e.g. %s)", len(unmatched),
+                    unmatched[:3])
+    return mapped
+
+
+def build_patches(mapped: dict, strength: float = 1.0,
+                  dtype=jnp.bfloat16) -> dict[str, tuple[LoRAPatch, ...]]:
+    """→ {model_key: (LoRAPatch, ...)}; scale = strength · alpha / rank."""
+    out: dict[str, tuple[LoRAPatch, ...]] = {}
+    for mk, parts in mapped.items():
+        if "diff" in parts:
+            patch = LoRAPatch(up=None, down=None, mid=None,
+                              diff=jnp.asarray(parts["diff"], dtype),
+                              scale=float(strength))
+        elif "up" in parts and "down" in parts:
+            up = np.asarray(parts["up"])
+            down = np.asarray(parts["down"])
+            rank = down.shape[0]
+            alpha = float(np.asarray(parts.get("alpha", rank)))
+            patch = LoRAPatch(
+                up=jnp.asarray(up.reshape(up.shape[0], -1), dtype),
+                down=jnp.asarray(down.reshape(down.shape[0], -1), dtype),
+                mid=(jnp.asarray(parts["mid"], dtype)
+                     if "mid" in parts else None),
+                diff=None,
+                scale=float(strength) * alpha / rank,
+            )
+        else:
+            continue
+        out[mk] = out.get(mk, ()) + (patch,)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# params-level attach / detach (role of reference GGUFModelPatcher,
+# nodes.py:34-132)
+# ---------------------------------------------------------------------------
+
+def attach_patches(params: dict, patches: dict[str, tuple[LoRAPatch, ...]]
+                   ) -> dict:
+    """Non-destructively wrap patched weights; packed weights stay packed."""
+    out = dict(params)
+    for mk, plist in patches.items():
+        if mk not in out:
+            log.warning("LoRA patch for missing weight %s", mk)
+            continue
+        base = out[mk]
+        if isinstance(base, PatchedWeight):
+            out[mk] = PatchedWeight(base.base, base.patches + tuple(plist))
+        else:
+            out[mk] = PatchedWeight(base, tuple(plist))
+    return out
+
+
+def detach_patches(params: dict) -> dict:
+    """Drop all patches (reference unpatch_model, nodes.py:68-77)."""
+    return {
+        k: (v.base if isinstance(v, PatchedWeight) else v)
+        for k, v in params.items()
+    }
+
+
+def load_and_attach(params: dict, path: str, strength: float = 1.0,
+                    dtype=jnp.bfloat16) -> dict:
+    """Convenience: safetensors file → patched params."""
+    sd = load_lora_safetensors(path)
+    groups = group_lora_keys(sd)
+    mapped = map_lora_to_model_keys(groups, params.keys())
+    patches = build_patches(mapped, strength=strength, dtype=dtype)
+    return attach_patches(params, patches)

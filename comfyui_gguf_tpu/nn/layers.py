@@ -58,7 +58,19 @@ def is_quantized(leaf) -> bool:
 
 
 def materialize(leaf, dtype=jnp.float32) -> jax.Array:
-    """Dense logical-shape weight from any leaf (debug / fallback path)."""
+    """Dense logical-shape weight from any leaf (debug / fallback path).
+    PatchedWeight leaves fold their LoRA deltas into the dense result."""
+    if hasattr(leaf, "patches") and hasattr(leaf, "base"):
+        w = materialize(leaf.base, jnp.float32)
+        for p in leaf.patches:
+            if p.diff is not None:
+                w = w + p.scale * p.diff.astype(jnp.float32)
+            else:
+                delta = p.up.astype(jnp.float32) @ (
+                    (p.mid.astype(jnp.float32) @ p.down.astype(jnp.float32))
+                    if p.mid is not None else p.down.astype(jnp.float32))
+                w = w + p.scale * delta
+        return w.astype(dtype)
     if isinstance(leaf, PlanarQuant):
         return planar_dequantize(leaf, dtype)
     return jnp.asarray(leaf, dtype)
@@ -66,7 +78,13 @@ def materialize(leaf, dtype=jnp.float32) -> jax.Array:
 
 def linear(x: jax.Array, weight, bias=None, *,
            cfg: QuantConfig = DEFAULT_CONFIG) -> jax.Array:
-    """x: (..., K) -> (..., R). weight: PlanarQuant or dense (R, K)."""
+    """x: (..., K) -> (..., R). weight: PlanarQuant, dense (R, K), or
+    lora.PatchedWeight — patches apply as a rank-factored output epilogue
+    (the patch-on-dequant equivalent of reference ops.py:166-191)."""
+    patches = None
+    if hasattr(weight, "patches") and hasattr(weight, "base"):
+        patches = weight.patches
+        weight = weight.base
     if isinstance(weight, PlanarQuant):
         out = quantized_matmul(
             x, weight,
@@ -78,6 +96,11 @@ def linear(x: jax.Array, weight, bias=None, *,
         w = weight.astype(cfg.compute_dtype)
         out = jnp.dot(x.astype(cfg.compute_dtype), w.T,
                       preferred_element_type=jnp.float32).astype(x.dtype)
+    if patches:
+        from ..lora import apply_patch_epilogue
+
+        out = apply_patch_epilogue(x, out, patches,
+                                   patch_dtype=cfg.effective_patch_dtype)
     if bias is not None:
         out = out + bias.astype(out.dtype)
     return out

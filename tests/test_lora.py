@@ -1,0 +1,117 @@
+"""LoRA pipeline tests: epilogue math == dense patched weight, key mapping,
+attach/detach lifecycle (SURVEY.md §2.8/2.11/2.12, §7.7)."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from comfyui_gguf_tpu import lora
+from comfyui_gguf_tpu.gguf.constants import GGMLQuantizationType as Q
+from comfyui_gguf_tpu.nn.layers import QuantConfig, linear, materialize
+from comfyui_gguf_tpu.quant import codecs, planar
+
+F32CFG = QuantConfig(dequant_dtype=jnp.float32, compute_dtype=jnp.float32,
+                     patch_dtype=jnp.float32, prefer_pallas=False)
+
+
+def _planar_weight(rng, R, K, qtype=Q.Q8_0):
+    w = rng.standard_normal((R, K), dtype=np.float32)
+    blocks = codecs.quantize(w, qtype)
+    pq = planar.planarize(blocks, qtype, (R, K))
+    return pq, codecs.dequantize(blocks, qtype, (R, K))
+
+
+def test_epilogue_equals_dense_patched_weight():
+    rng = np.random.default_rng(0)
+    R, K, r = 128, 256, 4
+    pq, w_deq = _planar_weight(rng, R, K)
+    up = rng.standard_normal((R, r), dtype=np.float32)
+    down = rng.standard_normal((r, K), dtype=np.float32)
+    alpha, strength = 8.0, 0.7
+    patch = lora.LoRAPatch(up=jnp.asarray(up), down=jnp.asarray(down),
+                           mid=None, diff=None,
+                           scale=strength * alpha / r)
+    pw = lora.PatchedWeight(pq, (patch,))
+
+    x = rng.standard_normal((5, K), dtype=np.float32)
+    got = np.asarray(linear(jnp.asarray(x), pw, cfg=F32CFG))
+    want = x @ (w_deq + (strength * alpha / r) * (up @ down)).T
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
+
+
+def test_diff_patch():
+    rng = np.random.default_rng(1)
+    R, K = 64, 128
+    pq, w_deq = _planar_weight(rng, R, K)
+    diff = rng.standard_normal((R, K), dtype=np.float32)
+    pw = lora.PatchedWeight(pq, (lora.LoRAPatch(
+        up=None, down=None, mid=None, diff=jnp.asarray(diff), scale=0.5),))
+    x = rng.standard_normal((3, K), dtype=np.float32)
+    got = np.asarray(linear(jnp.asarray(x), pw, cfg=F32CFG))
+    np.testing.assert_allclose(got, x @ (w_deq + 0.5 * diff).T,
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_materialize_folds_patches():
+    rng = np.random.default_rng(2)
+    pq, w_deq = _planar_weight(rng, 64, 128)
+    up = rng.standard_normal((64, 2), dtype=np.float32)
+    down = rng.standard_normal((2, 128), dtype=np.float32)
+    pw = lora.PatchedWeight(pq, (lora.LoRAPatch(
+        up=jnp.asarray(up), down=jnp.asarray(down), mid=None, diff=None,
+        scale=2.0),))
+    got = np.asarray(materialize(pw, jnp.float32))
+    np.testing.assert_allclose(got, w_deq + 2.0 * (up @ down),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_kohya_key_mapping():
+    model_keys = [
+        "double_blocks.0.img_attn.qkv.weight",
+        "single_blocks.3.linear1.weight",
+        "final_layer.linear.weight",
+    ]
+    rng = np.random.default_rng(3)
+    sd = {}
+    for mk in model_keys[:2]:
+        mangled = "lora_unet_" + mk[: -len(".weight")].replace(".", "_")
+        sd[mangled + ".lora_up.weight"] = rng.standard_normal((8, 4)).astype(
+            np.float32)
+        sd[mangled + ".lora_down.weight"] = rng.standard_normal(
+            (4, 16)).astype(np.float32)
+        sd[mangled + ".alpha"] = np.float32(4.0)
+    groups = lora.group_lora_keys(sd)
+    assert len(groups) == 2
+    mapped = lora.map_lora_to_model_keys(groups, model_keys)
+    assert set(mapped) == set(model_keys[:2])
+    patches = lora.build_patches(mapped, strength=0.5)
+    p = patches["double_blocks.0.img_attn.qkv.weight"][0]
+    assert p.scale == 0.5 * 4.0 / 4  # strength * alpha / rank
+
+
+def test_attach_detach_roundtrip():
+    rng = np.random.default_rng(4)
+    pq, _ = _planar_weight(rng, 64, 128)
+    params = {"w.weight": pq, "other.weight": jnp.zeros((4, 4))}
+    patches = {"w.weight": (lora.LoRAPatch(
+        up=jnp.zeros((64, 2)), down=jnp.zeros((2, 128)), mid=None,
+        diff=None, scale=1.0),)}
+    patched = lora.attach_patches(params, patches)
+    assert isinstance(patched["w.weight"], lora.PatchedWeight)
+    assert patched["other.weight"] is params["other.weight"]
+    # stacking a second patch set extends, not replaces
+    patched2 = lora.attach_patches(patched, patches)
+    assert len(patched2["w.weight"].patches) == 2
+    restored = lora.detach_patches(patched2)
+    assert restored["w.weight"] is pq
+
+
+def test_lora_zero_patch_is_identity():
+    rng = np.random.default_rng(5)
+    pq, _ = _planar_weight(rng, 64, 128)
+    x = jnp.asarray(rng.standard_normal((2, 128), dtype=np.float32))
+    base = np.asarray(linear(x, pq, cfg=F32CFG))
+    pw = lora.PatchedWeight(pq, (lora.LoRAPatch(
+        up=jnp.zeros((64, 2)), down=jnp.zeros((2, 128)), mid=None,
+        diff=None, scale=1.0),))
+    got = np.asarray(linear(x, pw, cfg=F32CFG))
+    np.testing.assert_allclose(got, base, atol=1e-6)
