@@ -58,6 +58,9 @@ def main():
                                          txt_len=txt_len)
     img, img_ids, txt, txt_ids, t, y, g = inputs
 
+    def log(msg):
+        print(msg, file=sys.stderr, flush=True)
+
     def make_fn(dd, ds, prefer_pallas):
         cfg = dataclasses.replace(bench_dims.config(), depth_double=dd,
                                   depth_single=ds)
@@ -78,17 +81,23 @@ def main():
             times.append(time.perf_counter() - t0)
         return statistics.median(times)
 
-    def measure(prefer_pallas, reps):
+    def measure(prefer_pallas, reps, tag):
         t11 = time_fn(make_fn(1, 1, prefer_pallas), reps)
+        log(f"{tag} t(1d,1s)={t11*1e3:.1f}ms")
         t21 = time_fn(make_fn(2, 1, prefer_pallas), reps)
+        log(f"{tag} t(2d,1s)={t21*1e3:.1f}ms")
         t12 = time_fn(make_fn(1, 2, prefer_pallas), reps)
+        log(f"{tag} t(1d,2s)={t12*1e3:.1f}ms")
         t_d = max(t21 - t11, 0.0)
         t_s = max(t12 - t11, 0.0)
         overhead = max(t11 - t_d - t_s, 0.0)
-        return overhead + n_double * t_d + n_single * t_s
+        step = overhead + n_double * t_d + n_single * t_s
+        log(f"{tag} per-double={t_d*1e3:.1f}ms per-single={t_s*1e3:.1f}ms "
+            f"step={step*1e3:.1f}ms")
+        return step
 
-    step_fused = measure(on_tpu, reps)
-    step_ref = measure(False, max(1, reps // 2))
+    step_fused = measure(on_tpu, reps, "fused")
+    step_ref = measure(False, max(1, reps // 2), "ref(xla-dequant)")
 
     sec_image = steps_per_image * step_fused
     speedup = step_ref / step_fused if step_fused > 0 else float("nan")

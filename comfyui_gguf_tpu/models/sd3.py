@@ -1,0 +1,222 @@
+"""SD3 / SD3.5 MMDiT (joint context/latent transformer).
+
+Host-owned in the reference (ComfyUI builds it; the plugin only feeds it a
+GGUF state dict — reference nodes.py:169, arch "sd3" in loader.py:12).
+Native JAX implementation over the original sgm/mmdit key format — the
+naming visible in the reference quantizer's SD3 rules
+(reference tools/lcpp.patch "joint_blocks.0.x_block.attn.qkv.weight",
+pos_embed/x_embedder/t_embedder/y_embedder/context_embedder exclusions).
+
+Covers SD3-medium, SD3.5-large (QK RMSNorm) and SD3.5-medium
+(dual-attention ``x_block.attn2`` blocks).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..nn.layers import QuantConfig, DEFAULT_CONFIG, layer_norm, linear, rms_norm
+from .flux import timestep_embedding
+
+
+@dataclasses.dataclass(frozen=True)
+class SD3Config:
+    hidden: int
+    depth: int
+    n_heads: int
+    patch_size: int = 2
+    in_channels: int = 16
+    context_dim: int = 4096
+    pooled_dim: int = 2048
+    pos_embed_max: int = 192  # pos_embed grid side (sd3 family: 192)
+    dual_attn_layers: tuple[int, ...] = ()  # sd3.5-medium
+    qk_norm: bool = False  # sd3.5
+
+    @staticmethod
+    def from_state_dict(sd) -> "SD3Config":
+        def shape(k):
+            v = sd[k]
+            return v.shape if hasattr(v, "shape") else np.asarray(v).shape
+
+        hidden = shape("joint_blocks.0.x_block.attn.qkv.weight")[1]
+        depth = 0
+        while f"joint_blocks.{depth}.x_block.attn.qkv.weight" in sd:
+            depth += 1
+        pe = shape("pos_embed")
+        pos_max = int(round(pe[-2] ** 0.5)) if len(pe) == 3 else 192
+        dual = tuple(
+            i for i in range(depth)
+            if f"joint_blocks.{i}.x_block.attn2.qkv.weight" in sd
+        )
+        return SD3Config(
+            hidden=int(hidden), depth=depth, n_heads=int(hidden) // 64,
+            context_dim=int(shape("context_embedder.weight")[1]),
+            pooled_dim=int(shape("y_embedder.mlp.0.weight")[1]),
+            pos_embed_max=pos_max,
+            dual_attn_layers=dual,
+            qk_norm="joint_blocks.0.x_block.attn.ln_q.weight" in sd,
+        )
+
+
+def _mlp(params, prefix, x, qcfg):
+    h = linear(x, params[f"{prefix}.mlp.fc1.weight"],
+               params.get(f"{prefix}.mlp.fc1.bias"), cfg=qcfg)
+    h = jax.nn.gelu(h.astype(jnp.float32), approximate=True).astype(x.dtype)
+    return linear(h, params[f"{prefix}.mlp.fc2.weight"],
+                  params.get(f"{prefix}.mlp.fc2.bias"), cfg=qcfg)
+
+
+def _timestep_mlp(params, prefix, emb, qcfg):
+    h = linear(emb, params[f"{prefix}.mlp.0.weight"],
+               params.get(f"{prefix}.mlp.0.bias"), cfg=qcfg)
+    h = jax.nn.silu(h.astype(jnp.float32)).astype(h.dtype)
+    return linear(h, params[f"{prefix}.mlp.2.weight"],
+                  params.get(f"{prefix}.mlp.2.bias"), cfg=qcfg)
+
+
+def _qkv_heads(params, prefix, x, n_heads, qk_norm, qcfg):
+    """qkv + optional per-head RMS qk-norm → (B, H, L, D) triple."""
+    B, L, _ = x.shape
+    qkv = linear(x, params[f"{prefix}.qkv.weight"],
+                 params.get(f"{prefix}.qkv.bias"), cfg=qcfg)
+    q, k, v = (a.reshape(B, L, n_heads, -1).transpose(0, 2, 1, 3)
+               for a in jnp.split(qkv, 3, axis=-1))
+    if qk_norm:
+        q = rms_norm(q, params[f"{prefix}.ln_q.weight"], eps=1e-6)
+        k = rms_norm(k, params[f"{prefix}.ln_k.weight"], eps=1e-6)
+    return q, k, v
+
+
+def _attn_out(attn, params, prefix, qcfg):
+    B, H, L, D = attn.shape
+    out = attn.transpose(0, 2, 1, 3).reshape(B, L, H * D)
+    return linear(out, params[f"{prefix}.proj.weight"],
+                  params.get(f"{prefix}.proj.bias"), cfg=qcfg)
+
+
+def _modulation(params, prefix, vec, n, qcfg):
+    v = jax.nn.silu(vec.astype(jnp.float32)).astype(vec.dtype)
+    out = linear(v, params[f"{prefix}.adaLN_modulation.1.weight"],
+                 params.get(f"{prefix}.adaLN_modulation.1.bias"), cfg=qcfg)
+    return jnp.split(out[:, None, :], n, axis=-1)
+
+
+def _joint_block(params, i, ctx, x, vec, cfg: SD3Config, qcfg):
+    cb = f"joint_blocks.{i}.context_block"
+    xb = f"joint_blocks.{i}.x_block"
+    H = cfg.n_heads
+    pre_only = f"{cb}.attn.proj.weight" not in params
+    dual = i in cfg.dual_attn_layers
+
+    if pre_only:
+        c_shift, c_scale = _modulation(params, cb, vec, 2, qcfg)
+    else:
+        (c_shift, c_scale, c_gate, c_shift2, c_scale2,
+         c_gate2) = _modulation(params, cb, vec, 6, qcfg)
+    n_x = 9 if dual else 6
+    xm = _modulation(params, xb, vec, n_x, qcfg)
+    (x_shift, x_scale, x_gate, x_shift2, x_scale2, x_gate2) = xm[:6]
+
+    ctx_mod = layer_norm(ctx) * (1 + c_scale) + c_shift
+    x_norm = layer_norm(x)
+    x_mod = x_norm * (1 + x_scale) + x_shift
+
+    cq, ck, cv = _qkv_heads(params, f"{cb}.attn", ctx_mod, H, cfg.qk_norm,
+                            qcfg)
+    xq, xk, xv = _qkv_heads(params, f"{xb}.attn", x_mod, H, cfg.qk_norm,
+                            qcfg)
+    q = jnp.concatenate([cq, xq], axis=2)
+    k = jnp.concatenate([ck, xk], axis=2)
+    v = jnp.concatenate([cv, xv], axis=2)
+    attn = jax.nn.dot_product_attention(
+        q.transpose(0, 2, 1, 3), k.transpose(0, 2, 1, 3),
+        v.transpose(0, 2, 1, 3),
+    ).transpose(0, 2, 1, 3)
+    Lc = ctx.shape[1]
+    c_attn, x_attn = attn[:, :, :Lc], attn[:, :, Lc:]
+
+    x = x + x_gate * _attn_out(x_attn, params, f"{xb}.attn", qcfg)
+    if dual:
+        x2_shift, x2_scale, x2_gate = xm[6:]
+        x_mod2 = x_norm * (1 + x2_scale) + x2_shift
+        q2, k2, v2 = _qkv_heads(params, f"{xb}.attn2", x_mod2, H,
+                                cfg.qk_norm, qcfg)
+        attn2 = jax.nn.dot_product_attention(
+            q2.transpose(0, 2, 1, 3), k2.transpose(0, 2, 1, 3),
+            v2.transpose(0, 2, 1, 3),
+        ).transpose(0, 2, 1, 3)
+        x = x + x2_gate * _attn_out(attn2, params, f"{xb}.attn2", qcfg)
+    h = layer_norm(x) * (1 + x_scale2) + x_shift2
+    x = x + x_gate2 * _mlp(params, xb, h, qcfg)
+
+    if pre_only:
+        return None, x
+    ctx = ctx + c_gate * _attn_out(c_attn, params, f"{cb}.attn", qcfg)
+    h = layer_norm(ctx) * (1 + c_scale2) + c_shift2
+    ctx = ctx + c_gate2 * _mlp(params, cb, h, qcfg)
+    return ctx, x
+
+
+def cropped_pos_embed(params, cfg: SD3Config, h_tok: int,
+                      w_tok: int) -> jax.Array:
+    """Center-crop the (1, max², D) pos-embed grid to (1, h·w, D)."""
+    pe = jnp.asarray(params["pos_embed"])
+    if pe.ndim == 2:
+        pe = pe[None]
+    m = cfg.pos_embed_max
+    grid = pe.reshape(1, m, m, -1)
+    top = (m - h_tok) // 2
+    left = (m - w_tok) // 2
+    crop = grid[:, top: top + h_tok, left: left + w_tok]
+    return crop.reshape(1, h_tok * w_tok, -1)
+
+
+def forward(params, cfg: SD3Config, latent: jax.Array, context: jax.Array,
+            pooled: jax.Array, timesteps: jax.Array,
+            qcfg: QuantConfig = DEFAULT_CONFIG) -> jax.Array:
+    """latent (B, H, W, C) NHWC, context (B, L, context_dim),
+    pooled (B, pooled_dim), timesteps (B,) in [0, 1] → velocity latent."""
+    B, Hh, Ww, C = latent.shape
+    p = cfg.patch_size
+    h_tok, w_tok = Hh // p, Ww // p
+
+    # conv patchify == linear over patches flattened in (C, ph, pw) order
+    # (matches the OIHW conv kernel layout)
+    from ..nn.layers import materialize
+
+    wp = materialize(params["x_embedder.proj.weight"], jnp.float32)  # OIHW
+    D = wp.shape[0]
+    xp = latent.reshape(B, h_tok, p, w_tok, p, C).transpose(0, 1, 3, 5, 2, 4)
+    xp = xp.reshape(B, h_tok * w_tok, C * p * p)
+    x = jnp.dot(xp.astype(jnp.float32),
+                wp.reshape(D, C * p * p).T).astype(latent.dtype)
+    if "x_embedder.proj.bias" in params:
+        x = x + params["x_embedder.proj.bias"].astype(x.dtype)
+    x = x + cropped_pos_embed(params, cfg, h_tok, w_tok).astype(x.dtype)
+
+    temb = timestep_embedding(timesteps, 256)
+    vec = _timestep_mlp(params, "t_embedder", temb, qcfg)
+    vec = vec + _timestep_mlp(params, "y_embedder", pooled, qcfg)
+
+    ctx = linear(context, params["context_embedder.weight"],
+                 params.get("context_embedder.bias"), cfg=qcfg)
+
+    for i in range(cfg.depth):
+        ctx, x = _joint_block(params, i, ctx, x, vec, cfg, qcfg)
+
+    v = jax.nn.silu(vec.astype(jnp.float32)).astype(vec.dtype)
+    mod = linear(v, params["final_layer.adaLN_modulation.1.weight"],
+                 params.get("final_layer.adaLN_modulation.1.bias"), cfg=qcfg)
+    shift, scale = jnp.split(mod[:, None, :], 2, axis=-1)
+    x = layer_norm(x) * (1 + scale) + shift
+    out = linear(x, params["final_layer.linear.weight"],
+                 params.get("final_layer.linear.bias"), cfg=qcfg)
+
+    # unpatchify: token vectors are (ph, pw, C)-ordered (MMDiT convention)
+    out = out.reshape(B, h_tok, w_tok, p, p, C)
+    out = out.transpose(0, 1, 3, 2, 4, 5).reshape(B, Hh, Ww, C)
+    return out
