@@ -1,0 +1,132 @@
+"""VAE structure tests: tiny sgm-format autoencoder, decode/encode shapes,
+scale/shift handling."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from comfyui_gguf_tpu.models import vae
+from comfyui_gguf_tpu.nn.layers import QuantConfig
+
+CH, ZC = 32, 4
+MULT = (1, 2)
+NRES = 1
+
+F32CFG = QuantConfig(dequant_dtype=jnp.float32, compute_dtype=jnp.float32,
+                     prefer_pallas=False)
+
+
+def _conv(rng, o, i, k=3):
+    return (rng.standard_normal((o, i, k, k)) * 0.05).astype(np.float32)
+
+
+def _resnet_params(rng, p, cin, cout):
+    sd = {
+        f"{p}.norm1.weight": np.ones(cin, np.float32),
+        f"{p}.norm1.bias": np.zeros(cin, np.float32),
+        f"{p}.conv1.weight": _conv(rng, cout, cin),
+        f"{p}.conv1.bias": np.zeros(cout, np.float32),
+        f"{p}.norm2.weight": np.ones(cout, np.float32),
+        f"{p}.norm2.bias": np.zeros(cout, np.float32),
+        f"{p}.conv2.weight": _conv(rng, cout, cout),
+        f"{p}.conv2.bias": np.zeros(cout, np.float32),
+    }
+    if cin != cout:
+        sd[f"{p}.nin_shortcut.weight"] = _conv(rng, cout, cin, 1)
+        sd[f"{p}.nin_shortcut.bias"] = np.zeros(cout, np.float32)
+    return sd
+
+
+def _attn_params(rng, p, c):
+    sd = {f"{p}.norm.weight": np.ones(c, np.float32),
+          f"{p}.norm.bias": np.zeros(c, np.float32)}
+    for n in ("q", "k", "v", "proj_out"):
+        sd[f"{p}.{n}.weight"] = _conv(rng, c, c, 1)
+        sd[f"{p}.{n}.bias"] = np.zeros(c, np.float32)
+    return sd
+
+
+@pytest.fixture(scope="module")
+def tiny_vae():
+    rng = np.random.default_rng(0)
+    top = CH * MULT[-1]
+    sd = {
+        "decoder.conv_in.weight": _conv(rng, top, ZC),
+        "decoder.conv_in.bias": np.zeros(top, np.float32),
+        "decoder.norm_out.weight": np.ones(CH, np.float32),
+        "decoder.norm_out.bias": np.zeros(CH, np.float32),
+        "decoder.conv_out.weight": _conv(rng, 3, CH),
+        "decoder.conv_out.bias": np.zeros(3, np.float32),
+        "encoder.conv_in.weight": _conv(rng, CH, 3),
+        "encoder.conv_in.bias": np.zeros(CH, np.float32),
+        "encoder.norm_out.weight": np.ones(top, np.float32),
+        "encoder.norm_out.bias": np.zeros(top, np.float32),
+        "encoder.conv_out.weight": _conv(rng, 2 * ZC, top),
+        "encoder.conv_out.bias": np.zeros(2 * ZC, np.float32),
+    }
+    sd.update(_resnet_params(rng, "decoder.mid.block_1", top, top))
+    sd.update(_attn_params(rng, "decoder.mid.attn_1", top))
+    sd.update(_resnet_params(rng, "decoder.mid.block_2", top, top))
+    sd.update(_resnet_params(rng, "encoder.mid.block_1", top, top))
+    sd.update(_attn_params(rng, "encoder.mid.attn_1", top))
+    sd.update(_resnet_params(rng, "encoder.mid.block_2", top, top))
+    # decoder up levels (reversed traversal: level 1 @64 then level 0 @32)
+    chans = {0: CH * MULT[0], 1: CH * MULT[1]}
+    cur = top
+    for i in (1, 0):
+        for j in range(NRES + 1):
+            sd.update(_resnet_params(rng, f"decoder.up.{i}.block.{j}", cur,
+                                     chans[i]))
+            cur = chans[i]
+        if i > 0:
+            sd[f"decoder.up.{i}.upsample.conv.weight"] = _conv(rng, cur, cur)
+            sd[f"decoder.up.{i}.upsample.conv.bias"] = np.zeros(
+                cur, np.float32)
+    # encoder down levels
+    cur = CH
+    for i in (0, 1):
+        for j in range(NRES):
+            sd.update(_resnet_params(rng, f"encoder.down.{i}.block.{j}", cur,
+                                     chans[i]))
+            cur = chans[i]
+        if i < 1:
+            sd[f"encoder.down.{i}.downsample.conv.weight"] = _conv(
+                rng, cur, cur)
+            sd[f"encoder.down.{i}.downsample.conv.bias"] = np.zeros(
+                cur, np.float32)
+    return {k: jnp.asarray(v) for k, v in sd.items()}
+
+
+@pytest.fixture(scope="module")
+def cfg():
+    return vae.VAEConfig(z_channels=ZC, base_ch=CH, ch_mult=MULT,
+                         num_res_blocks=NRES, scale_factor=0.18215,
+                         shift_factor=0.0, has_quant_conv=False)
+
+
+def test_decode_shape(tiny_vae, cfg):
+    rng = np.random.default_rng(1)
+    z = jnp.asarray(rng.standard_normal((2, 6, 6, ZC)), jnp.float32)
+    img = vae.decode(tiny_vae, cfg, z, qcfg=F32CFG)
+    assert img.shape == (2, 12, 12, 3)  # one upsample level
+    assert np.isfinite(np.asarray(img)).all()
+
+
+def test_encode_shape_and_determinism(tiny_vae, cfg):
+    rng = np.random.default_rng(2)
+    img = jnp.asarray(rng.standard_normal((1, 12, 12, 3)) * 0.5, jnp.float32)
+    z1 = vae.encode(tiny_vae, cfg, img, qcfg=F32CFG)
+    z2 = vae.encode(tiny_vae, cfg, img, qcfg=F32CFG)
+    assert z1.shape == (1, 6, 6, ZC)
+    np.testing.assert_array_equal(np.asarray(z1), np.asarray(z2))
+    z3 = vae.encode(tiny_vae, cfg, img, qcfg=F32CFG,
+                    sample_key=jax.random.key(0))
+    assert not np.allclose(np.asarray(z1), np.asarray(z3))
+
+
+def test_config_detection(tiny_vae):
+    c = vae.VAEConfig.from_state_dict(tiny_vae)
+    assert c.z_channels == 4 and c.scale_factor == 0.18215
+    assert not c.has_quant_conv
