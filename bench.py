@@ -66,18 +66,20 @@ def main():
                                   depth_single=ds)
         qcfg = QuantConfig(prefer_pallas=prefer_pallas)
 
+        # params passed as a jit argument — closing over them would embed
+        # the packed weights as HLO constants (blows the compile payload)
         @jax.jit
-        def fn(img, txt):
+        def fn(params, img, txt):
             return flux.forward(params, cfg, img, img_ids, txt, txt_ids,
                                 t, y, g, qcfg=qcfg)
         return fn
 
     def time_fn(fn, reps):
-        fn(img, txt).block_until_ready()
+        fn(params, img, txt).block_until_ready()
         times = []
         for _ in range(reps):
             t0 = time.perf_counter()
-            fn(img, txt).block_until_ready()
+            fn(params, img, txt).block_until_ready()
             times.append(time.perf_counter() - t0)
         return statistics.median(times)
 

@@ -1,0 +1,265 @@
+"""User-facing model loading + generation API.
+
+Role of the reference's node layer (reference nodes.py:149-321:
+``UnetLoaderGGUF``/``UnetLoaderGGUFAdvanced``, ``CLIPLoaderGGUF`` and the
+Dual/Triple/Quadruple variants, ``GGUFModelPatcher``) — re-shaped as a
+library API since there is no ComfyUI graph executor here:
+
+* ``load_diffusion_model(path, …)`` — GGUF → arch-dispatched model bundle
+  with packed planar weights on device; ``dequant_dtype``/``patch_dtype``
+  knobs mirror the Advanced loader (reference nodes.py:179-191).
+* ``load_text_encoders(paths, …)`` — 1-4 text encoder files, gguf or
+  safetensors mixed (reference nodes.py:193-312), each dispatched to the
+  right encoder graph + tokenizer.
+* ``DiffusionModel.apply_lora / unapply_loras`` — patch lifecycle (role of
+  GGUFModelPatcher.load/unpatch_model, reference nodes.py:37-77).
+* ``FluxPipeline.generate`` — full txt2img: tokenize → encode → denoise
+  (one jitted lax.scan) → VAE decode.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import logging
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import lora as lora_mod
+from .loader import (
+    gguf_clip_loader,
+    gguf_sd_loader,
+    gguf_tokenizer_spec,
+    to_jax_params,
+)
+from .models import clip as clip_model
+from .models import flux as flux_model
+from .models import llama as llama_model
+from .models import sd3 as sd3_model
+from .models import t5 as t5_model
+from .models import vae as vae_model
+from .nn.layers import QuantConfig
+from .sampling import euler_sample, flux_schedule, linear_schedule, shift_sigmas
+
+log = logging.getLogger(__name__)
+
+_DTYPE_NAMES = {
+    "default": None, "target": None,
+    "float32": jnp.float32, "float16": jnp.float16, "bfloat16": jnp.bfloat16,
+}
+
+
+def _resolve_qcfg(dequant_dtype="default", patch_dtype="default",
+                  prefer_pallas=None) -> QuantConfig:
+    """Map the reference's Advanced-loader string knobs
+    (reference nodes.py:179-191) onto a QuantConfig."""
+    dd = _DTYPE_NAMES.get(dequant_dtype, dequant_dtype) or jnp.bfloat16
+    pd = _DTYPE_NAMES.get(patch_dtype, patch_dtype)
+    return QuantConfig(dequant_dtype=dd, patch_dtype=pd,
+                       prefer_pallas=prefer_pallas)
+
+
+@dataclasses.dataclass
+class DiffusionModel:
+    """Loaded DiT + config; the GGUFModelPatcher analogue."""
+
+    arch: str
+    params: dict
+    config: object
+    qcfg: QuantConfig
+    base_params: dict | None = None  # pre-LoRA snapshot
+
+    def forward(self, *args, **kwargs):
+        mod = {"flux": flux_model, "sd3": sd3_model}.get(self.arch)
+        if mod is None:
+            raise NotImplementedError(
+                f"forward graph for arch {self.arch!r} not implemented yet"
+            )
+        return mod.forward(self.params, self.config, *args,
+                           qcfg=self.qcfg, **kwargs)
+
+    def apply_lora(self, path: str, strength: float = 1.0):
+        """Attach a LoRA; packed weights stay packed (patch-on-output)."""
+        if self.base_params is None:
+            self.base_params = self.params
+        self.params = lora_mod.load_and_attach(
+            self.params, path, strength=strength,
+            dtype=self.qcfg.effective_patch_dtype or jnp.bfloat16)
+        return self
+
+    def unapply_loras(self):
+        """Reference unpatch_model semantics (nodes.py:68-77)."""
+        self.params = lora_mod.detach_patches(self.params)
+        self.base_params = None
+        return self
+
+
+def load_diffusion_model(path: str, dequant_dtype="default",
+                         patch_dtype="default",
+                         prefer_pallas=None) -> DiffusionModel:
+    """GGUF diffusion model → DiffusionModel (role of
+    UnetLoaderGGUF.load_unet, reference nodes.py:149-177)."""
+    qcfg = _resolve_qcfg(dequant_dtype, patch_dtype, prefer_pallas)
+    sd, arch = gguf_sd_loader(path, return_arch=True)
+    params = to_jax_params(sd, qcfg)
+    if arch == "flux":
+        config = flux_model.FluxConfig.from_state_dict(params)
+    elif arch == "sd3":
+        config = sd3_model.SD3Config.from_state_dict(params)
+    else:
+        config = None
+    return DiffusionModel(arch=arch, params=params, config=config, qcfg=qcfg)
+
+
+@dataclasses.dataclass
+class TextEncoder:
+    kind: str  # "t5" | "clip_l" | "clip_g" | "llama"
+    params: dict
+    config: object
+    tokenizer: object | None
+    qcfg: QuantConfig
+
+    def encode(self, *args, **kwargs):
+        mod = {"t5": t5_model, "clip_l": clip_model, "clip_g": clip_model,
+               "llama": llama_model}[self.kind]
+        return mod.encode(self.params, self.config, *args, qcfg=self.qcfg,
+                          **kwargs)
+
+
+def _load_safetensors_sd(path: str) -> dict:
+    import torch
+    from safetensors.torch import load_file
+
+    return {
+        k: (v.float().numpy() if v.dtype in (torch.bfloat16, torch.float16)
+            else v.numpy())
+        for k, v in load_file(path).items()
+    }
+
+
+def load_text_encoder(path: str, prefer_pallas=None) -> TextEncoder:
+    """One text-encoder file (gguf or safetensors) → TextEncoder
+    (role of CLIPLoaderGGUF.load_data/load_clip, reference nodes.py:216-251).
+    """
+    qcfg = _resolve_qcfg(prefer_pallas=prefer_pallas)
+    tokenizer = None
+    if path.endswith(".gguf"):
+        sd, arch, tok_spec = gguf_clip_loader(path)
+        params = to_jax_params(sd, qcfg)
+        if tok_spec is not None:
+            from .tokenizer import build_tokenizer
+
+            try:
+                tokenizer = build_tokenizer(tok_spec)
+            except NotImplementedError:
+                log.warning("no native tokenizer for %s", tok_spec.model)
+        if arch in ("t5", "t5encoder"):
+            return TextEncoder("t5", params,
+                               t5_model.T5Config.from_state_dict(params),
+                               tokenizer, qcfg)
+        if arch in ("llama", "qwen2vl", "qwen3", "qwen3vl"):
+            return TextEncoder(
+                "llama", params,
+                llama_model.LlamaConfig.from_state_dict(params),
+                tokenizer, qcfg)
+        raise ValueError(f"unsupported text arch {arch!r}")
+
+    raw = _load_safetensors_sd(path)
+    if any(k.startswith("transformer.resblocks.") for k in raw):
+        raw = clip_model.remap_open_clip(raw)
+    scaled_fp8 = [k for k in raw if "scaled_fp8" in k]
+    if scaled_fp8:
+        # reference rejects mixing scaled-FP8 encoders (nodes.py:223-224)
+        raise ValueError("scaled_fp8 text encoders are not supported here")
+    if "text_model.embeddings.token_embedding.weight" in raw:
+        params = {k: jnp.asarray(v) for k, v in raw.items()}
+        cfg = clip_model.CLIPTextConfig.from_state_dict(params)
+        kind = "clip_g" if cfg.hidden >= 1280 else "clip_l"
+        return TextEncoder(kind, params, cfg, None, qcfg)
+    if any(k.startswith("encoder.block.") for k in raw):
+        params = {k: jnp.asarray(v) for k, v in raw.items()}
+        return TextEncoder("t5", params,
+                           t5_model.T5Config.from_state_dict(params), None,
+                           qcfg)
+    raise ValueError(f"unrecognized text encoder format: {path}")
+
+
+def load_text_encoders(*paths: str, prefer_pallas=None) -> dict[str, TextEncoder]:
+    """1-4 encoder files → {kind: TextEncoder} (role of Dual/Triple/
+    QuadrupleCLIPLoaderGGUF, reference nodes.py:253-312)."""
+    out = {}
+    for p in paths:
+        enc = load_text_encoder(p, prefer_pallas=prefer_pallas)
+        out[enc.kind] = enc
+    return out
+
+
+# ---------------------------------------------------------------------------
+# txt2img pipelines
+# ---------------------------------------------------------------------------
+
+@dataclasses.dataclass
+class FluxPipeline:
+    model: DiffusionModel
+    t5: TextEncoder
+    clip_l: TextEncoder
+    vae_params: dict | None = None
+    vae_config: object | None = None
+
+    @staticmethod
+    def load(unet_path: str, t5_path: str, clip_l_path: str,
+             vae_path: str | None = None, **kw) -> "FluxPipeline":
+        model = load_diffusion_model(unet_path, **kw)
+        encs = load_text_encoders(t5_path, clip_l_path)
+        vp = vc = None
+        if vae_path:
+            vp = {k: jnp.asarray(v)
+                  for k, v in _load_safetensors_sd(vae_path).items()}
+            vc = vae_model.VAEConfig.from_state_dict(vp)
+        return FluxPipeline(model, encs["t5"], encs["clip_l"], vp, vc)
+
+    def generate(self, prompt: str, width: int = 1024, height: int = 1024,
+                 steps: int = 20, guidance: float = 3.5, seed: int = 0,
+                 max_t5_len: int = 512, shift: bool = True) -> np.ndarray:
+        """→ (H, W, 3) float image in [0, 1] (or latent if no VAE given)."""
+        ids, _mask = self.t5.tokenizer.encode_batch([prompt],
+                                                    max_length=max_t5_len)
+        txt = self.t5.encode(jnp.asarray(ids))
+        if self.clip_l.tokenizer is not None:
+            clip_len = min(77, self.clip_l.config.max_positions)
+            cids, _ = self.clip_l.tokenizer.encode_batch([prompt],
+                                                         max_length=clip_len)
+        else:
+            raise ValueError("clip_l tokenizer unavailable; pass token ids")
+        pooled = self.clip_l.encode(jnp.asarray(cids))["pooled"]
+
+        h_lat, w_lat = height // 8, width // 8
+        lat_c = self.model.config.in_channels // 4
+        key = jax.random.key(seed)
+        x = jax.random.normal(key, (1, h_lat, w_lat, lat_c), jnp.bfloat16)
+        img_tokens = flux_model.patchify(x)
+        img_ids = jnp.asarray(
+            flux_model.make_img_ids(h_lat // 2, w_lat // 2, 1))
+        txt_ids = jnp.zeros((1, txt.shape[1], 3), jnp.int32)
+        g = jnp.full((1,), guidance, jnp.float32)
+        sigmas = flux_schedule(steps, img_tokens.shape[1], shift=shift)
+
+        model = self.model
+
+        @jax.jit
+        def denoise(params, x0, txt, pooled):
+            def velocity(xc, sigma):
+                tt = jnp.full((xc.shape[0],), sigma, jnp.float32)
+                return flux_model.forward(
+                    params, model.config, xc, img_ids, txt, txt_ids, tt,
+                    pooled, g, qcfg=model.qcfg)
+            return euler_sample(velocity, x0, sigmas)
+
+        out_tokens = denoise(model.params, img_tokens, txt, pooled)
+        latent = flux_model.unpatchify(out_tokens, h_lat, w_lat)
+        if self.vae_params is None:
+            return np.asarray(latent[0])
+        img = vae_model.decode(self.vae_params, self.vae_config, latent)
+        return np.asarray((jnp.clip(img[0], -1, 1) + 1) / 2)
