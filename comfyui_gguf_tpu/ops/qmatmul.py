@@ -140,11 +140,26 @@ def _pick_kt(k_rows: int, gs: int) -> int | None:
     return None
 
 
+# overridable for autotuning (see tests/bench sweeps)
+TILE_OVERRIDES: dict = {}
+
+
 def _pick_tiles(m: int, k_rows: int, rp: int, gs: int):
-    """(mt, kt, rt) tile sizes. kt tiles the stored code rows (K/2 for nib4)."""
-    mt = min(256, max(8, 1 << max(0, (m - 1)).bit_length())) if m > 0 else 8
-    rt = 256 if rp % 256 == 0 else LANE
-    return mt, _pick_kt(k_rows, gs), rt
+    """(mt, kt, rt) tile sizes. kt tiles the stored code rows (K/2 for nib4).
+
+    Large m-tiles amortize the VPU unpack (each (k, r) code tile is
+    unpacked once per m-tile); large r-tiles amortize x re-streaming.
+    Budget: acc (mt, rt) f32 + unpacked w (2·kt, rt) bf16 + x tiles must
+    fit VMEM (~16 MB with double buffering).
+    """
+    if TILE_OVERRIDES:
+        return (TILE_OVERRIDES.get("mt"), TILE_OVERRIDES.get("kt"),
+                TILE_OVERRIDES.get("rt"))
+    kt = _pick_kt(k_rows, gs)
+    mp2 = max(8, 1 << max(0, (m - 1)).bit_length()) if m > 0 else 8
+    mt = min(1024, mp2)
+    rt = 512 if rp % 512 == 0 else (256 if rp % 256 == 0 else LANE)
+    return mt, kt, rt
 
 
 @functools.partial(

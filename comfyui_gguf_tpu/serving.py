@@ -1,0 +1,218 @@
+"""Serving runtime: request queue + step-level continuous batching.
+
+Nothing like this exists in the reference (single-user ComfyUI graph
+executor); this is the production-serving layer SURVEY.md §7.10 calls for.
+
+Diffusion requests are iterative (N denoise steps over a latent), so the
+natural continuous-batching unit is the *denoise step*: the engine keeps a
+pool of in-flight requests, each with its own sigma cursor, stacks them
+into a fixed-size batch bucket (padding with replica lanes so jit never
+sees a new shape), runs ONE jitted step for the whole batch, retires
+finished requests and admits queued ones between steps. Per-sample sigmas
+make mixed-progress batches exact, not approximate.
+
+The engine is model-agnostic: it drives a ``step_fn(x, s_cur, s_next,
+cond) -> x_next`` supplied by the pipeline layer.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import itertools
+import logging
+import queue
+import threading
+import time
+from typing import Any, Callable
+
+import numpy as np
+
+log = logging.getLogger(__name__)
+
+
+@dataclasses.dataclass
+class GenRequest:
+    """One generation job (fixed resolution bucket + schedule)."""
+
+    request_id: int
+    latent: np.ndarray  # (H, W, C) initial noise
+    cond: Any  # conditioning pytree (text embeddings, pooled, guidance)
+    sigmas: np.ndarray  # (steps+1,) descending to 0
+    submitted_at: float = dataclasses.field(default_factory=time.monotonic)
+    step: int = 0
+    done_event: threading.Event = dataclasses.field(
+        default_factory=threading.Event)
+    result: np.ndarray | None = None
+
+    @property
+    def finished(self) -> bool:
+        return self.step >= len(self.sigmas) - 1
+
+
+@dataclasses.dataclass
+class EngineStats:
+    """Observability counters (role: metrics subsystem, SURVEY.md §5)."""
+
+    submitted: int = 0
+    completed: int = 0
+    steps_executed: int = 0
+    batches_executed: int = 0
+    total_padding_lanes: int = 0
+    total_step_time_s: float = 0.0
+    total_latency_s: float = 0.0
+
+    @property
+    def mean_batch_occupancy(self) -> float:
+        lanes = self.steps_executed + self.total_padding_lanes
+        return self.steps_executed / lanes if lanes else 0.0
+
+    @property
+    def steps_per_second(self) -> float:
+        return (self.steps_executed / self.total_step_time_s
+                if self.total_step_time_s else 0.0)
+
+    def snapshot(self) -> dict:
+        return {
+            "submitted": self.submitted,
+            "completed": self.completed,
+            "steps_executed": self.steps_executed,
+            "batches_executed": self.batches_executed,
+            "mean_batch_occupancy": round(self.mean_batch_occupancy, 3),
+            "steps_per_second": round(self.steps_per_second, 3),
+            "mean_latency_s": round(
+                self.total_latency_s / self.completed, 4
+            ) if self.completed else None,
+        }
+
+
+class ContinuousBatchEngine:
+    """Step-level continuous batcher over a jitted denoise step.
+
+    step_fn(x (B,H,W,C), s_cur (B,), s_next (B,), cond) -> x_next. The cond
+    pytree must be stackable along axis 0 (the pipeline pads text to a
+    fixed length per bucket).
+    """
+
+    def __init__(self, step_fn: Callable, max_batch: int = 4,
+                 batch_sizes: tuple[int, ...] | None = None):
+        self.step_fn = step_fn
+        self.max_batch = max_batch
+        # fixed buckets so jit sees a closed set of shapes
+        self.batch_sizes = tuple(sorted(
+            batch_sizes or
+            tuple(itertools.takewhile(lambda b: b <= max_batch,
+                                      (1, 2, 4, 8, 16, 32)))
+        ))
+        self.queue: "queue.Queue[GenRequest]" = queue.Queue()
+        self.active: list[GenRequest] = []
+        self.stats = EngineStats()
+        self._id = itertools.count()
+        self._stop = threading.Event()
+        self._thread: threading.Thread | None = None
+
+    # -- client API ---------------------------------------------------------
+
+    def submit(self, latent: np.ndarray, cond, sigmas) -> GenRequest:
+        req = GenRequest(request_id=next(self._id),
+                         latent=np.asarray(latent), cond=cond,
+                         sigmas=np.asarray(sigmas, np.float32))
+        self.stats.submitted += 1
+        self.queue.put(req)
+        return req
+
+    def run_until_drained(self, timeout_s: float = 600.0):
+        """Synchronous engine loop: process until queue+pool empty."""
+        deadline = time.monotonic() + timeout_s
+        while (self.active or not self.queue.empty()):
+            if time.monotonic() > deadline:
+                raise TimeoutError("engine drain timed out")
+            self.tick()
+
+    def start(self):
+        self._stop.clear()
+        self._thread = threading.Thread(target=self._loop, daemon=True)
+        self._thread.start()
+
+    def stop(self):
+        self._stop.set()
+        if self._thread:
+            self._thread.join(timeout=30)
+
+    def _loop(self):
+        while not self._stop.is_set():
+            if not self.active and self.queue.empty():
+                time.sleep(0.001)
+                continue
+            self.tick()
+
+    # -- engine core --------------------------------------------------------
+
+    def _admit(self):
+        while len(self.active) < self.max_batch:
+            try:
+                req = self.queue.get_nowait()
+            except queue.Empty:
+                return
+            self.active.append(req)
+
+    def _bucket(self, n: int) -> int:
+        for b in self.batch_sizes:
+            if b >= n:
+                return b
+        return self.batch_sizes[-1]
+
+    def tick(self):
+        """Admit new requests, run ONE denoise step on the stacked pool."""
+        self._admit()
+        if not self.active:
+            return
+        batch = self.active[: self.max_batch]
+        n = len(batch)
+        b = self._bucket(n)
+        pad = b - n
+
+        x = np.stack([r.latent for r in batch] +
+                     [batch[-1].latent] * pad)
+        s_cur = np.array(
+            [r.sigmas[r.step] for r in batch]
+            + [batch[-1].sigmas[batch[-1].step]] * pad, np.float32)
+        s_next = np.array(
+            [r.sigmas[r.step + 1] for r in batch]
+            + [batch[-1].sigmas[batch[-1].step + 1]] * pad, np.float32)
+        cond = _stack_cond([r.cond for r in batch]
+                           + [batch[-1].cond] * pad)
+
+        t0 = time.monotonic()
+        x_next = np.asarray(self.step_fn(x, s_cur, s_next, cond))
+        dt = time.monotonic() - t0
+
+        self.stats.batches_executed += 1
+        self.stats.steps_executed += n
+        self.stats.total_padding_lanes += pad
+        self.stats.total_step_time_s += dt
+
+        still = []
+        for i, r in enumerate(batch):
+            r.latent = x_next[i]
+            r.step += 1
+            if r.finished:
+                r.result = r.latent
+                self.stats.completed += 1
+                self.stats.total_latency_s += time.monotonic() - r.submitted_at
+                r.done_event.set()
+            else:
+                still.append(r)
+        self.active = still + self.active[self.max_batch:]
+
+
+def _stack_cond(conds: list):
+    """Stack a list of cond pytrees along axis 0 (dict/tuple/array leaves)."""
+    first = conds[0]
+    if isinstance(first, dict):
+        return {k: _stack_cond([c[k] for c in conds]) for k in first}
+    if isinstance(first, (tuple, list)):
+        return type(first)(
+            _stack_cond([c[i] for c in conds]) for i in range(len(first)))
+    if first is None:
+        return None
+    return np.stack([np.asarray(c) for c in conds])

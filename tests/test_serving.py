@@ -1,0 +1,79 @@
+"""Continuous-batching engine tests: mixed-progress pools, padding buckets,
+exact per-sample integration, stats."""
+
+import numpy as np
+
+from comfyui_gguf_tpu.sampling import linear_schedule
+from comfyui_gguf_tpu.serving import ContinuousBatchEngine
+
+
+def _linear_step(x, s_cur, s_next, cond):
+    """dx/dσ = cond['c'] (constant per-sample velocity) — exact Euler."""
+    c = cond["c"][:, None, None, None]
+    return x + (s_next - s_cur)[:, None, None, None] * c
+
+
+def test_single_request_exact():
+    eng = ContinuousBatchEngine(_linear_step, max_batch=2)
+    x0 = np.ones((4, 4, 1), np.float32) * 2.0
+    req = eng.submit(x0, {"c": np.float32(3.0)}, linear_schedule(5))
+    eng.run_until_drained()
+    assert req.finished
+    # integrates σ: 1 → 0 with velocity 3 → x0 - 3
+    np.testing.assert_allclose(req.result, 2.0 - 3.0, rtol=1e-6)
+    assert eng.stats.completed == 1
+    assert eng.stats.steps_executed == 5
+
+
+def test_mixed_progress_pool_is_exact():
+    """Requests with different step counts share batches; each integrates
+    its own schedule exactly."""
+    eng = ContinuousBatchEngine(_linear_step, max_batch=4)
+    reqs = []
+    for i, steps in enumerate((3, 7, 5)):
+        x0 = np.full((2, 2, 1), float(i), np.float32)
+        reqs.append(eng.submit(x0, {"c": np.float32(i + 1)},
+                               linear_schedule(steps)))
+    eng.run_until_drained()
+    for i, r in enumerate(reqs):
+        np.testing.assert_allclose(r.result, float(i) - (i + 1), rtol=1e-5,
+                                   atol=1e-6)
+    # pool batching actually happened (fewer batches than total steps)
+    assert eng.stats.batches_executed < eng.stats.steps_executed
+    assert eng.stats.mean_batch_occupancy > 0.5
+
+
+def test_late_arrivals_join_pool():
+    eng = ContinuousBatchEngine(_linear_step, max_batch=4)
+    r1 = eng.submit(np.zeros((2, 2, 1), np.float32), {"c": np.float32(1)},
+                    linear_schedule(4))
+    # run two ticks, then a new request arrives mid-flight
+    eng.tick()
+    eng.tick()
+    r2 = eng.submit(np.zeros((2, 2, 1), np.float32), {"c": np.float32(2)},
+                    linear_schedule(2))
+    eng.run_until_drained()
+    np.testing.assert_allclose(r1.result, -1.0, atol=1e-6)
+    np.testing.assert_allclose(r2.result, -2.0, atol=1e-6)
+
+
+def test_padding_buckets_power_of_two():
+    eng = ContinuousBatchEngine(_linear_step, max_batch=8)
+    for _ in range(3):
+        eng.submit(np.zeros((2, 2, 1), np.float32), {"c": np.float32(1)},
+                   linear_schedule(1))
+    eng.tick()
+    # 3 live requests pad to bucket 4
+    assert eng.stats.total_padding_lanes == 1
+    assert eng.stats.steps_executed == 3
+
+
+def test_stats_snapshot_keys():
+    eng = ContinuousBatchEngine(_linear_step, max_batch=2)
+    eng.submit(np.zeros((2, 2, 1), np.float32), {"c": np.float32(1)},
+               linear_schedule(1))
+    eng.run_until_drained()
+    snap = eng.stats.snapshot()
+    assert snap["completed"] == 1
+    assert snap["steps_per_second"] is not None
+    assert snap["mean_latency_s"] is not None
