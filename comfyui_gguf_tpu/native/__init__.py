@@ -1,0 +1,104 @@
+"""ctypes bridge to the C++ block codecs (libggquant.so).
+
+Builds lazily via ``make`` on first use if the shared library is missing
+(toolchain permitting); every entry point degrades to the numpy codecs, so
+nothing here is load-bearing for correctness — only for conversion
+throughput on multi-GB checkpoints (role of the reference's C++ quantizer
+binary, reference tools/lcpp.patch).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import logging
+import os
+import subprocess
+
+import numpy as np
+
+log = logging.getLogger(__name__)
+
+_DIR = os.path.dirname(os.path.abspath(__file__))
+_LIB_PATH = os.path.join(_DIR, "libggquant.so")
+_lib = None
+_tried = False
+
+# qtypes the C++ library implements (encode)
+NATIVE_ENCODE_QTYPES = frozenset({2, 8, 12, 13, 14})  # Q4_0 Q8_0 Q4_K Q5_K Q6_K
+NATIVE_DECODE_QTYPES = frozenset({2, 8, 12, 14})
+
+
+def _build() -> bool:
+    try:
+        subprocess.run(["make", "-C", _DIR], check=True,
+                       capture_output=True, timeout=120)
+        return os.path.exists(_LIB_PATH)
+    except Exception as e:  # missing toolchain, sandbox, …
+        log.info("native codec build unavailable: %s", e)
+        return False
+
+
+def get_lib():
+    """Load (building if needed) the shared library, or None."""
+    global _lib, _tried
+    if _lib is not None or _tried:
+        return _lib
+    _tried = True
+    if not os.path.exists(_LIB_PATH) and not _build():
+        return None
+    try:
+        lib = ctypes.CDLL(_LIB_PATH)
+        lib.ggq_quantize.restype = ctypes.c_int
+        lib.ggq_quantize.argtypes = [
+            ctypes.c_int, ctypes.POINTER(ctypes.c_float),
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64]
+        lib.ggq_dequantize.restype = ctypes.c_int
+        lib.ggq_dequantize.argtypes = [
+            ctypes.c_int, ctypes.POINTER(ctypes.c_uint8),
+            ctypes.POINTER(ctypes.c_float), ctypes.c_int64]
+        lib.ggq_type_size.restype = ctypes.c_int
+        lib.ggq_type_size.argtypes = [ctypes.c_int]
+        lib.ggq_block_size.restype = ctypes.c_int
+        lib.ggq_block_size.argtypes = [ctypes.c_int]
+        _lib = lib
+    except OSError as e:
+        log.info("native codec load failed: %s", e)
+    return _lib
+
+
+def available(qtype: int, *, decode: bool = False) -> bool:
+    table = NATIVE_DECODE_QTYPES if decode else NATIVE_ENCODE_QTYPES
+    return int(qtype) in table and get_lib() is not None
+
+
+def quantize(x: np.ndarray, qtype: int) -> np.ndarray | None:
+    """float array → packed (n_blocks, type_size) bytes, or None if the
+    native path can't handle this qtype."""
+    lib = get_lib()
+    q = int(qtype)
+    if lib is None or q not in NATIVE_ENCODE_QTYPES:
+        return None
+    x = np.ascontiguousarray(x, dtype=np.float32).reshape(-1)
+    bs = lib.ggq_block_size(q)
+    ts = lib.ggq_type_size(q)
+    if x.size % bs:
+        return None
+    out = np.empty((x.size // bs, ts), dtype=np.uint8)
+    rc = lib.ggq_quantize(
+        q, x.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), x.size)
+    return out if rc == 0 else None
+
+
+def dequantize(blocks: np.ndarray, qtype: int,
+               n_elements: int) -> np.ndarray | None:
+    lib = get_lib()
+    q = int(qtype)
+    if lib is None or q not in NATIVE_DECODE_QTYPES:
+        return None
+    blocks = np.ascontiguousarray(blocks).view(np.uint8).reshape(-1)
+    out = np.empty(n_elements, dtype=np.float32)
+    rc = lib.ggq_dequantize(
+        q, blocks.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), n_elements)
+    return out if rc == 0 else None

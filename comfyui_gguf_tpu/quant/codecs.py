@@ -452,7 +452,8 @@ def _affine_fit_sub(x: np.ndarray, qmax: int, sc_levels: int):
     x: (n, subs, sub_len). Returns d, dmin (n,1), sc, mn (n,subs) ints,
     and q (n, subs, sub_len).
     """
-    mn_sub = np.maximum(0.0, -x.min(axis=-1))  # (n, subs)
+    # + 0.0 canonicalizes -0.0 so byte output matches the C++ codec exactly
+    mn_sub = np.maximum(0.0, -x.min(axis=-1)) + 0.0  # (n, subs)
     rng = x.max(axis=-1) + mn_sub
     s_sub = np.maximum(rng, 0.0) / qmax
     d = s_sub.max(axis=-1, keepdims=True) / sc_levels
@@ -627,10 +628,12 @@ ENCODERS = {
 
 
 def dequantize(data: np.ndarray, qtype: GGMLQuantizationType,
-               shape: tuple[int, ...]) -> np.ndarray:
+               shape: tuple[int, ...], use_native: bool = True) -> np.ndarray:
     """Raw packed bytes -> float32 array of logical ``shape``.
 
-    Host-side equivalent of reference dequant.py:30-44.
+    Host-side equivalent of reference dequant.py:30-44. Routes through the
+    C++ codec library (native/) when available — byte-identical output,
+    just multi-threaded.
     """
     qtype = GGMLQuantizationType(qtype)
     if qtype == Q.F32:
@@ -640,12 +643,21 @@ def dequantize(data: np.ndarray, qtype: GGMLQuantizationType,
             np.ascontiguousarray(data).view("<f2").reshape(shape).astype(np.float32)
         )
     block, type_size = GGML_QUANT_SIZES[qtype]
+    if use_native:
+        from .. import native
+
+        if native.available(qtype, decode=True):
+            n = int(np.prod(shape))
+            out = native.dequantize(np.ascontiguousarray(data), qtype, n)
+            if out is not None:
+                return out.reshape(shape)
     raw = np.ascontiguousarray(data).view(np.uint8).reshape(-1, type_size)
     out = DECODERS[qtype](raw)
     return out.reshape(shape)
 
 
-def quantize(x: np.ndarray, qtype: GGMLQuantizationType) -> np.ndarray:
+def quantize(x: np.ndarray, qtype: GGMLQuantizationType,
+             use_native: bool = True) -> np.ndarray:
     """float array -> packed GGUF payload bytes (n_blocks, type_size)."""
     qtype = GGMLQuantizationType(qtype)
     enc = ENCODERS.get(qtype)
@@ -655,5 +667,12 @@ def quantize(x: np.ndarray, qtype: GGMLQuantizationType) -> np.ndarray:
     n = x.size
     if n % block != 0:
         raise ValueError(f"{n} elements not divisible by block {block} ({qtype.name})")
+    if use_native:
+        from .. import native
+
+        if native.available(qtype):
+            out = native.quantize(x, qtype)
+            if out is not None:
+                return out
     out = enc(np.ascontiguousarray(x, dtype=np.float32).reshape(-1))
     return out.reshape(-1, type_size)
