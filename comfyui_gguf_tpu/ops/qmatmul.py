@@ -155,10 +155,24 @@ def _pick_tiles(m: int, k_rows: int, rp: int, gs: int):
     if TILE_OVERRIDES:
         return (TILE_OVERRIDES.get("mt"), TILE_OVERRIDES.get("kt"),
                 TILE_OVERRIDES.get("rt"))
-    kt = _pick_kt(k_rows, gs)
+    # kt=256 code rows: scale tiles stay ≥8 sublanes for gs∈{16,32} and the
+    # unpacked (kt, rt) plane fits VMEM alongside the accumulator
+    kt = None
+    for cand in (256, 128, 64, 32, 16):
+        if k_rows % cand == 0 and cand % gs == 0:
+            kt = cand
+            break
+    K = k_rows  # logical K/2 for nib4; ratio heuristic is layout-agnostic
     mp2 = max(8, 1 << max(0, (m - 1)).bit_length()) if m > 0 else 8
-    mt = min(1024, mp2)
-    rt = 512 if rp % 512 == 0 else (256 if rp % 256 == 0 else LANE)
+    # measured on v5e (tests/sweeps @ M=4608, Q4_K): square/wide R shapes
+    # peak at (1024, 1024) ≈ 0.9 MXU SoL; K-heavy (K > 2R) shapes thrash
+    # VMEM there and prefer (512, 512)
+    if K > 2 * rp:
+        mt_pref, rt_pref = 512, 512
+    else:
+        mt_pref, rt_pref = 1024, 1024
+    mt = min(mt_pref, mp2)
+    rt = next((c for c in (rt_pref, 512, 256, LANE) if rp % c == 0), LANE)
     return mt, kt, rt
 
 
