@@ -1,0 +1,43 @@
+"""comfyui-gguf-tpu: TPU-native GGUF diffusion inference engine.
+
+Standalone JAX/XLA/Pallas framework with the capabilities of the
+city96/ComfyUI-GGUF plugin plus the host-side machinery ComfyUI provided
+for it (model graphs, samplers, tokenizers, VAE, serving, sharding).
+See README.md for the component map and PARITY.md for the line-by-line
+coverage of the reference.
+"""
+
+__version__ = "0.1.0"
+
+# The reference gates its exports on running inside ComfyUI (reference
+# __init__.py:1-9); this is a library, so the public API is always exported
+# — but lazily, to keep bare-metadata imports (tools, gguf io) light.
+
+_PUBLIC = {
+    "GGUFReader": ".gguf.reader",
+    "GGUFWriter": ".gguf.writer",
+    "gguf_sd_loader": ".loader",
+    "gguf_clip_loader": ".loader",
+    "to_jax_params": ".loader",
+    "load_diffusion_model": ".pipeline",
+    "load_text_encoder": ".pipeline",
+    "load_text_encoders": ".pipeline",
+    "FluxPipeline": ".pipeline",
+    "QuantConfig": ".nn.layers",
+    "quantized_matmul": ".ops.qmatmul",
+    "PlanarQuant": ".quant.planar",
+    "planarize": ".quant.planar",
+    "ContinuousBatchEngine": ".serving",
+}
+
+
+def __getattr__(name):
+    if name in _PUBLIC:
+        import importlib
+
+        mod = importlib.import_module(_PUBLIC[name], __name__)
+        return getattr(mod, name)
+    raise AttributeError(f"module {__name__!r} has no attribute {name!r}")
+
+
+__all__ = list(_PUBLIC)

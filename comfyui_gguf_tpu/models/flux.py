@@ -260,6 +260,9 @@ def forward(params, cfg: FluxConfig, img: jax.Array, img_ids: jax.Array,
         vec = vec + _mlp_embed(params, "guidance_in",
                                timestep_embedding(guidance, 256), qcfg)
     vec = vec + _mlp_embed(params, "vector_in", y, qcfg)
+    # keep the conditioning vector in activation dtype — the f32 timestep
+    # embedding must not promote every modulated stream to f32
+    vec = vec.astype(img.dtype)
 
     ids = jnp.concatenate([txt_ids, img_ids], axis=1)
     pe = rope_freqs(ids, cfg.axes_dim, cfg.theta)

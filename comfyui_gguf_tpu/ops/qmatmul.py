@@ -144,7 +144,8 @@ def _pick_kt(k_rows: int, gs: int) -> int | None:
 TILE_OVERRIDES: dict = {}
 
 
-def _pick_tiles(m: int, k_rows: int, rp: int, gs: int):
+def _pick_tiles(m: int, k_rows: int, rp: int, gs: int,
+                out_bytes: int = 2):
     """(mt, kt, rt) tile sizes. kt tiles the stored code rows (K/2 for nib4).
 
     Large m-tiles amortize the VPU unpack (each (k, r) code tile is
@@ -173,6 +174,21 @@ def _pick_tiles(m: int, k_rows: int, rp: int, gs: int):
         mt_pref, rt_pref = 1024, 1024
     mt = min(mt_pref, mp2)
     rt = next((c for c in (rt_pref, 512, 256, LANE) if rp % c == 0), LANE)
+
+    def vmem_est(mt, rt):
+        # acc f32 + out tile + double-buffered x (two operands for nib4) +
+        # qs + unpack temporaries (f32 planes before the bf16 cast)
+        return (4 * mt * rt + out_bytes * mt * rt
+                + 2 * 2 * mt * (kt or 256) * 2
+                + 2 * (kt or 256) * rt + 2 * 4 * (kt or 256) * rt)
+
+    while vmem_est(mt, rt) > 12 * 1024 * 1024 and (mt > 256 or rt > 256):
+        if rt >= mt and rt > 256:
+            rt //= 2
+        elif mt > 256:
+            mt //= 2
+        else:
+            break
     return mt, kt, rt
 
 
@@ -194,7 +210,8 @@ def pallas_qmm(x: jax.Array, pq: PlanarQuant, *, dequant_dtype=jnp.bfloat16,
     nib4 = pq.layout == "nib4"
     k_rows = pq.qs.shape[0]  # K//2 for nib4, K for int8
 
-    mt, kt, rt = _pick_tiles(m, k_rows, rp, gs)
+    mt, kt, rt = _pick_tiles(m, k_rows, rp, gs,
+                             out_bytes=jnp.dtype(out_dtype).itemsize)
     if kt is None:
         raise ValueError(f"untileable K rows {k_rows} (gs={gs})")
     mp = _cdiv(m, mt) * mt
