@@ -110,42 +110,128 @@ def planarize(
     if K % (2 * gs) != 0:
         raise ValueError(f"in_features {K} not divisible by 2*group_size {2*gs}")
 
-    q = comp.q.reshape(R, K)
-    scales = comp.scales.reshape(R, K // gs).T  # (K//gs, R)
-    offsets = None if comp.offsets is None else comp.offsets.reshape(R, K // gs).T
+    out = _components_to_planar(comp.q, comp.scales, comp.offsets, qtype,
+                                comp.zero_point, gs, (R, K))
+    if device is not None:
+        put = partial(jax.device_put, device=device)
+        out = jax.tree_util.tree_map(put, out)
+    return out
 
+
+def planarize_shards(
+    data: np.ndarray,
+    qtype: GGMLQuantizationType,
+    shape: tuple[int, int],
+    n_shards: int,
+    axis: str = "r",
+) -> PlanarQuant:
+    """Shard-aware re-tiling for tensor parallelism (SURVEY.md §7.8).
+
+    Returns ONE PlanarQuant whose leaves carry a leading shard axis
+    (n_shards, ...) — place it with ``P("tp", ...)`` and squeeze inside
+    shard_map. Two layouts:
+
+    * ``axis="r"`` (column parallel): out-features split across shards —
+      a plain lane-dim split of the planar leaves, each shard padded to a
+      lane multiple independently.
+    * ``axis="k"`` (row parallel): logical K split into contiguous chunks,
+      each chunk re-tiled INDEPENDENTLY — necessary because the nib4
+      global K-split pairs rows (j, j+K/2) in one byte, which must not
+      straddle shards.
+
+    K-quant superblocks never split: both modes keep whole 256-element
+    rows/columns per shard (the constraint the reference's C++ quantizer
+    enforces on row widths, reference tools/lcpp.patch:229-239).
+    """
+    qtype = GGMLQuantizationType(qtype)
+    R, K = int(shape[0]), int(shape[1])
+    if axis == "r":
+        if R % n_shards:
+            raise ValueError(f"R={R} not divisible by {n_shards} shards")
+        comp = codecs.COMPONENT_EXTRACTORS[qtype](np.ascontiguousarray(data))
+        gs = comp.group_size
+        rs = R // n_shards
+        q = comp.q.reshape(R, K)
+        scales = comp.scales.reshape(R, K // gs)
+        offsets = (None if comp.offsets is None
+                   else comp.offsets.reshape(R, K // gs))
+        shards = []
+        for s in range(n_shards):
+            sl = slice(s * rs, (s + 1) * rs)
+            shards.append(_components_to_planar(
+                q[sl], scales[sl],
+                None if offsets is None else offsets[sl],
+                qtype, comp.zero_point, gs, (rs, K)))
+    elif axis == "k":
+        ks = K // n_shards
+        if K % n_shards:
+            raise ValueError(f"K={K} not divisible by {n_shards} shards")
+        block, type_size = GGML_QUANT_SIZES[qtype]
+        if ks % block:
+            raise ValueError(
+                f"K shard {ks} splits {qtype.name} blocks of {block}")
+        bpr = K // block  # blocks per row
+        blocks = np.ascontiguousarray(data).reshape(R, bpr, type_size)
+        per = bpr // n_shards
+        shards = [
+            planarize(blocks[:, s * per: (s + 1) * per].reshape(
+                -1, type_size), qtype, (R, ks))
+            for s in range(n_shards)
+        ]
+    else:
+        raise ValueError(f"axis must be 'r' or 'k', got {axis!r}")
+
+    first = shards[0]
+    stack = lambda leaves: jnp.stack(leaves, axis=0)
+    return PlanarQuant(
+        qs=stack([s.qs for s in shards]),
+        scales=stack([s.scales for s in shards]),
+        offsets=(None if first.offsets is None
+                 else stack([s.offsets for s in shards])),
+        qtype=first.qtype, layout=first.layout,
+        group_size=first.group_size, zero_point=first.zero_point,
+        shape=first.shape,
+    )
+
+
+def _components_to_planar(q, scales, offsets, qtype, zero_point, gs,
+                          shape) -> PlanarQuant:
+    """Assemble a PlanarQuant from already-extracted component slices."""
+    R, K = shape
     rp = -(-R // LANE) * LANE
     pad = rp - R
-
+    scales_t = np.pad(scales.reshape(R, K // gs).T, ((0, 0), (0, pad)))
+    offsets_t = (None if offsets is None
+                 else np.pad(offsets.reshape(R, K // gs).T,
+                             ((0, 0), (0, pad))))
     if qtype in _NIB4_TYPES:
-        layout = "nib4"
-        zp = comp.zero_point
-        qt = q.T.astype(np.uint8)  # (K, R)
-        packed = qt[: K // 2] | (qt[K // 2 :] << 4)  # (K//2, R)
+        qt = q.reshape(R, K).T.astype(np.uint8)
+        packed = qt[: K // 2] | (qt[K // 2:] << 4)
         qs = np.pad(packed, ((0, 0), (0, pad)))
+        layout, zp = "nib4", zero_point
     else:
-        layout = "int8"
-        # fold zero-point into signed codes
-        qi = q.astype(np.int16) - int(comp.zero_point)
-        if qi.min() < -128 or qi.max() > 127:
-            raise ValueError(f"{qtype.name}: codes out of int8 range")
-        zp = 0
+        qi = q.reshape(R, K).astype(np.int16) - int(zero_point)
+        if qi.min(initial=0) < -128 or qi.max(initial=0) > 127:
+            raise ValueError(f"{qtype!r}: codes out of int8 range")
         qs = np.pad(qi.astype(np.int8).T, ((0, 0), (0, pad)))
-
-    scales = np.pad(scales, ((0, 0), (0, pad)))
-    if offsets is not None:
-        offsets = np.pad(offsets, ((0, 0), (0, pad)))
-
-    put = partial(jax.device_put, device=device) if device else jnp.asarray
+        layout, zp = "int8", 0
     return PlanarQuant(
-        qs=put(qs),
-        scales=put(scales.astype(np.float32)),
-        offsets=None if offsets is None else put(offsets.astype(np.float32)),
-        qtype=int(qtype),
-        layout=layout,
-        group_size=gs,
-        zero_point=zp,
+        qs=jnp.asarray(qs), scales=jnp.asarray(scales_t.astype(np.float32)),
+        offsets=(None if offsets_t is None
+                 else jnp.asarray(offsets_t.astype(np.float32))),
+        qtype=int(qtype), layout=layout, group_size=gs, zero_point=zp,
         shape=(R, K),
+    )
+
+
+def shard_view(p: PlanarQuant) -> PlanarQuant:
+    """Inside shard_map: strip the leading shard axis from a stacked
+    PlanarQuant (each device sees a (1, ...) slice)."""
+    return PlanarQuant(
+        qs=p.qs[0], scales=p.scales[0],
+        offsets=None if p.offsets is None else p.offsets[0],
+        qtype=p.qtype, layout=p.layout, group_size=p.group_size,
+        zero_point=p.zero_point, shape=p.shape,
     )
 
 
