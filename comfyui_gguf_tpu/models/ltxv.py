@@ -1,0 +1,163 @@
+"""LTX-Video DiT (arch "ltxv" in the reference allowlist).
+
+PixArt-lineage video transformer: per-block learned ``scale_shift_table``
+added to a single shared adaLN projection (``adaln_single``), RMS-normed
+modulated self-attention with 3-axis RoPE, un-modulated cross-attention to
+T5 states, gelu-approx feed-forward, 2-chunk modulated projection head.
+The reference's quantizer keeps ``scale_shift_table``/``adaln_single``/
+``caption_projection``/``patchify_proj``/``proj_out`` unquantized
+(reference tools/lcpp.patch:369-376) and its converter stores
+``scale_shift_table`` in fp32 (tools/convert.py keys_hiprec) — the
+archs.py policy mirrors both.
+
+RoPE positions are supplied by the caller as (B, L, 3) voxel coordinates
+(frame, row, col), so fractional/scaled coordinate conventions are the
+caller's choice; head dim is split across the three axes.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..nn.layers import QuantConfig, DEFAULT_CONFIG, linear, rms_norm
+from .flux import timestep_embedding
+
+
+@dataclasses.dataclass(frozen=True)
+class LTXVConfig:
+    dim: int
+    n_layers: int
+    n_heads: int
+    in_channels: int
+    caption_dim: int = 4096
+    head_dim: int = 64
+
+    @property
+    def axes_dim(self) -> tuple[int, int, int]:
+        hd = self.head_dim
+        hw = 2 * (hd // 6)
+        return (hd - 2 * hw, hw, hw)
+
+    @staticmethod
+    def from_state_dict(sd) -> "LTXVConfig":
+        def shape(k):
+            v = sd[k]
+            return v.shape if hasattr(v, "shape") else np.asarray(v).shape
+
+        dim, in_ch = shape("patchify_proj.weight")
+        n = 0
+        while f"transformer_blocks.{n}.attn1.to_q.weight" in sd:
+            n += 1
+        cap = shape("caption_projection.linear_1.weight")[1]
+        return LTXVConfig(dim=int(dim), n_layers=n,
+                          n_heads=int(dim) // 64, in_channels=int(in_ch),
+                          caption_dim=int(cap))
+
+
+def _rope_from_ids(ids: jax.Array, axes_dim, theta: float = 10_000.0):
+    """(B, L, 3) coords → (B, L, hd/2, 2) cos/sin."""
+    parts = []
+    for i, d in enumerate(axes_dim):
+        pos = ids[..., i].astype(jnp.float32)
+        omega = 1.0 / (theta ** (jnp.arange(0, d, 2, dtype=jnp.float32) / d))
+        ang = pos[..., None] * omega
+        parts.append(jnp.stack([jnp.cos(ang), jnp.sin(ang)], axis=-1))
+    return jnp.concatenate(parts, axis=2)
+
+
+def _apply_rope(x, pe):
+    B, H, L, D = x.shape
+    xf = x.astype(jnp.float32).reshape(B, H, L, D // 2, 2)
+    cos = pe[:, None, :, :, 0]
+    sin = pe[:, None, :, :, 1]
+    real = xf[..., 0] * cos - xf[..., 1] * sin
+    imag = xf[..., 0] * sin + xf[..., 1] * cos
+    return jnp.stack([real, imag], axis=-1).reshape(B, H, L, D).astype(x.dtype)
+
+
+def _heads(x, n):
+    B, L, D = x.shape
+    return x.reshape(B, L, n, D // n).transpose(0, 2, 1, 3)
+
+
+def _attention(params, p, xq, xkv, n_heads, qcfg, pe=None):
+    q = _heads(linear(xq, params[f"{p}.to_q.weight"],
+                      params.get(f"{p}.to_q.bias"), cfg=qcfg), n_heads)
+    k = _heads(linear(xkv, params[f"{p}.to_k.weight"],
+                      params.get(f"{p}.to_k.bias"), cfg=qcfg), n_heads)
+    v = _heads(linear(xkv, params[f"{p}.to_v.weight"],
+                      params.get(f"{p}.to_v.bias"), cfg=qcfg), n_heads)
+    if f"{p}.q_norm.weight" in params:
+        q = rms_norm(q, params[f"{p}.q_norm.weight"], eps=1e-6)
+        k = rms_norm(k, params[f"{p}.k_norm.weight"], eps=1e-6)
+    if pe is not None:
+        q = _apply_rope(q, pe)
+        k = _apply_rope(k, pe)
+    out = jax.nn.dot_product_attention(
+        q.transpose(0, 2, 1, 3), k.transpose(0, 2, 1, 3),
+        v.transpose(0, 2, 1, 3))
+    B, L, H, D = out.shape
+    out = out.reshape(B, L, H * D)
+    return linear(out, params[f"{p}.to_out.0.weight"],
+                  params.get(f"{p}.to_out.0.bias"), cfg=qcfg)
+
+
+def forward(params, cfg: LTXVConfig, tokens: jax.Array, ids: jax.Array,
+            context: jax.Array, timesteps: jax.Array,
+            qcfg: QuantConfig = DEFAULT_CONFIG) -> jax.Array:
+    """tokens (B, L, in_channels) latent voxels, ids (B, L, 3) positions,
+    context (B, Lc, caption_dim), timesteps (B,) ∈ [0, 1]."""
+    x = linear(tokens, params["patchify_proj.weight"],
+               params.get("patchify_proj.bias"), cfg=qcfg)
+
+    # shared adaLN: sinusoid → 2-layer MLP → 6-chunk projection
+    pre = "adaln_single.emb.timestep_embedder."
+    e = linear(timestep_embedding(timesteps, 256).astype(x.dtype),
+               params[pre + "linear_1.weight"],
+               params.get(pre + "linear_1.bias"), cfg=qcfg)
+    e = jax.nn.silu(e.astype(jnp.float32)).astype(x.dtype)
+    e = linear(e, params[pre + "linear_2.weight"],
+               params.get(pre + "linear_2.bias"), cfg=qcfg)
+    e6 = linear(jax.nn.silu(e.astype(jnp.float32)).astype(x.dtype),
+                params["adaln_single.linear.weight"],
+                params.get("adaln_single.linear.bias"), cfg=qcfg)
+    e6 = e6.reshape(-1, 6, cfg.dim)
+
+    ctx = linear(context, params["caption_projection.linear_1.weight"],
+                 params.get("caption_projection.linear_1.bias"), cfg=qcfg)
+    ctx = jax.nn.gelu(ctx.astype(jnp.float32), approximate=True).astype(
+        x.dtype)
+    ctx = linear(ctx, params["caption_projection.linear_2.weight"],
+                 params.get("caption_projection.linear_2.bias"), cfg=qcfg)
+
+    pe = _rope_from_ids(ids, cfg.axes_dim)
+
+    for i in range(cfg.n_layers):
+        p = f"transformer_blocks.{i}"
+        ss = (params[f"{p}.scale_shift_table"].reshape(1, 6, cfg.dim)
+              + e6).astype(x.dtype)
+        sh1, sc1, g1, sh2, sc2, g2 = [ss[:, j][:, None] for j in range(6)]
+
+        h = rms_norm(x, eps=1e-6) * (1 + sc1) + sh1
+        x = x + g1 * _attention(params, f"{p}.attn1", h, h, cfg.n_heads,
+                                qcfg, pe=pe)
+        # cross-attention, un-modulated (PixArt convention)
+        x = x + _attention(params, f"{p}.attn2", x, ctx, cfg.n_heads, qcfg)
+        h = rms_norm(x, eps=1e-6) * (1 + sc2) + sh2
+        h = linear(h, params[f"{p}.ff.net.0.proj.weight"],
+                   params.get(f"{p}.ff.net.0.proj.bias"), cfg=qcfg)
+        h = jax.nn.gelu(h.astype(jnp.float32), approximate=True).astype(
+            x.dtype)
+        x = x + g2 * linear(h, params[f"{p}.ff.net.2.weight"],
+                            params.get(f"{p}.ff.net.2.bias"), cfg=qcfg)
+
+    fin = (params["scale_shift_table"].reshape(1, 2, cfg.dim)
+           + e.reshape(-1, 1, cfg.dim)).astype(x.dtype)
+    shift, scale = fin[:, 0][:, None], fin[:, 1][:, None]
+    x = rms_norm(x, eps=1e-6) * (1 + scale) + shift
+    return linear(x, params["proj_out.weight"],
+                  params.get("proj_out.bias"), cfg=qcfg)

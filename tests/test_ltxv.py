@@ -1,0 +1,90 @@
+"""LTX-Video DiT tests (tiny config through GGUF)."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from comfyui_gguf_tpu.gguf.writer import GGUFWriter
+from comfyui_gguf_tpu.loader import gguf_sd_loader, to_jax_params
+from comfyui_gguf_tpu.models import ltxv
+from comfyui_gguf_tpu.nn.layers import QuantConfig
+
+DIM, LAYERS, INCH, CAP = 128, 2, 32, 64
+
+F32CFG = QuantConfig(dequant_dtype=jnp.float32, compute_dtype=jnp.float32,
+                     prefer_pallas=False)
+
+
+def _tiny_ltxv(rng):
+    def t(*s):
+        return (rng.standard_normal(s) * 0.02).astype(np.float32)
+
+    sd = {
+        "patchify_proj.weight": t(DIM, INCH),
+        "patchify_proj.bias": t(DIM),
+        "adaln_single.emb.timestep_embedder.linear_1.weight": t(DIM, 256),
+        "adaln_single.emb.timestep_embedder.linear_1.bias": t(DIM),
+        "adaln_single.emb.timestep_embedder.linear_2.weight": t(DIM, DIM),
+        "adaln_single.emb.timestep_embedder.linear_2.bias": t(DIM),
+        "adaln_single.linear.weight": t(6 * DIM, DIM),
+        "adaln_single.linear.bias": t(6 * DIM),
+        "caption_projection.linear_1.weight": t(DIM, CAP),
+        "caption_projection.linear_1.bias": t(DIM),
+        "caption_projection.linear_2.weight": t(DIM, DIM),
+        "caption_projection.linear_2.bias": t(DIM),
+        "scale_shift_table": t(2, DIM),
+        "proj_out.weight": t(INCH, DIM),
+        "proj_out.bias": t(INCH),
+    }
+    for i in range(LAYERS):
+        p = f"transformer_blocks.{i}"
+        sd[f"{p}.scale_shift_table"] = t(6, DIM)
+        for a in ("attn1", "attn2"):
+            for n in ("to_q", "to_k", "to_v"):
+                kdim = DIM
+                sd[f"{p}.{a}.{n}.weight"] = t(DIM, kdim)
+                sd[f"{p}.{a}.{n}.bias"] = t(DIM)
+            sd[f"{p}.{a}.to_out.0.weight"] = t(DIM, DIM)
+            sd[f"{p}.{a}.to_out.0.bias"] = t(DIM)
+            sd[f"{p}.{a}.q_norm.weight"] = t(DIM // 2) + 1  # per-head 64
+            sd[f"{p}.{a}.k_norm.weight"] = t(DIM // 2) + 1
+        sd[f"{p}.ff.net.0.proj.weight"] = t(4 * DIM, DIM)
+        sd[f"{p}.ff.net.0.proj.bias"] = t(4 * DIM)
+        sd[f"{p}.ff.net.2.weight"] = t(DIM, 4 * DIM)
+        sd[f"{p}.ff.net.2.bias"] = t(DIM)
+    return sd
+
+
+@pytest.fixture(scope="module")
+def ltxv_params(tmp_path_factory):
+    sd = _tiny_ltxv(np.random.default_rng(0))
+    p = tmp_path_factory.mktemp("ltxv") / "ltxv.gguf"
+    w = GGUFWriter("ltxv")
+    for k, v in sd.items():
+        w.add_tensor("model.diffusion_model." + k, v)
+    w.write_to_file(str(p))
+    raw, arch = gguf_sd_loader(str(p), return_arch=True)
+    assert arch == "ltxv"
+    return to_jax_params(raw, F32CFG)
+
+
+def test_ltxv_config(ltxv_params):
+    cfg = ltxv.LTXVConfig.from_state_dict(ltxv_params)
+    assert cfg.dim == DIM and cfg.n_layers == LAYERS
+    assert cfg.in_channels == INCH and cfg.caption_dim == CAP
+    assert cfg.n_heads == 2
+    assert sum(cfg.axes_dim) == 64
+
+
+def test_ltxv_forward(ltxv_params):
+    cfg = ltxv.LTXVConfig.from_state_dict(ltxv_params)
+    rng = np.random.default_rng(1)
+    B, L, Lc = 2, 24, 9
+    tokens = jnp.asarray(rng.standard_normal((B, L, INCH)), jnp.float32)
+    ids = jnp.asarray(rng.integers(0, 8, (B, L, 3)), jnp.int32)
+    ctx = jnp.asarray(rng.standard_normal((B, Lc, CAP)), jnp.float32)
+    t = jnp.asarray([0.9, 0.3], jnp.float32)
+    out = ltxv.forward(ltxv_params, cfg, tokens, ids, ctx, t, qcfg=F32CFG)
+    assert out.shape == (B, L, INCH)
+    assert np.isfinite(np.asarray(out)).all()
