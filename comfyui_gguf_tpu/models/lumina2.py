@@ -1,0 +1,202 @@
+"""Lumina Image 2.0 NextDiT (arch "lumina2" in the reference allowlist).
+
+Key set per the detection fingerprint (reference tools/convert.py:144-148:
+``cap_embedder.1.weight`` + ``context_refiner.0.attention.qkv.weight``) and
+quantizer exclusions (tools/lcpp.patch:416-424: t/x/cap embedders,
+final_layer, context_refiner, noise_refiner — mirrored in archs.py).
+
+NextDiT block structure (published Lumina-Next/2.0 design): sandwich
+RMSNorms around attention/FFN, scale-only adaLN (4 chunks: scale/gate ×2,
+gates tanh-squashed), fused qkv with per-head RMS qk-norm, SwiGLU FFN,
+factored multi-axis RoPE over caller-supplied position ids. Context
+refiner blocks are the same minus adaLN; noise refiner blocks modulate on
+the timestep vector; main layers run on the concatenated [cap, img]
+sequence.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..nn.layers import QuantConfig, DEFAULT_CONFIG, linear, rms_norm
+from .flux import timestep_embedding
+
+
+@dataclasses.dataclass(frozen=True)
+class Lumina2Config:
+    dim: int
+    n_layers: int
+    n_refiner: int
+    n_heads: int
+    patch_size: int = 2
+    in_channels: int = 16
+    cap_dim: int = 2304
+    axes_dim: tuple[int, ...] = (32, 32, 32)  # (t, h, w) of head_dim 96? set
+    # from head_dim at detection
+
+    @property
+    def head_dim(self) -> int:
+        return self.dim // self.n_heads
+
+    @staticmethod
+    def from_state_dict(sd) -> "Lumina2Config":
+        def shape(k):
+            v = sd[k]
+            return v.shape if hasattr(v, "shape") else np.asarray(v).shape
+
+        dim, in_feat = shape("x_embedder.weight")
+        qn = shape("layers.0.attention.q_norm.weight")[0]
+        n = 0
+        while f"layers.{n}.attention.qkv.weight" in sd:
+            n += 1
+        nr = 0
+        while f"noise_refiner.{nr}.attention.qkv.weight" in sd:
+            nr += 1
+        hd = int(qn)
+        third = 2 * (hd // 6)
+        return Lumina2Config(
+            dim=int(dim), n_layers=n, n_refiner=nr,
+            n_heads=int(dim) // hd, in_channels=int(in_feat) // 4,
+            cap_dim=int(shape("cap_embedder.1.weight")[1]),
+            axes_dim=(hd - 2 * third, third, third),
+        )
+
+
+def _rope(ids, axes_dim, theta=10_000.0):
+    parts = []
+    for i, d in enumerate(axes_dim):
+        pos = ids[..., i].astype(jnp.float32)
+        omega = 1.0 / (theta ** (jnp.arange(0, d, 2, dtype=jnp.float32) / d))
+        ang = pos[..., None] * omega
+        parts.append(jnp.stack([jnp.cos(ang), jnp.sin(ang)], axis=-1))
+    return jnp.concatenate(parts, axis=2)  # (B, L, hd/2, 2)
+
+
+def _apply_rope(x, pe):
+    B, H, L, D = x.shape
+    xf = x.astype(jnp.float32).reshape(B, H, L, D // 2, 2)
+    cos = pe[:, None, :, :, 0]
+    sin = pe[:, None, :, :, 1]
+    real = xf[..., 0] * cos - xf[..., 1] * sin
+    imag = xf[..., 0] * sin + xf[..., 1] * cos
+    return jnp.stack([real, imag], axis=-1).reshape(B, H, L, D).astype(x.dtype)
+
+
+def _block(params, p, x, vec, pe, cfg: Lumina2Config, qcfg):
+    """One NextDiT block; ``vec=None`` → un-modulated (context refiner)."""
+    H = cfg.n_heads
+    if vec is not None and f"{p}.adaLN_modulation.1.weight" in params:
+        v = jax.nn.silu(vec.astype(jnp.float32)).astype(vec.dtype)
+        mod = linear(v, params[f"{p}.adaLN_modulation.1.weight"],
+                     params.get(f"{p}.adaLN_modulation.1.bias"), cfg=qcfg)
+        sc_msa, g_msa, sc_mlp, g_mlp = jnp.split(mod[:, None, :], 4, axis=-1)
+        g_msa = jnp.tanh(g_msa.astype(jnp.float32)).astype(x.dtype)
+        g_mlp = jnp.tanh(g_mlp.astype(jnp.float32)).astype(x.dtype)
+    else:
+        sc_msa = sc_mlp = jnp.zeros((1, 1, 1), x.dtype)
+        g_msa = g_mlp = jnp.ones((1, 1, 1), x.dtype)
+
+    h = rms_norm(x, params.get(f"{p}.attention_norm1.weight")) * (1 + sc_msa)
+    qkv = linear(h, params[f"{p}.attention.qkv.weight"],
+                 params.get(f"{p}.attention.qkv.bias"), cfg=qcfg)
+    B, L, _ = h.shape
+    q, k, v_ = jnp.split(qkv, 3, axis=-1)
+    hd = cfg.head_dim
+    q = q.reshape(B, L, H, hd).transpose(0, 2, 1, 3)
+    k = k.reshape(B, L, H, hd).transpose(0, 2, 1, 3)
+    v_ = v_.reshape(B, L, H, hd).transpose(0, 2, 1, 3)
+    q = rms_norm(q, params[f"{p}.attention.q_norm.weight"], eps=1e-6)
+    k = rms_norm(k, params[f"{p}.attention.k_norm.weight"], eps=1e-6)
+    if pe is not None:
+        q = _apply_rope(q, pe)
+        k = _apply_rope(k, pe)
+    a = jax.nn.dot_product_attention(
+        q.transpose(0, 2, 1, 3), k.transpose(0, 2, 1, 3),
+        v_.transpose(0, 2, 1, 3)).reshape(B, L, H * hd)
+    a = linear(a, params[f"{p}.attention.out.weight"],
+               params.get(f"{p}.attention.out.bias"), cfg=qcfg)
+    x = x + g_msa * rms_norm(a, params.get(f"{p}.attention_norm2.weight"))
+
+    h = rms_norm(x, params.get(f"{p}.ffn_norm1.weight")) * (1 + sc_mlp)
+    w1 = linear(h, params[f"{p}.feed_forward.w1.weight"], cfg=qcfg)
+    w3 = linear(h, params[f"{p}.feed_forward.w3.weight"], cfg=qcfg)
+    ff = jax.nn.silu(w1.astype(jnp.float32)).astype(h.dtype) * w3
+    ff = linear(ff, params[f"{p}.feed_forward.w2.weight"], cfg=qcfg)
+    return x + g_mlp * rms_norm(ff, params.get(f"{p}.ffn_norm2.weight"))
+
+
+def forward(params, cfg: Lumina2Config, latent: jax.Array, cap: jax.Array,
+            timesteps: jax.Array,
+            qcfg: QuantConfig = DEFAULT_CONFIG) -> jax.Array:
+    """latent (B, H, W, C) NHWC; cap (B, Lc, cap_dim) Gemma states."""
+    B, Hh, Ww, C = latent.shape
+    p = cfg.patch_size
+    h_tok, w_tok = Hh // p, Ww // p
+
+    xp = latent.reshape(B, h_tok, p, w_tok, p, C).transpose(0, 1, 3, 5, 2, 4)
+    xp = xp.reshape(B, h_tok * w_tok, C * p * p)
+    x = linear(xp, params["x_embedder.weight"],
+               params.get("x_embedder.bias"), cfg=qcfg)
+
+    t = timestep_embedding(timesteps, 256, time_factor=1.0).astype(x.dtype)
+    vec = linear(t, params["t_embedder.mlp.0.weight"],
+                 params.get("t_embedder.mlp.0.bias"), cfg=qcfg)
+    vec = jax.nn.silu(vec.astype(jnp.float32)).astype(x.dtype)
+    vec = linear(vec, params["t_embedder.mlp.2.weight"],
+                 params.get("t_embedder.mlp.2.bias"), cfg=qcfg)
+
+    c = rms_norm(cap, params.get("cap_embedder.0.weight"))
+    c = linear(c, params["cap_embedder.1.weight"],
+               params.get("cap_embedder.1.bias"), cfg=qcfg)
+
+    # position ids: cap tokens along axis 0; image rows/cols on axes 1/2
+    Lc = c.shape[1]
+    cap_ids = np.zeros((1, Lc, 3), np.int32)
+    cap_ids[0, :, 0] = np.arange(Lc)
+    img_ids = np.zeros((1, h_tok * w_tok, 3), np.int32)
+    img_ids[0, :, 0] = Lc
+    img_ids[0, :, 1] = np.repeat(np.arange(h_tok), w_tok)
+    img_ids[0, :, 2] = np.tile(np.arange(w_tok), h_tok)
+    pe_cap = _rope(jnp.asarray(np.broadcast_to(cap_ids, (B, Lc, 3))),
+                   cfg.axes_dim)
+    pe_img = _rope(jnp.asarray(np.broadcast_to(img_ids,
+                                               (B, h_tok * w_tok, 3))),
+                   cfg.axes_dim)
+
+    for i in range(_count(params, "context_refiner")):
+        c = _block(params, f"context_refiner.{i}", c, None, pe_cap, cfg,
+                   qcfg)
+    for i in range(cfg.n_refiner):
+        x = _block(params, f"noise_refiner.{i}", x, vec, pe_img, cfg, qcfg)
+
+    cx = jnp.concatenate([c, x], axis=1)
+    pe = jnp.concatenate([pe_cap, pe_img], axis=1)
+    for i in range(cfg.n_layers):
+        cx = _block(params, f"layers.{i}", cx, vec, pe, cfg, qcfg)
+    x = cx[:, Lc:]
+
+    x = rms_norm(x, params.get("norm_final.weight"))
+    v = jax.nn.silu(vec.astype(jnp.float32)).astype(x.dtype)
+    mod = linear(v, params["final_layer.adaLN_modulation.1.weight"],
+                 params.get("final_layer.adaLN_modulation.1.bias"), cfg=qcfg)
+    if mod.shape[-1] == 2 * cfg.dim:
+        shift, scale = jnp.split(mod[:, None, :], 2, axis=-1)
+    else:
+        scale = mod[:, None, :]
+        shift = 0.0
+    x = x * (1 + scale) + shift
+    x = linear(x, params["final_layer.linear.weight"],
+               params.get("final_layer.linear.bias"), cfg=qcfg)
+    x = x.reshape(B, h_tok, w_tok, p, p, C)
+    return x.transpose(0, 1, 3, 2, 4, 5).reshape(B, Hh, Ww, C)
+
+
+def _count(params, section):
+    n = 0
+    while f"{section}.{n}.attention.qkv.weight" in params:
+        n += 1
+    return n

@@ -165,13 +165,11 @@ def _pick_tiles(m: int, k_rows: int, rp: int, gs: int,
             break
     K = k_rows  # logical K/2 for nib4; ratio heuristic is layout-agnostic
     mp2 = max(8, 1 << max(0, (m - 1)).bit_length()) if m > 0 else 8
-    # measured on v5e (tests/sweeps @ M=4608, Q4_K): square/wide R shapes
-    # peak at (1024, 1024) ≈ 0.9 MXU SoL; K-heavy (K > 2R) shapes thrash
-    # VMEM there and prefer (512, 512)
-    if K > 2 * rp:
-        mt_pref, rt_pref = 512, 512
-    else:
-        mt_pref, rt_pref = 1024, 1024
+    # measured on v5e (tests/sweeps @ M=4608, Q4_K): (512, 512) reaches
+    # 148-155 TF/s (~0.78 MXU SoL) with sane Mosaic compile times;
+    # (1024, 1024) squeezes out 176-181 TF/s but compiles 3-5× slower —
+    # selectable via TILE_OVERRIDES for dedicated serving builds
+    mt_pref, rt_pref = 512, 512
     mt = min(mt_pref, mp2)
     rt = next((c for c in (rt_pref, 512, 256, LANE) if rp % c == 0), LANE)
 
