@@ -1,0 +1,229 @@
+"""HiDream-I1 DiT (arch "hidream" in the reference allowlist).
+
+MMDiT with mixture-of-experts FFNs. Grounded key facts from the reference:
+detection fingerprint ``double_stream_blocks.0.block.ff_i.shared_experts
+.w3.weight`` (reference tools/convert.py:52-57), fp32-forced
+``.ff_i.gate.weight`` router (keys_hiprec, tools/convert.py:58-62), and
+quantizer exclusions p/t/x embedders + caption_projection + final_layer
+(tools/lcpp.patch:399-407).
+
+Block layout follows the published HiDream-I1 design: per-block
+``adaLN_modulation`` whose chunk count is read from the weight shape
+(12 chunks = 6 per stream on double blocks, 6 on single blocks), image
+attention ``attn1.to_q/k/v/out`` with text-side ``*_t`` twins and RMS
+qk-norms, MoE FFN = shared expert + routed experts with softmax top-k
+gating (all experts computed densely and mask-weighted — jit-friendly at
+small expert counts).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..nn.layers import QuantConfig, DEFAULT_CONFIG, layer_norm, linear, rms_norm
+from .flux import timestep_embedding
+
+
+@dataclasses.dataclass(frozen=True)
+class HiDreamConfig:
+    hidden: int
+    n_heads: int
+    depth_double: int
+    depth_single: int
+    n_experts: int
+    top_k: int = 2
+    patch_size: int = 2
+    in_channels: int = 16
+
+    @staticmethod
+    def from_state_dict(sd) -> "HiDreamConfig":
+        def shape(k):
+            v = sd[k]
+            return v.shape if hasattr(v, "shape") else np.asarray(v).shape
+
+        qn = shape("double_stream_blocks.0.block.attn1.q_rms_norm.weight")[0]
+        hidden = shape("double_stream_blocks.0.block.attn1.to_q.weight")[0]
+        nd = 0
+        while f"double_stream_blocks.{nd}.block.attn1.to_q.weight" in sd:
+            nd += 1
+        ns = 0
+        while f"single_stream_blocks.{ns}.block.attn1.to_q.weight" in sd:
+            ns += 1
+        ne = 0
+        base = "double_stream_blocks.0.block.ff_i.experts"
+        while f"{base}.{ne}.w1.weight" in sd:
+            ne += 1
+        return HiDreamConfig(
+            hidden=int(hidden), n_heads=int(hidden) // int(qn),
+            depth_double=nd, depth_single=ns, n_experts=ne,
+        )
+
+
+def _heads(x, n):
+    B, L, D = x.shape
+    return x.reshape(B, L, n, D // n).transpose(0, 2, 1, 3)
+
+
+def _swiglu(params, p, x, qcfg):
+    a = linear(x, params[f"{p}.w1.weight"], cfg=qcfg)
+    b = linear(x, params[f"{p}.w3.weight"], cfg=qcfg)
+    h = jax.nn.silu(a.astype(jnp.float32)).astype(a.dtype) * b
+    return linear(h, params[f"{p}.w2.weight"], cfg=qcfg)
+
+
+def moe_ffn(params, p, x, n_experts, top_k, qcfg):
+    """shared expert + softmax-top-k routed experts, densely computed."""
+    out = _swiglu(params, f"{p}.shared_experts", x, qcfg)
+    if n_experts == 0:
+        return out
+    logits = linear(x, params[f"{p}.gate.weight"], cfg=qcfg)
+    logits = logits.astype(jnp.float32)
+    k = min(top_k, n_experts)
+    top_vals, _ = jax.lax.top_k(logits, k)
+    thresh = top_vals[..., -1:]
+    masked = jnp.where(logits >= thresh, logits, -jnp.inf)
+    probs = jax.nn.softmax(masked, axis=-1).astype(x.dtype)
+    for e in range(n_experts):
+        out = out + probs[..., e: e + 1] * _swiglu(
+            params, f"{p}.experts.{e}", x, qcfg)
+    return out
+
+
+def _adaln(params, p, vec, qcfg, dim):
+    v = jax.nn.silu(vec.astype(jnp.float32)).astype(vec.dtype)
+    mod = linear(v, params[f"{p}.adaLN_modulation.1.weight"],
+                 params.get(f"{p}.adaLN_modulation.1.bias"), cfg=qcfg)
+    n = mod.shape[-1] // dim
+    return jnp.split(mod[:, None, :], n, axis=-1)
+
+
+def _attn_joint(params, p, img_mod, txt_mod, H, qcfg):
+    hd_split = lambda z: _heads(z, H)
+    iq = hd_split(linear(img_mod, params[f"{p}.attn1.to_q.weight"],
+                         params.get(f"{p}.attn1.to_q.bias"), cfg=qcfg))
+    ik = hd_split(linear(img_mod, params[f"{p}.attn1.to_k.weight"],
+                         params.get(f"{p}.attn1.to_k.bias"), cfg=qcfg))
+    iv = hd_split(linear(img_mod, params[f"{p}.attn1.to_v.weight"],
+                         params.get(f"{p}.attn1.to_v.bias"), cfg=qcfg))
+    iq = rms_norm(iq, params[f"{p}.attn1.q_rms_norm.weight"], eps=1e-6)
+    ik = rms_norm(ik, params[f"{p}.attn1.k_rms_norm.weight"], eps=1e-6)
+    if txt_mod is not None:
+        tq = hd_split(linear(txt_mod, params[f"{p}.attn1.to_q_t.weight"],
+                             params.get(f"{p}.attn1.to_q_t.bias"), cfg=qcfg))
+        tk = hd_split(linear(txt_mod, params[f"{p}.attn1.to_k_t.weight"],
+                             params.get(f"{p}.attn1.to_k_t.bias"), cfg=qcfg))
+        tv = hd_split(linear(txt_mod, params[f"{p}.attn1.to_v_t.weight"],
+                             params.get(f"{p}.attn1.to_v_t.bias"), cfg=qcfg))
+        tq = rms_norm(tq, params[f"{p}.attn1.q_rms_norm_t.weight"], eps=1e-6)
+        tk = rms_norm(tk, params[f"{p}.attn1.k_rms_norm_t.weight"], eps=1e-6)
+        q = jnp.concatenate([iq, tq], axis=2)
+        k = jnp.concatenate([ik, tk], axis=2)
+        v = jnp.concatenate([iv, tv], axis=2)
+    else:
+        q, k, v = iq, ik, iv
+    a = jax.nn.dot_product_attention(
+        q.transpose(0, 2, 1, 3), k.transpose(0, 2, 1, 3),
+        v.transpose(0, 2, 1, 3))
+    B, L, Hn, D = a.shape
+    return a.reshape(B, L, Hn * D)
+
+
+def _double_block(params, i, img, txt, vec, cfg: HiDreamConfig, qcfg):
+    p = f"double_stream_blocks.{i}.block"
+    H = cfg.n_heads
+    chunks = _adaln(params, p, vec, qcfg, cfg.hidden)
+    (i_sh1, i_sc1, i_g1, i_sh2, i_sc2, i_g2,
+     t_sh1, t_sc1, t_g1, t_sh2, t_sc2, t_g2) = chunks[:12]
+
+    img_mod = layer_norm(img) * (1 + i_sc1) + i_sh1
+    txt_mod = layer_norm(txt) * (1 + t_sc1) + t_sh1
+    a = _attn_joint(params, p, img_mod, txt_mod, H, qcfg)
+    L_img = img.shape[1]
+    img_a, txt_a = a[:, :L_img], a[:, L_img:]
+    img = img + i_g1 * linear(img_a, params[f"{p}.attn1.to_out.weight"],
+                              params.get(f"{p}.attn1.to_out.bias"), cfg=qcfg)
+    txt = txt + t_g1 * linear(txt_a, params[f"{p}.attn1.to_out_t.weight"],
+                              params.get(f"{p}.attn1.to_out_t.bias"),
+                              cfg=qcfg)
+
+    h = layer_norm(img) * (1 + i_sc2) + i_sh2
+    img = img + i_g2 * moe_ffn(params, f"{p}.ff_i", h, cfg.n_experts,
+                               cfg.top_k, qcfg)
+    h = layer_norm(txt) * (1 + t_sc2) + t_sh2
+    txt = txt + t_g2 * _swiglu(params, f"{p}.ff_t", h, qcfg)
+    return img, txt
+
+
+def _single_block(params, i, x, vec, cfg: HiDreamConfig, qcfg):
+    p = f"single_stream_blocks.{i}.block"
+    H = cfg.n_heads
+    sh1, sc1, g1, sh2, sc2, g2 = _adaln(params, p, vec, qcfg, cfg.hidden)[:6]
+    h = layer_norm(x) * (1 + sc1) + sh1
+    a = _attn_joint(params, p, h, None, H, qcfg)
+    x = x + g1 * linear(a, params[f"{p}.attn1.to_out.weight"],
+                        params.get(f"{p}.attn1.to_out.bias"), cfg=qcfg)
+    h = layer_norm(x) * (1 + sc2) + sh2
+    return x + g2 * moe_ffn(params, f"{p}.ff_i", h, cfg.n_experts,
+                            cfg.top_k, qcfg)
+
+
+def forward(params, cfg: HiDreamConfig, latent: jax.Array,
+            t5_states: jax.Array, llama_states: jax.Array,
+            pooled: jax.Array, timesteps: jax.Array,
+            qcfg: QuantConfig = DEFAULT_CONFIG) -> jax.Array:
+    """latent (B, H, W, C) NHWC; t5/llama states (B, L, D_enc);
+    pooled (B, D_pool)."""
+    B, Hh, Ww, C = latent.shape
+    p = cfg.patch_size
+    h_tok, w_tok = Hh // p, Ww // p
+
+    xp = latent.reshape(B, h_tok, p, w_tok, p, C).transpose(0, 1, 3, 5, 2, 4)
+    xp = xp.reshape(B, h_tok * w_tok, C * p * p)
+    img = linear(xp, params["x_embedder.proj.weight"],
+                 params.get("x_embedder.proj.bias"), cfg=qcfg)
+
+    t = timestep_embedding(timesteps, 256).astype(img.dtype)
+    vec = linear(t, params["t_embedder.mlp.0.weight"],
+                 params.get("t_embedder.mlp.0.bias"), cfg=qcfg)
+    vec = jax.nn.silu(vec.astype(jnp.float32)).astype(img.dtype)
+    vec = linear(vec, params["t_embedder.mlp.2.weight"],
+                 params.get("t_embedder.mlp.2.bias"), cfg=qcfg)
+    pv = linear(pooled.astype(img.dtype),
+                params["p_embedder.mlp.0.weight"],
+                params.get("p_embedder.mlp.0.bias"), cfg=qcfg)
+    pv = jax.nn.silu(pv.astype(jnp.float32)).astype(img.dtype)
+    vec = vec + linear(pv, params["p_embedder.mlp.2.weight"],
+                       params.get("p_embedder.mlp.2.bias"), cfg=qcfg)
+
+    # caption projections: 0 → t5 states, 1.. → llama layer taps
+    t5p = linear(t5_states, params["caption_projection.0.linear.weight"],
+                 params.get("caption_projection.0.linear.bias"), cfg=qcfg)
+    parts = [t5p]
+    i = 1
+    while f"caption_projection.{i}.linear.weight" in params:
+        parts.append(linear(
+            llama_states, params[f"caption_projection.{i}.linear.weight"],
+            params.get(f"caption_projection.{i}.linear.bias"), cfg=qcfg))
+        i += 1
+    txt = jnp.concatenate(parts, axis=1)
+
+    for i in range(cfg.depth_double):
+        img, txt = _double_block(params, i, img, txt, vec, cfg, qcfg)
+    x = jnp.concatenate([img, txt], axis=1)
+    for i in range(cfg.depth_single):
+        x = _single_block(params, i, x, vec, cfg, qcfg)
+    img = x[:, : img.shape[1]]
+
+    v = jax.nn.silu(vec.astype(jnp.float32)).astype(img.dtype)
+    mod = linear(v, params["final_layer.adaLN_modulation.1.weight"],
+                 params.get("final_layer.adaLN_modulation.1.bias"), cfg=qcfg)
+    shift, scale = jnp.split(mod[:, None, :], 2, axis=-1)
+    img = layer_norm(img) * (1 + scale) + shift
+    img = linear(img, params["final_layer.linear.weight"],
+                 params.get("final_layer.linear.bias"), cfg=qcfg)
+    img = img.reshape(B, h_tok, w_tok, p, p, C)
+    return img.transpose(0, 1, 3, 2, 4, 5).reshape(B, Hh, Ww, C)

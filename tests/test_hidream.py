@@ -1,0 +1,125 @@
+"""HiDream-I1 MoE MMDiT tests (tiny config through GGUF)."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from comfyui_gguf_tpu.gguf.writer import GGUFWriter
+from comfyui_gguf_tpu.loader import gguf_sd_loader, to_jax_params
+from comfyui_gguf_tpu.models import hidream
+from comfyui_gguf_tpu.nn.layers import QuantConfig
+
+HID, HD, C, DD, DS, NE = 128, 64, 16, 2, 2, 2
+FFN = 2 * HID
+T5D, LLD, POOL = 64, 96, 48
+
+F32CFG = QuantConfig(dequant_dtype=jnp.float32, compute_dtype=jnp.float32,
+                     prefer_pallas=False)
+
+
+def _swiglu(rng, p, din=HID, dff=FFN):
+    def t(*s):
+        return (rng.standard_normal(s) * 0.02).astype(np.float32)
+
+    return {f"{p}.w1.weight": t(dff, din), f"{p}.w2.weight": t(din, dff),
+            f"{p}.w3.weight": t(dff, din)}
+
+
+def _moe(rng, p):
+    sd = _swiglu(rng, f"{p}.shared_experts")
+    sd[f"{p}.gate.weight"] = (
+        rng.standard_normal((NE, HID)) * 0.02).astype(np.float32)
+    for e in range(NE):
+        sd.update(_swiglu(rng, f"{p}.experts.{e}"))
+    return sd
+
+
+def _tiny_hidream(rng):
+    def t(*s):
+        return (rng.standard_normal(s) * 0.02).astype(np.float32)
+
+    sd = {
+        "x_embedder.proj.weight": t(HID, C * 4),
+        "x_embedder.proj.bias": t(HID),
+        "t_embedder.mlp.0.weight": t(HID, 256),
+        "t_embedder.mlp.0.bias": t(HID),
+        "t_embedder.mlp.2.weight": t(HID, HID),
+        "t_embedder.mlp.2.bias": t(HID),
+        "p_embedder.mlp.0.weight": t(HID, POOL),
+        "p_embedder.mlp.0.bias": t(HID),
+        "p_embedder.mlp.2.weight": t(HID, HID),
+        "p_embedder.mlp.2.bias": t(HID),
+        "caption_projection.0.linear.weight": t(HID, T5D),
+        "caption_projection.1.linear.weight": t(HID, LLD),
+        "final_layer.linear.weight": t(C * 4, HID),
+        "final_layer.linear.bias": t(C * 4),
+        "final_layer.adaLN_modulation.1.weight": t(2 * HID, HID),
+        "final_layer.adaLN_modulation.1.bias": t(2 * HID),
+    }
+    for i in range(DD):
+        p = f"double_stream_blocks.{i}.block"
+        sd[f"{p}.adaLN_modulation.1.weight"] = t(12 * HID, HID)
+        sd[f"{p}.adaLN_modulation.1.bias"] = t(12 * HID)
+        for suf in ("", "_t"):
+            for n in ("to_q", "to_k", "to_v", "to_out"):
+                sd[f"{p}.attn1.{n}{suf}.weight"] = t(HID, HID)
+            sd[f"{p}.attn1.q_rms_norm{suf}.weight"] = t(HD) + 1
+            sd[f"{p}.attn1.k_rms_norm{suf}.weight"] = t(HD) + 1
+        sd.update(_moe(rng, f"{p}.ff_i"))
+        sd.update(_swiglu(rng, f"{p}.ff_t"))
+    for i in range(DS):
+        p = f"single_stream_blocks.{i}.block"
+        sd[f"{p}.adaLN_modulation.1.weight"] = t(6 * HID, HID)
+        sd[f"{p}.adaLN_modulation.1.bias"] = t(6 * HID)
+        for n in ("to_q", "to_k", "to_v", "to_out"):
+            sd[f"{p}.attn1.{n}.weight"] = t(HID, HID)
+        sd[f"{p}.attn1.q_rms_norm.weight"] = t(HD) + 1
+        sd[f"{p}.attn1.k_rms_norm.weight"] = t(HD) + 1
+        sd.update(_moe(rng, f"{p}.ff_i"))
+    return sd
+
+
+@pytest.fixture(scope="module")
+def hid_params(tmp_path_factory):
+    sd = _tiny_hidream(np.random.default_rng(0))
+    p = tmp_path_factory.mktemp("hid") / "h.gguf"
+    w = GGUFWriter("hidream")
+    for k, v in sd.items():
+        w.add_tensor("model.diffusion_model." + k, v)
+    w.write_to_file(str(p))
+    raw, arch = gguf_sd_loader(str(p), return_arch=True)
+    assert arch == "hidream"
+    return to_jax_params(raw, F32CFG)
+
+
+def test_hidream_config(hid_params):
+    cfg = hidream.HiDreamConfig.from_state_dict(hid_params)
+    assert cfg.hidden == HID and cfg.n_heads == 2
+    assert cfg.depth_double == DD and cfg.depth_single == DS
+    assert cfg.n_experts == NE
+
+
+def test_hidream_forward(hid_params):
+    cfg = hidream.HiDreamConfig.from_state_dict(hid_params)
+    rng = np.random.default_rng(1)
+    B, H, W = 1, 8, 8
+    lat = jnp.asarray(rng.standard_normal((B, H, W, C)), jnp.float32)
+    t5s = jnp.asarray(rng.standard_normal((B, 6, T5D)), jnp.float32)
+    lls = jnp.asarray(rng.standard_normal((B, 5, LLD)), jnp.float32)
+    pooled = jnp.asarray(rng.standard_normal((B, POOL)), jnp.float32)
+    t = jnp.asarray([0.8], jnp.float32)
+    out = hidream.forward(hid_params, cfg, lat, t5s, lls, pooled, t,
+                          qcfg=F32CFG)
+    assert out.shape == (B, H, W, C)
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_moe_routing_uses_topk(hid_params):
+    """Gating produces a convex combination over the top-k experts only."""
+    cfg = hidream.HiDreamConfig.from_state_dict(hid_params)
+    rng = np.random.default_rng(2)
+    x = jnp.asarray(rng.standard_normal((1, 4, HID)), jnp.float32)
+    out = hidream.moe_ffn(hid_params, "double_stream_blocks.0.block.ff_i",
+                          x, cfg.n_experts, 1, F32CFG)
+    assert np.isfinite(np.asarray(out)).all()
