@@ -85,11 +85,11 @@ def _heads(x, n):
 
 
 def _attn_joint(q, k, v):
-    out = jax.nn.dot_product_attention(
-        q.transpose(0, 2, 1, 3), k.transpose(0, 2, 1, 3),
-        v.transpose(0, 2, 1, 3))
-    B, L, H, D = out.shape
-    return out.reshape(B, L, H * D)
+    from ..nn.attention import dot_product_attention
+
+    out = dot_product_attention(q, k, v)
+    B, H, L, D = out.shape
+    return out.transpose(0, 2, 1, 3).reshape(B, L, H * D)
 
 
 def _double_layer(params, i, c, x, vec, cfg: AuraConfig, qcfg):

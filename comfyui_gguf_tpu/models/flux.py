@@ -143,14 +143,13 @@ def _qknorm(params, prefix: str, q: jax.Array, k: jax.Array):
 def _attention(q: jax.Array, k: jax.Array, v: jax.Array,
                pe: jax.Array) -> jax.Array:
     """(B, H, L, D) heads-major attention with RoPE; returns (B, L, H*D)."""
+    from ..nn.attention import dot_product_attention
+
     q = apply_rope(q, pe)
     k = apply_rope(k, pe)
     B, H, L, D = q.shape
-    out = jax.nn.dot_product_attention(
-        q.transpose(0, 2, 1, 3), k.transpose(0, 2, 1, 3),
-        v.transpose(0, 2, 1, 3),
-    )  # (B, L, H, D)
-    return out.reshape(B, L, H * D)
+    out = dot_product_attention(q, k, v)  # (B, H, L, D)
+    return out.transpose(0, 2, 1, 3).reshape(B, L, H * D)
 
 
 def _split_heads(x: jax.Array, n_heads: int) -> tuple[jax.Array, ...]:

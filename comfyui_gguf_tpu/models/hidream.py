@@ -125,11 +125,11 @@ def _attn_joint(params, p, img_mod, txt_mod, H, qcfg):
         v = jnp.concatenate([iv, tv], axis=2)
     else:
         q, k, v = iq, ik, iv
-    a = jax.nn.dot_product_attention(
-        q.transpose(0, 2, 1, 3), k.transpose(0, 2, 1, 3),
-        v.transpose(0, 2, 1, 3))
-    B, L, Hn, D = a.shape
-    return a.reshape(B, L, Hn * D)
+    from ..nn.attention import dot_product_attention
+
+    a = dot_product_attention(q, k, v)
+    B, Hn, L, D = a.shape
+    return a.transpose(0, 2, 1, 3).reshape(B, L, Hn * D)
 
 
 def _double_block(params, i, img, txt, vec, cfg: HiDreamConfig, qcfg):

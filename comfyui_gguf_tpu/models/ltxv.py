@@ -97,11 +97,11 @@ def _attention(params, p, xq, xkv, n_heads, qcfg, pe=None):
     if pe is not None:
         q = _apply_rope(q, pe)
         k = _apply_rope(k, pe)
-    out = jax.nn.dot_product_attention(
-        q.transpose(0, 2, 1, 3), k.transpose(0, 2, 1, 3),
-        v.transpose(0, 2, 1, 3))
-    B, L, H, D = out.shape
-    out = out.reshape(B, L, H * D)
+    from ..nn.attention import dot_product_attention
+
+    out = dot_product_attention(q, k, v)
+    B, H, L, D = out.shape
+    out = out.transpose(0, 2, 1, 3).reshape(B, L, H * D)
     return linear(out, params[f"{p}.to_out.0.weight"],
                   params.get(f"{p}.to_out.0.bias"), cfg=qcfg)
 

@@ -114,9 +114,10 @@ def _block(params, p, x, vec, pe, cfg: Lumina2Config, qcfg):
     if pe is not None:
         q = _apply_rope(q, pe)
         k = _apply_rope(k, pe)
-    a = jax.nn.dot_product_attention(
-        q.transpose(0, 2, 1, 3), k.transpose(0, 2, 1, 3),
-        v_.transpose(0, 2, 1, 3)).reshape(B, L, H * hd)
+    from ..nn.attention import dot_product_attention
+
+    a = dot_product_attention(q, k, v_).transpose(0, 2, 1, 3).reshape(
+        B, L, H * hd)
     a = linear(a, params[f"{p}.attention.out.weight"],
                params.get(f"{p}.attention.out.bias"), cfg=qcfg)
     x = x + g_msa * rms_norm(a, params.get(f"{p}.attention_norm2.weight"))

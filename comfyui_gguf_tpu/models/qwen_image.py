@@ -102,11 +102,11 @@ def _block(params, i, img, txt, vec, pe, cfg: QwenImageConfig, qcfg):
     q = apply_rope(jnp.concatenate([tq, iq], axis=2), pe)
     k = apply_rope(jnp.concatenate([tk, ik], axis=2), pe)
     v = jnp.concatenate([tv, iv], axis=2)
-    a = jax.nn.dot_product_attention(
-        q.transpose(0, 2, 1, 3), k.transpose(0, 2, 1, 3),
-        v.transpose(0, 2, 1, 3))
-    B, L, Hn, D = a.shape
-    a = a.reshape(B, L, Hn * D)
+    from ..nn.attention import dot_product_attention
+
+    a = dot_product_attention(q, k, v)
+    B, Hn, L, D = a.shape
+    a = a.transpose(0, 2, 1, 3).reshape(B, L, Hn * D)
     L_txt = txt.shape[1]
     txt_a, img_a = a[:, :L_txt], a[:, L_txt:]
 

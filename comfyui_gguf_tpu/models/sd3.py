@@ -132,10 +132,9 @@ def _joint_block(params, i, ctx, x, vec, cfg: SD3Config, qcfg):
     q = jnp.concatenate([cq, xq], axis=2)
     k = jnp.concatenate([ck, xk], axis=2)
     v = jnp.concatenate([cv, xv], axis=2)
-    attn = jax.nn.dot_product_attention(
-        q.transpose(0, 2, 1, 3), k.transpose(0, 2, 1, 3),
-        v.transpose(0, 2, 1, 3),
-    ).transpose(0, 2, 1, 3)
+    from ..nn.attention import dot_product_attention
+
+    attn = dot_product_attention(q, k, v)
     Lc = ctx.shape[1]
     c_attn, x_attn = attn[:, :, :Lc], attn[:, :, Lc:]
 
@@ -145,10 +144,7 @@ def _joint_block(params, i, ctx, x, vec, cfg: SD3Config, qcfg):
         x_mod2 = x_norm * (1 + x2_scale) + x2_shift
         q2, k2, v2 = _qkv_heads(params, f"{xb}.attn2", x_mod2, H,
                                 cfg.qk_norm, qcfg)
-        attn2 = jax.nn.dot_product_attention(
-            q2.transpose(0, 2, 1, 3), k2.transpose(0, 2, 1, 3),
-            v2.transpose(0, 2, 1, 3),
-        ).transpose(0, 2, 1, 3)
+        attn2 = dot_product_attention(q2, k2, v2)
         x = x + x2_gate * _attn_out(attn2, params, f"{xb}.attn2", qcfg)
     h = layer_norm(x) * (1 + x_scale2) + x_shift2
     x = x + x_gate2 * _mlp(params, xb, h, qcfg)

@@ -94,13 +94,13 @@ def _mh_attn(q, k, v, n_heads):
     Lk = k.shape[1]
     hd = D // n_heads
     kd = k.shape[2] // n_heads
+    from ..nn.attention import dot_product_attention
+
     q = q.reshape(B, Lq, n_heads, hd).transpose(0, 2, 1, 3)
     k = k.reshape(B, Lk, n_heads, kd).transpose(0, 2, 1, 3)
     v = v.reshape(B, Lk, n_heads, kd).transpose(0, 2, 1, 3)
-    out = jax.nn.dot_product_attention(
-        q.transpose(0, 2, 1, 3), k.transpose(0, 2, 1, 3),
-        v.transpose(0, 2, 1, 3))
-    return out.reshape(B, Lq, D)
+    out = dot_product_attention(q, k, v)
+    return out.transpose(0, 2, 1, 3).reshape(B, Lq, D)
 
 
 def _basic_block(params, p, x, context, n_heads, qcfg):

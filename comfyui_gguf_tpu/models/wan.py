@@ -114,9 +114,9 @@ def _unheads(x):
 
 
 def _attn(q, k, v):
-    return _unheads(jax.nn.dot_product_attention(
-        q.transpose(0, 2, 1, 3), k.transpose(0, 2, 1, 3),
-        v.transpose(0, 2, 1, 3)).transpose(0, 2, 1, 3))
+    from ..nn.attention import dot_product_attention
+
+    return _unheads(dot_product_attention(q, k, v))
 
 
 def _block(params, i, x, e0, ctx, pe, cfg: WanConfig, qcfg):
