@@ -263,3 +263,163 @@ class FluxPipeline:
             return np.asarray(latent[0])
         img = vae_model.decode(self.vae_params, self.vae_config, latent)
         return np.asarray((jnp.clip(img[0], -1, 1) + 1) / 2)
+
+
+@dataclasses.dataclass
+class SD3Pipeline:
+    """SD3/SD3.5 txt2img: CLIP-L + CLIP-G (+ optional T5) conditioning,
+    CFG over the rectified-flow ODE (role of TripleCLIPLoaderGGUF wiring,
+    reference nodes.py:269-284)."""
+
+    model: DiffusionModel
+    clip_l: TextEncoder
+    clip_g: TextEncoder
+    t5: TextEncoder | None = None
+    vae_params: dict | None = None
+    vae_config: object | None = None
+    shift: float = 3.0
+
+    @staticmethod
+    def load(unet_path: str, clip_l_path: str, clip_g_path: str,
+             t5_path: str | None = None, vae_path: str | None = None,
+             **kw) -> "SD3Pipeline":
+        model = load_diffusion_model(unet_path, **kw)
+        encs = [load_text_encoder(p) for p in
+                (clip_l_path, clip_g_path) + ((t5_path,) if t5_path else ())]
+        by_kind = {e.kind: e for e in encs}
+        vp = vc = None
+        if vae_path:
+            vp = {k: jnp.asarray(v)
+                  for k, v in _load_safetensors_sd(vae_path).items()}
+            vc = vae_model.VAEConfig.from_state_dict(vp)
+        return SD3Pipeline(model, by_kind["clip_l"], by_kind["clip_g"],
+                           by_kind.get("t5"), vp, vc)
+
+    def _condition(self, clip_l_ids, clip_g_ids, t5_ids, ctx_len: int):
+        """SD3 conditioning: penultimate CLIP-L ⊕ CLIP-G states padded to
+        4096 channels, concatenated with T5 states; pooled = pooled_l ⊕
+        pooled_g."""
+        l_out = self.clip_l.encode(clip_l_ids)
+        g_out = self.clip_g.encode(clip_g_ids)
+        clip_ctx = jnp.concatenate(
+            [l_out["penultimate"], g_out["penultimate"]], axis=-1)
+        clip_ctx = jnp.pad(
+            clip_ctx, ((0, 0), (0, 0), (0, 4096 - clip_ctx.shape[-1])))
+        parts = [clip_ctx]
+        if self.t5 is not None and t5_ids is not None:
+            parts.append(self.t5.encode(t5_ids).astype(clip_ctx.dtype))
+        ctx = jnp.concatenate(parts, axis=1)
+        pooled = jnp.concatenate([l_out["pooled"], g_out["pooled"]], axis=-1)
+        return ctx, pooled
+
+    def generate_from_ids(self, clip_l_ids, clip_g_ids, t5_ids=None,
+                          neg_clip_l_ids=None, neg_clip_g_ids=None,
+                          neg_t5_ids=None, width: int = 1024,
+                          height: int = 1024, steps: int = 28,
+                          cfg_scale: float = 4.5, seed: int = 0):
+        from .sampling import euler_sample, linear_schedule, shift_sigmas
+
+        ctx, pooled = self._condition(clip_l_ids, clip_g_ids, t5_ids, 0)
+        use_cfg = cfg_scale != 1.0 and neg_clip_l_ids is not None
+        if use_cfg:
+            nctx, npooled = self._condition(neg_clip_l_ids, neg_clip_g_ids,
+                                            neg_t5_ids, 0)
+
+        h_lat, w_lat = height // 8, width // 8
+        key = jax.random.key(seed)
+        x = jax.random.normal(
+            key, (1, h_lat, w_lat, self.model.config.in_channels),
+            jnp.bfloat16)
+        sigmas = shift_sigmas(linear_schedule(steps), self.shift)
+        model = self.model
+
+        @jax.jit
+        def denoise(params, x0, ctx, pooled, *neg):
+            def velocity(xc, sigma):
+                tt = jnp.full((xc.shape[0],), sigma, jnp.float32)
+                v_c = sd3_model.forward(params, model.config, xc, ctx,
+                                        pooled, tt, qcfg=model.qcfg)
+                if not neg:
+                    return v_c
+                v_u = sd3_model.forward(params, model.config, xc, neg[0],
+                                        neg[1], tt, qcfg=model.qcfg)
+                return v_u + cfg_scale * (v_c - v_u)
+            return euler_sample(velocity, x0, sigmas)
+
+        args = (nctx, npooled) if use_cfg else ()
+        latent = denoise(model.params, x, ctx, pooled, *args)
+        if self.vae_params is None:
+            return np.asarray(latent[0])
+        img = vae_model.decode(self.vae_params, self.vae_config, latent)
+        return np.asarray((jnp.clip(img[0], -1, 1) + 1) / 2)
+
+
+@dataclasses.dataclass
+class SDXLPipeline:
+    """SDXL txt2img: dual CLIP conditioning, eps-prediction UNet sampled in
+    sigma space (sampling/kdiffusion)."""
+
+    model: DiffusionModel
+    clip_l: TextEncoder
+    clip_g: TextEncoder
+    vae_params: dict | None = None
+    vae_config: object | None = None
+
+    def generate_from_ids(self, clip_l_ids, clip_g_ids,
+                          neg_clip_l_ids=None, neg_clip_g_ids=None,
+                          width: int = 1024, height: int = 1024,
+                          steps: int = 20, cfg_scale: float = 7.0,
+                          seed: int = 0):
+        from .models import unet as unet_model
+        from .sampling import kdiffusion as kd
+
+        def cond(l_ids, g_ids):
+            l_out = self.clip_l.encode(l_ids)
+            g_out = self.clip_g.encode(g_ids)
+            ctx = jnp.concatenate(
+                [l_out["penultimate"], g_out["penultimate"]], axis=-1)
+            # SDXL vector: pooled_g ⊕ size/crop/target embeddings (256×6)
+            sizes = jnp.asarray(
+                [[height, width, 0, 0, height, width]], jnp.float32)
+            size_emb = flux_model.timestep_embedding(
+                sizes.reshape(-1), 256, time_factor=1.0).reshape(1, -1)
+            y = jnp.concatenate(
+                [g_out["pooled"], size_emb.astype(g_out["pooled"].dtype)],
+                axis=-1)
+            return ctx, y
+
+        ctx, y = cond(clip_l_ids, clip_g_ids)
+        use_cfg = cfg_scale != 1.0 and neg_clip_l_ids is not None
+        if use_cfg:
+            nctx, ny = cond(neg_clip_l_ids, neg_clip_g_ids)
+
+        table = kd.ddpm_sigmas()
+        sigmas = kd.normal_schedule(steps, table)
+        h_lat, w_lat = height // 8, width // 8
+        key = jax.random.key(seed)
+        x = jax.random.normal(key, (1, h_lat, w_lat, 4),
+                              jnp.bfloat16) * float(sigmas[0])
+        model = self.model
+
+        @jax.jit
+        def sample(params, x0, ctx, y, *neg):
+            def eps(x_in, t, ctx_, y_):
+                return unet_model.forward(params, model.config, x_in, t,
+                                          ctx_, y_, qcfg=model.qcfg)
+
+            def eps_cfg(x_in, t):
+                e_c = eps(x_in, t, ctx, y)
+                if not neg:
+                    return e_c
+                e_u = eps(x_in, t, neg[0], neg[1])
+                return e_u + cfg_scale * (e_c - e_u)
+
+            den = kd.make_eps_denoiser(eps_cfg, table)
+            return kd.euler_sample_sigma(den, x0, sigmas)
+
+        args = (nctx, ny) if use_cfg else ()
+        latent = sample(model.params, x, ctx, y, *args)
+        if self.vae_params is None:
+            return np.asarray(latent[0])
+        img = vae_model.decode(self.vae_params, self.vae_config, latent)
+        return np.asarray((jnp.clip(img[0], -1, 1) + 1) / 2)
