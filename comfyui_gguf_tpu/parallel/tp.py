@@ -32,14 +32,6 @@ from ..ops.qmatmul import quantized_matmul
 from ..quant.planar import PlanarQuant, shard_view
 
 
-def _planar_spec(axis_name: str) -> PlanarQuant | P:
-    """PartitionSpec tree matching a stacked (tp, ...) PlanarQuant."""
-    return PlanarQuant(
-        qs=P(axis_name), scales=P(axis_name), offsets=P(axis_name),
-        qtype=0, layout="", group_size=0, zero_point=0, shape=(0, 0),
-    )
-
-
 def _spec_for(pq: PlanarQuant, axis_name: str):
     leaf = P(axis_name)
     return jax.tree_util.tree_map(lambda _: leaf, pq)

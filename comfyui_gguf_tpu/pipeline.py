@@ -295,7 +295,7 @@ class SD3Pipeline:
         return SD3Pipeline(model, by_kind["clip_l"], by_kind["clip_g"],
                            by_kind.get("t5"), vp, vc)
 
-    def _condition(self, clip_l_ids, clip_g_ids, t5_ids, ctx_len: int):
+    def _condition(self, clip_l_ids, clip_g_ids, t5_ids):
         """SD3 conditioning: penultimate CLIP-L ⊕ CLIP-G states padded to
         4096 channels, concatenated with T5 states; pooled = pooled_l ⊕
         pooled_g."""
@@ -319,11 +319,11 @@ class SD3Pipeline:
                           cfg_scale: float = 4.5, seed: int = 0):
         from .sampling import euler_sample, linear_schedule, shift_sigmas
 
-        ctx, pooled = self._condition(clip_l_ids, clip_g_ids, t5_ids, 0)
+        ctx, pooled = self._condition(clip_l_ids, clip_g_ids, t5_ids)
         use_cfg = cfg_scale != 1.0 and neg_clip_l_ids is not None
         if use_cfg:
             nctx, npooled = self._condition(neg_clip_l_ids, neg_clip_g_ids,
-                                            neg_t5_ids, 0)
+                                            neg_t5_ids)
 
         h_lat, w_lat = height // 8, width // 8
         key = jax.random.key(seed)

@@ -34,7 +34,7 @@ def test_sd3_condition_concat_and_pad():
         model=None, clip_l=StubEncoder("clip_l", 768, 768),
         clip_g=StubEncoder("clip_g", 1280, 1280), t5=None)
     ids = jnp.zeros((1, 7), jnp.int32)
-    ctx, pooled = p._condition(ids, ids, None, 0)
+    ctx, pooled = p._condition(ids, ids, None)
     # CLIP-L(768) ⊕ CLIP-G(1280) = 2048, zero-padded to 4096
     assert ctx.shape == (1, 7, 4096)
     assert pooled.shape == (1, 768 + 1280)
@@ -52,7 +52,7 @@ def test_sd3_condition_with_t5():
         model=None, clip_l=StubEncoder("clip_l", 768, 768),
         clip_g=StubEncoder("clip_g", 1280, 1280), t5=StubT5())
     ids = jnp.zeros((1, 7), jnp.int32)
-    ctx, _ = p._condition(ids, ids, jnp.zeros((1, 5), jnp.int32), 0)
+    ctx, _ = p._condition(ids, ids, jnp.zeros((1, 5), jnp.int32))
     assert ctx.shape == (1, 12, 4096)  # 7 clip + 5 t5 tokens
     np.testing.assert_array_equal(np.asarray(ctx[:, 7:]), 1.0)
 
