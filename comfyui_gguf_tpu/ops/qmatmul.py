@@ -297,10 +297,18 @@ def _have_tpu() -> bool:
 def quantized_matmul(x: jax.Array, pq: PlanarQuant, *,
                      dequant_dtype=jnp.bfloat16, out_dtype=None,
                      prefer_pallas: bool | None = None) -> jax.Array:
-    """x @ W^T with packed planar W. Dispatches Pallas on TPU, XLA otherwise."""
+    """x @ W^T with packed planar W. Dispatches Pallas on TPU, XLA otherwise.
+
+    Tiny-M calls (modulation vectors, pooled projections) stay on the XLA
+    path: the kernel's m-tile padding would waste the launch, and each
+    distinct M adds a Mosaic compile.
+    """
     if prefer_pallas is None:
         prefer_pallas = _have_tpu()
-    if prefer_pallas and pallas_tileable(pq):
+    m = 1
+    for d in x.shape[:-1]:
+        m *= d
+    if prefer_pallas and m >= 16 and pallas_tileable(pq):
         return pallas_qmm(x, pq, dequant_dtype=dequant_dtype,
                           out_dtype=out_dtype)
     return xla_qmm(x, pq, dequant_dtype=dequant_dtype, out_dtype=out_dtype)

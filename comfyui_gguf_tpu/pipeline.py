@@ -265,6 +265,41 @@ class FluxPipeline:
         return np.asarray((jnp.clip(img[0], -1, 1) + 1) / 2)
 
 
+def flux_engine(model: DiffusionModel, h_lat: int, w_lat: int,
+                txt_len: int, max_batch: int = 4):
+    """Continuous-batching engine for a loaded flux model.
+
+    Requests carry latent tokens + cond {"txt", "y", "guidance"}; one
+    engine tick advances the whole in-flight pool by one Euler step
+    (serving.ContinuousBatchEngine). Shapes are fixed per engine (one
+    resolution bucket), so jit compiles once per batch-size bucket.
+    """
+    from .serving import ContinuousBatchEngine
+
+    img_ids = jnp.asarray(
+        flux_model.make_img_ids(h_lat // 2, w_lat // 2, 1))[0]
+    txt_ids = jnp.zeros((txt_len, 3), jnp.int32)
+
+    @jax.jit
+    def _step(params, x, s_cur, s_next, txt, y, guidance):
+        B = x.shape[0]
+        ids_i = jnp.broadcast_to(img_ids[None], (B, *img_ids.shape))
+        ids_t = jnp.broadcast_to(txt_ids[None], (B, *txt_ids.shape))
+        v = flux_model.forward(params, model.config, x, ids_i, txt, ids_t,
+                               s_cur, y, guidance, qcfg=model.qcfg)
+        step = (s_next - s_cur)[:, None, None] * v.astype(jnp.float32)
+        return (x.astype(jnp.float32) + step).astype(x.dtype)
+
+    def step_fn(x, s_cur, s_next, cond):
+        return _step(model.params, jnp.asarray(x, jnp.bfloat16),
+                     jnp.asarray(s_cur), jnp.asarray(s_next),
+                     jnp.asarray(cond["txt"], jnp.bfloat16),
+                     jnp.asarray(cond["y"], jnp.bfloat16),
+                     jnp.asarray(cond["guidance"], jnp.float32))
+
+    return ContinuousBatchEngine(step_fn, max_batch=max_batch)
+
+
 @dataclasses.dataclass
 class SD3Pipeline:
     """SD3/SD3.5 txt2img: CLIP-L + CLIP-G (+ optional T5) conditioning,
