@@ -43,7 +43,7 @@ from .maps import (
 )
 from .nn.layers import QuantConfig, DEFAULT_CONFIG
 from .quant import codecs
-from .quant.planar import PlanarQuant, planarize
+from .quant.planar import planarize
 
 Q = GGMLQuantizationType
 log = logging.getLogger(__name__)
@@ -370,7 +370,6 @@ def _planarizable(qt: QTensor) -> bool:
         return False
     block, _ = GGML_QUANT_SIZES[qt.qtype]
     k = qt.shape[1]
-    from .quant.planar import _NIB4_TYPES  # gs known post-extract; approximate
     if qt.qtype not in codecs.COMPONENT_EXTRACTORS:
         return False
     # group size is 16 or 32 for all supported formats; require both halves

@@ -25,7 +25,7 @@ from ..nn.layers import (
     rms_norm,
 )
 from .flux import timestep_embedding
-from .wan import rope_3d, _apply_rope, _heads, _unheads, _attn
+from .wan import rope_3d, _apply_rope, _heads, _attn
 
 
 @dataclasses.dataclass(frozen=True)

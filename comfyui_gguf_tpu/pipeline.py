@@ -21,19 +21,13 @@ from __future__ import annotations
 
 import dataclasses
 import logging
-import os
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 from . import lora as lora_mod
-from .loader import (
-    gguf_clip_loader,
-    gguf_sd_loader,
-    gguf_tokenizer_spec,
-    to_jax_params,
-)
+from .loader import gguf_clip_loader, gguf_sd_loader, to_jax_params
 from .models import clip as clip_model
 from .models import flux as flux_model
 from .models import llama as llama_model

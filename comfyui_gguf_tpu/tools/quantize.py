@@ -35,13 +35,7 @@ import logging
 import numpy as np
 
 from ..archs import IMG_ARCH_LIST, get_arch_spec
-from ..gguf.constants import (
-    GGML_QUANT_VERSION,
-    GGMLQuantizationType,
-    GGUFValueType,
-    LlamaFileType,
-    QK_K,
-)
+from ..gguf.constants import GGMLQuantizationType, LlamaFileType, QK_K
 from ..gguf.reader import GGUFReader
 from ..gguf.writer import GGUFWriter
 from ..quant import codecs

@@ -1,7 +1,6 @@
 """Cosmos Predict2 + Qwen-Image DiT tests (tiny configs through GGUF)."""
 
 import numpy as np
-import pytest
 
 import jax.numpy as jnp
 

@@ -10,15 +10,11 @@ import jax.numpy as jnp
 
 from comfyui_gguf_tpu import pipeline
 from comfyui_gguf_tpu.gguf.constants import GGMLQuantizationType as Q
-from comfyui_gguf_tpu.gguf.constants import GGUFValueType
-from comfyui_gguf_tpu.gguf.writer import GGUFWriter
 from comfyui_gguf_tpu.loader import TokenizerSpec
 from comfyui_gguf_tpu.models import clip as clip_model
-from comfyui_gguf_tpu.models import flux as flux_model
 from comfyui_gguf_tpu.models import t5 as t5_model
 from comfyui_gguf_tpu.models import testing
 from comfyui_gguf_tpu.nn.layers import QuantConfig
-from comfyui_gguf_tpu.quant import codecs
 from comfyui_gguf_tpu.tokenizer import UnigramTokenizer
 
 CTX, VEC = 64, 32  # flux context/vec dims; t5 d_model == CTX

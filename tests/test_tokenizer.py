@@ -1,6 +1,5 @@
 """Native tokenizer tests (unigram Viterbi + byte-level BPE)."""
 
-import numpy as np
 
 from comfyui_gguf_tpu.loader import TokenizerSpec
 from comfyui_gguf_tpu.tokenizer import BPETokenizer, UnigramTokenizer

@@ -2,7 +2,6 @@
 (SURVEY.md §2.16-2.18, §3.5)."""
 
 import numpy as np
-import pytest
 
 from comfyui_gguf_tpu.gguf.constants import (
     GGMLQuantizationType as Q,

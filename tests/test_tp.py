@@ -9,7 +9,6 @@ import jax.numpy as jnp
 
 from comfyui_gguf_tpu.gguf.constants import GGMLQuantizationType as Q
 from comfyui_gguf_tpu.nn.layers import QuantConfig
-from comfyui_gguf_tpu.ops.qmatmul import xla_qmm
 from comfyui_gguf_tpu.parallel import make_mesh
 from comfyui_gguf_tpu.parallel.tp import (
     column_linear,
@@ -20,7 +19,6 @@ from comfyui_gguf_tpu.parallel.tp import (
 from comfyui_gguf_tpu.quant import codecs
 from comfyui_gguf_tpu.quant.planar import (
     dequantize as planar_deq,
-    planarize,
     planarize_shards,
     shard_view,
 )
