@@ -43,6 +43,7 @@ class GenRequest:
     done_event: threading.Event = dataclasses.field(
         default_factory=threading.Event)
     result: np.ndarray | None = None
+    error: Exception | None = None
 
     @property
     def finished(self) -> bool:
@@ -55,6 +56,7 @@ class EngineStats:
 
     submitted: int = 0
     completed: int = 0
+    failed: int = 0
     steps_executed: int = 0
     batches_executed: int = 0
     total_padding_lanes: int = 0
@@ -75,6 +77,7 @@ class EngineStats:
         return {
             "submitted": self.submitted,
             "completed": self.completed,
+            "failed": self.failed,
             "steps_executed": self.steps_executed,
             "batches_executed": self.batches_executed,
             "mean_batch_occupancy": round(self.mean_batch_occupancy, 3),
@@ -183,7 +186,16 @@ class ContinuousBatchEngine:
                            + [batch[-1].cond] * pad)
 
         t0 = time.monotonic()
-        x_next = np.asarray(self.step_fn(x, s_cur, s_next, cond))
+        try:
+            x_next = np.asarray(self.step_fn(x, s_cur, s_next, cond))
+        except Exception as e:  # fail the batch, keep the engine alive
+            log.exception("denoise step failed; failing %d request(s)", n)
+            for r in batch:
+                r.error = e
+                self.stats.failed += 1
+                r.done_event.set()
+            self.active = self.active[self.max_batch:]
+            return
         dt = time.monotonic() - t0
 
         self.stats.batches_executed += 1

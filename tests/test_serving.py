@@ -77,3 +77,24 @@ def test_stats_snapshot_keys():
     assert snap["completed"] == 1
     assert snap["steps_per_second"] is not None
     assert snap["mean_latency_s"] is not None
+
+
+def test_failed_batch_does_not_kill_engine():
+    calls = {"n": 0}
+
+    def flaky(x, s_cur, s_next, cond):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise RuntimeError("boom")
+        return _linear_step(x, s_cur, s_next, cond)
+
+    eng = ContinuousBatchEngine(flaky, max_batch=2)
+    bad = eng.submit(np.zeros((2, 2, 1), np.float32), {"c": np.float32(1)},
+                     linear_schedule(2))
+    eng.tick()  # fails the first batch
+    assert bad.error is not None and bad.done_event.is_set()
+    ok = eng.submit(np.zeros((2, 2, 1), np.float32), {"c": np.float32(1)},
+                    linear_schedule(2))
+    eng.run_until_drained()
+    assert ok.finished and ok.error is None
+    assert eng.stats.failed == 1 and eng.stats.completed == 1
