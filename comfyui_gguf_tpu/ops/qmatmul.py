@@ -61,6 +61,11 @@ def _expand_scales(s, gs: int, rows: int, rt: int):
     return jnp.broadcast_to(s.reshape(g, 1, rt), (g, gs, rt)).reshape(rows, rt)
 
 
+# experiment flag: issue one 2·kt-deep MXU dot per step instead of two
+# kt-deep dots (halves per-dot pipeline overhead on K-heavy shapes)
+FUSE_NIB4_DOT = False
+
+
 def _make_nib4_kernel(*, zp, gs, kt, rt, n_k, compute_dtype, has_offsets):
     def kernel(*refs):
         if has_offsets:
@@ -89,13 +94,19 @@ def _make_nib4_kernel(*, zp, gs, kt, rt, n_k, compute_dtype, has_offsets):
             w_lo = w_lo + _expand_scales(of_lo_ref[:], gs, kt, rt)
             w_hi = w_hi + _expand_scales(of_hi_ref[:], gs, kt, rt)
 
-        acc_ref[:] += jnp.dot(
-            x_lo_ref[:], w_lo.astype(compute_dtype),
-            preferred_element_type=jnp.float32,
-        ) + jnp.dot(
-            x_hi_ref[:], w_hi.astype(compute_dtype),
-            preferred_element_type=jnp.float32,
-        )
+        if FUSE_NIB4_DOT:
+            xc = jnp.concatenate([x_lo_ref[:], x_hi_ref[:]], axis=1)
+            wc = jnp.concatenate([w_lo, w_hi], axis=0).astype(compute_dtype)
+            acc_ref[:] += jnp.dot(xc, wc,
+                                  preferred_element_type=jnp.float32)
+        else:
+            acc_ref[:] += jnp.dot(
+                x_lo_ref[:], w_lo.astype(compute_dtype),
+                preferred_element_type=jnp.float32,
+            ) + jnp.dot(
+                x_hi_ref[:], w_hi.astype(compute_dtype),
+                preferred_element_type=jnp.float32,
+            )
 
         @pl.when(k == n_k - 1)
         def _():

@@ -218,9 +218,9 @@ class FluxPipeline:
                  steps: int = 20, guidance: float = 3.5, seed: int = 0,
                  max_t5_len: int = 512, shift: bool = True) -> np.ndarray:
         """→ (H, W, 3) float image in [0, 1] (or latent if no VAE given)."""
-        ids, _mask = self.t5.tokenizer.encode_batch([prompt],
-                                                    max_length=max_t5_len)
-        txt = self.t5.encode(jnp.asarray(ids))
+        ids, mask = self.t5.tokenizer.encode_batch([prompt],
+                                                   max_length=max_t5_len)
+        txt = self.t5.encode(jnp.asarray(ids), jnp.asarray(mask))
         if self.clip_l.tokenizer is not None:
             clip_len = min(77, self.clip_l.config.max_positions)
             cids, _ = self.clip_l.tokenizer.encode_batch([prompt],
