@@ -391,7 +391,12 @@ def to_jax_params(
     for key, qt in sd.items():
         if isinstance(qt.data, np.ndarray) and not qt.is_quantized:
             arr = qt.dequantize(np.float32)
-            dt = jnp.float32 if arr.ndim <= 1 else cfg.compute_dtype
+            # F32-stored tensors are the converter's hiprec set (modulation
+            # tables, pos encodings — reference tools/convert.py keys_hiprec);
+            # keep them f32 unless they're actually large
+            keep_f32 = (arr.ndim <= 1
+                        or (qt.qtype == Q.F32 and arr.size < (1 << 20)))
+            dt = jnp.float32 if keep_f32 else cfg.compute_dtype
             params[key] = put(jnp.asarray(arr, dtype=dt))
         elif _planarizable(qt):
             params[key] = planarize(qt.data, qt.qtype, qt.shape, device=device)
