@@ -100,9 +100,21 @@ _SUFFIX_SETS = (
     (".lora.up.weight", ".lora.down.weight", ".alpha"),
 )
 
+# loha (hadamard) / lokr (kronecker) component suffixes → slot names
+_EXTRA_SUFFIXES = {
+    ".diff": "diff",
+    ".lora_mid.weight": "mid",
+    ".hada_w1_a": "hada_w1_a", ".hada_w1_b": "hada_w1_b",
+    ".hada_w2_a": "hada_w2_a", ".hada_w2_b": "hada_w2_b",
+    ".lokr_w1": "lokr_w1", ".lokr_w2": "lokr_w2",
+    ".lokr_w1_a": "lokr_w1_a", ".lokr_w1_b": "lokr_w1_b",
+    ".lokr_w2_a": "lokr_w2_a", ".lokr_w2_b": "lokr_w2_b",
+}
+
 
 def group_lora_keys(lora_sd: dict[str, np.ndarray]):
-    """Group raw LoRA keys → {base_name: {"up","down","alpha","diff","mid"}}."""
+    """Group raw LoRA keys → {base_name: {slot: array}} (lora/locon, diff,
+    loha, lokr component slots)."""
     groups: dict[str, dict[str, np.ndarray]] = {}
     for k, v in lora_sd.items():
         for up_s, down_s, alpha_s in _SUFFIX_SETS:
@@ -116,11 +128,46 @@ def group_lora_keys(lora_sd: dict[str, np.ndarray]):
                 groups.setdefault(k[: -len(alpha_s)], {})["alpha"] = v
                 break
         else:
-            if k.endswith(".diff"):
-                groups.setdefault(k[: -len(".diff")], {})["diff"] = v
-            elif k.endswith(".lora_mid.weight"):
-                groups.setdefault(k[: -len(".lora_mid.weight")], {})["mid"] = v
+            for suf, slot in _EXTRA_SUFFIXES.items():
+                if k.endswith(suf):
+                    groups.setdefault(k[: -len(suf)], {})[slot] = v
+                    break
     return groups
+
+
+def _loha_delta(parts, strength: float) -> tuple[np.ndarray, float]:
+    """LoHa: ΔW = (w1a·w1b) ⊙ (w2a·w2b), scale = strength·alpha/rank."""
+    w1 = np.asarray(parts["hada_w1_a"], np.float32) @ np.asarray(
+        parts["hada_w1_b"], np.float32)
+    w2 = np.asarray(parts["hada_w2_a"], np.float32) @ np.asarray(
+        parts["hada_w2_b"], np.float32)
+    rank = np.asarray(parts["hada_w1_b"]).shape[0]
+    alpha = float(np.asarray(parts.get("alpha", rank)))
+    return w1 * w2, strength * alpha / rank
+
+
+def _lokr_delta(parts, strength: float) -> tuple[np.ndarray, float]:
+    """LoKr: ΔW = kron(w1, w2); factored components recomposed first."""
+    if "lokr_w1" in parts:
+        w1 = np.asarray(parts["lokr_w1"], np.float32)
+        rank = None
+    else:
+        a = np.asarray(parts["lokr_w1_a"], np.float32)
+        b = np.asarray(parts["lokr_w1_b"], np.float32)
+        w1 = a @ b
+        rank = a.shape[1]
+    if "lokr_w2" in parts:
+        w2 = np.asarray(parts["lokr_w2"], np.float32)
+    else:
+        a = np.asarray(parts["lokr_w2_a"], np.float32)
+        b = np.asarray(parts["lokr_w2_b"], np.float32)
+        w2 = a @ b
+        rank = rank or a.shape[1]
+    if w2.ndim > 2:
+        w2 = w2.reshape(w2.shape[0], -1)
+    alpha = float(np.asarray(parts.get("alpha", rank or 1)))
+    scale = strength * (alpha / rank if rank else 1.0)
+    return np.kron(w1, w2), scale
 
 
 def map_lora_to_model_keys(groups: dict, model_keys) -> dict:
@@ -168,6 +215,14 @@ def build_patches(mapped: dict, strength: float = 1.0,
             patch = LoRAPatch(up=None, down=None, mid=None,
                               diff=jnp.asarray(parts["diff"], dtype),
                               scale=float(strength))
+        elif "hada_w1_a" in parts:
+            delta, scale = _loha_delta(parts, strength)
+            patch = LoRAPatch(up=None, down=None, mid=None,
+                              diff=jnp.asarray(delta, dtype), scale=scale)
+        elif "lokr_w1" in parts or "lokr_w1_a" in parts:
+            delta, scale = _lokr_delta(parts, strength)
+            patch = LoRAPatch(up=None, down=None, mid=None,
+                              diff=jnp.asarray(delta, dtype), scale=scale)
         elif "up" in parts and "down" in parts:
             up = np.asarray(parts["up"])
             down = np.asarray(parts["down"])

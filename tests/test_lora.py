@@ -115,3 +115,62 @@ def test_lora_zero_patch_is_identity():
         diff=None, scale=1.0),))
     got = np.asarray(linear(x, pw, cfg=F32CFG))
     np.testing.assert_allclose(got, base, atol=1e-6)
+
+
+def test_loha_patch_matches_hadamard():
+    rng = np.random.default_rng(6)
+    R, K, r = 32, 48, 4
+    parts = {
+        "hada_w1_a": rng.standard_normal((R, r)).astype(np.float32),
+        "hada_w1_b": rng.standard_normal((r, K)).astype(np.float32),
+        "hada_w2_a": rng.standard_normal((R, r)).astype(np.float32),
+        "hada_w2_b": rng.standard_normal((r, K)).astype(np.float32),
+        "alpha": np.float32(2.0),
+    }
+    patches = lora.build_patches({"w.weight": parts}, strength=0.5,
+                                 dtype=jnp.float32)
+    p = patches["w.weight"][0]
+    want = ((parts["hada_w1_a"] @ parts["hada_w1_b"])
+            * (parts["hada_w2_a"] @ parts["hada_w2_b"]))
+    np.testing.assert_allclose(np.asarray(p.diff), want, rtol=1e-5)
+    assert abs(p.scale - 0.5 * 2.0 / 4) < 1e-9
+
+
+def test_lokr_patch_matches_kron():
+    rng = np.random.default_rng(7)
+    parts = {
+        "lokr_w1": rng.standard_normal((4, 6)).astype(np.float32),
+        "lokr_w2": rng.standard_normal((8, 8)).astype(np.float32),
+    }
+    patches = lora.build_patches({"w.weight": parts}, strength=1.0,
+                                 dtype=jnp.float32)
+    p = patches["w.weight"][0]
+    assert p.diff.shape == (32, 48)
+    np.testing.assert_allclose(
+        np.asarray(p.diff), np.kron(parts["lokr_w1"], parts["lokr_w2"]),
+        rtol=1e-5)
+
+
+def test_lokr_factored_components():
+    rng = np.random.default_rng(8)
+    parts = {
+        "lokr_w1": rng.standard_normal((2, 3)).astype(np.float32),
+        "lokr_w2_a": rng.standard_normal((8, 4)).astype(np.float32),
+        "lokr_w2_b": rng.standard_normal((4, 6)).astype(np.float32),
+        "alpha": np.float32(4.0),
+    }
+    patches = lora.build_patches({"w.weight": parts}, strength=1.0,
+                                 dtype=jnp.float32)
+    p = patches["w.weight"][0]
+    want = np.kron(parts["lokr_w1"],
+                   parts["lokr_w2_a"] @ parts["lokr_w2_b"])
+    np.testing.assert_allclose(np.asarray(p.diff), want, rtol=1e-5)
+    assert abs(p.scale - 4.0 / 4) < 1e-9
+
+
+def test_group_keys_loha():
+    sd = {"lora_unet_x.hada_w1_a": np.zeros((2, 2), np.float32),
+          "lora_unet_x.hada_w1_b": np.zeros((2, 2), np.float32),
+          "lora_unet_x.alpha": np.float32(1.0)}
+    g = lora.group_lora_keys(sd)
+    assert set(g["lora_unet_x"]) == {"hada_w1_a", "hada_w1_b", "alpha"}
