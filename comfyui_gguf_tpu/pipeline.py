@@ -216,8 +216,15 @@ class FluxPipeline:
 
     def generate(self, prompt: str, width: int = 1024, height: int = 1024,
                  steps: int = 20, guidance: float = 3.5, seed: int = 0,
-                 max_t5_len: int = 512, shift: bool = True) -> np.ndarray:
-        """→ (H, W, 3) float image in [0, 1] (or latent if no VAE given)."""
+                 max_t5_len: int = 512, shift: bool = True,
+                 init_image: np.ndarray | None = None,
+                 denoise: float = 1.0) -> np.ndarray:
+        """→ (H, W, 3) float image in [0, 1] (or latent if no VAE given).
+
+        img2img: pass ``init_image`` (H, W, 3) in [0, 1] + ``denoise`` < 1 —
+        the latent starts from the VAE-encoded image noised to
+        σ = sigmas[first_step] and only the remaining steps run.
+        """
         ids, mask = self.t5.tokenizer.encode_batch([prompt],
                                                    max_length=max_t5_len)
         txt = self.t5.encode(jnp.asarray(ids), jnp.asarray(mask))
@@ -232,13 +239,28 @@ class FluxPipeline:
         h_lat, w_lat = height // 8, width // 8
         lat_c = self.model.config.in_channels // 4
         key = jax.random.key(seed)
-        x = jax.random.normal(key, (1, h_lat, w_lat, lat_c), jnp.bfloat16)
+        noise = jax.random.normal(key, (1, h_lat, w_lat, lat_c),
+                                  jnp.bfloat16)
+        img_tokens = flux_model.patchify(noise)
+        sigmas = flux_schedule(steps, img_tokens.shape[1], shift=shift)
+
+        if init_image is not None:
+            if self.vae_params is None:
+                raise ValueError("img2img needs a VAE")
+            first = int(round((1.0 - denoise) * steps))
+            sigmas = sigmas[first:]
+            img01 = jnp.asarray(init_image, jnp.float32)[None] * 2 - 1
+            z0 = vae_model.encode(self.vae_params, self.vae_config, img01)
+            s0 = jnp.float32(sigmas[0])
+            x = ((1 - s0) * z0.astype(jnp.float32)
+                 + s0 * noise.astype(jnp.float32)).astype(jnp.bfloat16)
+        else:
+            x = noise
         img_tokens = flux_model.patchify(x)
         img_ids = jnp.asarray(
             flux_model.make_img_ids(h_lat // 2, w_lat // 2, 1))
         txt_ids = jnp.zeros((1, txt.shape[1], 3), jnp.int32)
         g = jnp.full((1,), guidance, jnp.float32)
-        sigmas = flux_schedule(steps, img_tokens.shape[1], shift=shift)
 
         model = self.model
 

@@ -150,3 +150,11 @@ def test_lora_lifecycle_changes_output(flux_pipe, tmp_path):
 
     assert not np.allclose(base, patched)
     np.testing.assert_array_equal(base, restored)
+
+
+def test_img2img_requires_vae(flux_pipe):
+    with pytest.raises(ValueError, match="VAE"):
+        flux_pipe.generate("a cat", width=64, height=64, steps=2,
+                           max_t5_len=8,
+                           init_image=np.zeros((64, 64, 3), np.float32),
+                           denoise=0.5)
