@@ -60,6 +60,35 @@ def euler_sample(model_fn, x: jax.Array, sigmas) -> jax.Array:
     return x
 
 
+def euler_sample_inpaint(model_fn, x: jax.Array, sigmas, z0: jax.Array,
+                         mask: jax.Array, key) -> jax.Array:
+    """Masked Euler integration for inpainting.
+
+    mask: 1 where the model generates, 0 where ``z0`` (the encoded source
+    latent) is kept. After every step the kept region is projected onto the
+    forward-noised source at the new sigma, so boundaries stay consistent
+    with the noise level the model sees.
+    """
+    import jax as _jax
+
+    sigmas = jnp.asarray(sigmas, dtype=jnp.float32)
+    mask = mask.astype(jnp.float32)
+    z0f = z0.astype(jnp.float32)
+
+    def step(x, i):
+        s_cur = sigmas[i]
+        s_next = sigmas[i + 1]
+        v = model_fn(x, s_cur)
+        xf = x.astype(jnp.float32) + (s_next - s_cur) * v.astype(jnp.float32)
+        noise = _jax.random.normal(_jax.random.fold_in(key, i), z0f.shape)
+        x_keep = (1.0 - s_next) * z0f + s_next * noise
+        xf = mask * xf + (1.0 - mask) * x_keep
+        return xf.astype(x.dtype), None
+
+    x, _ = jax.lax.scan(step, x, jnp.arange(sigmas.shape[0] - 1))
+    return x
+
+
 def cfg_wrap(model_fn, cond, uncond, scale: float):
     """Classifier-free guidance: batch cond/uncond through one forward."""
     def fn(x, sigma):

@@ -188,3 +188,22 @@ def test_euler_exact_on_linear_ode():
                        linear_schedule(7))
     # integrates from σ=1 to 0: x += (0 - 1) * c
     np.testing.assert_allclose(np.asarray(out), 5.0 - c, rtol=1e-6)
+
+
+def test_euler_inpaint_keeps_masked_region():
+    import jax
+
+    from comfyui_gguf_tpu.sampling import euler_sample_inpaint
+
+    rng = np.random.default_rng(3)
+    z0 = jnp.asarray(rng.standard_normal((1, 4, 4, 2)), jnp.float32)
+    mask = jnp.zeros((1, 4, 4, 2)).at[:, :2].set(1.0)  # top half generated
+    x0 = jnp.asarray(rng.standard_normal((1, 4, 4, 2)), jnp.float32)
+    out = euler_sample_inpaint(
+        lambda x, s: jnp.full_like(x, 2.0), x0, linear_schedule(4), z0,
+        mask, jax.random.key(0))
+    out = np.asarray(out)
+    # kept region lands exactly on z0 at σ=0
+    np.testing.assert_allclose(out[:, 2:], np.asarray(z0)[:, 2:], atol=1e-6)
+    # generated region integrated the velocity, not z0
+    assert not np.allclose(out[:, :2], np.asarray(z0)[:, :2])
