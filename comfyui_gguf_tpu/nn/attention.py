@@ -16,6 +16,10 @@ import jax
 
 _LANE = 128
 
+# flash kernel q/k block cap; raise to 512 for serving builds (slower
+# one-time compile, ~2× faster attention at 4k+ tokens)
+FLASH_BLOCK = 256
+
 
 @functools.cache
 def _on_tpu() -> bool:
@@ -44,10 +48,13 @@ def dot_product_attention(q: jax.Array, k: jax.Array, v: jax.Array,
     if _on_tpu() and _flash_ok(q, k):
         from jax.experimental.pallas.ops.tpu import flash_attention as fa
 
-        # measured on v5e @ L=4608: 512-blocks reach ~130 TF/s (≈SoL) vs
-        # ~19 TF/s at the 128 defaults; block must divide the seq length
-        bq = next(b for b in (512, 256, 128) if Lq % b == 0)
-        bk = next(b for b in (512, 256, 128) if k.shape[2] % b == 0)
+        # measured on v5e @ L=4608: 128-blocks (kernel default) hit 19 TF/s,
+        # 256 hits 61, 512 hits ~130 (≈SoL) — but the 512 variant takes
+        # >8 min of Mosaic compile through the AOT path, so 256 is the
+        # default and 512 is opt-in for long-lived serving processes
+        cap = FLASH_BLOCK
+        bq = next(b for b in (cap, 256, 128) if Lq % b == 0)
+        bk = next(b for b in (cap, 256, 128) if k.shape[2] % b == 0)
         bs = fa.BlockSizes(
             block_q=bq, block_k_major=bk, block_k=bk, block_b=1,
             block_q_major_dkv=bq, block_k_major_dkv=bk, block_k_dkv=bk,
