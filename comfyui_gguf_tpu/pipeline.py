@@ -218,12 +218,17 @@ class FluxPipeline:
                  steps: int = 20, guidance: float = 3.5, seed: int = 0,
                  max_t5_len: int = 512, shift: bool = True,
                  init_image: np.ndarray | None = None,
-                 denoise: float = 1.0) -> np.ndarray:
+                 denoise: float = 1.0,
+                 inpaint_mask: np.ndarray | None = None) -> np.ndarray:
         """→ (H, W, 3) float image in [0, 1] (or latent if no VAE given).
 
         img2img: pass ``init_image`` (H, W, 3) in [0, 1] + ``denoise`` < 1 —
         the latent starts from the VAE-encoded image noised to
         σ = sigmas[first_step] and only the remaining steps run.
+
+        inpainting: additionally pass ``inpaint_mask`` (H, W) in [0, 1]
+        (1 = regenerate); the kept region is re-projected onto the noised
+        source every step (sampling.euler_sample_inpaint).
         """
         ids, mask = self.t5.tokenizer.encode_batch([prompt],
                                                    max_length=max_t5_len)
@@ -244,6 +249,7 @@ class FluxPipeline:
         img_tokens = flux_model.patchify(noise)
         sigmas = flux_schedule(steps, img_tokens.shape[1], shift=shift)
 
+        z0_tokens = mask_tokens = None
         if init_image is not None:
             if self.vae_params is None:
                 raise ValueError("img2img needs a VAE")
@@ -254,6 +260,12 @@ class FluxPipeline:
             s0 = jnp.float32(sigmas[0])
             x = ((1 - s0) * z0.astype(jnp.float32)
                  + s0 * noise.astype(jnp.float32)).astype(jnp.bfloat16)
+            if inpaint_mask is not None:
+                m = jnp.asarray(inpaint_mask, jnp.float32)
+                m = jax.image.resize(m, (h_lat, w_lat), method="nearest")
+                m = jnp.broadcast_to(m[None, :, :, None], z0.shape)
+                z0_tokens = flux_model.patchify(z0.astype(jnp.bfloat16))
+                mask_tokens = flux_model.patchify(m)
         else:
             x = noise
         img_tokens = flux_model.patchify(x)
@@ -264,6 +276,8 @@ class FluxPipeline:
 
         model = self.model
 
+        from .sampling import euler_sample_inpaint
+
         @jax.jit
         def denoise(params, x0, txt, pooled):
             def velocity(xc, sigma):
@@ -271,6 +285,10 @@ class FluxPipeline:
                 return flux_model.forward(
                     params, model.config, xc, img_ids, txt, txt_ids, tt,
                     pooled, g, qcfg=model.qcfg)
+            if mask_tokens is not None:
+                return euler_sample_inpaint(
+                    velocity, x0, sigmas, z0_tokens, mask_tokens,
+                    jax.random.fold_in(key, 1))
             return euler_sample(velocity, x0, sigmas)
 
         out_tokens = denoise(model.params, img_tokens, txt, pooled)
