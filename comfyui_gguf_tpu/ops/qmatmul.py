@@ -310,16 +310,20 @@ def quantized_matmul(x: jax.Array, pq: PlanarQuant, *,
                      prefer_pallas: bool | None = None) -> jax.Array:
     """x @ W^T with packed planar W. Dispatches Pallas on TPU, XLA otherwise.
 
-    Tiny-M calls (modulation vectors, pooled projections) stay on the XLA
-    path: the kernel's m-tile padding would waste the launch, and each
-    distinct M adds a Mosaic compile.
+    Tiny-M calls on small weights stay on the XLA path (m-tile padding
+    would waste the launch and each distinct M adds a Mosaic compile) —
+    but BIG weights always take the kernel: at M=1 the XLA path
+    materializes the dequantized matrix, while the kernel only streams
+    packed bytes (e.g. flux modulation projections, 18432×3072 every
+    denoise step).
     """
     if prefer_pallas is None:
         prefer_pallas = _have_tpu()
     m = 1
     for d in x.shape[:-1]:
         m *= d
-    if prefer_pallas and m >= 16 and pallas_tileable(pq):
+    big_weight = pq.shape[0] * pq.shape[1] >= (1 << 23)
+    if prefer_pallas and (m >= 16 or big_weight) and pallas_tileable(pq):
         return pallas_qmm(x, pq, dequant_dtype=dequant_dtype,
                           out_dtype=out_dtype)
     return xla_qmm(x, pq, dequant_dtype=dequant_dtype, out_dtype=out_dtype)
