@@ -55,6 +55,29 @@ def _resolve_qcfg(dequant_dtype="default", patch_dtype="default",
                        prefer_pallas=prefer_pallas)
 
 
+def _arch_module(arch: str):
+    import importlib
+
+    mod_name = {
+        "flux": "flux", "sd3": "sd3", "sd1": "unet", "sdxl": "unet",
+        "aura": "aura", "hidream": "hidream", "cosmos": "cosmos",
+        "ltxv": "ltxv", "hyvid": "hyvid", "wan": "wan",
+        "lumina2": "lumina2", "qwen_image": "qwen_image",
+    }.get(arch)
+    if mod_name is None:
+        return None
+    return importlib.import_module(f".models.{mod_name}", __package__)
+
+
+_ARCH_CONFIG_CLS = {
+    "flux": "FluxConfig", "sd3": "SD3Config", "sd1": "UNetConfig",
+    "sdxl": "UNetConfig", "aura": "AuraConfig", "hidream": "HiDreamConfig",
+    "cosmos": "CosmosConfig", "ltxv": "LTXVConfig", "hyvid": "HyVidConfig",
+    "wan": "WanConfig", "lumina2": "Lumina2Config",
+    "qwen_image": "QwenImageConfig",
+}
+
+
 @dataclasses.dataclass
 class DiffusionModel:
     """Loaded DiT + config; the GGUFModelPatcher analogue."""
@@ -66,7 +89,7 @@ class DiffusionModel:
     base_params: dict | None = None  # pre-LoRA snapshot
 
     def forward(self, *args, **kwargs):
-        mod = {"flux": flux_model, "sd3": sd3_model}.get(self.arch)
+        mod = _arch_module(self.arch)
         if mod is None:
             raise NotImplementedError(
                 f"forward graph for arch {self.arch!r} not implemented yet"
@@ -98,12 +121,11 @@ def load_diffusion_model(path: str, dequant_dtype="default",
     qcfg = _resolve_qcfg(dequant_dtype, patch_dtype, prefer_pallas)
     sd, arch = gguf_sd_loader(path, return_arch=True)
     params = to_jax_params(sd, qcfg)
-    if arch == "flux":
-        config = flux_model.FluxConfig.from_state_dict(params)
-    elif arch == "sd3":
-        config = sd3_model.SD3Config.from_state_dict(params)
-    else:
-        config = None
+    mod = _arch_module(arch)
+    config = None
+    if mod is not None:
+        cls = getattr(mod, _ARCH_CONFIG_CLS[arch])
+        config = cls.from_state_dict(params)
     return DiffusionModel(arch=arch, params=params, config=config, qcfg=qcfg)
 
 
