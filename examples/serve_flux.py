@@ -1,0 +1,74 @@
+"""Example: continuous-batch serving of flux generation requests.
+
+    python examples/serve_flux.py --unet flux1-dev-Q4_K_S.gguf \
+        --t5 t5-xxl-Q8_0.gguf --clip-l clip_l.safetensors \
+        --prompts prompts.txt --width 1024 --height 1024 --max-batch 4
+"""
+
+import argparse
+import sys
+
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--unet", required=True)
+    ap.add_argument("--t5", required=True)
+    ap.add_argument("--clip-l", required=True)
+    ap.add_argument("--prompts", required=True,
+                    help="text file, one prompt per line")
+    ap.add_argument("--width", type=int, default=1024)
+    ap.add_argument("--height", type=int, default=1024)
+    ap.add_argument("--steps", type=int, default=20)
+    ap.add_argument("--guidance", type=float, default=3.5)
+    ap.add_argument("--max-batch", type=int, default=4)
+    ap.add_argument("--t5-len", type=int, default=512)
+    args = ap.parse_args()
+
+    import jax
+
+    from comfyui_gguf_tpu.models import flux as flux_model
+    from comfyui_gguf_tpu.pipeline import (
+        FluxPipeline,
+        flux_engine,
+    )
+    from comfyui_gguf_tpu.sampling import flux_schedule
+
+    pipe = FluxPipeline.load(args.unet, args.t5, args.clip_l)
+    h_lat, w_lat = args.height // 8, args.width // 8
+    lat_c = pipe.model.config.in_channels // 4
+    L_img = (h_lat // 2) * (w_lat // 2)
+
+    eng = flux_engine(pipe.model, h_lat, w_lat, args.t5_len,
+                      max_batch=args.max_batch)
+    eng.start()
+
+    prompts = [ln.strip() for ln in open(args.prompts) if ln.strip()]
+    sigmas = flux_schedule(args.steps, L_img)
+    reqs = []
+    for i, prompt in enumerate(prompts):
+        ids, mask = pipe.t5.tokenizer.encode_batch([prompt],
+                                                   max_length=args.t5_len)
+        txt = np.asarray(pipe.t5.encode(ids, mask))[0]
+        cids, _ = pipe.clip_l.tokenizer.encode_batch(
+            [prompt], max_length=min(77, pipe.clip_l.config.max_positions))
+        pooled = np.asarray(pipe.clip_l.encode(cids)["pooled"])[0]
+        noise = np.asarray(jax.random.normal(
+            jax.random.key(i), (L_img, lat_c * 4)))
+        reqs.append(eng.submit(
+            noise,
+            {"txt": txt, "y": pooled, "guidance": np.float32(args.guidance)},
+            sigmas))
+
+    for i, r in enumerate(reqs):
+        r.done_event.wait()
+        lat = flux_model.unpatchify(r.result[None], h_lat, w_lat)
+        np.save(f"out_{i:03d}.latent.npy", np.asarray(lat[0]))
+        print(f"request {i} done")
+    eng.stop()
+    print(eng.stats.snapshot())
+
+
+if __name__ == "__main__":
+    sys.exit(main())
