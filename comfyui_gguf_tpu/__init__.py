@@ -23,6 +23,10 @@ _PUBLIC = {
     "load_text_encoder": ".pipeline",
     "load_text_encoders": ".pipeline",
     "FluxPipeline": ".pipeline",
+    "SD3Pipeline": ".pipeline",
+    "SDXLPipeline": ".pipeline",
+    "flux_engine": ".pipeline",
+    "ModelRegistry": ".registry",
     "QuantConfig": ".nn.layers",
     "quantized_matmul": ".ops.qmatmul",
     "PlanarQuant": ".quant.planar",

@@ -63,7 +63,7 @@ def _expand_scales(s, gs: int, rows: int, rt: int):
 
 # experiment flag: issue one 2·kt-deep MXU dot per step instead of two
 # kt-deep dots (halves per-dot pipeline overhead on K-heavy shapes)
-FUSE_NIB4_DOT = False
+FUSE_NIB4_DOT = True
 
 
 def _make_nib4_kernel(*, zp, gs, kt, rt, n_k, compute_dtype, has_offsets):
