@@ -1,0 +1,44 @@
+"""Attention dispatcher tests (CPU fallback path + gates)."""
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from comfyui_gguf_tpu.nn import attention
+
+
+def _ref(q, k, v, scale):
+    logits = np.einsum("bhqd,bhkd->bhqk", q, k) * scale
+    probs = np.exp(logits - logits.max(-1, keepdims=True))
+    probs /= probs.sum(-1, keepdims=True)
+    return np.einsum("bhqk,bhkd->bhqd", probs, v)
+
+
+def test_matches_reference_softmax():
+    rng = np.random.default_rng(0)
+    q = rng.standard_normal((2, 3, 5, 8)).astype(np.float32)
+    k = rng.standard_normal((2, 3, 7, 8)).astype(np.float32)
+    v = rng.standard_normal((2, 3, 7, 8)).astype(np.float32)
+    got = np.asarray(attention.dot_product_attention(
+        jnp.asarray(q), jnp.asarray(k), jnp.asarray(v)))
+    want = _ref(q, k, v, 8 ** -0.5)
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+def test_custom_scale():
+    rng = np.random.default_rng(1)
+    q = rng.standard_normal((1, 1, 4, 8)).astype(np.float32)
+    got = np.asarray(attention.dot_product_attention(
+        jnp.asarray(q), jnp.asarray(q), jnp.asarray(q), scale=1.0))
+    want = _ref(q, q, q, 1.0)
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+def test_flash_gate_shapes():
+    z = jnp.zeros
+    # aligned long sequence qualifies
+    assert attention._flash_ok(z((1, 2, 512, 128)), z((1, 2, 512, 128)))
+    # short or misaligned sequences fall back
+    assert not attention._flash_ok(z((1, 2, 384, 128)), z((1, 2, 384, 128)))
+    assert not attention._flash_ok(z((1, 2, 512, 64)), z((1, 2, 512, 64)))
+    assert not attention._flash_ok(z((1, 2, 520, 128)), z((1, 2, 520, 128)))
