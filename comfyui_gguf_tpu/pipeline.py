@@ -112,6 +112,12 @@ class DiffusionModel:
         self.base_params = None
         return self
 
+    def memory_report(self) -> dict:
+        """Packed-vs-dense HBM accounting (observability.memory_report)."""
+        from .observability import memory_report
+
+        return memory_report(self.params)
+
 
 def load_diffusion_model(path: str, dequant_dtype="default",
                          patch_dtype="default",
