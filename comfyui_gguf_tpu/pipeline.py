@@ -452,6 +452,64 @@ class SD3Pipeline:
 
 
 @dataclasses.dataclass
+class WanPipeline:
+    """Wan 2.1 t2v: UMT5 conditioning, CFG rectified flow, latent output.
+
+    Returns latent video (decode with a Wan VAE externally — the causal 3-D
+    video VAE is round-2 work, see PARITY.md).
+    """
+
+    model: DiffusionModel
+    t5: TextEncoder
+    shift: float = 5.0
+
+    @staticmethod
+    def load(unet_path: str, t5_path: str, **kw) -> "WanPipeline":
+        return WanPipeline(load_diffusion_model(unet_path, **kw),
+                           load_text_encoder(t5_path))
+
+    def generate(self, prompt: str, negative_prompt: str = "",
+                 latent_frames: int = 21, latent_height: int = 60,
+                 latent_width: int = 104, steps: int = 30,
+                 cfg_scale: float = 5.0, seed: int = 0,
+                 max_t5_len: int = 512) -> np.ndarray:
+        from .models import wan as wan_model
+
+        ids, mask = self.t5.tokenizer.encode_batch([prompt],
+                                                   max_length=max_t5_len)
+        ctx = self.t5.encode(jnp.asarray(ids), jnp.asarray(mask))
+        use_cfg = cfg_scale != 1.0
+        if use_cfg:
+            nids, nmask = self.t5.tokenizer.encode_batch(
+                [negative_prompt], max_length=max_t5_len)
+            nctx = self.t5.encode(jnp.asarray(nids), jnp.asarray(nmask))
+
+        C = self.model.config.in_channels
+        key = jax.random.key(seed)
+        x = jax.random.normal(
+            key, (1, latent_frames, latent_height, latent_width, C),
+            jnp.bfloat16)
+        sigmas = shift_sigmas(linear_schedule(steps), self.shift)
+        model = self.model
+
+        @jax.jit
+        def denoise(params, x0, ctx, *neg):
+            def velocity(xc, sigma):
+                tt = jnp.full((xc.shape[0],), sigma, jnp.float32)
+                v_c = wan_model.forward(params, model.config, xc, ctx, tt,
+                                        qcfg=model.qcfg)
+                if not neg:
+                    return v_c
+                v_u = wan_model.forward(params, model.config, xc, neg[0],
+                                        tt, qcfg=model.qcfg)
+                return v_u + cfg_scale * (v_c - v_u)
+            return euler_sample(velocity, x0, sigmas)
+
+        args = (nctx,) if use_cfg else ()
+        return np.asarray(denoise(model.params, x, ctx, *args)[0])
+
+
+@dataclasses.dataclass
 class SDXLPipeline:
     """SDXL txt2img: dual CLIP conditioning, eps-prediction UNet sampled in
     sigma space (sampling/kdiffusion)."""

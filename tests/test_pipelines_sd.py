@@ -64,3 +64,60 @@ def test_sdxl_size_embedding_width():
     assert emb.shape == (6, 256)
     # SDXL adm vector = pooled_g (1280) + 6*256 = 2816
     assert 1280 + 6 * 256 == 2816
+
+
+def test_wan_pipeline_tiny(tmp_path):
+    """Latent t2v through the public pipeline with a tiny wan + tiny t5."""
+    import jax.numpy as jnp
+
+    from comfyui_gguf_tpu.loader import TokenizerSpec, to_jax_params, \
+        gguf_sd_loader
+    from comfyui_gguf_tpu.models import t5 as t5_model
+    from comfyui_gguf_tpu.models import wan as wan_model
+    from comfyui_gguf_tpu.nn.layers import QuantConfig
+    from comfyui_gguf_tpu.tokenizer import UnigramTokenizer
+    from tests.test_wan import _tiny_wan, _write_gguf, TDIM
+
+    F32 = QuantConfig(dequant_dtype=jnp.float32, compute_dtype=jnp.float32,
+                      prefer_pallas=False)
+    sd = _tiny_wan(np.random.default_rng(0))
+    p = tmp_path / "wan.gguf"
+    _write_gguf(sd, p)
+    raw, arch = gguf_sd_loader(str(p), return_arch=True)
+    params = to_jax_params(raw, F32)
+    model = pipeline.DiffusionModel(
+        arch="wan", params=params,
+        config=wan_model.WanConfig.from_state_dict(params), qcfg=F32)
+
+    # tiny t5 with d_model == wan text_dim
+    rng = np.random.default_rng(1)
+    d = TDIM
+
+    def t(*s):
+        return jnp.asarray(rng.standard_normal(s) * 0.05, jnp.float32)
+
+    t5p = {"shared.weight": t(16, d),
+           "encoder.final_layer_norm.weight": t(d) + 1,
+           "encoder.block.0.layer.0.SelfAttention."
+           "relative_attention_bias.weight": t(32, 2)}
+    pre = "encoder.block.0."
+    for n in ("q", "k", "v", "o"):
+        t5p[pre + f"layer.0.SelfAttention.{n}.weight"] = t(d, d)
+    t5p[pre + "layer.0.layer_norm.weight"] = t(d) + 1
+    t5p[pre + "layer.1.DenseReluDense.wi_0.weight"] = t(2 * d, d)
+    t5p[pre + "layer.1.DenseReluDense.wi_1.weight"] = t(2 * d, d)
+    t5p[pre + "layer.1.DenseReluDense.wo.weight"] = t(d, 2 * d)
+    t5p[pre + "layer.1.layer_norm.weight"] = t(d) + 1
+    tok = UnigramTokenizer(TokenizerSpec(
+        model="t5", tokens=["<pad>", "</s>", "<unk>", "▁a"],
+        scores=[0.0, 0.0, 0.0, -1.0], token_types=[3, 3, 2, 1],
+        eos_id=1, pad_id=0, unk_id=2))
+    t5e = pipeline.TextEncoder(
+        "t5", t5p, t5_model.T5Config.from_state_dict(t5p), tok, F32)
+
+    pipe = pipeline.WanPipeline(model, t5e)
+    out = pipe.generate("a a a", latent_frames=3, latent_height=8,
+                        latent_width=8, steps=2, cfg_scale=3.0,
+                        max_t5_len=6)
+    assert out.shape == (3, 8, 8, 16)
+    assert np.isfinite(out).all()
