@@ -16,9 +16,13 @@ import jax
 
 _LANE = 128
 
-# flash kernel q/k block cap; raise to 512 for serving builds (slower
-# one-time compile, ~2× faster attention at 4k+ tokens)
-FLASH_BLOCK = 256
+# flash kernel q/k block caps, measured on v5e @ L=4608 (see
+# docs/NOTES_ROUND1.md): (256, 512) hits 94 TF/s with sub-second compile;
+# symmetric (512, 512) reaches ~130 TF/s but Mosaic takes >8 min to
+# compile it through the AOT tunnel — raise FLASH_BLOCK_Q for long-lived
+# serving processes if that tradeoff is acceptable
+FLASH_BLOCK_Q = 256
+FLASH_BLOCK_K = 512
 
 
 @functools.cache
@@ -48,13 +52,9 @@ def dot_product_attention(q: jax.Array, k: jax.Array, v: jax.Array,
     if _on_tpu() and _flash_ok(q, k):
         from jax.experimental.pallas.ops.tpu import flash_attention as fa
 
-        # measured on v5e @ L=4608: 128-blocks (kernel default) hit 19 TF/s,
-        # 256 hits 61, 512 hits ~130 (≈SoL) — but the 512 variant takes
-        # >8 min of Mosaic compile through the AOT path, so 256 is the
-        # default and 512 is opt-in for long-lived serving processes
-        cap = FLASH_BLOCK
-        bq = next(b for b in (cap, 256, 128) if Lq % b == 0)
-        bk = next(b for b in (cap, 256, 128) if k.shape[2] % b == 0)
+        bq = next(b for b in (FLASH_BLOCK_Q, 256, 128) if Lq % b == 0)
+        bk = next(b for b in (FLASH_BLOCK_K, 256, 128)
+                  if k.shape[2] % b == 0)
         bs = fa.BlockSizes(
             block_q=bq, block_k_major=bk, block_k=bk, block_b=1,
             block_q_major_dkv=bq, block_k_major_dkv=bk, block_k_dkv=bk,
