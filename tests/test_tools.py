@@ -124,3 +124,25 @@ def test_fix_5d_roundtrip(tmp_path):
     got = sd["patch_embedding.weight"]
     assert got.shape == (8, 4, 2, 3, 3)
     np.testing.assert_allclose(got.dequantize(), w5)
+
+
+def test_bf16_base_conversion_and_quantize(tmp_path):
+    rng = np.random.default_rng(5)
+    sd = _flux_like_sd(rng)
+    import safetensors.torch
+    import torch
+
+    src = tmp_path / "model.safetensors"
+    safetensors.torch.save_file(
+        {k: torch.from_numpy(v) for k, v in sd.items()}, str(src))
+    bf16 = convert.convert_file(str(src), str(tmp_path / "m-BF16.gguf"),
+                                use_bf16_base=True)
+    r = GGUFReader(bf16)
+    by_name = {t.name: t for t in r.tensors}
+    assert by_name["double_blocks.0.img_attn.proj.weight"].qtype == Q.BF16
+    assert r.get_int("general.file_type") == int(F.MOSTLY_BF16)
+    # BF16 base quantizes fine
+    q = quantize.quantize_file(bf16, str(tmp_path / "m-Q8_0.gguf"), "Q8_0")
+    rq = GGUFReader(q)
+    byq = {t.name: t for t in rq.tensors}
+    assert byq["double_blocks.0.img_attn.proj.weight"].qtype == Q.Q8_0
