@@ -99,7 +99,10 @@ def main():
         return step
 
     step_fused = measure(on_tpu, reps, "fused")
-    step_ref = measure(False, max(1, reps // 2), "ref(xla-dequant)")
+    if os.environ.get("BENCH_SKIP_REF"):
+        step_ref = float("nan")
+    else:
+        step_ref = measure(False, max(1, reps // 2), "ref(xla-dequant)")
 
     sec_image = steps_per_image * step_fused
     speedup = step_ref / step_fused if step_fused > 0 else float("nan")
@@ -109,7 +112,7 @@ def main():
                   + ("v5e-1)" if on_tpu else "cpu-smoke)"),
         "value": round(sec_image, 3),
         "unit": "s",
-        "vs_baseline": round(speedup, 2),
+        "vs_baseline": None if speedup != speedup else round(speedup, 2),
     }))
 
 
