@@ -48,6 +48,10 @@ def dot_product_attention(q: jax.Array, k: jax.Array, v: jax.Array,
     B, H, Lq, D = q.shape
     if scale is None:
         scale = D ** -0.5
+    # cross-attention k/v may arrive in a different dtype (f32 text states
+    # vs bf16 latents); harmonize on the query dtype
+    k = k.astype(q.dtype)
+    v = v.astype(q.dtype)
 
     if _on_tpu() and _flash_ok(q, k):
         from jax.experimental.pallas.ops.tpu import flash_attention as fa

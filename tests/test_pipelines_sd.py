@@ -121,3 +121,67 @@ def test_wan_pipeline_tiny(tmp_path):
                         max_t5_len=6)
     assert out.shape == (3, 8, 8, 16)
     assert np.isfinite(out).all()
+
+
+def test_sdxl_pipeline_tiny():
+    """SDXLPipeline.generate_from_ids end-to-end with a tiny sgm UNet and
+    stub CLIP encoders (latent output, CFG on)."""
+    import jax.numpy as jnp
+
+    from comfyui_gguf_tpu.models import unet as unet_model
+    from comfyui_gguf_tpu.nn.layers import QuantConfig
+    from tests.test_unet import _res, _xformer, CTX as UCTX
+
+    F32 = QuantConfig(dequant_dtype=jnp.float32, compute_dtype=jnp.float32,
+                      prefer_pallas=False)
+    rng = np.random.default_rng(0)
+    MC, LAT = 32, 4
+    POOL_G = 40
+    ADM = POOL_G + 6 * 256  # pooled_g + size embeddings
+    emb = 4 * MC
+
+    def conv(o, i, k=3):
+        return (rng.standard_normal((o, i, k, k)) * 0.05).astype(np.float32)
+
+    def lin(o, i):
+        return (rng.standard_normal((o, i)) * 0.05).astype(np.float32)
+
+    sd = {
+        "input_blocks.0.0.weight": conv(MC, LAT),
+        "input_blocks.0.0.bias": np.zeros(MC, np.float32),
+        "time_embed.0.weight": lin(emb, MC),
+        "time_embed.0.bias": np.zeros(emb, np.float32),
+        "time_embed.2.weight": lin(emb, emb),
+        "time_embed.2.bias": np.zeros(emb, np.float32),
+        "label_emb.0.0.weight": lin(emb, ADM),
+        "label_emb.0.0.bias": np.zeros(emb, np.float32),
+        "label_emb.0.2.weight": lin(emb, emb),
+        "label_emb.0.2.bias": np.zeros(emb, np.float32),
+        "out.0.weight": np.ones(MC, np.float32),
+        "out.0.bias": np.zeros(MC, np.float32),
+        "out.2.weight": conv(LAT, MC),
+        "out.2.bias": np.zeros(LAT, np.float32),
+    }
+    sd.update(_res(rng, "input_blocks.1.0", MC, MC, emb))
+    sd.update(_xformer(rng, "input_blocks.1.1", MC, linear_proj=True))
+    sd.update(_res(rng, "middle_block.0", MC, MC, emb))
+    sd.update(_res(rng, "output_blocks.0.0", 2 * MC, MC, emb))
+    sd.update(_res(rng, "output_blocks.1.0", 2 * MC, MC, emb))
+    params = {k: jnp.asarray(v) for k, v in sd.items()}
+
+    import dataclasses
+
+    cfg = dataclasses.replace(unet_model.UNetConfig.from_state_dict(params),
+                              head_dim=16)
+    model = pipeline.DiffusionModel(arch="sdxl", params=params, config=cfg,
+                                    qcfg=F32)
+    # ctx split: clip_l 24 + clip_g 40 = 64 = UNet context dim
+    pipe = pipeline.SDXLPipeline(
+        model, clip_l=StubEncoder("clip_l", UCTX - POOL_G, 16),
+        clip_g=StubEncoder("clip_g", POOL_G, POOL_G))
+    ids = jnp.zeros((1, 7), jnp.int32)
+    out = pipe.generate_from_ids(ids, ids, neg_clip_l_ids=ids,
+                                 neg_clip_g_ids=ids, width=64, height=64,
+                                 steps=2, cfg_scale=3.0)
+    assert out.shape == (8, 8, 4)
+    assert np.isfinite(out).all()
