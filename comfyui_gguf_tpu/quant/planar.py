@@ -95,6 +95,7 @@ def planarize(
     qtype: GGMLQuantizationType,
     shape: tuple[int, int],
     device=None,
+    scale_dtype=np.float32,
 ) -> PlanarQuant:
     """Re-tile raw GGUF packed blocks into PlanarQuant (host-side, one-time).
 
@@ -111,7 +112,8 @@ def planarize(
         raise ValueError(f"in_features {K} not divisible by 2*group_size {2*gs}")
 
     out = _components_to_planar(comp.q, comp.scales, comp.offsets, qtype,
-                                comp.zero_point, gs, (R, K))
+                                comp.zero_point, gs, (R, K),
+                                scale_dtype=scale_dtype)
     if device is not None:
         put = partial(jax.device_put, device=device)
         out = jax.tree_util.tree_map(put, out)
@@ -195,8 +197,13 @@ def planarize_shards(
 
 
 def _components_to_planar(q, scales, offsets, qtype, zero_point, gs,
-                          shape) -> PlanarQuant:
-    """Assemble a PlanarQuant from already-extracted component slices."""
+                          shape, scale_dtype=np.float32) -> PlanarQuant:
+    """Assemble a PlanarQuant from already-extracted component slices.
+
+    ``scale_dtype=jnp.bfloat16`` halves scale/offset bytes (Q4_K planar
+    drops from ~6 to ~5 bpw); the ~2⁻⁸ relative scale rounding is far
+    below the quantization noise itself — opt-in for HBM-tight deploys.
+    """
     R, K = shape
     rp = -(-R // LANE) * LANE
     pad = rp - R
@@ -215,10 +222,13 @@ def _components_to_planar(q, scales, offsets, qtype, zero_point, gs,
             raise ValueError(f"{qtype!r}: codes out of int8 range")
         qs = np.pad(qi.astype(np.int8).T, ((0, 0), (0, pad)))
         layout, zp = "int8", 0
+    sdt = jnp.dtype(scale_dtype) if not isinstance(scale_dtype, np.dtype) \
+        else scale_dtype
     return PlanarQuant(
-        qs=jnp.asarray(qs), scales=jnp.asarray(scales_t.astype(np.float32)),
+        qs=jnp.asarray(qs),
+        scales=jnp.asarray(scales_t.astype(np.float32)).astype(sdt),
         offsets=(None if offsets_t is None
-                 else jnp.asarray(offsets_t.astype(np.float32))),
+                 else jnp.asarray(offsets_t.astype(np.float32)).astype(sdt)),
         qtype=int(qtype), layout=layout, group_size=gs, zero_point=zp,
         shape=(R, K),
     )
