@@ -129,3 +129,42 @@ def test_name_too_long_rejected():
     w = GGUFWriter(arch="flux")
     with pytest.raises(ValueError):
         w.add_tensor("x" * 128, np.zeros((2, 2), dtype=np.float32))
+
+
+def test_reader_accepts_v2_files(tmp_path):
+    """v2 differs from v3 only in fields our reader already treats
+    uniformly; patch the version word and confirm identical decode."""
+    import struct
+
+    from comfyui_gguf_tpu.quant import codecs
+
+    rng = np.random.default_rng(4)
+    w = GGUFWriter("flux")
+    x = rng.standard_normal((8, 64)).astype(np.float32)
+    w.add_tensor("t.weight", codecs.quantize(x, Q.Q8_0), raw_dtype=Q.Q8_0,
+                 raw_shape=x.shape)
+    p = tmp_path / "v2.gguf"
+    w.write_to_file(str(p))
+    raw = bytearray(p.read_bytes())
+    raw[4:8] = struct.pack("<I", 2)
+    p.write_bytes(bytes(raw))
+
+    r = GGUFReader(str(p))
+    assert r.version == 2
+    t = r.tensors[0]
+    np.testing.assert_allclose(
+        codecs.dequantize(t.data, t.qtype, t.shape), x, rtol=0.02, atol=0.05)
+
+
+def test_reader_rejects_unknown_version(tmp_path):
+    import struct
+
+    w = GGUFWriter("flux")
+    w.add_tensor("t.weight", np.zeros((2, 2), np.float32))
+    p = tmp_path / "v9.gguf"
+    w.write_to_file(str(p))
+    raw = bytearray(p.read_bytes())
+    raw[4:8] = struct.pack("<I", 9)
+    p.write_bytes(bytes(raw))
+    with pytest.raises(Exception, match="version"):
+        GGUFReader(str(p))
