@@ -119,13 +119,16 @@ def tensor_qtype(name: str, shape: tuple[int, ...], ftype: LlamaFileType,
             new_type = Q.Q5_1
         qs.i_ffn_down += 1
 
-    # K-quant row-width sanity: in-features must hold whole superblocks
-    if new_type in (Q.Q2_K, Q.Q3_K, Q.Q4_K, Q.Q5_K, Q.Q6_K):
-        if shape[-1] % QK_K != 0:
-            log.warning("%s: row width %d %% %d != 0 — F16 fallback",
-                        name, shape[-1], QK_K)
-            new_type = Q.F16
-            qs.n_fallback += 1
+    # row-width sanity: rows must hold whole blocks (the reference checks
+    # K-quant superblocks, lcpp.patch:229-239; we extend to every format)
+    from ..gguf.constants import GGML_QUANT_SIZES
+
+    block = GGML_QUANT_SIZES[new_type][0]
+    if block > 1 and shape[-1] % block != 0:
+        log.warning("%s: row width %d %% %d != 0 — F16 fallback",
+                    name, shape[-1], block)
+        new_type = Q.F16
+        qs.n_fallback += 1
     return new_type
 
 
@@ -154,6 +157,12 @@ def quantize_file(src: str, dst: str | None, ftype_name: str) -> str:
     arch = reader.get_str("general.architecture")
     if arch is None:
         raise ValueError(f"{src}: missing general.architecture")
+    # the reference's quantizer rejects all IQ ftypes for image models
+    # (reference tools/lcpp.patch:144-155)
+    if arch in IMG_ARCH_LIST and ftype in (F.MOSTLY_IQ4_NL, F.MOSTLY_IQ4_XS):
+        raise ValueError(
+            f"{ftype_name}: IQ quantization types are not supported for "
+            f"image models (arch {arch!r})")
 
     if dst is None:
         base = src

@@ -146,3 +146,32 @@ def test_bf16_base_conversion_and_quantize(tmp_path):
     rq = GGUFReader(q)
     byq = {t.name: t for t in rq.tensors}
     assert byq["double_blocks.0.img_attn.proj.weight"].qtype == Q.Q8_0
+
+
+def test_all_ftype_presets_produce_loadable_files(tmp_path):
+    """Every quantizer preset the reference's ftype table supports runs
+    end-to-end and loads back."""
+    rng = np.random.default_rng(7)
+    sd = _flux_like_sd(rng)
+    import safetensors.torch
+    import torch
+
+    src = tmp_path / "m.safetensors"
+    safetensors.torch.save_file(
+        {k: torch.from_numpy(v) for k, v in sd.items()}, str(src))
+    f16 = convert.convert_file(str(src), str(tmp_path / "m-F16.gguf"))
+
+    for ftype in ("Q4_0", "Q4_1", "Q5_0", "Q5_1", "Q8_0", "Q2_K",
+                  "Q3_K_S", "Q3_K_M", "Q3_K_L", "Q4_K_S", "Q4_K_M",
+                  "Q5_K_S", "Q5_K_M", "Q6_K"):
+        out = quantize.quantize_file(
+            f16, str(tmp_path / f"m-{ftype}.gguf"), ftype)
+        sd_loaded = gguf_sd_loader(out)
+        assert "double_blocks.0.img_attn.proj.weight" in sd_loaded
+
+    # IQ ftypes are rejected for image models (reference lcpp.patch:144-155)
+    import pytest as _pytest
+
+    for ftype in ("IQ4_NL", "IQ4_XS"):
+        with _pytest.raises(ValueError, match="IQ"):
+            quantize.quantize_file(f16, str(tmp_path / "x.gguf"), ftype)
