@@ -69,3 +69,17 @@ def test_quantized_matmul_batched_leading_dims():
     )
     assert got.shape == (2, 3, 128)
     np.testing.assert_allclose(got, x @ ref.T, rtol=2e-4, atol=2e-4)
+
+
+def test_pallas_qmm_with_bf16_scales():
+    R, K = 256, 512
+    rng = np.random.default_rng(8)
+    w = rng.standard_normal((R, K), dtype=np.float32)
+    blocks = codecs.quantize(w, Q.Q4_K)
+    p16 = planar.planarize(blocks, Q.Q4_K, (R, K),
+                           scale_dtype=jnp.bfloat16)
+    x = jnp.asarray(rng.standard_normal((16, K), dtype=np.float32))
+    got = np.asarray(
+        pallas_qmm(x, p16, dequant_dtype=jnp.float32, interpret=True))
+    want = np.asarray(xla_qmm(x, p16, dequant_dtype=jnp.float32))
+    np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-3)
