@@ -36,17 +36,21 @@ class T5Config:
 
     @staticmethod
     def from_gguf_fields(reader) -> "T5Config":
-        """Build from llama.cpp ``t5.*`` metadata keys."""
-        g = reader.get_int
+        """Build from llama.cpp ``t5.*`` / ``t5encoder.*`` metadata keys."""
+        arch = reader.get_str("general.architecture") or "t5"
+
+        def g(suffix):
+            return reader.get_int(f"{arch}.{suffix}")
+
         return T5Config(
-            d_model=g("t5.embedding_length"),
-            d_ff=g("t5.feed_forward_length"),
-            n_layers=g("t5.block_count"),
-            n_heads=g("t5.attention.head_count"),
-            d_kv=g("t5.attention.key_length") or
-            (g("t5.embedding_length") // g("t5.attention.head_count")),
-            vocab_size=g("t5.vocab_size") or 32128,
-            rel_buckets=g("t5.attention.relative_buckets_count") or 32,
+            d_model=g("embedding_length"),
+            d_ff=g("feed_forward_length"),
+            n_layers=g("block_count"),
+            n_heads=g("attention.head_count"),
+            d_kv=g("attention.key_length") or
+            (g("embedding_length") // g("attention.head_count")),
+            vocab_size=g("vocab_size") or 32128,
+            rel_buckets=g("attention.relative_buckets_count") or 32,
         )
 
     @staticmethod
