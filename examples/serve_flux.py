@@ -28,6 +28,12 @@ def main():
 
     import jax
 
+    # long-lived serving: the high-throughput kernel tiles are worth their
+    # one-time multi-minute Mosaic compile (docs/KERNEL.md)
+    from comfyui_gguf_tpu.ops import qmatmul
+
+    qmatmul.TILE_OVERRIDES.update(mt=512, kt=256, rt=1024)
+
     from comfyui_gguf_tpu.models import flux as flux_model
     from comfyui_gguf_tpu.pipeline import (
         FluxPipeline,
