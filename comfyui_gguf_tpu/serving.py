@@ -44,6 +44,11 @@ class GenRequest:
         default_factory=threading.Event)
     result: np.ndarray | None = None
     error: Exception | None = None
+    cancelled: bool = False
+
+    def cancel(self):
+        """Drop the request at the next engine tick (no partial result)."""
+        self.cancelled = True
 
     @property
     def finished(self) -> bool:
@@ -57,6 +62,7 @@ class EngineStats:
     submitted: int = 0
     completed: int = 0
     failed: int = 0
+    cancelled: int = 0
     steps_executed: int = 0
     batches_executed: int = 0
     total_padding_lanes: int = 0
@@ -78,6 +84,7 @@ class EngineStats:
             "submitted": self.submitted,
             "completed": self.completed,
             "failed": self.failed,
+            "cancelled": self.cancelled,
             "steps_executed": self.steps_executed,
             "batches_executed": self.batches_executed,
             "mean_batch_occupancy": round(self.mean_batch_occupancy, 3),
@@ -167,6 +174,12 @@ class ContinuousBatchEngine:
     def tick(self):
         """Admit new requests, run ONE denoise step on the stacked pool."""
         self._admit()
+        dropped = [r for r in self.active if r.cancelled]
+        if dropped:
+            self.active = [r for r in self.active if not r.cancelled]
+            for r in dropped:
+                self.stats.cancelled += 1
+                r.done_event.set()
         if not self.active:
             return
         batch = self.active[: self.max_batch]

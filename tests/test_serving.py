@@ -98,3 +98,18 @@ def test_failed_batch_does_not_kill_engine():
     eng.run_until_drained()
     assert ok.finished and ok.error is None
     assert eng.stats.failed == 1 and eng.stats.completed == 1
+
+
+def test_cancellation_drops_requests():
+    eng = ContinuousBatchEngine(_linear_step, max_batch=4)
+    keep = eng.submit(np.zeros((2, 2, 1), np.float32), {"c": np.float32(1)},
+                      linear_schedule(4))
+    drop = eng.submit(np.zeros((2, 2, 1), np.float32), {"c": np.float32(2)},
+                      linear_schedule(4))
+    eng.tick()
+    drop.cancel()
+    eng.run_until_drained()
+    assert keep.finished and keep.error is None
+    assert drop.cancelled and not drop.finished and drop.result is None
+    assert drop.done_event.is_set()
+    assert eng.stats.cancelled == 1 and eng.stats.completed == 1
