@@ -130,3 +130,32 @@ def test_config_detection(tiny_vae):
     c = vae.VAEConfig.from_state_dict(tiny_vae)
     assert c.z_channels == 4 and c.scale_factor == 0.18215
     assert not c.has_quant_conv
+
+
+def test_sd_style_quant_conv_branch(tiny_vae, cfg):
+    """SD1/SDXL VAEs wrap latents in (post_)quant_conv 1×1 convs."""
+    import dataclasses
+
+    rng = np.random.default_rng(3)
+    params = dict(tiny_vae)
+    params["post_quant_conv.weight"] = jnp.asarray(
+        (rng.standard_normal((ZC, ZC, 1, 1)) * 0.1 +
+         np.eye(ZC)[:, :, None, None]).astype(np.float32))
+    params["post_quant_conv.bias"] = jnp.zeros(ZC, jnp.float32)
+    params["quant_conv.weight"] = jnp.asarray(
+        (rng.standard_normal((2 * ZC, 2 * ZC, 1, 1)) * 0.1 +
+         np.eye(2 * ZC)[:, :, None, None]).astype(np.float32))
+    params["quant_conv.bias"] = jnp.zeros(2 * ZC, jnp.float32)
+    qcfg = dataclasses.replace(cfg, has_quant_conv=True)
+
+    z = jnp.asarray(rng.standard_normal((1, 6, 6, ZC)), jnp.float32)
+    img = vae.decode(params, qcfg, z, qcfg=F32CFG)
+    assert img.shape == (1, 12, 12, 3)
+    # quant_conv changes the result vs the conv-less config
+    img0 = vae.decode(tiny_vae, cfg, z, qcfg=F32CFG)
+    assert not np.allclose(np.asarray(img), np.asarray(img0))
+
+    im = jnp.asarray(rng.standard_normal((1, 12, 12, 3)) * 0.3, jnp.float32)
+    lat = vae.encode(params, qcfg, im, qcfg=F32CFG)
+    assert lat.shape == (1, 6, 6, ZC)
+    assert np.isfinite(np.asarray(lat)).all()
