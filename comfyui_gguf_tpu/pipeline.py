@@ -409,6 +409,31 @@ class SD3Pipeline:
         pooled = jnp.concatenate([l_out["pooled"], g_out["pooled"]], axis=-1)
         return ctx, pooled
 
+    def generate(self, prompt: str, negative_prompt: str = "", **kw):
+        """Prompt-level txt2img; needs tokenizers on the CLIP encoders
+        (available when they were loaded from GGUF with tokenizer
+        metadata — safetensors CLIP ships no vocab)."""
+        def ids_for(enc, text):
+            if enc is None:
+                return None
+            if enc.tokenizer is None:
+                raise ValueError(
+                    f"{enc.kind} has no tokenizer (safetensors encoder); "
+                    "use generate_from_ids with external token ids")
+            L = getattr(enc.config, "max_positions", None)
+            ids, _ = enc.tokenizer.encode_batch(
+                [text], max_length=min(77, L) if L else kw.get(
+                    "max_t5_len", 512))
+            return jnp.asarray(ids)
+
+        return self.generate_from_ids(
+            ids_for(self.clip_l, prompt), ids_for(self.clip_g, prompt),
+            t5_ids=ids_for(self.t5, prompt),
+            neg_clip_l_ids=ids_for(self.clip_l, negative_prompt),
+            neg_clip_g_ids=ids_for(self.clip_g, negative_prompt),
+            neg_t5_ids=ids_for(self.t5, negative_prompt),
+            **{k: v for k, v in kw.items() if k != "max_t5_len"})
+
     def generate_from_ids(self, clip_l_ids, clip_g_ids, t5_ids=None,
                           neg_clip_l_ids=None, neg_clip_g_ids=None,
                           neg_t5_ids=None, width: int = 1024,

@@ -185,3 +185,19 @@ def test_sdxl_pipeline_tiny():
                                  steps=2, cfg_scale=3.0)
     assert out.shape == (8, 8, 4)
     assert np.isfinite(out).all()
+
+
+def test_sd3_generate_requires_tokenizers():
+    import dataclasses as _dc
+
+    @_dc.dataclass
+    class NoTok:
+        kind: str = "clip_l"
+        tokenizer: object = None
+        config: object = None
+
+    p = pipeline.SD3Pipeline(model=None, clip_l=NoTok(), clip_g=NoTok())
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="tokenizer"):
+        p.generate("a cat")
