@@ -372,9 +372,9 @@ def _planarizable(qt: QTensor) -> bool:
     k = qt.shape[1]
     if qt.qtype not in codecs.COMPONENT_EXTRACTORS:
         return False
-    # group size is 16 or 32 for all supported formats; require both halves
-    # of the nib4 K-split to stay group-aligned
-    return k % 64 == 0 and k % block == 0
+    # planarize pads K to a 512 multiple, so any block-aligned row width
+    # re-tiles (SD3.5-large's 2432 included)
+    return k % block == 0
 
 
 def to_jax_params(

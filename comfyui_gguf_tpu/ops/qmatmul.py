@@ -145,8 +145,11 @@ def _make_int8_kernel(*, gs, kt, rt, n_k, compute_dtype, has_offsets):
 
 
 def _pick_kt(k_rows: int, gs: int) -> int | None:
-    for cand in (512, 256, 128, 64, 32, 16):
-        if k_rows % cand == 0 and cand % gs == 0:
+    # Mosaic block legality: x block last dim -> kt % 128 == 0; scale
+    # block sublanes -> (kt // gs) % 8 == 0. Smaller kt would need the
+    # block to equal the full array dim, which defeats k-tiling.
+    for cand in (512, 256, 128):
+        if k_rows % cand == 0 and cand % (8 * gs) == 0:
             return cand
     return None
 
@@ -170,8 +173,8 @@ def _pick_tiles(m: int, k_rows: int, rp: int, gs: int,
     # kt=256 code rows: scale tiles stay ≥8 sublanes for gs∈{16,32} and the
     # unpacked (kt, rt) plane fits VMEM alongside the accumulator
     kt = None
-    for cand in (256, 128, 64, 32, 16):
-        if k_rows % cand == 0 and cand % gs == 0:
+    for cand in (256, 128):  # legality: see _pick_kt
+        if k_rows % cand == 0 and cand % (8 * gs) == 0:
             kt = cand
             break
     K = k_rows  # logical K/2 for nib4; ratio heuristic is layout-agnostic
@@ -217,7 +220,10 @@ def pallas_qmm(x: jax.Array, pq: PlanarQuant, *, dequant_dtype=jnp.bfloat16,
     gs = pq.group_size
     has_offsets = pq.offsets is not None
     nib4 = pq.layout == "nib4"
-    k_rows = pq.qs.shape[0]  # K//2 for nib4, K for int8
+    k_rows = pq.qs.shape[0]  # Kp//2 for nib4, Kp for int8
+    kp = k_rows * (2 if nib4 else 1)  # planar-padded K
+    if kp != K:
+        x2 = jnp.pad(x2, ((0, 0), (0, kp - K)))
 
     mt, kt, rt = _pick_tiles(m, k_rows, rp, gs,
                              out_bytes=jnp.dtype(out_dtype).itemsize)

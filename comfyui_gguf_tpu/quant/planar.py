@@ -108,9 +108,6 @@ def planarize(
     R, K = int(shape[0]), int(shape[1])
     comp = codecs.COMPONENT_EXTRACTORS[qtype](np.ascontiguousarray(data))
     gs = comp.group_size
-    if K % (2 * gs) != 0:
-        raise ValueError(f"in_features {K} not divisible by 2*group_size {2*gs}")
-
     out = _components_to_planar(comp.q, comp.scales, comp.offsets, qtype,
                                 comp.zero_point, gs, (R, K),
                                 scale_dtype=scale_dtype)
@@ -203,8 +200,27 @@ def _components_to_planar(q, scales, offsets, qtype, zero_point, gs,
     ``scale_dtype=jnp.bfloat16`` halves scale/offset bytes (Q4_K planar
     drops from ~6 to ~5 bpw); the ~2⁻⁸ relative scale rounding is far
     below the quantization noise itself — opt-in for HBM-tight deploys.
+
+    K is padded up to a multiple of 512 (zero-contribution pad codes +
+    zero scales) so the kernel's k tiling stays Mosaic-legal for any
+    block-multiple in-features (e.g. SD3.5-large's 2432): the x block
+    needs kt%128, the scale block needs (kt/gs)%8 sublanes, and the nib4
+    K-split halves the code rows — 512 covers all of gs∈{16,32}.
     """
     R, K = shape
+    kp = -(-K // 512) * 512
+    if kp != K:
+        q = q.reshape(R, K)
+        qpad = np.full((R, kp - K), zero_point, dtype=q.dtype)
+        q = np.concatenate([q, qpad], axis=1)
+        scales = np.concatenate(
+            [scales.reshape(R, K // gs),
+             np.zeros((R, (kp - K) // gs), dtype=np.float32)], axis=1)
+        if offsets is not None:
+            offsets = np.concatenate(
+                [offsets.reshape(R, K // gs),
+                 np.zeros((R, (kp - K) // gs), dtype=np.float32)], axis=1)
+        K = kp
     rp = -(-R // LANE) * LANE
     pad = rp - R
     scales_t = np.pad(scales.reshape(R, K // gs).T, ((0, 0), (0, pad)))
@@ -230,7 +246,7 @@ def _components_to_planar(q, scales, offsets, qtype, zero_point, gs,
         offsets=(None if offsets_t is None
                  else jnp.asarray(offsets_t.astype(np.float32)).astype(sdt)),
         qtype=int(qtype), layout=layout, group_size=gs, zero_point=zp,
-        shape=(R, K),
+        shape=shape,
     )
 
 
@@ -260,13 +276,13 @@ def dequantize_kmajor(p: PlanarQuant, dtype=jnp.float32) -> jax.Array:
     q = unpack_codes(p).astype(jnp.float32)
     if p.zero_point:
         q = q - jnp.float32(p.zero_point)
-    K = p.in_features
+    kp = q.shape[0]  # padded K (see _components_to_planar)
     gs = p.group_size
-    a = jnp.repeat(p.scales, gs, axis=0, total_repeat_length=K)
+    a = jnp.repeat(p.scales, gs, axis=0, total_repeat_length=kp)
     w = a * q
     if p.offsets is not None:
-        w = w + jnp.repeat(p.offsets, gs, axis=0, total_repeat_length=K)
-    return w[:, : p.out_features].astype(dtype)
+        w = w + jnp.repeat(p.offsets, gs, axis=0, total_repeat_length=kp)
+    return w[: p.in_features, : p.out_features].astype(dtype)
 
 
 def dequantize(p: PlanarQuant, dtype=jnp.float32) -> jax.Array:

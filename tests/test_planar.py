@@ -31,7 +31,7 @@ def test_planar_dequant_bit_exact(qtype):
 @pytest.mark.parametrize("qtype", [Q.Q4_0, Q.Q4_K, Q.Q2_K], ids=lambda q: q.name)
 def test_nib4_layout(qtype):
     rng = np.random.default_rng(0)
-    R, K = 128, 256
+    R, K = 128, 512  # 512-multiple: no K padding, shapes exact
     x = rng.standard_normal((R, K)).astype(np.float32)
     p = planar.planarize(codecs.quantize(x, qtype), qtype, (R, K))
     assert p.layout == "nib4"

@@ -83,3 +83,37 @@ def test_pallas_qmm_with_bf16_scales():
         pallas_qmm(x, p16, dequant_dtype=jnp.float32, interpret=True))
     want = np.asarray(xla_qmm(x, p16, dequant_dtype=jnp.float32))
     np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-3)
+
+
+@pytest.mark.parametrize("qtype", [Q.Q4_K, Q.Q8_0, Q.Q4_0])
+def test_k_not_multiple_of_512_pads(qtype):
+    """SD3.5-large regression: hidden=2432 (19*128) used to pick kt=64,
+    an illegal Mosaic block. planarize now pads K to a 512 multiple with
+    zero-contribution groups; kernel and oracle must agree and slice back
+    to the logical width."""
+    R, K = 192, 2432
+    pq, ref = _mk_planar(qtype, R, K, seed=7)
+    assert pq.in_features == K
+    k_rows = pq.qs.shape[0]
+    kp = k_rows * (2 if pq.layout == "nib4" else 1)
+    assert kp % 512 == 0
+    rng = np.random.default_rng(8)
+    x = rng.standard_normal((16, K), dtype=np.float32)
+    want = x @ ref.T
+    got_xla = np.asarray(xla_qmm(jnp.asarray(x), pq, dequant_dtype=jnp.float32))
+    np.testing.assert_allclose(got_xla, want, rtol=2e-4, atol=2e-4)
+    got_pl = np.asarray(
+        pallas_qmm(jnp.asarray(x), pq, dequant_dtype=jnp.float32,
+                   interpret=True))
+    assert got_pl.shape == (16, R)
+    np.testing.assert_allclose(got_pl, want, rtol=1e-3, atol=2e-4)
+
+
+def test_kt_candidates_are_mosaic_legal():
+    from comfyui_gguf_tpu.ops.qmatmul import _pick_kt
+    for k_rows in (1216, 1280, 2432, 2560, 1536, 768, 384):
+        for gs in (16, 32):
+            kt = _pick_kt(k_rows, gs)
+            if kt is not None:
+                assert kt % 128 == 0 and (kt // gs) % 8 == 0
+                assert k_rows % kt == 0
