@@ -31,17 +31,24 @@ log = logging.getLogger(__name__)
 
 
 @partial(jax.tree_util.register_dataclass,
-         data_fields=["up", "down", "mid", "diff"],
+         data_fields=["up", "down", "mid", "diff", "a1", "a2"],
          meta_fields=["scale"])
 @dataclasses.dataclass(frozen=True)
 class LoRAPatch:
-    """One additive patch: ΔW = scale · up @ (mid @)? down, or dense diff."""
+    """One additive patch: ΔW = scale · up @ (mid @)? down, or dense diff.
+
+    GLoRA additionally carries a weight-dependent term
+    ΔW += scale · W @ a2 @ a1, applied as an *input-side* rank rewrite
+    (see apply_patch_prologue) so the packed base weight is reused —
+    never dequantized."""
 
     up: jax.Array | None  # (R, r)
     down: jax.Array | None  # (r, K)
     mid: jax.Array | None  # (r, r) LoCon mid block, rarely present
     diff: jax.Array | None  # dense (R, K) delta (patch type "diff")
     scale: float
+    a1: jax.Array | None = None  # glora (r, K)
+    a2: jax.Array | None = None  # glora (K, r)
 
 
 @partial(jax.tree_util.register_dataclass,
@@ -54,6 +61,25 @@ class PatchedWeight:
     patches: tuple[LoRAPatch, ...]
 
 
+def apply_patch_prologue(x: jax.Array, patches: tuple[LoRAPatch, ...],
+                         patch_dtype=None) -> jax.Array:
+    """GLoRA input rewrite: x' = x + Σ scale · (x @ a1ᵀ) @ a2ᵀ.
+
+    Running x' through the base weight yields exactly the
+    scale·W@a2@a1 term of the glora delta (x·(W a2 a1)ᵀ =
+    ((x a1ᵀ) a2ᵀ)·Wᵀ) at O(r·K) instead of a dense weight rewrite."""
+    dt = patch_dtype or x.dtype
+    for p in patches:
+        if p.a1 is None:
+            continue
+        h = jnp.dot(x.astype(dt), p.a1.astype(dt).T,
+                    preferred_element_type=jnp.float32).astype(dt)
+        h = jnp.dot(h, p.a2.astype(dt).T,
+                    preferred_element_type=jnp.float32)
+        x = x + (p.scale * h).astype(x.dtype)
+    return x
+
+
 def apply_patch_epilogue(x: jax.Array, out: jax.Array,
                          patches: tuple[LoRAPatch, ...],
                          patch_dtype=None) -> jax.Array:
@@ -61,6 +87,8 @@ def apply_patch_epilogue(x: jax.Array, out: jax.Array,
     dt = patch_dtype or x.dtype
     acc = out
     for p in patches:
+        if p.diff is None and p.up is None:
+            continue  # prologue-only patch (glora without a b-branch)
         if p.diff is not None:
             delta = jnp.dot(x.astype(dt), p.diff.astype(dt).T,
                             preferred_element_type=jnp.float32)
@@ -109,6 +137,8 @@ _EXTRA_SUFFIXES = {
     ".lokr_w1": "lokr_w1", ".lokr_w2": "lokr_w2",
     ".lokr_w1_a": "lokr_w1_a", ".lokr_w1_b": "lokr_w1_b",
     ".lokr_w2_a": "lokr_w2_a", ".lokr_w2_b": "lokr_w2_b",
+    ".a1.weight": "glora_a1", ".a2.weight": "glora_a2",
+    ".b1.weight": "glora_b1", ".b2.weight": "glora_b2",
 }
 
 
@@ -223,6 +253,19 @@ def build_patches(mapped: dict, strength: float = 1.0,
             delta, scale = _lokr_delta(parts, strength)
             patch = LoRAPatch(up=None, down=None, mid=None,
                               diff=jnp.asarray(delta, dtype), scale=scale)
+        elif "glora_a1" in parts:
+            # GLoRA: ΔW = s·(b2@b1 + W@a2@a1); a-branch rides the input
+            # prologue, b-branch the standard rank epilogue
+            b1 = np.asarray(parts["glora_b1"], np.float32)
+            rank = b1.shape[0]
+            alpha = float(np.asarray(parts.get("alpha", rank)))
+            patch = LoRAPatch(
+                up=jnp.asarray(parts["glora_b2"], dtype),
+                down=jnp.asarray(b1, dtype), mid=None, diff=None,
+                scale=float(strength) * alpha / rank,
+                a1=jnp.asarray(parts["glora_a1"], dtype),
+                a2=jnp.asarray(parts["glora_a2"], dtype),
+            )
         elif "up" in parts and "down" in parts:
             up = np.asarray(parts["up"])
             down = np.asarray(parts["down"])

@@ -138,6 +138,7 @@ def random_planar(qtype, shape: tuple[int, int], rng: np.random.Generator,
     from ..quant.planar import LANE, PlanarQuant, _NIB4_TYPES
 
     R, K = shape
+    kp = -(-K // 512) * 512  # planarize pads K to a 512 multiple
     rp = -(-R // LANE) * LANE
     comp = codecs.COMPONENT_EXTRACTORS[qtype](
         codecs.quantize(rng.standard_normal((1, 512), dtype=np.float32)
@@ -147,16 +148,16 @@ def random_planar(qtype, shape: tuple[int, int], rng: np.random.Generator,
     nib4 = qtype in _NIB4_TYPES
     put = (lambda x: jax.device_put(x, device)) if device else jnp.asarray
     if nib4:
-        qs = put(rng.integers(0, 256, (K // 2, rp), dtype=np.uint8))
+        qs = put(rng.integers(0, 256, (kp // 2, rp), dtype=np.uint8))
         zp = comp.zero_point
         layout = "nib4"
     else:
-        qs = put(rng.integers(-127, 128, (K, rp)).astype(np.int8))
+        qs = put(rng.integers(-127, 128, (kp, rp)).astype(np.int8))
         zp = 0
         layout = "int8"
-    scales = put((rng.standard_normal((K // gs, rp)) * 0.01
+    scales = put((rng.standard_normal((kp // gs, rp)) * 0.01
                   ).astype(np.float32))
-    offsets = (put((rng.standard_normal((K // gs, rp)) * 0.01
+    offsets = (put((rng.standard_normal((kp // gs, rp)) * 0.01
                     ).astype(np.float32)) if has_offsets else None)
     return PlanarQuant(qs=qs, scales=scales, offsets=offsets,
                        qtype=int(qtype), layout=layout, group_size=gs,

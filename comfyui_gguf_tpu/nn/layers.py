@@ -62,10 +62,14 @@ def materialize(leaf, dtype=jnp.float32) -> jax.Array:
     PatchedWeight leaves fold their LoRA deltas into the dense result."""
     if hasattr(leaf, "patches") and hasattr(leaf, "base"):
         w = materialize(leaf.base, jnp.float32)
+        w0 = w
         for p in leaf.patches:
+            if getattr(p, "a1", None) is not None:  # glora: + s·W@a2@a1
+                w = w + p.scale * (w0 @ p.a2.astype(jnp.float32)
+                                   @ p.a1.astype(jnp.float32))
             if p.diff is not None:
                 w = w + p.scale * p.diff.astype(jnp.float32)
-            else:
+            elif p.up is not None:
                 delta = p.up.astype(jnp.float32) @ (
                     (p.mid.astype(jnp.float32) @ p.down.astype(jnp.float32))
                     if p.mid is not None else p.down.astype(jnp.float32))
@@ -82,9 +86,15 @@ def linear(x: jax.Array, weight, bias=None, *,
     lora.PatchedWeight — patches apply as a rank-factored output epilogue
     (the patch-on-dequant equivalent of reference ops.py:166-191)."""
     patches = None
+    x_in = x  # epilogue b-branches see the unrewritten input
     if hasattr(weight, "patches") and hasattr(weight, "base"):
         patches = weight.patches
         weight = weight.base
+        if any(getattr(p, "a1", None) is not None for p in patches):
+            from ..lora import apply_patch_prologue
+
+            x = apply_patch_prologue(x, patches,
+                                     patch_dtype=cfg.effective_patch_dtype)
     if isinstance(weight, PlanarQuant):
         out = quantized_matmul(
             x, weight,
@@ -99,7 +109,7 @@ def linear(x: jax.Array, weight, bias=None, *,
     if patches:
         from ..lora import apply_patch_epilogue
 
-        out = apply_patch_epilogue(x, out, patches,
+        out = apply_patch_epilogue(x_in, out, patches,
                                    patch_dtype=cfg.effective_patch_dtype)
     if bias is not None:
         out = out + bias.astype(out.dtype)

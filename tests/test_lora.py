@@ -174,3 +174,40 @@ def test_group_keys_loha():
           "lora_unet_x.alpha": np.float32(1.0)}
     g = lora.group_lora_keys(sd)
     assert set(g["lora_unet_x"]) == {"hada_w1_a", "hada_w1_b", "alpha"}
+
+
+def test_glora_patch_matches_dense_rewrite():
+    """GLoRA: y = x @ (W + s(b2@b1 + W@a2@a1))^T, applied packed via
+    input prologue + output epilogue — must match the dense rewrite."""
+    rng = np.random.default_rng(9)
+    R, K, r = 128, 256, 4
+    w = rng.standard_normal((R, K)).astype(np.float32)
+    sd = {
+        "lora_unet_w.a1.weight": (rng.standard_normal((r, K)) * 0.1
+                                  ).astype(np.float32),
+        "lora_unet_w.a2.weight": (rng.standard_normal((K, r)) * 0.1
+                                  ).astype(np.float32),
+        "lora_unet_w.b1.weight": (rng.standard_normal((r, K)) * 0.1
+                                  ).astype(np.float32),
+        "lora_unet_w.b2.weight": (rng.standard_normal((R, r)) * 0.1
+                                  ).astype(np.float32),
+        "lora_unet_w.alpha": np.float32(2.0),
+    }
+    groups = lora.group_lora_keys(sd)
+    mapped = lora.map_lora_to_model_keys(groups, ["w.weight"])
+    patches = lora.build_patches(mapped, strength=0.7, dtype=jnp.float32)
+    assert "w.weight" in patches
+    s = 0.7 * 2.0 / r
+    a1, a2 = sd["lora_unet_w.a1.weight"], sd["lora_unet_w.a2.weight"]
+    b1, b2 = sd["lora_unet_w.b1.weight"], sd["lora_unet_w.b2.weight"]
+    w_dense = w + s * (b2 @ b1 + w @ a2 @ a1)
+
+    x = rng.standard_normal((6, K)).astype(np.float32)
+    pw = lora.PatchedWeight(base=jnp.asarray(w), patches=patches["w.weight"])
+    cfg = QuantConfig(compute_dtype=jnp.float32, patch_dtype=jnp.float32)
+    got = np.asarray(linear(jnp.asarray(x), pw, cfg=cfg))
+    np.testing.assert_allclose(got, x @ w_dense.T, rtol=2e-4, atol=2e-4)
+
+    # materialize() folds the same delta
+    np.testing.assert_allclose(np.asarray(materialize(pw, jnp.float32)),
+                               w_dense, rtol=2e-4, atol=2e-4)
