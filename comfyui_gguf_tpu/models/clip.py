@@ -32,6 +32,10 @@ class CLIPTextConfig:
     # CLIP-L (OpenAI) uses quick-gelu; CLIP-G (open_clip bigG) plain gelu
     act: str = "quick_gelu"
     eps: float = 1e-5
+    # when set, pooled output reads the FIRST eos position instead of
+    # argmax(ids) — required once textual-inversion tokens (ids above the
+    # eos id) are appended to the vocabulary
+    eos_token_id: int | None = None
 
     @staticmethod
     def from_state_dict(sd) -> "CLIPTextConfig":
@@ -50,6 +54,7 @@ class CLIPTextConfig:
             intermediate=int(inter), vocab_size=int(vocab),
             max_positions=int(maxpos),
             act="gelu" if int(hidden) >= 1280 else "quick_gelu",
+            eos_token_id=49407 if int(vocab) == 49408 else None,
         )
 
 
@@ -159,7 +164,11 @@ def encode(params, cfg: CLIPTextConfig, ids: jax.Array,
                       params.get("text_model.final_layer_norm.bias"),
                       eps=cfg.eps)
 
-    eot = jnp.argmax(ids, axis=-1)  # EOT has the highest token id in CLIP
+    if cfg.eos_token_id is not None:
+        eot = jnp.argmax((ids == cfg.eos_token_id).astype(jnp.int32),
+                         axis=-1)  # first EOS position
+    else:
+        eot = jnp.argmax(ids, axis=-1)  # EOT has the highest token id
     pooled = last[jnp.arange(B), eot]
     proj = params.get("text_projection.weight",
                       params.get("text_projection"))
