@@ -603,3 +603,72 @@ class SDXLPipeline:
             return np.asarray(latent[0])
         img = vae_model.decode(self.vae_params, self.vae_config, latent)
         return np.asarray((jnp.clip(img[0], -1, 1) + 1) / 2)
+
+    def refine_from_ids(self, latent, clip_g_ids, neg_clip_g_ids=None, *,
+                        refiner: DiffusionModel,
+                        width: int = 1024, height: int = 1024,
+                        steps: int = 20, cfg_scale: float = 7.0,
+                        denoise: float = 0.25,
+                        aesthetic_score: float = 6.0,
+                        negative_aesthetic_score: float = 2.5,
+                        seed: int = 0, decode: bool = True):
+        """SDXL refiner pass (ensemble-of-experts second stage).
+
+        The refiner UNet conditions on CLIP-G only (1280-wide context) and
+        replaces the base model's target-size embeddings with an aesthetic
+        score: y = pooled_g ⊕ emb256(h, w, crop_h, crop_w, aesthetic) →
+        adm 2560 (sgm GeneralConditioner convention). ``latent`` is the base
+        model's output (h/8, w/8, 4) or (1, h/8, w/8, 4); it is re-noised
+        to the sigma at ``1-denoise`` of the schedule and sampled down.
+        """
+        from .models import unet as unet_model
+        from .sampling import kdiffusion as kd
+
+        def cond(g_ids, score):
+            g_out = self.clip_g.encode(g_ids)
+            vals = jnp.asarray([[height, width, 0, 0, score]], jnp.float32)
+            emb = flux_model.timestep_embedding(
+                vals.reshape(-1), 256, time_factor=1.0).reshape(1, -1)
+            y = jnp.concatenate(
+                [g_out["pooled"], emb.astype(g_out["pooled"].dtype)],
+                axis=-1)
+            return g_out["penultimate"], y
+
+        ctx, y = cond(clip_g_ids, aesthetic_score)
+        use_cfg = cfg_scale != 1.0 and neg_clip_g_ids is not None
+        if use_cfg:
+            nctx, ny = cond(neg_clip_g_ids, negative_aesthetic_score)
+
+        table = kd.ddpm_sigmas()
+        sigmas = kd.normal_schedule(steps, table)
+        first = min(int(round((1.0 - denoise) * steps)), steps - 1)
+        sigmas = sigmas[first:]
+        lat = jnp.asarray(latent, jnp.bfloat16)
+        if lat.ndim == 3:
+            lat = lat[None]
+        key = jax.random.key(seed)
+        x = lat + jax.random.normal(key, lat.shape, lat.dtype) * float(
+            sigmas[0])
+
+        @jax.jit
+        def sample(params, x0, ctx, y, *neg):
+            def eps(x_in, t, ctx_, y_):
+                return unet_model.forward(params, refiner.config, x_in, t,
+                                          ctx_, y_, qcfg=refiner.qcfg)
+
+            def eps_cfg(x_in, t):
+                e_c = eps(x_in, t, ctx, y)
+                if not neg:
+                    return e_c
+                e_u = eps(x_in, t, neg[0], neg[1])
+                return e_u + cfg_scale * (e_c - e_u)
+
+            den = kd.make_eps_denoiser(eps_cfg, table)
+            return kd.euler_sample_sigma(den, x0, sigmas)
+
+        args = (nctx, ny) if use_cfg else ()
+        out = sample(refiner.params, x, ctx, y, *args)
+        if not decode or self.vae_params is None:
+            return np.asarray(out[0])
+        img = vae_model.decode(self.vae_params, self.vae_config, out)
+        return np.asarray((jnp.clip(img[0], -1, 1) + 1) / 2)

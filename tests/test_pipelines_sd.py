@@ -201,3 +201,69 @@ def test_sd3_generate_requires_tokenizers():
 
     with _pytest.raises(ValueError, match="tokenizer"):
         p.generate("a cat")
+
+
+def test_sdxl_refiner_tiny():
+    """refine_from_ids: CLIP-G-only context, aesthetic-score adm (5x256),
+    partial re-noise from a base latent."""
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    from comfyui_gguf_tpu.models import unet as unet_model
+    from comfyui_gguf_tpu.nn.layers import QuantConfig
+    from tests.test_unet import _res, _xformer
+
+    F32 = QuantConfig(dequant_dtype=jnp.float32, compute_dtype=jnp.float32,
+                      prefer_pallas=False)
+    rng = np.random.default_rng(1)
+    MC, LAT, POOL_G = 32, 4, 40
+    ADM = POOL_G + 5 * 256  # pooled_g + (h, w, crop_h, crop_w, aesthetic)
+    emb = 4 * MC
+
+    def conv(o, i, k=3):
+        return (rng.standard_normal((o, i, k, k)) * 0.05).astype(np.float32)
+
+    def lin(o, i):
+        return (rng.standard_normal((o, i)) * 0.05).astype(np.float32)
+
+    sd = {
+        "input_blocks.0.0.weight": conv(MC, LAT),
+        "input_blocks.0.0.bias": np.zeros(MC, np.float32),
+        "time_embed.0.weight": lin(emb, MC),
+        "time_embed.0.bias": np.zeros(emb, np.float32),
+        "time_embed.2.weight": lin(emb, emb),
+        "time_embed.2.bias": np.zeros(emb, np.float32),
+        "label_emb.0.0.weight": lin(emb, ADM),
+        "label_emb.0.0.bias": np.zeros(emb, np.float32),
+        "label_emb.0.2.weight": lin(emb, emb),
+        "label_emb.0.2.bias": np.zeros(emb, np.float32),
+        "out.0.weight": np.ones(MC, np.float32),
+        "out.0.bias": np.zeros(MC, np.float32),
+        "out.2.weight": conv(LAT, MC),
+        "out.2.bias": np.zeros(LAT, np.float32),
+    }
+    # refiner context dim = clip_g penultimate width only
+    sd.update(_res(rng, "input_blocks.1.0", MC, MC, emb))
+    sd.update(_xformer(rng, "input_blocks.1.1", MC, linear_proj=True,
+                       ctx=POOL_G))
+    sd.update(_res(rng, "middle_block.0", MC, MC, emb))
+    sd.update(_res(rng, "output_blocks.0.0", 2 * MC, MC, emb))
+    sd.update(_res(rng, "output_blocks.1.0", 2 * MC, MC, emb))
+    params = {k: jnp.asarray(v) for k, v in sd.items()}
+
+    cfg = dataclasses.replace(unet_model.UNetConfig.from_state_dict(params),
+                              head_dim=16, context_dim=POOL_G)
+    refiner = pipeline.DiffusionModel(arch="sdxl", params=params, config=cfg,
+                                      qcfg=F32)
+    pipe = pipeline.SDXLPipeline(
+        model=refiner,  # unused by refine path beyond type
+        clip_l=StubEncoder("clip_l", 24, 16),
+        clip_g=StubEncoder("clip_g", POOL_G, POOL_G))
+    ids = jnp.zeros((1, 7), jnp.int32)
+    base_latent = np.zeros((8, 8, 4), np.float32)
+    out = pipe.refine_from_ids(base_latent, ids, neg_clip_g_ids=ids,
+                               refiner=refiner, width=64, height=64,
+                               steps=4, cfg_scale=2.0, denoise=0.5, seed=3)
+    assert out.shape == (8, 8, 4)
+    assert np.isfinite(out).all()

@@ -39,7 +39,7 @@ def _res(rng, p, cin, cout, emb):
     return sd
 
 
-def _xformer(rng, p, c, linear_proj):
+def _xformer(rng, p, c, linear_proj, ctx=None):
     def lin(o, i):
         return (rng.standard_normal((o, i)) * 0.05).astype(np.float32)
 
@@ -61,7 +61,7 @@ def _xformer(rng, p, c, linear_proj):
     for n in ("norm1", "norm2", "norm3"):
         sd[f"{b}.{n}.weight"] = np.ones(c, np.float32)
         sd[f"{b}.{n}.bias"] = np.zeros(c, np.float32)
-    for a, kdim in (("attn1", c), ("attn2", CTX)):
+    for a, kdim in (("attn1", c), ("attn2", ctx or CTX)):
         sd[f"{b}.{a}.to_q.weight"] = lin(c, c)
         sd[f"{b}.{a}.to_k.weight"] = lin(c, kdim)
         sd[f"{b}.{a}.to_v.weight"] = lin(c, kdim)
