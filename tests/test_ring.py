@@ -1,0 +1,70 @@
+"""Ring attention (sequence parallelism) vs dense reference on the
+8-device CPU mesh (conftest forces xla_force_host_platform_device_count)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import Mesh
+
+from comfyui_gguf_tpu.parallel.ring import ring_attention
+
+
+def _dense(q, k, v, scale):
+    s = jnp.einsum("bqhd,bkhd->bhqk", q.astype(jnp.float32),
+                   k.astype(jnp.float32)) * scale
+    p = jax.nn.softmax(s, axis=-1)
+    return jnp.einsum("bhqk,bkhd->bqhd", p,
+                      v.astype(jnp.float32)).astype(q.dtype)
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    devs = np.array(jax.devices()[:8])
+    return Mesh(devs, ("sp",))
+
+
+@pytest.mark.parametrize("dtype", [jnp.float32, jnp.bfloat16])
+def test_ring_matches_dense(mesh, dtype):
+    rng = np.random.default_rng(0)
+    B, L, H, D = 2, 64, 4, 16
+    q, k, v = (jnp.asarray(rng.standard_normal((B, L, H, D)), dtype)
+               for _ in range(3))
+    got = ring_attention(q, k, v, mesh)
+    want = _dense(q, k, v, D ** -0.5)
+    tol = 1e-5 if dtype == jnp.float32 else 3e-2
+    np.testing.assert_allclose(np.asarray(got, np.float32),
+                               np.asarray(want, np.float32),
+                               rtol=tol, atol=tol)
+
+
+def test_ring_custom_scale(mesh):
+    rng = np.random.default_rng(1)
+    B, L, H, D = 1, 32, 2, 8
+    q, k, v = (jnp.asarray(rng.standard_normal((B, L, H, D)), jnp.float32)
+               for _ in range(3))
+    got = ring_attention(q, k, v, mesh, scale=0.5)
+    want = _dense(q, k, v, 0.5)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_ring_rejects_indivisible(mesh):
+    q = jnp.zeros((1, 30, 2, 8))
+    with pytest.raises(ValueError):
+        ring_attention(q, q, q, mesh)
+
+
+def test_ring_extreme_logits_stable(mesh):
+    """Streaming softmax must survive large logit magnitudes (running-max
+    correction), where a naive exp-sum would overflow."""
+    rng = np.random.default_rng(2)
+    B, L, H, D = 1, 64, 2, 16
+    q = jnp.asarray(rng.standard_normal((B, L, H, D)) * 30, jnp.float32)
+    k = jnp.asarray(rng.standard_normal((B, L, H, D)) * 30, jnp.float32)
+    v = jnp.asarray(rng.standard_normal((B, L, H, D)), jnp.float32)
+    got = ring_attention(q, k, v, mesh)
+    want = _dense(q, k, v, D ** -0.5)
+    assert np.isfinite(np.asarray(got)).all()
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-4, atol=1e-4)
