@@ -478,15 +478,20 @@ class SD3Pipeline:
 
 @dataclasses.dataclass
 class WanPipeline:
-    """Wan 2.1 t2v: UMT5 conditioning, CFG rectified flow, latent output.
+    """Wan 2.1 t2v: UMT5 conditioning, CFG rectified flow.
 
-    Returns latent video (decode with a Wan VAE externally — the causal 3-D
-    video VAE is round-2 work, see PARITY.md).
+    With ``vae_params`` set (models/wan_vae.py causal 3-D VAE), ``generate``
+    returns decoded video (T, H, W, 3) in [0, 1]; otherwise latent video.
+    Per-channel latent statistics (``latents_mean``/``latents_std``, 16-wide,
+    from the checkpoint config) un-normalize z before decode when given.
     """
 
     model: DiffusionModel
     t5: TextEncoder
     shift: float = 5.0
+    vae_params: dict | None = None
+    latents_mean: np.ndarray | None = None
+    latents_std: np.ndarray | None = None
 
     @staticmethod
     def load(unet_path: str, t5_path: str, **kw) -> "WanPipeline":
@@ -531,7 +536,19 @@ class WanPipeline:
             return euler_sample(velocity, x0, sigmas)
 
         args = (nctx,) if use_cfg else ()
-        return np.asarray(denoise(model.params, x, ctx, *args)[0])
+        lat = denoise(model.params, x, ctx, *args)
+        if self.vae_params is None:
+            return np.asarray(lat[0])
+        from .models import wan_vae
+
+        z = lat.astype(jnp.float32)
+        if self.latents_mean is not None:
+            mean = jnp.asarray(self.latents_mean, jnp.float32)
+            std = jnp.asarray(self.latents_std, jnp.float32)
+            z = z * std + mean
+        vcfg = wan_vae.WanVAEConfig.from_state_dict(self.vae_params)
+        vid = wan_vae.decode(self.vae_params, vcfg, z, qcfg=model.qcfg)
+        return np.asarray((jnp.clip(vid[0], -1, 1) + 1) / 2)
 
 
 @dataclasses.dataclass
