@@ -42,6 +42,37 @@ def make_mesh(n_devices: int | None = None, tp: int | None = None,
     return Mesh(arr, ("dp", "tp"))
 
 
+def make_multihost_mesh(tp: int | None = None, devices=None) -> Mesh:
+    """(host, dp, tp) mesh for multi-host pods: the leading ``host`` axis
+    maps to the slow DCN links, the inner axes to ICI.
+
+    Layout rule (the scaling-book recipe): put ONLY the batch dimension on
+    ``host`` — per-sample denoise steps need no cross-sample collective, so
+    the only DCN traffic is request dispatch; tp collectives (psum per
+    block) stay inside a host's ICI domain where they cost µs, not ms.
+    Weight shardings never touch ``host``: every host holds a full packed
+    replica (packed planar weights are 4-8× smaller than fp16, so a flux
+    Q4_K replica is ~6 GB — replication is cheaper than paying DCN latency
+    every layer).
+
+    Under ``jax.distributed`` each process contributes its local devices;
+    here the axis comes from ``process_index`` grouping. Single-process
+    (tests, the 8-CPU virtual mesh): pass ``devices`` pre-grouped or get a
+    1-host mesh."""
+    if devices is None:
+        devices = jax.devices()
+    n_hosts = max(d.process_index for d in devices) + 1
+    per_host = len(devices) // n_hosts
+    if tp is None:
+        tp = per_host
+    if per_host % tp:
+        raise ValueError(f"{per_host} per-host devices not divisible by "
+                         f"tp={tp}")
+    by_host = sorted(devices, key=lambda d: (d.process_index, d.id))
+    arr = np.array(by_host).reshape(n_hosts, per_host // tp, tp)
+    return Mesh(arr, ("host", "dp", "tp"))
+
+
 def _tp_divisible(pq: PlanarQuant, tp: int) -> bool:
     return pq.padded_out % tp == 0
 
@@ -68,6 +99,12 @@ def shard_quant_params(params: dict, mesh: Mesh) -> dict:
                 lambda leaf: jax.device_put(leaf, repl), v
             ) if isinstance(v, PlanarQuant) else jax.device_put(v, repl)
     return out
+
+
+def batch_spec(mesh: Mesh) -> P:
+    """PartitionSpec for the batch axis: (host, dp) on multi-host meshes
+    (DCN carries only request dispatch), plain dp otherwise."""
+    return P(("host", "dp")) if "host" in mesh.shape else P("dp")
 
 
 def replicate(tree, mesh: Mesh):

@@ -126,3 +126,26 @@ def test_tp_mlp_jits_under_outer_jit(mesh):
     eager = np.asarray(tp_mlp(x, w_up, w_down, mesh, cfg=F32CFG))
     jitted = np.asarray(step(x, w_up, w_down))
     np.testing.assert_allclose(jitted, eager, rtol=1e-4, atol=1e-3)
+
+
+def test_multihost_mesh_single_process():
+    """Single-process: all devices share process_index 0 → 1-host mesh;
+    batch_spec spans (host, dp) so the batch partitions over both."""
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding
+
+    from comfyui_gguf_tpu.parallel.mesh import (batch_spec, make_mesh,
+                                                make_multihost_mesh)
+
+    mesh = make_multihost_mesh(tp=2)
+    assert mesh.shape["host"] == 1
+    assert mesh.shape["tp"] == 2
+    assert mesh.shape["host"] * mesh.shape["dp"] * mesh.shape["tp"] == len(
+        jax.devices())
+    x = jnp.zeros((8, 16))
+    xs = jax.device_put(x, NamedSharding(mesh, batch_spec(mesh)))
+    assert xs.sharding.spec == batch_spec(mesh)
+    # plain (dp, tp) mesh → P("dp")
+    assert batch_spec(make_mesh(8, tp=4)) == __import__(
+        "jax").sharding.PartitionSpec("dp")
