@@ -32,6 +32,12 @@ _PUBLIC = {
     "PlanarQuant": ".quant.planar",
     "planarize": ".quant.planar",
     "ContinuousBatchEngine": ".serving",
+    "ResidencyManager": ".lifecycle",
+    "save_params": ".checkpoint",
+    "load_params": ".checkpoint",
+    "ring_attention": ".parallel.ring",
+    "EmbeddingSet": ".textual_inversion",
+    "WanPipeline": ".pipeline",
 }
 
 

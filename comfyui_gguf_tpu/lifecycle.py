@@ -14,7 +14,7 @@ reuses its compiled executables.
 
 Typical use — three encoders + DiT + VAE sharing one 16 GB v5e chip:
 
-    reg = ModelRegistry(hbm_budget=12 << 30)
+    reg = ResidencyManager(hbm_budget=12 << 30)
     reg.register("t5", t5_params); reg.register("flux", flux_params)
     with reg.acquire("t5") as p:   # evicts LRU models if over budget
         ctx = t5.encode(p, ...)
@@ -60,7 +60,7 @@ class _Entry:
     pins: int = 0
 
 
-class ModelRegistry:
+class ResidencyManager:
     """LRU residency manager for whole-model param trees.
 
     ``acquire`` returns a context manager yielding the device-resident

@@ -1,10 +1,10 @@
-"""ModelRegistry: LRU offload within an HBM budget, pinning, stats."""
+"""ResidencyManager: LRU offload within an HBM budget, pinning, stats."""
 
 import numpy as np
 import jax.numpy as jnp
 import pytest
 
-from comfyui_gguf_tpu.lifecycle import ModelRegistry, tree_bytes
+from comfyui_gguf_tpu.lifecycle import ResidencyManager, tree_bytes
 
 
 def _params(mb: float):
@@ -13,7 +13,7 @@ def _params(mb: float):
 
 
 def test_budget_evicts_lru():
-    reg = ModelRegistry(hbm_budget=10 << 20)
+    reg = ResidencyManager(hbm_budget=10 << 20)
     reg.register("a", _params(4))
     reg.register("b", _params(4))
     reg.register("c", _params(4))
@@ -32,7 +32,7 @@ def test_budget_evicts_lru():
 
 
 def test_pinned_never_evicted():
-    reg = ModelRegistry(hbm_budget=10 << 20)
+    reg = ResidencyManager(hbm_budget=10 << 20)
     reg.register("a", _params(6))
     reg.register("b", _params(6))
     with reg.acquire("a"):
@@ -47,7 +47,7 @@ def test_pinned_never_evicted():
 
 
 def test_reacquire_after_evict_roundtrips_values():
-    reg = ModelRegistry(hbm_budget=None)
+    reg = ResidencyManager(hbm_budget=None)
     v = {"w": jnp.arange(8, dtype=jnp.float32),
          "nested": {"b": jnp.ones((3,), jnp.bfloat16)}}
     reg.register("m", v)
@@ -65,7 +65,7 @@ def test_planar_quant_leaves_survive():
     rng = np.random.default_rng(0)
     pq = random_planar(Q.Q4_K, (64, 512), rng)
     want = np.asarray(dequantize(pq))
-    reg = ModelRegistry()
+    reg = ResidencyManager()
     reg.register("m", {"w": pq})
     reg.evict("m")
     with reg.acquire("m") as p:
@@ -74,7 +74,7 @@ def test_planar_quant_leaves_survive():
 
 
 def test_register_duplicate_and_unregister_pinned():
-    reg = ModelRegistry()
+    reg = ResidencyManager()
     reg.register("a", _params(1))
     with pytest.raises(ValueError):
         reg.register("a", _params(1))
