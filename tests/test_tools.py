@@ -175,3 +175,13 @@ def test_all_ftype_presets_produce_loadable_files(tmp_path):
     for ftype in ("IQ4_NL", "IQ4_XS"):
         with _pytest.raises(ValueError, match="IQ"):
             quantize.quantize_file(f16, str(tmp_path / "x.gguf"), ftype)
+
+
+def test_read_xplane_label_collapse():
+    from comfyui_gguf_tpu.tools.read_xplane import _label
+
+    assert _label("%pallas_qmm.3 = bf16[...]") == "pallas/custom-call"
+    assert _label("%copy.2 = f32[...]") == "copy"
+    assert _label("%add_convert_fusion.2") == "fusion"
+    assert _label("%while = (...)") == "while-wrapper"
+    assert _label("%broadcast.12") == "broadcast"
