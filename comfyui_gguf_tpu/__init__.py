@@ -25,6 +25,7 @@ _PUBLIC = {
     "FluxPipeline": ".pipeline",
     "SD3Pipeline": ".pipeline",
     "SDXLPipeline": ".pipeline",
+    "SD1Pipeline": ".pipeline",
     "flux_engine": ".pipeline",
     "ModelRegistry": ".registry",
     "QuantConfig": ".nn.layers",

@@ -552,6 +552,61 @@ class WanPipeline:
 
 
 @dataclasses.dataclass
+class SD1Pipeline:
+    """SD1.x txt2img: single CLIP-L conditioning, eps-prediction UNet in
+    sigma space — the smallest member of the reference's sgm family
+    (keys_detect sd1 branch, reference tools/convert.py:120-143)."""
+
+    model: DiffusionModel
+    clip_l: TextEncoder
+    vae_params: dict | None = None
+    vae_config: object | None = None
+
+    def generate_from_ids(self, clip_l_ids, neg_clip_l_ids=None,
+                          width: int = 512, height: int = 512,
+                          steps: int = 20, cfg_scale: float = 7.0,
+                          seed: int = 0):
+        from .models import unet as unet_model
+        from .sampling import kdiffusion as kd
+
+        ctx = self.clip_l.encode(clip_l_ids)["last_hidden"]
+        use_cfg = cfg_scale != 1.0 and neg_clip_l_ids is not None
+        if use_cfg:
+            nctx = self.clip_l.encode(neg_clip_l_ids)["last_hidden"]
+
+        table = kd.ddpm_sigmas()
+        sigmas = kd.normal_schedule(steps, table)
+        h_lat, w_lat = height // 8, width // 8
+        key = jax.random.key(seed)
+        x = jax.random.normal(key, (1, h_lat, w_lat, 4),
+                              jnp.bfloat16) * float(sigmas[0])
+        model = self.model
+
+        @jax.jit
+        def sample(params, x0, ctx, *neg):
+            def eps(x_in, t, ctx_):
+                return unet_model.forward(params, model.config, x_in, t,
+                                          ctx_, None, qcfg=model.qcfg)
+
+            def eps_cfg(x_in, t):
+                e_c = eps(x_in, t, ctx)
+                if not neg:
+                    return e_c
+                e_u = eps(x_in, t, neg[0])
+                return e_u + cfg_scale * (e_c - e_u)
+
+            den = kd.make_eps_denoiser(eps_cfg, table)
+            return kd.euler_sample_sigma(den, x0, sigmas)
+
+        args = (nctx,) if use_cfg else ()
+        latent = sample(model.params, x, ctx, *args)
+        if self.vae_params is None:
+            return np.asarray(latent[0])
+        img = vae_model.decode(self.vae_params, self.vae_config, latent)
+        return np.asarray((jnp.clip(img[0], -1, 1) + 1) / 2)
+
+
+@dataclasses.dataclass
 class SDXLPipeline:
     """SDXL txt2img: dual CLIP conditioning, eps-prediction UNet sampled in
     sigma space (sampling/kdiffusion)."""
