@@ -21,8 +21,12 @@ _LANE = 128
 # symmetric (512, 512) reaches ~130 TF/s but Mosaic takes >8 min to
 # compile it through the AOT tunnel — raise FLASH_BLOCK_Q for long-lived
 # serving processes if that tradeoff is acceptable
+import os
+
 FLASH_BLOCK_Q = 256
 FLASH_BLOCK_K = 512
+if os.environ.get("GGUF_TPU_SERVING_FLASH", "") not in ("", "0"):
+    FLASH_BLOCK_Q = 512  # ~130 TF/s; minutes-long first compile
 
 
 @functools.cache

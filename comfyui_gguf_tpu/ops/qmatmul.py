@@ -24,6 +24,7 @@ Two implementations with identical semantics:
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -157,6 +158,13 @@ def _pick_kt(k_rows: int, gs: int) -> int | None:
 # overridable for autotuning (see tests/bench sweeps)
 TILE_OVERRIDES: dict = {}
 
+# serving mode: prefer 1024-wide r-tiles on wide weights (qkv/lin1-type).
+# Measured +8-10% kernel TF/s (163-170 vs 150 @ M=4608), but the FIRST
+# compile of the extra tile shape costs minutes per process (Mosaic);
+# subsequent shapes reuse the binary in ~1-2 s. Off by default so tests
+# and short-lived runs stay fast; flip on for long-lived servers.
+SERVING_TILES = os.environ.get("GGUF_TPU_SERVING_TILES", "") not in ("", "0")
+
 
 def _pick_tiles(m: int, k_rows: int, rp: int, gs: int,
                 out_bytes: int = 2):
@@ -184,6 +192,8 @@ def _pick_tiles(m: int, k_rows: int, rp: int, gs: int,
     # (1024, 1024) squeezes out 176-181 TF/s but compiles 3-5× slower —
     # selectable via TILE_OVERRIDES for dedicated serving builds
     mt_pref, rt_pref = 512, 512
+    if SERVING_TILES and rp >= 4096 and m >= 1024:
+        rt_pref = 1024  # wide weights: fewer x re-streams, +8-10% TF/s
     mt = min(mt_pref, mp2)
     rt = next((c for c in (rt_pref, 512, 256, LANE) if rp % c == 0), LANE)
 
