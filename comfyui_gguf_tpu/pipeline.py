@@ -565,7 +565,7 @@ class SD1Pipeline:
     def generate_from_ids(self, clip_l_ids, neg_clip_l_ids=None,
                           width: int = 512, height: int = 512,
                           steps: int = 20, cfg_scale: float = 7.0,
-                          seed: int = 0):
+                          seed: int = 0, sampler: str = "euler"):
         from .models import unet as unet_model
         from .sampling import kdiffusion as kd
 
@@ -596,7 +596,7 @@ class SD1Pipeline:
                 return e_u + cfg_scale * (e_c - e_u)
 
             den = kd.make_eps_denoiser(eps_cfg, table)
-            return kd.euler_sample_sigma(den, x0, sigmas)
+            return kd.SAMPLERS[sampler](den, x0, sigmas)
 
         args = (nctx,) if use_cfg else ()
         latent = sample(model.params, x, ctx, *args)
@@ -621,7 +621,7 @@ class SDXLPipeline:
                           neg_clip_l_ids=None, neg_clip_g_ids=None,
                           width: int = 1024, height: int = 1024,
                           steps: int = 20, cfg_scale: float = 7.0,
-                          seed: int = 0):
+                          seed: int = 0, sampler: str = "euler"):
         from .models import unet as unet_model
         from .sampling import kdiffusion as kd
 
@@ -667,7 +667,7 @@ class SDXLPipeline:
                 return e_u + cfg_scale * (e_c - e_u)
 
             den = kd.make_eps_denoiser(eps_cfg, table)
-            return kd.euler_sample_sigma(den, x0, sigmas)
+            return kd.SAMPLERS[sampler](den, x0, sigmas)
 
         args = (nctx, ny) if use_cfg else ()
         latent = sample(model.params, x, ctx, y, *args)
@@ -683,7 +683,8 @@ class SDXLPipeline:
                         denoise: float = 0.25,
                         aesthetic_score: float = 6.0,
                         negative_aesthetic_score: float = 2.5,
-                        seed: int = 0, decode: bool = True):
+                        seed: int = 0, decode: bool = True,
+                        sampler: str = "euler"):
         """SDXL refiner pass (ensemble-of-experts second stage).
 
         The refiner UNet conditions on CLIP-G only (1280-wide context) and
@@ -736,7 +737,7 @@ class SDXLPipeline:
                 return e_u + cfg_scale * (e_c - e_u)
 
             den = kd.make_eps_denoiser(eps_cfg, table)
-            return kd.euler_sample_sigma(den, x0, sigmas)
+            return kd.SAMPLERS[sampler](den, x0, sigmas)
 
         args = (nctx, ny) if use_cfg else ()
         out = sample(refiner.params, x, ctx, y, *args)

@@ -102,3 +102,102 @@ def euler_sample_sigma(denoiser, x: jax.Array, sigmas) -> jax.Array:
 
     x, _ = jax.lax.scan(step, x, jnp.arange(sigmas.shape[0] - 1))
     return x
+
+
+def heun_sample_sigma(denoiser, x: jax.Array, sigmas) -> jax.Array:
+    """Heun (2nd-order trapezoid): Euler predictor + averaged corrector;
+    2 model calls per step except the final σ→0 step (plain Euler there,
+    matching k-diffusion sample_heun)."""
+    sigmas = jnp.asarray(sigmas, jnp.float32)
+
+    def step(x, i):
+        s, s_next = sigmas[i], sigmas[i + 1]
+        xf = x.astype(jnp.float32)
+        d = (xf - denoiser(x, s).astype(jnp.float32)) / s
+        x_eul = xf + (s_next - s) * d
+
+        def corrected(_):
+            d2 = (x_eul - denoiser(x_eul.astype(x.dtype), s_next)
+                  .astype(jnp.float32)) / s_next
+            return xf + (s_next - s) * 0.5 * (d + d2)
+
+        out = jax.lax.cond(s_next > 0, corrected, lambda _: x_eul,
+                           operand=None)
+        return out.astype(x.dtype), None
+
+    x, _ = jax.lax.scan(step, x, jnp.arange(sigmas.shape[0] - 1))
+    return x
+
+
+def euler_ancestral_sample_sigma(denoiser, x: jax.Array, sigmas,
+                                 key, eta: float = 1.0) -> jax.Array:
+    """Euler-ancestral: stochastic σ-down/σ-up split per step
+    (k-diffusion get_ancestral_step) with fresh noise each step."""
+    sigmas = jnp.asarray(sigmas, jnp.float32)
+
+    def step(carry, i):
+        x, key = carry
+        s, s_next = sigmas[i], sigmas[i + 1]
+        su2 = (eta ** 2 * s_next ** 2 * (s ** 2 - s_next ** 2)
+               / jnp.maximum(s ** 2, 1e-12))
+        su = jnp.sqrt(jnp.maximum(su2, 0.0))
+        sd = jnp.sqrt(jnp.maximum(s_next ** 2 - su ** 2, 0.0))
+        xf = x.astype(jnp.float32)
+        d = (xf - denoiser(x, s).astype(jnp.float32)) / s
+        xf = xf + (sd - s) * d
+        key, sub = jax.random.split(key)
+        noise = jax.random.normal(sub, x.shape, jnp.float32)
+        xf = jnp.where(s_next > 0, xf + noise * su, xf)
+        return (xf.astype(x.dtype), key), None
+
+    (x, _), _ = jax.lax.scan(step, (x, key),
+                             jnp.arange(sigmas.shape[0] - 1))
+    return x
+
+
+def dpmpp_2m_sample_sigma(denoiser, x: jax.Array, sigmas) -> jax.Array:
+    """DPM-Solver++ (2M): multistep 2nd order in log-σ time, one model
+    call per step (k-diffusion sample_dpmpp_2m). The de-facto default
+    quality/speed sampler of the reference's host UI."""
+    sigmas = jnp.asarray(sigmas, jnp.float32)
+    eps = 1e-12
+
+    def t_of(s):
+        return -jnp.log(jnp.maximum(s, eps))
+
+    def step(carry, i):
+        x, old_denoised = carry
+        s, s_next = sigmas[i], sigmas[i + 1]
+        denoised = denoiser(x, s).astype(jnp.float32)
+        t, t_next = t_of(s), t_of(s_next)
+        h = t_next - t
+        xf = x.astype(jnp.float32)
+        ratio = s_next / s
+        expm = jnp.expm1(-h)
+
+        def first_or_last(_):
+            return ratio * xf - expm * denoised
+
+        def multistep(_):
+            h_last = t - t_of(sigmas[i - 1])
+            r = h_last / h
+            dd = (1 + 1 / (2 * r)) * denoised - (1 / (2 * r)) * old_denoised
+            return ratio * xf - expm * dd
+
+        use_ms = jnp.logical_and(i > 0, s_next > 0)
+        out = jax.lax.cond(use_ms, multistep, first_or_last, operand=None)
+        # final σ=0 step: exact denoised output
+        out = jnp.where(s_next > 0, out, denoised)
+        return (out.astype(x.dtype), denoised), None
+
+    (x, _), _ = jax.lax.scan(step, (x, jnp.zeros_like(x, jnp.float32)),
+                             jnp.arange(sigmas.shape[0] - 1))
+    return x
+
+
+SAMPLERS = {
+    "euler": euler_sample_sigma,
+    "heun": heun_sample_sigma,
+    "dpmpp_2m": dpmpp_2m_sample_sigma,
+    # euler_ancestral takes (denoiser, x, sigmas, key, eta)
+}
