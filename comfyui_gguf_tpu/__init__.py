@@ -39,6 +39,9 @@ _PUBLIC = {
     "ring_attention": ".parallel.ring",
     "EmbeddingSet": ".textual_inversion",
     "WanPipeline": ".pipeline",
+    "HyVidPipeline": ".pipeline",
+    "LTXVPipeline": ".pipeline",
+    "QwenImagePipeline": ".pipeline",
 }
 
 

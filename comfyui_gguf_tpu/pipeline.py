@@ -552,6 +552,165 @@ class WanPipeline:
 
 
 @dataclasses.dataclass
+class HyVidPipeline:
+    """HunyuanVideo t2v: LLM conditioning, guidance-distilled rectified
+    flow; optional causal-VAE decode (models/hyvid_vae.py)."""
+
+    model: DiffusionModel
+    text: TextEncoder  # llama-family (llava-llama3 text tower)
+    shift: float = 7.0
+    vae_params: dict | None = None
+
+    def generate(self, prompt: str, latent_frames: int = 9,
+                 latent_height: int = 60, latent_width: int = 104,
+                 steps: int = 20, guidance: float = 6.0, seed: int = 0,
+                 max_len: int = 256) -> np.ndarray:
+        from .models import hyvid as hyvid_model
+
+        ids, mask = self.text.tokenizer.encode_batch([prompt],
+                                                     max_length=max_len)
+        txt = self.text.encode(jnp.asarray(ids), jnp.asarray(mask))
+        if isinstance(txt, dict):
+            txt = txt.get("last_hidden", txt)
+
+        C = self.model.config.in_channels
+        key = jax.random.key(seed)
+        x = jax.random.normal(
+            key, (1, latent_frames, latent_height, latent_width, C),
+            jnp.bfloat16)
+        sigmas = shift_sigmas(linear_schedule(steps), self.shift)
+        g = jnp.full((1,), guidance * 1000.0, jnp.float32)
+        model = self.model
+
+        @jax.jit
+        def denoise(params, x0, txt):
+            def velocity(xc, sigma):
+                tt = jnp.full((xc.shape[0],), sigma, jnp.float32)
+                return hyvid_model.forward(params, model.config, xc, txt,
+                                           tt, g, qcfg=model.qcfg)
+            return euler_sample(velocity, x0, sigmas)
+
+        lat = denoise(model.params, x, txt)
+        if self.vae_params is None:
+            return np.asarray(lat[0])
+        from .models import hyvid_vae
+
+        vcfg = hyvid_vae.HyVidVAEConfig.from_state_dict(self.vae_params)
+        vid = hyvid_vae.decode(self.vae_params, vcfg,
+                               lat.astype(jnp.float32), qcfg=model.qcfg)
+        return np.asarray((jnp.clip(vid[0], -1, 1) + 1) / 2)
+
+
+@dataclasses.dataclass
+class LTXVPipeline:
+    """LTX-Video t2v: T5 conditioning over flattened latent voxels with
+    (t, h, w) position ids; rectified flow; latent output."""
+
+    model: DiffusionModel
+    t5: TextEncoder
+    shift: float = 3.0
+
+    def generate(self, prompt: str, latent_frames: int = 9,
+                 latent_height: int = 32, latent_width: int = 32,
+                 steps: int = 20, cfg_scale: float = 3.0, seed: int = 0,
+                 negative_prompt: str = "", max_t5_len: int = 256
+                 ) -> np.ndarray:
+        from .models import ltxv as ltxv_model
+
+        ids_, mask = self.t5.tokenizer.encode_batch([prompt],
+                                                    max_length=max_t5_len)
+        ctx = self.t5.encode(jnp.asarray(ids_), jnp.asarray(mask))
+        use_cfg = cfg_scale != 1.0
+        if use_cfg:
+            nids, nmask = self.t5.tokenizer.encode_batch(
+                [negative_prompt], max_length=max_t5_len)
+            nctx = self.t5.encode(jnp.asarray(nids), jnp.asarray(nmask))
+
+        C = self.model.config.in_channels
+        F_, H_, W_ = latent_frames, latent_height, latent_width
+        L = F_ * H_ * W_
+        tt, hh, ww = jnp.meshgrid(jnp.arange(F_), jnp.arange(H_),
+                                  jnp.arange(W_), indexing="ij")
+        pos = jnp.stack([tt, hh, ww], axis=-1).reshape(1, L, 3)
+        key = jax.random.key(seed)
+        x = jax.random.normal(key, (1, L, C), jnp.bfloat16)
+        sigmas = shift_sigmas(linear_schedule(steps), self.shift)
+        model = self.model
+
+        @jax.jit
+        def denoise(params, x0, ctx, *neg):
+            def velocity(xc, sigma):
+                ts = jnp.full((xc.shape[0],), sigma, jnp.float32)
+                v_c = ltxv_model.forward(params, model.config, xc, pos,
+                                         ctx, ts, qcfg=model.qcfg)
+                if not neg:
+                    return v_c
+                v_u = ltxv_model.forward(params, model.config, xc, pos,
+                                         neg[0], ts, qcfg=model.qcfg)
+                return v_u + cfg_scale * (v_c - v_u)
+            return euler_sample(velocity, x0, sigmas)
+
+        args = (nctx,) if use_cfg else ()
+        lat = denoise(model.params, x, ctx, *args)
+        return np.asarray(lat[0].reshape(F_, H_, W_, C))
+
+
+@dataclasses.dataclass
+class QwenImagePipeline:
+    """Qwen-Image txt2img: Qwen2.5 LLM conditioning, flux-style patchified
+    latent tokens with 3-axis RoPE ids; rectified flow; latent output."""
+
+    model: DiffusionModel
+    text: TextEncoder  # qwen2.5 (llama-family graph)
+    shift: float = 2.2
+
+    def generate(self, prompt: str, width: int = 1024, height: int = 1024,
+                 steps: int = 20, cfg_scale: float = 4.0, seed: int = 0,
+                 negative_prompt: str = " ", max_len: int = 256
+                 ) -> np.ndarray:
+        from .models import qwen_image as qi_model
+
+        def cond(p):
+            ids_, mask = self.text.tokenizer.encode_batch([p],
+                                                          max_length=max_len)
+            out = self.text.encode(jnp.asarray(ids_), jnp.asarray(mask))
+            return out.get("last_hidden", out) if isinstance(out, dict) \
+                else out
+
+        txt = cond(prompt)
+        use_cfg = cfg_scale != 1.0
+        if use_cfg:
+            ntxt = cond(negative_prompt)
+
+        h_tok, w_tok = height // 16, width // 16
+        L = h_tok * w_tok
+        img_ids = jnp.asarray(flux_model.make_img_ids(h_tok, w_tok, 1))
+        txt_ids = jnp.zeros((1, txt.shape[1], 3), jnp.int32)
+        C = self.model.config.in_channels
+        key = jax.random.key(seed)
+        x = jax.random.normal(key, (1, L, C), jnp.bfloat16)
+        sigmas = shift_sigmas(linear_schedule(steps), self.shift)
+        model = self.model
+
+        @jax.jit
+        def denoise(params, x0, txt, *neg):
+            def velocity(xc, sigma):
+                ts = jnp.full((xc.shape[0],), sigma, jnp.float32)
+                v_c = qi_model.forward(params, model.config, xc, img_ids,
+                                       txt, txt_ids, ts, qcfg=model.qcfg)
+                if not neg:
+                    return v_c
+                v_u = qi_model.forward(params, model.config, xc, img_ids,
+                                       neg[0], txt_ids, ts, qcfg=model.qcfg)
+                return v_u + cfg_scale * (v_c - v_u)
+            return euler_sample(velocity, x0, sigmas)
+
+        args = (ntxt,) if use_cfg else ()
+        lat = denoise(model.params, x, txt, *args)
+        return np.asarray(lat[0])
+
+
+@dataclasses.dataclass
 class SD1Pipeline:
     """SD1.x txt2img: single CLIP-L conditioning, eps-prediction UNet in
     sigma space — the smallest member of the reference's sgm family

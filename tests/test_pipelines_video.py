@@ -1,0 +1,94 @@
+"""HyVid / LTXV / Qwen-Image pipeline smoke tests (stub encoders)."""
+
+import dataclasses
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from comfyui_gguf_tpu import pipeline
+from comfyui_gguf_tpu.nn.layers import QuantConfig
+
+F32 = QuantConfig(dequant_dtype=jnp.float32, compute_dtype=jnp.float32,
+                  prefer_pallas=False)
+
+
+class StubTok:
+    def encode_batch(self, texts, max_length=None):
+        L = max_length or 8
+        return (np.zeros((len(texts), L), np.int32),
+                np.ones((len(texts), L), np.int32))
+
+
+@dataclasses.dataclass
+class StubLLM:
+    kind: str
+    dim: int
+    tokenizer: object = dataclasses.field(default_factory=StubTok)
+
+    def encode(self, ids, mask=None, **kw):
+        rng = np.random.default_rng(0)
+        h = jnp.asarray(rng.standard_normal((ids.shape[0], ids.shape[1],
+                                             self.dim)), jnp.float32)
+        return {"last_hidden": h}
+
+
+@dataclasses.dataclass
+class StubT5:
+    dim: int
+    tokenizer: object = dataclasses.field(default_factory=StubTok)
+
+    def encode(self, ids, mask=None, **kw):
+        rng = np.random.default_rng(1)
+        return jnp.asarray(rng.standard_normal(
+            (ids.shape[0], ids.shape[1], self.dim)), jnp.float32)
+
+
+def test_hyvid_pipeline_latent():
+    from tests.test_hyvid import _tiny_hyvid, TDIM, C
+    from comfyui_gguf_tpu.models import hyvid
+
+    rng = np.random.default_rng(0)
+    params = {k: jnp.asarray(v) for k, v in _tiny_hyvid(rng).items()}
+    cfg = hyvid.HyVidConfig.from_state_dict(params)
+    model = pipeline.DiffusionModel(arch="hyvid", params=params, config=cfg,
+                                    qcfg=F32)
+    pipe = pipeline.HyVidPipeline(model, text=StubLLM("llama", TDIM))
+    out = pipe.generate("a cat", latent_frames=3, latent_height=4,
+                        latent_width=4, steps=2, max_len=6)
+    assert out.shape == (3, 4, 4, C)
+    assert np.isfinite(out).all()
+
+
+def test_ltxv_pipeline_latent():
+    from tests.test_ltxv import _tiny_ltxv
+    from comfyui_gguf_tpu.models import ltxv
+
+    rng = np.random.default_rng(1)
+    params = {k: jnp.asarray(v) for k, v in _tiny_ltxv(rng).items()}
+    cfg = ltxv.LTXVConfig.from_state_dict(params)
+    model = pipeline.DiffusionModel(arch="ltxv", params=params, config=cfg,
+                                    qcfg=F32)
+    pipe = pipeline.LTXVPipeline(model, t5=StubT5(cfg.caption_dim))
+    out = pipe.generate("a dog", latent_frames=2, latent_height=4,
+                        latent_width=4, steps=2, cfg_scale=2.0,
+                        max_t5_len=6)
+    assert out.shape == (2, 4, 4, cfg.in_channels)
+    assert np.isfinite(out).all()
+
+
+def test_qwen_image_pipeline_latent():
+    from tests.test_cosmos_qwen import _tiny_qwen
+    from comfyui_gguf_tpu.models import qwen_image
+
+    rng = np.random.default_rng(2)
+    params = {k: jnp.asarray(v) for k, v in _tiny_qwen(rng).items()}
+    cfg = qwen_image.QwenImageConfig.from_state_dict(params)
+    model = pipeline.DiffusionModel(arch="qwen_image", params=params,
+                                    config=cfg, qcfg=F32)
+    pipe = pipeline.QwenImagePipeline(model,
+                                      text=StubLLM("qwen", cfg.context_dim))
+    out = pipe.generate("a bird", width=64, height=64, steps=2,
+                        cfg_scale=2.0, max_len=6)
+    assert out.shape == (16, cfg.in_channels)
+    assert np.isfinite(out).all()
