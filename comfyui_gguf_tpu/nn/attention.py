@@ -17,16 +17,17 @@ import jax
 _LANE = 128
 
 # flash kernel q/k block caps, measured on v5e @ L=4608 (see
-# docs/NOTES_ROUND1.md): (256, 512) hits 94 TF/s with sub-second compile;
-# symmetric (512, 512) reaches ~130 TF/s but Mosaic takes >8 min to
-# compile it through the AOT tunnel — raise FLASH_BLOCK_Q for long-lived
-# serving processes if that tradeoff is acceptable
+# docs/NOTES_ROUND1.md): symmetric (512, 512) reaches ~130 TF/s and cuts
+# whole-model flux step time 12% vs (256, 512); first Mosaic compile of
+# the block config costs minutes in the worst case (once per process),
+# then reuses. Set GGUF_TPU_FAST_COMPILE=1 to drop to (256, 512) for
+# short-lived/interactive runs where compile latency dominates.
 import os
 
-FLASH_BLOCK_Q = 256
+FLASH_BLOCK_Q = 512
 FLASH_BLOCK_K = 512
-if os.environ.get("GGUF_TPU_SERVING_FLASH", "") not in ("", "0"):
-    FLASH_BLOCK_Q = 512  # ~130 TF/s; minutes-long first compile
+if os.environ.get("GGUF_TPU_FAST_COMPILE", "") not in ("", "0"):
+    FLASH_BLOCK_Q = 256
 
 
 @functools.cache

@@ -158,11 +158,11 @@ def _pick_kt(k_rows: int, gs: int) -> int | None:
 # overridable for autotuning (see tests/bench sweeps)
 TILE_OVERRIDES: dict = {}
 
-# serving mode: prefer 1024-wide r-tiles on wide weights (qkv/lin1-type).
-# Measured +8-10% kernel TF/s (163-170 vs 150 @ M=4608), but the FIRST
-# compile of the extra tile shape costs minutes per process (Mosaic);
-# subsequent shapes reuse the binary in ~1-2 s. Off by default so tests
-# and short-lived runs stay fast; flip on for long-lived servers.
+# experimental: prefer 1024-wide r-tiles on wide weights (qkv/lin1-type).
+# +8-10% TF/s on the isolated kernel (163-170 vs 150 @ M=4608) but a net
+# LOSS at whole-model level (flux single blocks 11.8→14.1 ms — VMEM
+# pressure starves the surrounding ops' double buffering). Keep off; left
+# as a knob for per-shape re-evaluation on other chips.
 SERVING_TILES = os.environ.get("GGUF_TPU_SERVING_TILES", "") not in ("", "0")
 
 
