@@ -42,6 +42,10 @@ _PUBLIC = {
     "HyVidPipeline": ".pipeline",
     "LTXVPipeline": ".pipeline",
     "QwenImagePipeline": ".pipeline",
+    "AuraPipeline": ".pipeline",
+    "CosmosPipeline": ".pipeline",
+    "Lumina2Pipeline": ".pipeline",
+    "HiDreamPipeline": ".pipeline",
 }
 
 

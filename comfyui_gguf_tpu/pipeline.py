@@ -711,6 +711,198 @@ class QwenImagePipeline:
 
 
 @dataclasses.dataclass
+class AuraPipeline:
+    """AuraFlow txt2img: Pile-T5 conditioning, rectified flow, latent out."""
+
+    model: DiffusionModel
+    t5: TextEncoder
+    shift: float = 1.73
+
+    def generate(self, prompt: str, width: int = 1024, height: int = 1024,
+                 steps: int = 20, cfg_scale: float = 3.5, seed: int = 0,
+                 negative_prompt: str = "", max_len: int = 256) -> np.ndarray:
+        from .models import aura as aura_model
+
+        def cond(p):
+            ids_, mask = self.t5.tokenizer.encode_batch([p],
+                                                        max_length=max_len)
+            out = self.t5.encode(jnp.asarray(ids_), jnp.asarray(mask))
+            return out.get("last_hidden", out) if isinstance(out, dict) \
+                else out
+
+        ctx = cond(prompt)
+        use_cfg = cfg_scale != 1.0
+        if use_cfg:
+            nctx = cond(negative_prompt)
+        C = self.model.config.in_channels
+        key = jax.random.key(seed)
+        x = jax.random.normal(key, (1, height // 8, width // 8, C),
+                              jnp.bfloat16)
+        sigmas = shift_sigmas(linear_schedule(steps), self.shift)
+        model = self.model
+
+        @jax.jit
+        def denoise(params, x0, ctx, *neg):
+            def velocity(xc, sigma):
+                ts = jnp.full((xc.shape[0],), sigma, jnp.float32)
+                v_c = aura_model.forward(params, model.config, xc, ctx, ts,
+                                         qcfg=model.qcfg)
+                if not neg:
+                    return v_c
+                v_u = aura_model.forward(params, model.config, xc, neg[0],
+                                         ts, qcfg=model.qcfg)
+                return v_u + cfg_scale * (v_c - v_u)
+            return euler_sample(velocity, x0, sigmas)
+
+        args = (nctx,) if use_cfg else ()
+        return np.asarray(denoise(model.params, x, ctx, *args)[0])
+
+
+@dataclasses.dataclass
+class CosmosPipeline:
+    """Cosmos Predict2 t2v/t2i: T5 conditioning, rectified flow over NDHWC
+    latents; latent output."""
+
+    model: DiffusionModel
+    t5: TextEncoder
+    shift: float = 1.0
+
+    def generate(self, prompt: str, latent_frames: int = 1,
+                 latent_height: int = 64, latent_width: int = 64,
+                 steps: int = 20, cfg_scale: float = 4.0, seed: int = 0,
+                 negative_prompt: str = "", max_len: int = 256) -> np.ndarray:
+        from .models import cosmos as cosmos_model
+
+        def cond(p):
+            ids_, mask = self.t5.tokenizer.encode_batch([p],
+                                                        max_length=max_len)
+            out = self.t5.encode(jnp.asarray(ids_), jnp.asarray(mask))
+            return out.get("last_hidden", out) if isinstance(out, dict) \
+                else out
+
+        ctx = cond(prompt)
+        use_cfg = cfg_scale != 1.0
+        if use_cfg:
+            nctx = cond(negative_prompt)
+        C = self.model.config.in_channels
+        key = jax.random.key(seed)
+        x = jax.random.normal(
+            key, (1, latent_frames, latent_height, latent_width, C),
+            jnp.bfloat16)
+        sigmas = shift_sigmas(linear_schedule(steps), self.shift)
+        model = self.model
+
+        @jax.jit
+        def denoise(params, x0, ctx, *neg):
+            def velocity(xc, sigma):
+                ts = jnp.full((xc.shape[0],), sigma, jnp.float32)
+                v_c = cosmos_model.forward(params, model.config, xc, ctx,
+                                           ts, qcfg=model.qcfg)
+                if not neg:
+                    return v_c
+                v_u = cosmos_model.forward(params, model.config, xc, neg[0],
+                                           ts, qcfg=model.qcfg)
+                return v_u + cfg_scale * (v_c - v_u)
+            return euler_sample(velocity, x0, sigmas)
+
+        args = (nctx,) if use_cfg else ()
+        return np.asarray(denoise(model.params, x, ctx, *args)[0])
+
+
+@dataclasses.dataclass
+class Lumina2Pipeline:
+    """Lumina Image 2.0 txt2img: Gemma2 conditioning, rectified flow."""
+
+    model: DiffusionModel
+    text: TextEncoder  # gemma2 (llama-family graph)
+    shift: float = 6.0
+
+    def generate(self, prompt: str, width: int = 1024, height: int = 1024,
+                 steps: int = 20, cfg_scale: float = 4.0, seed: int = 0,
+                 negative_prompt: str = "", max_len: int = 256) -> np.ndarray:
+        from .models import lumina2 as lumina2_model
+
+        def cond(p):
+            ids_, mask = self.text.tokenizer.encode_batch([p],
+                                                          max_length=max_len)
+            out = self.text.encode(jnp.asarray(ids_), jnp.asarray(mask))
+            return out.get("last_hidden", out) if isinstance(out, dict) \
+                else out
+
+        cap = cond(prompt)
+        use_cfg = cfg_scale != 1.0
+        if use_cfg:
+            ncap = cond(negative_prompt)
+        C = self.model.config.in_channels
+        key = jax.random.key(seed)
+        x = jax.random.normal(key, (1, height // 8, width // 8, C),
+                              jnp.bfloat16)
+        sigmas = shift_sigmas(linear_schedule(steps), self.shift)
+        model = self.model
+
+        @jax.jit
+        def denoise(params, x0, cap, *neg):
+            def velocity(xc, sigma):
+                ts = jnp.full((xc.shape[0],), sigma, jnp.float32)
+                v_c = lumina2_model.forward(params, model.config, xc, cap,
+                                            ts, qcfg=model.qcfg)
+                if not neg:
+                    return v_c
+                v_u = lumina2_model.forward(params, model.config, xc,
+                                            neg[0], ts, qcfg=model.qcfg)
+                return v_u + cfg_scale * (v_c - v_u)
+            return euler_sample(velocity, x0, sigmas)
+
+        args = (ncap,) if use_cfg else ()
+        return np.asarray(denoise(model.params, x, cap, *args)[0])
+
+
+@dataclasses.dataclass
+class HiDreamPipeline:
+    """HiDream-I1 txt2img: quad conditioning (CLIP-L + CLIP-G pooled,
+    T5 + Llama sequence states), MoE DiT, rectified flow."""
+
+    model: DiffusionModel
+    clip_l: TextEncoder
+    clip_g: TextEncoder
+    t5: TextEncoder
+    llama: TextEncoder
+    shift: float = 3.0
+
+    def generate_from_ids(self, clip_l_ids, clip_g_ids, t5_ids, llama_ids,
+                          width: int = 1024, height: int = 1024,
+                          steps: int = 20, seed: int = 0) -> np.ndarray:
+        from .models import hidream as hidream_model
+
+        l_out = self.clip_l.encode(clip_l_ids)
+        g_out = self.clip_g.encode(clip_g_ids)
+        pooled = jnp.concatenate([l_out["pooled"], g_out["pooled"]], axis=-1)
+        t5s = self.t5.encode(t5_ids)
+        if isinstance(t5s, dict):
+            t5s = t5s["last_hidden"]
+        lls = self.llama.encode(llama_ids)
+        if isinstance(lls, dict):
+            lls = lls["last_hidden"]
+        C = self.model.config.in_channels
+        key = jax.random.key(seed)
+        x = jax.random.normal(key, (1, height // 8, width // 8, C),
+                              jnp.bfloat16)
+        sigmas = shift_sigmas(linear_schedule(steps), self.shift)
+        model = self.model
+
+        @jax.jit
+        def denoise(params, x0, t5s, lls, pooled):
+            def velocity(xc, sigma):
+                ts = jnp.full((xc.shape[0],), sigma, jnp.float32)
+                return hidream_model.forward(params, model.config, xc, t5s,
+                                             lls, pooled, ts,
+                                             qcfg=model.qcfg)
+            return euler_sample(velocity, x0, sigmas)
+
+        return np.asarray(denoise(model.params, x, t5s, lls, pooled)[0])
+
+
+@dataclasses.dataclass
 class SD1Pipeline:
     """SD1.x txt2img: single CLIP-L conditioning, eps-prediction UNet in
     sigma space — the smallest member of the reference's sgm family

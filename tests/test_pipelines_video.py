@@ -92,3 +92,73 @@ def test_qwen_image_pipeline_latent():
                         cfg_scale=2.0, max_len=6)
     assert out.shape == (16, cfg.in_channels)
     assert np.isfinite(out).all()
+
+
+@dataclasses.dataclass
+class StubCLIP:
+    kind: str
+    dim: int
+    pool: int
+
+    def encode(self, ids, **kw):
+        rng = np.random.default_rng(3)
+        B, L = ids.shape
+        return {"last_hidden": jnp.asarray(
+                    rng.standard_normal((B, L, self.dim)), jnp.float32),
+                "penultimate": jnp.asarray(
+                    rng.standard_normal((B, L, self.dim)), jnp.float32),
+                "pooled": jnp.asarray(
+                    rng.standard_normal((B, self.pool)), jnp.float32)}
+
+
+def test_aura_pipeline_latent():
+    from tests.test_aura import _tiny_aura, COND
+    from comfyui_gguf_tpu.models import aura
+
+    rng = np.random.default_rng(3)
+    params = {k: jnp.asarray(v) for k, v in _tiny_aura(rng).items()}
+    cfg = aura.AuraConfig.from_state_dict(params)
+    model = pipeline.DiffusionModel(arch="aura", params=params, config=cfg,
+                                    qcfg=F32)
+    pipe = pipeline.AuraPipeline(model, t5=StubT5(COND))
+    out = pipe.generate("x", width=64, height=64, steps=2, cfg_scale=2.0,
+                        max_len=6)
+    assert out.shape == (8, 8, cfg.in_channels)
+    assert np.isfinite(out).all()
+
+
+def test_cosmos_pipeline_latent():
+    from tests.test_cosmos_qwen import _tiny_cosmos, CCTX
+    from comfyui_gguf_tpu.models import cosmos
+
+    rng = np.random.default_rng(4)
+    params = {k: jnp.asarray(v) for k, v in _tiny_cosmos(rng).items()}
+    cfg = cosmos.CosmosConfig.from_state_dict(params)
+    model = pipeline.DiffusionModel(arch="cosmos", params=params, config=cfg,
+                                    qcfg=F32)
+    pipe = pipeline.CosmosPipeline(model, t5=StubT5(CCTX))
+    out = pipe.generate("x", latent_frames=1, latent_height=8,
+                        latent_width=8, steps=2, cfg_scale=2.0, max_len=6)
+    assert out.shape == (1, 8, 8, cfg.in_channels)
+    assert np.isfinite(out).all()
+
+
+def test_hidream_pipeline_latent():
+    from tests.test_hidream import _tiny_hidream, T5D, LLD, POOL
+    from comfyui_gguf_tpu.models import hidream
+
+    rng = np.random.default_rng(5)
+    params = {k: jnp.asarray(v) for k, v in _tiny_hidream(rng).items()}
+    cfg = hidream.HiDreamConfig.from_state_dict(params)
+    model = pipeline.DiffusionModel(arch="hidream", params=params,
+                                    config=cfg, qcfg=F32)
+    half = POOL // 2
+    pipe = pipeline.HiDreamPipeline(
+        model, clip_l=StubCLIP("clip_l", 24, half),
+        clip_g=StubCLIP("clip_g", 32, POOL - half),
+        t5=StubLLM("t5", T5D), llama=StubLLM("llama", LLD))
+    ids = jnp.zeros((1, 6), jnp.int32)
+    out = pipe.generate_from_ids(ids, ids, ids, ids, width=64, height=64,
+                                 steps=2)
+    assert out.shape == (8, 8, cfg.in_channels)
+    assert np.isfinite(out).all()
