@@ -77,3 +77,37 @@ def test_bpe_space_prefix_and_specials():
     assert tok.vocab["<|endoftext|>"] in ids
     assert tok.vocab["Ġhello"] in ids
     assert tok.decode(ids) == "hello hello"
+
+
+def test_clip_bpe_synthetic(tmp_path):
+    """CLIP BPE: end-of-word markers, merges, specials, pad=EOT."""
+    import json
+
+    from comfyui_gguf_tpu.tokenizer.clip_bpe import CLIPBPETokenizer
+
+    # vocab: single chars, marked finals, one merged word
+    toks = ["c", "a", "t", "c</w>", "a</w>", "t</w>", "at</w>", "cat</w>",
+            "<|startoftext|>", "<|endoftext|>"]
+    vocab = {t: i for i, t in enumerate(toks)}
+    merges = ["a t</w>", "c at</w>"]
+    vp = tmp_path / "vocab.json"
+    mp = tmp_path / "merges.txt"
+    vp.write_text(json.dumps(vocab))
+    mp.write_text("#version: 0.2\n" + "\n".join(merges))
+
+    tok = CLIPBPETokenizer.from_files(str(vp), str(mp))
+    assert tok.bos_id == 8 and tok.eos_id == 9 and tok.pad_id == 9
+
+    ids = tok.encode("Cat")  # lowercased
+    assert ids == [8, vocab["cat</w>"], 9]
+    # unmergeable word falls back through partial merges
+    ids2 = tok.encode("ta")
+    assert ids2[0] == 8 and ids2[-1] == 9
+    assert vocab["t"] in ids2 and vocab["a</w>"] in ids2
+
+    batch, mask = tok.encode_batch(["cat", "cat cat cat"], max_length=5)
+    assert batch.shape == (2, 5)
+    assert batch[0].tolist() == [8, 7, 9, 9, 9]  # padded with EOT
+    assert batch[1][-1] == 9  # truncation keeps EOT
+    assert mask[0].tolist() == [1, 1, 1, 0, 0]
+    assert tok.decode(batch[0]) == "cat"
