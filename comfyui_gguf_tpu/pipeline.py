@@ -199,7 +199,18 @@ def load_text_encoder(path: str, prefer_pallas=None) -> TextEncoder:
         params = {k: jnp.asarray(v) for k, v in raw.items()}
         cfg = clip_model.CLIPTextConfig.from_state_dict(params)
         kind = "clip_g" if cfg.hidden >= 1280 else "clip_l"
-        return TextEncoder(kind, params, cfg, None, qcfg)
+        # safetensors CLIPs carry no tokenizer; pick up HF-style
+        # vocab.json + merges.txt sitting next to the weights
+        import os as _os
+
+        d = _os.path.dirname(_os.path.abspath(path))
+        vj, mt = _os.path.join(d, "vocab.json"), _os.path.join(d,
+                                                               "merges.txt")
+        if _os.path.exists(vj) and _os.path.exists(mt):
+            from .tokenizer.clip_bpe import CLIPBPETokenizer
+
+            tokenizer = CLIPBPETokenizer.from_files(vj, mt)
+        return TextEncoder(kind, params, cfg, tokenizer, qcfg)
     if any(k.startswith("encoder.block.") for k in raw):
         params = {k: jnp.asarray(v) for k, v in raw.items()}
         return TextEncoder("t5", params,
