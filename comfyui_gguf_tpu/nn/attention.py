@@ -10,11 +10,31 @@ to ``jax.nn.dot_product_attention``.
 
 from __future__ import annotations
 
+import contextlib
+import contextvars
 import functools
 
 import jax
 
 _LANE = 128
+
+# sequence-parallel mode: inside `with sequence_parallel("sp"):` every
+# dispatcher call routes to the ring-attention collective (the caller is
+# responsible for being inside a shard_map whose L axis is sharded over
+# that mesh axis). This lets the video model forwards run unmodified on
+# an SP mesh — the attention dispatch is the only thing that changes.
+_SP_AXIS: contextvars.ContextVar[str | None] = contextvars.ContextVar(
+    "gguf_tpu_sp_axis", default=None)
+
+
+@contextlib.contextmanager
+def sequence_parallel(axis_name: str):
+    """Route attention through parallel.ring for the enclosed calls."""
+    tok = _SP_AXIS.set(axis_name)
+    try:
+        yield
+    finally:
+        _SP_AXIS.reset(tok)
 
 # flash kernel q/k block caps, measured on v5e @ L=4608 (see
 # docs/NOTES_ROUND1.md): symmetric (512, 512) reaches ~130 TF/s and cuts
@@ -39,8 +59,16 @@ def _flash_ok(q, k) -> bool:
     # kernel wants lane-aligned head_dim and seq lengths
     B, H, Lq, D = q.shape
     Lk = k.shape[2]
-    return (D % _LANE == 0 and Lq % _LANE == 0 and Lk % _LANE == 0
-            and Lq >= 512 and Lk >= 512)
+    # lane-odd lengths are handled by masked padding in the dispatcher,
+    # so only the head dim and a minimum size gate the kernel
+    return D % _LANE == 0 and Lq >= 512 and Lk >= 512
+
+
+def _pad128(x, L):
+    pad = -L % _LANE
+    if pad == 0:
+        return x
+    return jax.numpy.pad(x, ((0, 0), (0, 0), (0, pad), (0, 0)))
 
 
 def dot_product_attention(q: jax.Array, k: jax.Array, v: jax.Array,
@@ -49,8 +77,16 @@ def dot_product_attention(q: jax.Array, k: jax.Array, v: jax.Array,
 
     Softmax scale defaults to D^-0.5 (pass ``scale`` to override, e.g. 1.0
     for T5-style unscaled logits).
+
+    Lane-odd sequence lengths (e.g. SD3's 154+4096 = 4250 joint tokens)
+    are padded to a 128 multiple and masked out via flash segment ids —
+    pad keys get a different segment than real queries, so they never
+    enter the softmax; pad query rows are sliced off after.
     """
+    import jax.numpy as jnp
+
     B, H, Lq, D = q.shape
+    Lk = k.shape[2]
     if scale is None:
         scale = D ** -0.5
     # cross-attention k/v may arrive in a different dtype (f32 text states
@@ -58,21 +94,39 @@ def dot_product_attention(q: jax.Array, k: jax.Array, v: jax.Array,
     k = k.astype(q.dtype)
     v = v.astype(q.dtype)
 
+    sp = _SP_AXIS.get()
+    if sp is not None:
+        from ..parallel.ring import ring_attention_local
+
+        out = ring_attention_local(
+            q.transpose(0, 2, 1, 3), k.transpose(0, 2, 1, 3),
+            v.transpose(0, 2, 1, 3), axis_name=sp, scale=float(scale))
+        return out.transpose(0, 2, 1, 3)
+
     if _on_tpu() and _flash_ok(q, k):
         from jax.experimental.pallas.ops.tpu import flash_attention as fa
 
-        bq = next(b for b in (FLASH_BLOCK_Q, 256, 128) if Lq % b == 0)
-        bk = next(b for b in (FLASH_BLOCK_K, 256, 128)
-                  if k.shape[2] % b == 0)
+        qp, kp, vp = _pad128(q, Lq), _pad128(k, Lk), _pad128(v, Lk)
+        Lqp, Lkp = qp.shape[2], kp.shape[2]
+        seg = None
+        if Lqp != Lq or Lkp != Lk:
+            q_ids = (jnp.arange(Lqp) < Lq).astype(jnp.int32)[None]
+            kv_ids = (jnp.arange(Lkp) < Lk).astype(jnp.int32)[None]
+            seg = fa.SegmentIds(q=jnp.broadcast_to(q_ids, (B, Lqp)),
+                                kv=jnp.broadcast_to(kv_ids, (B, Lkp)))
+        bq = next(b for b in (FLASH_BLOCK_Q, 256, 128) if Lqp % b == 0)
+        bk = next(b for b in (FLASH_BLOCK_K, 256, 128) if Lkp % b == 0)
         bs = fa.BlockSizes(
             block_q=bq, block_k_major=bk, block_k=bk, block_b=1,
             block_q_major_dkv=bq, block_k_major_dkv=bk, block_k_dkv=bk,
             block_q_dkv=bq, block_k_major_dq=bk, block_k_dq=bk,
             block_q_dq=bq,
         )
-        return fa.flash_attention(
-            q, k, v, causal=False, sm_scale=float(scale), block_sizes=bs,
+        out = fa.flash_attention(
+            qp, kp, vp, segment_ids=seg, causal=False,
+            sm_scale=float(scale), block_sizes=bs,
         )
+        return out[:, :, :Lq] if Lqp != Lq else out
 
     out = jax.nn.dot_product_attention(
         q.transpose(0, 2, 1, 3), k.transpose(0, 2, 1, 3),

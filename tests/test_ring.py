@@ -68,3 +68,33 @@ def test_ring_extreme_logits_stable(mesh):
     assert np.isfinite(np.asarray(got)).all()
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=1e-4, atol=1e-4)
+
+
+def test_sequence_parallel_context_routes_dispatcher(mesh):
+    """`with sequence_parallel("sp")` inside a shard_map makes the
+    ordinary nn.attention dispatcher compute EXACT global attention over
+    the sharded sequence — the hook video models use unmodified."""
+    import functools
+
+    from comfyui_gguf_tpu.nn import attention as att
+
+    rng = np.random.default_rng(5)
+    B, H, L, D = 1, 2, 64, 16
+    q = jnp.asarray(rng.standard_normal((B, H, L, D)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((B, H, L, D)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((B, H, L, D)), jnp.float32)
+
+    from jax.sharding import PartitionSpec as P
+
+    def local_fn(q, k, v):
+        with att.sequence_parallel("sp"):
+            return att.dot_product_attention(q, k, v)
+
+    fn = jax.shard_map(local_fn, mesh=mesh,
+                       in_specs=(P(None, None, "sp"),) * 3,
+                       out_specs=P(None, None, "sp"), check_vma=False)
+    got = fn(q, k, v)
+    want = _dense(q.transpose(0, 2, 1, 3), k.transpose(0, 2, 1, 3),
+                  v.transpose(0, 2, 1, 3), D ** -0.5).transpose(0, 2, 1, 3)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-5, atol=2e-5)
