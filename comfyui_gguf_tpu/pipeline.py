@@ -35,7 +35,8 @@ from .models import sd3 as sd3_model
 from .models import t5 as t5_model
 from .models import vae as vae_model
 from .nn.layers import QuantConfig
-from .sampling import euler_sample, flux_schedule, linear_schedule, shift_sigmas
+from .sampling import (euler_sample, flux_schedule, linear_schedule,
+                       sample_flow, shift_sigmas)
 
 log = logging.getLogger(__name__)
 
@@ -328,7 +329,7 @@ class FluxPipeline:
                 return euler_sample_inpaint(
                     velocity, x0, sigmas, z0_tokens, mask_tokens,
                     jax.random.fold_in(key, 1))
-            return euler_sample(velocity, x0, sigmas)
+            return sample_flow(velocity, x0, sigmas)
 
         out_tokens = denoise(model.params, img_tokens, txt, pooled)
         latent = flux_model.unpatchify(out_tokens, h_lat, w_lat)
@@ -477,7 +478,7 @@ class SD3Pipeline:
                 v_u = sd3_model.forward(params, model.config, xc, neg[0],
                                         neg[1], tt, qcfg=model.qcfg)
                 return v_u + cfg_scale * (v_c - v_u)
-            return euler_sample(velocity, x0, sigmas)
+            return sample_flow(velocity, x0, sigmas)
 
         args = (nctx, npooled) if use_cfg else ()
         latent = denoise(model.params, x, ctx, pooled, *args)
@@ -544,7 +545,7 @@ class WanPipeline:
                 v_u = wan_model.forward(params, model.config, xc, neg[0],
                                         tt, qcfg=model.qcfg)
                 return v_u + cfg_scale * (v_c - v_u)
-            return euler_sample(velocity, x0, sigmas)
+            return sample_flow(velocity, x0, sigmas)
 
         args = (nctx,) if use_cfg else ()
         lat = denoise(model.params, x, ctx, *args)
@@ -599,7 +600,7 @@ class HyVidPipeline:
                 tt = jnp.full((xc.shape[0],), sigma, jnp.float32)
                 return hyvid_model.forward(params, model.config, xc, txt,
                                            tt, g, qcfg=model.qcfg)
-            return euler_sample(velocity, x0, sigmas)
+            return sample_flow(velocity, x0, sigmas)
 
         lat = denoise(model.params, x, txt)
         if self.vae_params is None:
@@ -659,7 +660,7 @@ class LTXVPipeline:
                 v_u = ltxv_model.forward(params, model.config, xc, pos,
                                          neg[0], ts, qcfg=model.qcfg)
                 return v_u + cfg_scale * (v_c - v_u)
-            return euler_sample(velocity, x0, sigmas)
+            return sample_flow(velocity, x0, sigmas)
 
         args = (nctx,) if use_cfg else ()
         lat = denoise(model.params, x, ctx, *args)
@@ -714,7 +715,7 @@ class QwenImagePipeline:
                 v_u = qi_model.forward(params, model.config, xc, img_ids,
                                        neg[0], txt_ids, ts, qcfg=model.qcfg)
                 return v_u + cfg_scale * (v_c - v_u)
-            return euler_sample(velocity, x0, sigmas)
+            return sample_flow(velocity, x0, sigmas)
 
         args = (ntxt,) if use_cfg else ()
         lat = denoise(model.params, x, txt, *args)
@@ -763,7 +764,7 @@ class AuraPipeline:
                 v_u = aura_model.forward(params, model.config, xc, neg[0],
                                          ts, qcfg=model.qcfg)
                 return v_u + cfg_scale * (v_c - v_u)
-            return euler_sample(velocity, x0, sigmas)
+            return sample_flow(velocity, x0, sigmas)
 
         args = (nctx,) if use_cfg else ()
         return np.asarray(denoise(model.params, x, ctx, *args)[0])
@@ -814,7 +815,7 @@ class CosmosPipeline:
                 v_u = cosmos_model.forward(params, model.config, xc, neg[0],
                                            ts, qcfg=model.qcfg)
                 return v_u + cfg_scale * (v_c - v_u)
-            return euler_sample(velocity, x0, sigmas)
+            return sample_flow(velocity, x0, sigmas)
 
         args = (nctx,) if use_cfg else ()
         return np.asarray(denoise(model.params, x, ctx, *args)[0])
@@ -862,7 +863,7 @@ class Lumina2Pipeline:
                 v_u = lumina2_model.forward(params, model.config, xc,
                                             neg[0], ts, qcfg=model.qcfg)
                 return v_u + cfg_scale * (v_c - v_u)
-            return euler_sample(velocity, x0, sigmas)
+            return sample_flow(velocity, x0, sigmas)
 
         args = (ncap,) if use_cfg else ()
         return np.asarray(denoise(model.params, x, cap, *args)[0])
@@ -908,7 +909,7 @@ class HiDreamPipeline:
                 return hidream_model.forward(params, model.config, xc, t5s,
                                              lls, pooled, ts,
                                              qcfg=model.qcfg)
-            return euler_sample(velocity, x0, sigmas)
+            return sample_flow(velocity, x0, sigmas)
 
         return np.asarray(denoise(model.params, x, t5s, lls, pooled)[0])
 

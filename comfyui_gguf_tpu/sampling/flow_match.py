@@ -98,3 +98,56 @@ def cfg_wrap(model_fn, cond, uncond, scale: float):
         v_u = model_fn(x, sigma, uncond)
         return v_u + scale * (v_c - v_u)
     return fn
+
+
+def multistep_sample(model_fn, x: jax.Array, sigmas) -> jax.Array:
+    """2nd-order Adams-Bashforth multistep for the flow ODE (the
+    rectified-flow analogue of DPM-Solver++ 2M): one model call per step,
+    velocity linearly extrapolated from the previous step.
+
+    x' = x + h·((1 + 1/(2r))·v − 1/(2r)·v_prev),  r = h_prev / h.
+    First step falls back to Euler. Converges ~2× tighter than Euler at
+    equal step counts on smooth trajectories.
+    """
+    sigmas = jnp.asarray(sigmas, jnp.float32)
+
+    def step(carry, i):
+        x, v_prev = carry
+        s, s_next = sigmas[i], sigmas[i + 1]
+        h = s_next - s
+        v = model_fn(x, s).astype(jnp.float32)
+
+        def ms(_):
+            h_prev = s - sigmas[i - 1]
+            r = h_prev / h
+            return (1 + 1 / (2 * r)) * v - (1 / (2 * r)) * v_prev
+
+        v_eff = jax.lax.cond(i > 0, ms, lambda _: v, operand=None)
+        x = (x.astype(jnp.float32) + h * v_eff).astype(x.dtype)
+        return (x, v), None
+
+    (x, _), _ = jax.lax.scan(step, (x, jnp.zeros_like(x, jnp.float32)),
+                             jnp.arange(sigmas.shape[0] - 1))
+    return x
+
+
+FLOW_SAMPLERS = {"euler": euler_sample, "multistep": multistep_sample}
+
+
+# process-wide default for the flow pipelines (euler matches the
+# reference host's default behavior; "multistep" = 2nd-order, better at
+# low step counts). Per-pipeline override: call FLOW_SAMPLERS[...] direct.
+DEFAULT_FLOW_SAMPLER = "euler"
+
+
+def set_flow_sampler(name: str) -> None:
+    global DEFAULT_FLOW_SAMPLER
+    if name not in FLOW_SAMPLERS:
+        raise ValueError(f"unknown flow sampler {name!r}; "
+                         f"have {sorted(FLOW_SAMPLERS)}")
+    DEFAULT_FLOW_SAMPLER = name
+
+
+def sample_flow(model_fn, x, sigmas):
+    """Integrate with the process-default flow sampler."""
+    return FLOW_SAMPLERS[DEFAULT_FLOW_SAMPLER](model_fn, x, sigmas)

@@ -70,3 +70,30 @@ def test_ancestral_is_stochastic():
     a = kd.euler_ancestral_sample_sigma(den, x0, sig, jax.random.key(2))
     b = kd.euler_ancestral_sample_sigma(den, x0, sig, jax.random.key(3))
     assert np.abs(np.asarray(a) - np.asarray(b)).max() > 1e-3
+
+
+def test_flow_multistep_beats_euler():
+    """Flow ODE dx/ds = -x (model v = -x), integrated DOWN the schedule:
+    exact x(s_end) = x0·e^(s0-s_end). The 2nd-order multistep must land
+    closer than Euler on a coarse grid."""
+    from comfyui_gguf_tpu.sampling import flow_match as fm
+
+    v_fn = lambda x, s: -x
+    x0 = jnp.full((4,), 2.0, jnp.float32)
+    sig = jnp.asarray(np.linspace(1.0, 0.2, 6), jnp.float32)
+    exact = 2.0 * np.exp(float(sig[0]) - float(sig[-1]))
+    e_eul = abs(float(fm.euler_sample(v_fn, x0, sig)[0]) - exact)
+    e_ms = abs(float(fm.multistep_sample(v_fn, x0, sig)[0]) - exact)
+    assert e_ms < e_eul, (e_ms, e_eul)
+
+
+def test_flow_multistep_linear_exact():
+    """Constant velocity integrates exactly for both."""
+    from comfyui_gguf_tpu.sampling import flow_match as fm
+
+    v_fn = lambda x, s: jnp.full_like(x, 3.0)
+    x0 = jnp.zeros((2,), jnp.float32)
+    sig = jnp.asarray([1.0, 0.6, 0.3, 0.0], jnp.float32)
+    for fn in (fm.euler_sample, fm.multistep_sample):
+        out = float(fn(v_fn, x0, sig)[0])
+        np.testing.assert_allclose(out, -3.0, rtol=1e-6)
