@@ -107,15 +107,21 @@ def _attn(params, p, x, mask, pos, cfg: LlamaConfig, qcfg):
 def encode(params, cfg: LlamaConfig, ids: jax.Array,
            mask: jax.Array | None = None,
            qcfg: QuantConfig = DEFAULT_CONFIG, dtype=jnp.bfloat16,
-           return_layers: tuple[int, ...] = ()):
+           return_layers: tuple[int, ...] = (),
+           inputs_embeds: jax.Array | None = None):
     """ids (B, L) → dict(last_hidden, layers={i: hidden_before_layer_i}).
 
     ``return_layers`` selects intermediate activations (HiDream conditions
-    on several).
+    on several). ``inputs_embeds`` (B, L, D) bypasses the token embedding
+    — the Qwen-VL path splices vision-tower embeddings into the sequence
+    (reference loader.py merges the mmproj for exactly this flow).
     """
     B, L = ids.shape
-    x = embedding(ids, params["model.embed_tokens.weight"],
-                  cfg=qcfg).astype(dtype)
+    if inputs_embeds is not None:
+        x = jnp.asarray(inputs_embeds).astype(dtype)
+    else:
+        x = embedding(ids, params["model.embed_tokens.weight"],
+                      cfg=qcfg).astype(dtype)
     pos = jnp.broadcast_to(jnp.arange(L)[None], (B, L))
 
     neg = jnp.finfo(jnp.float32).min

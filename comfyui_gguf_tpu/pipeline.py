@@ -220,6 +220,51 @@ def load_text_encoder(path: str, prefer_pallas=None) -> TextEncoder:
     raise ValueError(f"unrecognized text encoder format: {path}")
 
 
+def qwen_vl_encode_with_image(llama_enc: TextEncoder,
+                              vision_params: dict,
+                              ids: np.ndarray,
+                              image: np.ndarray,
+                              image_pad_token_id: int,
+                              mask: np.ndarray | None = None):
+    """Image-conditioned Qwen-VL encoding (the reference's mmproj flow,
+    reference loader.py mmproj merge): run the vision tower, splice its
+    merged embeddings over the ``<|image_pad|>`` placeholder tokens in
+    ``ids``, and encode with the LLM via ``inputs_embeds``.
+
+    ids must contain EXACTLY as many image_pad tokens as the tower emits
+    for ``image`` ((H/14/m)·(W/14/m) with merge m). Host-side splice keeps
+    the jitted encoder graph static.
+    """
+    from .models import qwen_vl_vision as vision
+    from .nn.layers import embedding as embed_lookup
+
+    vcfg = vision.QwenVLVisionConfig.from_state_dict(vision_params)
+    pe = vision_params["visual.patch_embed.proj.weight"]
+    pe_shape = pe.shape if hasattr(pe, "shape") else np.asarray(pe).shape
+    patches = vision.extract_patches(np.asarray(image, np.float32),
+                                     patch=int(pe_shape[-1]),
+                                     temporal=int(pe_shape[2]))
+    vis = vision.forward(vision_params, vcfg, jnp.asarray(patches),
+                         qcfg=llama_enc.qcfg)  # (n_img_tokens, D)
+
+    ids = np.asarray(ids)
+    tok = np.array(embed_lookup(
+        jnp.asarray(ids), llama_enc.params["model.embed_tokens.weight"],
+        cfg=llama_enc.qcfg), np.float32)  # np.array: writable copy
+    visn = np.asarray(vis, np.float32)
+    for b in range(ids.shape[0]):
+        pos = np.nonzero(ids[b] == image_pad_token_id)[0]
+        if len(pos) != visn.shape[0]:
+            raise ValueError(
+                f"prompt has {len(pos)} image_pad tokens but the vision "
+                f"tower produced {visn.shape[0]} embeddings")
+        tok[b, pos] = visn
+    out = llama_enc.encode(jnp.asarray(ids),
+                           None if mask is None else jnp.asarray(mask),
+                           inputs_embeds=jnp.asarray(tok))
+    return out
+
+
 def load_text_encoders(*paths: str, prefer_pallas=None) -> dict[str, TextEncoder]:
     """1-4 encoder files → {kind: TextEncoder} (role of Dual/Triple/
     QuadrupleCLIPLoaderGGUF, reference nodes.py:253-312)."""

