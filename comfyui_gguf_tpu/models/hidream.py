@@ -75,22 +75,57 @@ def _swiglu(params, p, x, qcfg):
     return linear(h, params[f"{p}.w2.weight"], cfg=qcfg)
 
 
-def moe_ffn(params, p, x, n_experts, top_k, qcfg):
-    """shared expert + softmax-top-k routed experts, densely computed."""
-    out = _swiglu(params, f"{p}.shared_experts", x, qcfg)
-    if n_experts == 0:
-        return out
+MOE_DISPATCH = "dense"  # "dense" (exact, all experts) | "capacity" (top-k)
+MOE_CAPACITY_FACTOR = 1.5
+
+
+def _routing_probs(params, p, x, n_experts, top_k, qcfg):
     logits = linear(x, params[f"{p}.gate.weight"], cfg=qcfg)
     logits = logits.astype(jnp.float32)
     k = min(top_k, n_experts)
     top_vals, _ = jax.lax.top_k(logits, k)
     thresh = top_vals[..., -1:]
     masked = jnp.where(logits >= thresh, logits, -jnp.inf)
-    probs = jax.nn.softmax(masked, axis=-1).astype(x.dtype)
+    return jax.nn.softmax(masked, axis=-1).astype(x.dtype), k
+
+
+def moe_ffn(params, p, x, n_experts, top_k, qcfg):
+    """shared expert + softmax-top-k routed experts.
+
+    dense mode computes every expert on every token and mask-weights —
+    exact and jit-trivial, costs E/k× the optimal FFN FLOPs. capacity
+    mode (MOE_DISPATCH="capacity") gathers each expert's routed tokens up
+    to a static capacity C = cf·T·k/E and computes only those: identical
+    output whenever no expert overflows C (guaranteed-ish at cf≥1.5 for
+    image token counts; overflowing tokens lose that expert's
+    contribution, the standard Switch/GShard drop semantics)."""
+    out = _swiglu(params, f"{p}.shared_experts", x, qcfg)
+    if n_experts == 0:
+        return out
+    probs, k = _routing_probs(params, p, x, n_experts, top_k, qcfg)
+
+    if MOE_DISPATCH != "capacity":
+        for e in range(n_experts):
+            out = out + probs[..., e: e + 1] * _swiglu(
+                params, f"{p}.experts.{e}", x, qcfg)
+        return out
+
+    B, L, D = x.shape
+    T = B * L
+    C = -(-int(MOE_CAPACITY_FACTOR * T * k) // n_experts)
+    C = min(-(-C // 8) * 8, T)  # sublane-align, never above T
+    x2 = x.reshape(T, D)
+    p2 = probs.reshape(T, n_experts)
+    acc = jnp.zeros((T, D), jnp.float32)
     for e in range(n_experts):
-        out = out + probs[..., e: e + 1] * _swiglu(
-            params, f"{p}.experts.{e}", x, qcfg)
-    return out
+        routed = p2[:, e] > 0
+        # routed tokens first (stable order), truncated at capacity
+        idx = jnp.argsort(~routed, stable=True)[:C]
+        xe = x2[idx]
+        ye = _swiglu(params, f"{p}.experts.{e}", xe, qcfg)
+        w = (p2[idx, e] * routed[idx].astype(p2.dtype))[:, None]
+        acc = acc.at[idx].add((ye * w).astype(jnp.float32))
+    return out + acc.reshape(B, L, D).astype(out.dtype)
 
 
 def _adaln(params, p, vec, qcfg, dim):

@@ -123,3 +123,26 @@ def test_moe_routing_uses_topk(hid_params):
     out = hidream.moe_ffn(hid_params, "double_stream_blocks.0.block.ff_i",
                           x, cfg.n_experts, 1, F32CFG)
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_moe_capacity_matches_dense(hid_params):
+    """capacity dispatch == dense mask-weighting when no expert overflows
+    (cf=1.5 at tiny token counts guarantees it here: C clamps to T)."""
+    cfg = hidream.HiDreamConfig.from_state_dict(hid_params)
+    rng = np.random.default_rng(3)
+    B, H, W = 1, 8, 8
+    lat = jnp.asarray(rng.standard_normal((B, H, W, C)), jnp.float32)
+    t5s = jnp.asarray(rng.standard_normal((B, 6, T5D)), jnp.float32)
+    lls = jnp.asarray(rng.standard_normal((B, 5, LLD)), jnp.float32)
+    pooled = jnp.asarray(rng.standard_normal((B, POOL)), jnp.float32)
+    t = jnp.asarray([0.4], jnp.float32)
+
+    dense = np.asarray(hidream.forward(hid_params, cfg, lat, t5s, lls,
+                                       pooled, t, qcfg=F32CFG))
+    hidream.MOE_DISPATCH = "capacity"
+    try:
+        cap = np.asarray(hidream.forward(hid_params, cfg, lat, t5s, lls,
+                                         pooled, t, qcfg=F32CFG))
+    finally:
+        hidream.MOE_DISPATCH = "dense"
+    np.testing.assert_allclose(cap, dense, rtol=2e-4, atol=2e-4)
