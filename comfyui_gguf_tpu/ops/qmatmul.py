@@ -313,7 +313,14 @@ def pallas_qmm(x: jax.Array, pq: PlanarQuant, *, dequant_dtype=jnp.bfloat16,
 # ---------------------------------------------------------------------------
 
 def pallas_tileable(pq: PlanarQuant) -> bool:
-    return _pick_kt(pq.qs.shape[0], pq.group_size) is not None
+    if _pick_kt(pq.qs.shape[0], pq.group_size) is None:
+        return False
+    # planarize pads K to a 512 multiple; on tiny in_features the pad
+    # dominates (K=64 → 8× wasted FLOPs and a pointless Mosaic compile
+    # per shape) — leave those on the XLA path
+    K = pq.shape[1]
+    kp = pq.qs.shape[0] * (2 if pq.layout == "nib4" else 1)
+    return K >= 512 and kp <= K * 1.25
 
 
 @functools.cache
