@@ -373,8 +373,9 @@ def _planarizable(qt: QTensor) -> bool:
     if qt.qtype not in codecs.COMPONENT_EXTRACTORS:
         return False
     # planarize pads K to a 512 multiple, so any block-aligned row width
-    # re-tiles (SD3.5-large's 2432 included)
-    return k % block == 0
+    # re-tiles (SD3.5-large's 2432 included) — but for small K the pad
+    # would BLOAT storage past dense bf16; keep those eager-dequantized
+    return k % block == 0 and (k % 512 == 0 or k >= 1024)
 
 
 def to_jax_params(
