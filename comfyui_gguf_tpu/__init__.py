@@ -22,6 +22,7 @@ _PUBLIC = {
     "load_diffusion_model": ".pipeline",
     "load_text_encoder": ".pipeline",
     "load_text_encoders": ".pipeline",
+    "load_vae": ".pipeline",
     "FluxPipeline": ".pipeline",
     "SD3Pipeline": ".pipeline",
     "SDXLPipeline": ".pipeline",

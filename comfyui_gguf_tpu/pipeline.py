@@ -162,6 +162,32 @@ def _load_safetensors_sd(path: str) -> dict:
     }
 
 
+def load_vae(path: str):
+    """Load any supported VAE and detect its family from the keys.
+
+    → (kind, params, config): kind ∈ {"image", "wan", "hyvid"}; decode with
+    models.vae / models.wan_vae / models.hyvid_vae respectively. Strips a
+    leading ``vae.`` / ``first_stage_model.`` prefix (checkpoint-bundled
+    VAEs use it)."""
+    raw = _load_safetensors_sd(path)
+    for pfx in ("vae.", "first_stage_model."):
+        if any(k.startswith(pfx) for k in raw):
+            raw = {k[len(pfx):]: v for k, v in raw.items()
+                   if k.startswith(pfx)}
+            break
+    params = {k: jnp.asarray(v) for k, v in raw.items()}
+    if any(k.startswith("decoder.middle.") for k in params):
+        from .models import wan_vae
+
+        return "wan", params, wan_vae.WanVAEConfig.from_state_dict(params)
+    if any(k.startswith("decoder.mid_block.") for k in params):
+        from .models import hyvid_vae
+
+        return ("hyvid", params,
+                hyvid_vae.HyVidVAEConfig.from_state_dict(params))
+    return "image", params, vae_model.VAEConfig.from_state_dict(params)
+
+
 def load_text_encoder(path: str, prefer_pallas=None) -> TextEncoder:
     """One text-encoder file (gguf or safetensors) → TextEncoder
     (role of CLIPLoaderGGUF.load_data/load_clip, reference nodes.py:216-251).

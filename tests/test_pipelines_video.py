@@ -162,3 +162,25 @@ def test_hidream_pipeline_latent():
                                  steps=2)
     assert out.shape == (8, 8, cfg.in_channels)
     assert np.isfinite(out).all()
+
+
+def test_load_vae_detects_families(tmp_path):
+    import torch
+    from safetensors.torch import save_file
+
+    from comfyui_gguf_tpu.pipeline import load_vae
+
+    wan = {"decoder.middle.0.residual.0.gamma": torch.zeros(4),
+           "decoder.conv1.weight": torch.zeros(8, 4, 3, 3, 3)}
+    f1 = str(tmp_path / "wan.safetensors")
+    save_file(wan, f1)
+    kind, params, cfg = load_vae(f1)
+    assert kind == "wan" and cfg.z_channels == 4
+
+    hy = {"vae.decoder.mid_block.resnets.0.norm1.weight": torch.zeros(4),
+          "vae.decoder.conv_in.conv.weight": torch.zeros(8, 5, 3, 3, 3)}
+    f2 = str(tmp_path / "hy.safetensors")
+    save_file(hy, f2)
+    kind, params, cfg = load_vae(f2)
+    assert kind == "hyvid" and cfg.z_channels == 5
+    assert "decoder.conv_in.conv.weight" in params  # prefix stripped
