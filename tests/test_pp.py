@@ -1,0 +1,54 @@
+"""Pipeline parallelism: GPipe trunk vs sequential reference (8-dev mesh)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import Mesh
+
+from comfyui_gguf_tpu.parallel.pp import pp_trunk
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    return Mesh(np.array(jax.devices()[:4]), ("pp",))
+
+
+def _block(w, x):
+    # toy residual block: x + tanh(x @ w)
+    return x + jnp.tanh(x @ w)
+
+
+def test_pp_matches_sequential(mesh):
+    rng = np.random.default_rng(0)
+    S, D, B = 4, 16, 8  # 4 stages, batch 8
+    ws = jnp.asarray(rng.standard_normal((S, D, D)) * 0.3, jnp.float32)
+    x = jnp.asarray(rng.standard_normal((B, 6, D)), jnp.float32)
+
+    got = pp_trunk(_block, ws, x, mesh, n_micro=4)
+
+    ref = x
+    for s in range(S):
+        ref = _block(ws[s], ref)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_pp_single_microbatch(mesh):
+    rng = np.random.default_rng(1)
+    S, D, B = 4, 8, 2
+    ws = jnp.asarray(rng.standard_normal((S, D, D)) * 0.2, jnp.float32)
+    x = jnp.asarray(rng.standard_normal((B, D)), jnp.float32)
+    got = pp_trunk(_block, ws, x, mesh, n_micro=1)
+    ref = x
+    for s in range(S):
+        ref = _block(ws[s], ref)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_pp_rejects_indivisible(mesh):
+    ws = jnp.zeros((4, 4, 4))
+    x = jnp.zeros((5, 4))
+    with pytest.raises(ValueError):
+        pp_trunk(_block, ws, x, mesh, n_micro=2)
