@@ -187,8 +187,15 @@ class ContinuousBatchEngine:
         b = self._bucket(n)
         pad = b - n
 
-        x = np.stack([r.latent for r in batch] +
-                     [batch[-1].latent] * pad)
+        import jax
+        import jax.numpy as jnp
+
+        # latents stay DEVICE-resident across ticks (r.latent is a jax
+        # array after the first step) — one H2D per request at admission,
+        # one D2H at completion; the reference-style host round trip per
+        # step would cost 2x the latent bytes every tick
+        x = jnp.stack([jnp.asarray(r.latent) for r in batch] +
+                      [jnp.asarray(batch[-1].latent)] * pad)
         s_cur = np.array(
             [r.sigmas[r.step] for r in batch]
             + [batch[-1].sigmas[batch[-1].step]] * pad, np.float32)
@@ -200,7 +207,8 @@ class ContinuousBatchEngine:
 
         t0 = time.monotonic()
         try:
-            x_next = np.asarray(self.step_fn(x, s_cur, s_next, cond))
+            x_next = self.step_fn(x, s_cur, s_next, cond)
+            x_next = jax.block_until_ready(x_next)  # surface async errors
         except Exception as e:  # fail the batch, keep the engine alive
             log.exception("denoise step failed; failing %d request(s)", n)
             for r in batch:
@@ -221,7 +229,7 @@ class ContinuousBatchEngine:
             r.latent = x_next[i]
             r.step += 1
             if r.finished:
-                r.result = r.latent
+                r.result = np.asarray(r.latent)
                 self.stats.completed += 1
                 self.stats.total_latency_s += time.monotonic() - r.submitted_at
                 r.done_event.set()
