@@ -34,6 +34,7 @@ _PUBLIC = {
     "PlanarQuant": ".quant.planar",
     "planarize": ".quant.planar",
     "ContinuousBatchEngine": ".serving",
+    "EngineGroup": ".serving",
     "ResidencyManager": ".lifecycle",
     "save_params": ".checkpoint",
     "load_params": ".checkpoint",

@@ -249,3 +249,48 @@ def _stack_cond(conds: list):
     if first is None:
         return None
     return np.stack([np.asarray(c) for c in conds])
+
+
+class EngineGroup:
+    """Multi-resolution serving: routes requests to per-shape engines.
+
+    Static XLA shapes mean one compiled step per (resolution, batch)
+    bucket; the group lazily builds an engine per latent shape via
+    ``engine_factory(latent_shape)`` and round-robins ticks across
+    engines with work — they share the chip (and the model params, which
+    live in the factory's closure), so HBM cost is one weight set.
+
+    The reference's host queue serves mixed resolutions the same way at
+    the cost of a torch recompile per shape; here it is an explicit
+    bucket set.
+    """
+
+    def __init__(self, engine_factory: Callable):
+        self._factory = engine_factory
+        self._engines: dict[tuple, ContinuousBatchEngine] = {}
+
+    def engine_for(self, latent_shape: tuple) -> "ContinuousBatchEngine":
+        key = tuple(latent_shape)
+        eng = self._engines.get(key)
+        if eng is None:
+            eng = self._factory(key)
+            self._engines[key] = eng
+        return eng
+
+    def submit(self, latent: np.ndarray, cond, sigmas) -> GenRequest:
+        return self.engine_for(np.asarray(latent).shape).submit(
+            latent, cond, sigmas)
+
+    def run_until_drained(self, timeout_s: float = 600.0):
+        deadline = time.monotonic() + timeout_s
+        while any(e.active or not e.queue.empty()
+                  for e in self._engines.values()):
+            if time.monotonic() > deadline:
+                raise TimeoutError("engine group drain timed out")
+            for e in self._engines.values():
+                if e.active or not e.queue.empty():
+                    e.tick()
+
+    @property
+    def stats(self) -> dict:
+        return {shape: e.stats for shape, e in self._engines.items()}

@@ -113,3 +113,28 @@ def test_cancellation_drops_requests():
     assert drop.cancelled and not drop.finished and drop.result is None
     assert drop.done_event.is_set()
     assert eng.stats.cancelled == 1 and eng.stats.completed == 1
+
+
+def test_engine_group_multi_resolution():
+    """Requests of different latent shapes route to per-shape engines and
+    all complete."""
+    from comfyui_gguf_tpu.serving import EngineGroup, ContinuousBatchEngine
+
+    def factory(shape):
+        def step_fn(x, s_cur, s_next, cond):
+            return x * 0.5  # trivial contraction per step
+        return ContinuousBatchEngine(step_fn, max_batch=2)
+
+    g = EngineGroup(factory)
+    sig = np.array([1.0, 0.5, 0.0], np.float32)
+    r1 = g.submit(np.ones((8, 8, 4), np.float32), {}, sig)
+    r2 = g.submit(np.ones((16, 16, 4), np.float32), {}, sig)
+    r3 = g.submit(np.ones((8, 8, 4), np.float32), {}, sig)
+    g.run_until_drained(timeout_s=30)
+    for r in (r1, r2, r3):
+        assert r.result is not None and r.error is None
+    assert r1.result.shape == (8, 8, 4)
+    assert r2.result.shape == (16, 16, 4)
+    np.testing.assert_allclose(r1.result, 0.25 * np.ones((8, 8, 4)),
+                               rtol=1e-6)
+    assert len(g.stats) == 2
