@@ -1055,7 +1055,13 @@ class SDXLPipeline:
                           neg_clip_l_ids=None, neg_clip_g_ids=None,
                           width: int = 1024, height: int = 1024,
                           steps: int = 20, cfg_scale: float = 7.0,
-                          seed: int = 0, sampler: str = "euler"):
+                          seed: int = 0, sampler: str = "euler",
+                          init_image: np.ndarray | None = None,
+                          denoise: float = 1.0):
+        """txt2img, or img2img when ``init_image`` (H, W, 3) in [0, 1]
+        and ``denoise`` < 1 are given: the VAE-encoded image is noised to
+        the sigma at 1-denoise of the schedule and sampled down from
+        there (reference host semantics)."""
         from .models import unet as unet_model
         from .sampling import kdiffusion as kd
 
@@ -1083,8 +1089,18 @@ class SDXLPipeline:
         sigmas = kd.normal_schedule(steps, table)
         h_lat, w_lat = height // 8, width // 8
         key = jax.random.key(seed)
-        x = jax.random.normal(key, (1, h_lat, w_lat, 4),
-                              jnp.bfloat16) * float(sigmas[0])
+        if init_image is not None:
+            if self.vae_params is None:
+                raise ValueError("img2img needs a VAE")
+            first = min(int(round((1.0 - denoise) * steps)), steps - 1)
+            sigmas = sigmas[first:]
+            img01 = jnp.asarray(init_image, jnp.float32)[None] * 2 - 1
+            z0 = vae_model.encode(self.vae_params, self.vae_config, img01)
+            noise = jax.random.normal(key, z0.shape, jnp.float32)
+            x = (z0 + noise * float(sigmas[0])).astype(jnp.bfloat16)
+        else:
+            x = jax.random.normal(key, (1, h_lat, w_lat, 4),
+                                  jnp.bfloat16) * float(sigmas[0])
         model = self.model
 
         @jax.jit

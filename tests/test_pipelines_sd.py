@@ -322,3 +322,71 @@ def test_sd1_pipeline_tiny():
                                  height=64, steps=2, cfg_scale=5.0)
     assert out.shape == (8, 8, 4)
     assert np.isfinite(out).all()
+
+
+def test_sdxl_img2img_tiny():
+    """init_image + denoise<1: VAE encode, partial schedule, decode."""
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    from comfyui_gguf_tpu.models import unet as unet_model, vae as vae_mod
+    from comfyui_gguf_tpu.nn.layers import QuantConfig
+    from tests.test_unet import _res, _xformer, CTX as UCTX
+    from tests.test_vae import tiny_vae as tiny_vae_fixture
+
+    F32 = QuantConfig(dequant_dtype=jnp.float32, compute_dtype=jnp.float32,
+                      prefer_pallas=False)
+    rng = np.random.default_rng(6)
+    MC, LAT, POOL_G = 32, 4, 40
+    ADM = POOL_G + 6 * 256
+    emb = 4 * MC
+
+    def conv(o, i, k=3):
+        return (rng.standard_normal((o, i, k, k)) * 0.05).astype(np.float32)
+
+    def lin(o, i):
+        return (rng.standard_normal((o, i)) * 0.05).astype(np.float32)
+
+    sd = {
+        "input_blocks.0.0.weight": conv(MC, LAT),
+        "input_blocks.0.0.bias": np.zeros(MC, np.float32),
+        "time_embed.0.weight": lin(emb, MC),
+        "time_embed.0.bias": np.zeros(emb, np.float32),
+        "time_embed.2.weight": lin(emb, emb),
+        "time_embed.2.bias": np.zeros(emb, np.float32),
+        "label_emb.0.0.weight": lin(emb, ADM),
+        "label_emb.0.0.bias": np.zeros(emb, np.float32),
+        "label_emb.0.2.weight": lin(emb, emb),
+        "label_emb.0.2.bias": np.zeros(emb, np.float32),
+        "out.0.weight": np.ones(MC, np.float32),
+        "out.0.bias": np.zeros(MC, np.float32),
+        "out.2.weight": conv(LAT, MC),
+        "out.2.bias": np.zeros(LAT, np.float32),
+    }
+    sd.update(_res(rng, "input_blocks.1.0", MC, MC, emb))
+    sd.update(_xformer(rng, "input_blocks.1.1", MC, linear_proj=True))
+    sd.update(_res(rng, "middle_block.0", MC, MC, emb))
+    sd.update(_res(rng, "output_blocks.0.0", 2 * MC, MC, emb))
+    sd.update(_res(rng, "output_blocks.1.0", 2 * MC, MC, emb))
+    params = {k: jnp.asarray(v) for k, v in sd.items()}
+
+    cfg = dataclasses.replace(unet_model.UNetConfig.from_state_dict(params),
+                              head_dim=16)
+    model = pipeline.DiffusionModel(arch="sdxl", params=params, config=cfg,
+                                    qcfg=F32)
+    vae_params = tiny_vae_fixture.__wrapped__()
+    vae_cfg = vae_mod.VAEConfig(z_channels=4, base_ch=32, ch_mult=(1, 2),
+                                num_res_blocks=1, scale_factor=0.18215,
+                                shift_factor=0.0, has_quant_conv=False)
+    pipe = pipeline.SDXLPipeline(
+        model, clip_l=StubEncoder("clip_l", UCTX - POOL_G, 16),
+        clip_g=StubEncoder("clip_g", POOL_G, POOL_G),
+        vae_params=vae_params, vae_config=vae_cfg)
+    ids = jnp.zeros((1, 7), jnp.int32)
+    init = np.random.default_rng(7).random((16, 16, 3)).astype(np.float32)
+    out = pipe.generate_from_ids(ids, ids, width=16, height=16, steps=4,
+                                 cfg_scale=1.0, init_image=init,
+                                 denoise=0.5)
+    assert out.shape == (16, 16, 3)
+    assert np.isfinite(out).all()
