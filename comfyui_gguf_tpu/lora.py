@@ -93,13 +93,20 @@ def apply_patch_epilogue(x: jax.Array, out: jax.Array,
             delta = jnp.dot(x.astype(dt), p.diff.astype(dt).T,
                             preferred_element_type=jnp.float32)
         else:
+            # rank-r intermediates stay fp32 (they're tiny: M×r), but the
+            # (M, R) delta is emitted in the patch dtype — at bf16 that
+            # halves the dominant HBM cost of the epilogue (the delta
+            # write + re-read for the add), and LoRA deltas are small
+            # relative to the base output so the rounding is negligible
             h = jnp.dot(x.astype(dt), p.down.astype(dt).T,
                         preferred_element_type=jnp.float32).astype(dt)
             if p.mid is not None:
                 h = jnp.dot(h, p.mid.astype(dt).T,
                             preferred_element_type=jnp.float32).astype(dt)
-            delta = jnp.dot(h, p.up.astype(dt).T,
-                            preferred_element_type=jnp.float32)
+            delta = jnp.dot((p.scale * h.astype(jnp.float32)).astype(dt),
+                            p.up.astype(dt).T)
+            acc = acc + delta.astype(acc.dtype)
+            continue
         acc = acc + (p.scale * delta).astype(acc.dtype)
     return acc
 
