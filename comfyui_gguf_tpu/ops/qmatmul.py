@@ -158,6 +158,20 @@ def _pick_kt(k_rows: int, gs: int) -> int | None:
 # overridable for autotuning (see tests/bench sweeps)
 TILE_OVERRIDES: dict = {}
 
+# per-shape tuned tiles: {(m_bucket, k_rows, rp, layout): (mt, kt, rt)}.
+# Populated by ops.autotune (profile-driven) or loaded from the JSON at
+# $GGUF_TPU_TILE_CACHE; consulted before the heuristics. m is bucketed to
+# the next power of two so serving batch jitter reuses entries.
+SHAPE_TILES: dict = {}
+
+
+def _m_bucket(m: int) -> int:
+    return 1 << max(0, (m - 1)).bit_length() if m > 0 else 1
+
+
+def shape_key(m: int, k_rows: int, rp: int, layout: str) -> tuple:
+    return (_m_bucket(m), k_rows, rp, layout)
+
 # experimental: prefer 1024-wide r-tiles on wide weights (qkv/lin1-type).
 # +8-10% TF/s on the isolated kernel (163-170 vs 150 @ M=4608) but a net
 # LOSS at whole-model level (flux single blocks 11.8→14.1 ms — VMEM
@@ -167,7 +181,7 @@ SERVING_TILES = os.environ.get("GGUF_TPU_SERVING_TILES", "") not in ("", "0")
 
 
 def _pick_tiles(m: int, k_rows: int, rp: int, gs: int,
-                out_bytes: int = 2):
+                out_bytes: int = 2, layout: str = "nib4"):
     """(mt, kt, rt) tile sizes. kt tiles the stored code rows (K/2 for nib4).
 
     Large m-tiles amortize the VPU unpack (each (k, r) code tile is
@@ -178,6 +192,9 @@ def _pick_tiles(m: int, k_rows: int, rp: int, gs: int,
     if TILE_OVERRIDES:
         return (TILE_OVERRIDES.get("mt"), TILE_OVERRIDES.get("kt"),
                 TILE_OVERRIDES.get("rt"))
+    tuned = SHAPE_TILES.get(shape_key(m, k_rows, rp, layout))
+    if tuned is not None:
+        return tuple(tuned)
     # kt=256 code rows: scale tiles stay ≥8 sublanes for gs∈{16,32} and the
     # unpacked (kt, rt) plane fits VMEM alongside the accumulator
     kt = None
@@ -236,7 +253,8 @@ def pallas_qmm(x: jax.Array, pq: PlanarQuant, *, dequant_dtype=jnp.bfloat16,
         x2 = jnp.pad(x2, ((0, 0), (0, kp - K)))
 
     mt, kt, rt = _pick_tiles(m, k_rows, rp, gs,
-                             out_bytes=jnp.dtype(out_dtype).itemsize)
+                             out_bytes=jnp.dtype(out_dtype).itemsize,
+                             layout=pq.layout)
     if kt is None:
         raise ValueError(f"untileable K rows {k_rows} (gs={gs})")
     mp = _cdiv(m, mt) * mt
