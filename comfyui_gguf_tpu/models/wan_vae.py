@@ -34,7 +34,6 @@ import dataclasses
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from ..nn.attention import dot_product_attention
 from ..nn.layers import QuantConfig, DEFAULT_CONFIG, conv2d
