@@ -14,6 +14,15 @@ Usage (on the target chip):
     autotune.tune_for_params(params, m=4608)     # all PlanarQuant leaves
     autotune.save(path)                          # → JSON
     # on boot: autotune.load(path)  (or set $GGUF_TPU_TILE_CACHE)
+
+MEASURED CAVEAT (v5e, flux-dev shapes): the per-kernel objective picks
+(512, 256, 1024) everywhere (+7-10%% custom-call time), but the FULL
+MODEL gets SLOWER with those tiles (step 710 ms vs 592-684 default) —
+bigger r-tiles raise the kernel's VMEM footprint and starve neighbouring
+ops' prefetch double-buffering. Per-kernel tuning is necessary but not
+sufficient: accept a tuned entry only after a model-step A/B
+(docs/NOTES_ROUND1.md "serving-knob A/B"). The infrastructure is kept
+for chips/models where the tradeoff lands differently.
 """
 
 from __future__ import annotations
