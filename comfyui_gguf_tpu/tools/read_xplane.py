@@ -116,3 +116,29 @@ def main(argv=None):
 
 if __name__ == "__main__":
     raise SystemExit(main())
+
+
+def module_ms(path: str) -> dict[str, tuple[float, int]]:
+    """Total device time per XLA module (the 'XLA Modules' line):
+    {module_name: (total_ms, run_count)}. The most trustworthy whole-jit
+    timing through the remote tunnel — no host RTT, no differencing."""
+    from tensorflow.tsl.profiler.protobuf import xplane_pb2
+
+    pb = _find_pb(path)
+    xs = xplane_pb2.XSpace()
+    with open(pb, "rb") as f:
+        xs.ParseFromString(f.read())
+    out: dict[str, list] = {}
+    for plane in xs.planes:
+        if "TPU" not in plane.name:
+            continue
+        meta = {m.id: m.name for m in plane.event_metadata.values()}
+        for line in plane.lines:
+            if line.name != "XLA Modules":
+                continue
+            for ev in line.events:
+                nm = re.sub(r"\(\d+\)$", "", meta.get(ev.metadata_id, "?"))
+                r = out.setdefault(nm, [0.0, 0])
+                r[0] += ev.duration_ps / 1e9
+                r[1] += 1
+    return {k: (v[0], v[1]) for k, v in out.items()}

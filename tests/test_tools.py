@@ -185,3 +185,17 @@ def test_read_xplane_label_collapse():
     assert _label("%add_convert_fusion.2") == "fusion"
     assert _label("%while = (...)") == "while-wrapper"
     assert _label("%broadcast.12") == "broadcast"
+
+
+def test_module_ms_parses_existing_capture():
+    import os
+
+    import pytest
+
+    from comfyui_gguf_tpu.tools.read_xplane import module_ms
+
+    path = "/tmp/prof_sq"
+    if not os.path.isdir(path):
+        pytest.skip("no capture on disk")
+    mods = module_ms(path)
+    assert mods and all(ms > 0 for ms, n in mods.values())
