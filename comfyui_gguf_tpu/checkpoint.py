@@ -20,6 +20,7 @@ bit-cast to uint16 (npz has no bfloat16 dtype).
 from __future__ import annotations
 
 import json
+import os
 
 import jax
 import jax.numpy as jnp
@@ -44,6 +45,10 @@ def _from_np(a, dtype):
 
 
 def save_params(path: str, params: dict) -> None:
+    # np.savez silently appends ".npz" to bare paths; normalize up front so
+    # save_params(p) / load_params(p) agree on the on-disk name
+    if not str(path).endswith(".npz"):
+        path = f"{path}.npz"
     arrays: dict[str, np.ndarray] = {}
     meta: dict[str, dict] = {}
     for key, v in params.items():
@@ -71,6 +76,8 @@ def save_params(path: str, params: dict) -> None:
 
 
 def load_params(path: str, device=None) -> dict:
+    if not str(path).endswith(".npz") and not os.path.exists(path):
+        path = f"{path}.npz"
     z = np.load(path)
     head = json.loads(bytes(z["__meta__"]).decode())
     if head.get("magic") != _MAGIC:

@@ -85,7 +85,7 @@ def _block(params, i, x, ctx, vec, pe, cfg: CosmosConfig, qcfg):
     H = cfg.n_heads
 
     sh, sc, g = _mod3(params, f"{p}.adaln_modulation_self_attn", vec, qcfg)
-    h = layer_norm(x) * (1 + sc) + sh
+    h = layer_norm(x, eps=1e-6) * (1 + sc) + sh
     q = _proj_heads(params, p, "self_attn.q_proj", h, H, qcfg,
                     "self_attn.q_norm")
     k = _proj_heads(params, p, "self_attn.k_proj", h, H, qcfg,
@@ -98,7 +98,7 @@ def _block(params, i, x, ctx, vec, pe, cfg: CosmosConfig, qcfg):
     x = x + g * a
 
     sh, sc, g = _mod3(params, f"{p}.adaln_modulation_cross_attn", vec, qcfg)
-    h = layer_norm(x) * (1 + sc) + sh
+    h = layer_norm(x, eps=1e-6) * (1 + sc) + sh
     q = _proj_heads(params, p, "cross_attn.q_proj", h, H, qcfg,
                     "cross_attn.q_norm")
     k = _proj_heads(params, p, "cross_attn.k_proj", ctx, H, qcfg,
@@ -109,7 +109,7 @@ def _block(params, i, x, ctx, vec, pe, cfg: CosmosConfig, qcfg):
     x = x + g * a
 
     sh, sc, g = _mod3(params, f"{p}.adaln_modulation_mlp", vec, qcfg)
-    h = layer_norm(x) * (1 + sc) + sh
+    h = layer_norm(x, eps=1e-6) * (1 + sc) + sh
     h = linear(h, params[f"{p}.mlp.layer1.weight"],
                params.get(f"{p}.mlp.layer1.bias"), cfg=qcfg)
     h = jax.nn.gelu(h.astype(jnp.float32), approximate=True).astype(x.dtype)
@@ -158,7 +158,7 @@ def forward(params, cfg: CosmosConfig, latent: jax.Array, context: jax.Array,
         sh, sc = chunks[0], chunks[1]
     else:
         sh = sc = jnp.zeros((1, 1, 1), x.dtype)
-    x = layer_norm(x) * (1 + sc) + sh
+    x = layer_norm(x, eps=1e-6) * (1 + sc) + sh
     x = linear(x, params["final_layer.linear.weight"],
                params.get("final_layer.linear.bias"), cfg=qcfg)
     x = x.reshape(B, f, h_, w_, C, pt, ph, pw)

@@ -168,8 +168,8 @@ def _double_block(params, i: int, img, txt, vec, pe, cfg: FluxConfig, qcfg):
     t_shift1, t_scale1, t_gate1, t_shift2, t_scale2, t_gate2 = _modulation(
         params, p + "txt_mod", vec, 6, qcfg)
 
-    img_mod = layer_norm(img) * (1 + i_scale1) + i_shift1
-    txt_mod = layer_norm(txt) * (1 + t_scale1) + t_shift1
+    img_mod = layer_norm(img, eps=1e-6) * (1 + i_scale1) + i_shift1
+    txt_mod = layer_norm(txt, eps=1e-6) * (1 + t_scale1) + t_shift1
 
     iq, ik, iv = _split_heads(
         linear(img_mod, params[p + "img_attn.qkv.weight"],
@@ -191,7 +191,7 @@ def _double_block(params, i: int, img, txt, vec, pe, cfg: FluxConfig, qcfg):
     img = img + i_gate1 * linear(img_attn, params[p + "img_attn.proj.weight"],
                                  params.get(p + "img_attn.proj.bias"),
                                  cfg=qcfg)
-    h = layer_norm(img) * (1 + i_scale2) + i_shift2
+    h = layer_norm(img, eps=1e-6) * (1 + i_scale2) + i_shift2
     h = linear(h, params[p + "img_mlp.0.weight"],
                params.get(p + "img_mlp.0.bias"), cfg=qcfg)
     h = jax.nn.gelu(h.astype(jnp.float32), approximate=True).astype(h.dtype)
@@ -201,7 +201,7 @@ def _double_block(params, i: int, img, txt, vec, pe, cfg: FluxConfig, qcfg):
     txt = txt + t_gate1 * linear(txt_attn, params[p + "txt_attn.proj.weight"],
                                  params.get(p + "txt_attn.proj.bias"),
                                  cfg=qcfg)
-    h = layer_norm(txt) * (1 + t_scale2) + t_shift2
+    h = layer_norm(txt, eps=1e-6) * (1 + t_scale2) + t_shift2
     h = linear(h, params[p + "txt_mlp.0.weight"],
                params.get(p + "txt_mlp.0.bias"), cfg=qcfg)
     h = jax.nn.gelu(h.astype(jnp.float32), approximate=True).astype(h.dtype)
@@ -217,7 +217,7 @@ def _single_block(params, i: int, x, vec, pe, cfg: FluxConfig, qcfg):
     mlp_dim = int(hidden * cfg.mlp_ratio)
 
     shift, scale, gate = _modulation(params, p + "modulation", vec, 3, qcfg)
-    x_mod = layer_norm(x) * (1 + scale) + shift
+    x_mod = layer_norm(x, eps=1e-6) * (1 + scale) + shift
 
     h = linear(x_mod, params[p + "linear1.weight"],
                params.get(p + "linear1.bias"), cfg=qcfg)
@@ -279,7 +279,7 @@ def forward(params, cfg: FluxConfig, img: jax.Array, img_ids: jax.Array,
     mod = linear(v, params["final_layer.adaLN_modulation.1.weight"],
                  params.get("final_layer.adaLN_modulation.1.bias"), cfg=qcfg)
     shift, scale = jnp.split(mod[:, None, :], 2, axis=-1)
-    img = layer_norm(img) * (1 + scale) + shift
+    img = layer_norm(img, eps=1e-6) * (1 + scale) + shift
     return linear(img, params["final_layer.linear.weight"],
                   params.get("final_layer.linear.bias"), cfg=qcfg)
 

@@ -174,8 +174,8 @@ def _double_block(params, i, img, txt, vec, cfg: HiDreamConfig, qcfg):
     (i_sh1, i_sc1, i_g1, i_sh2, i_sc2, i_g2,
      t_sh1, t_sc1, t_g1, t_sh2, t_sc2, t_g2) = chunks[:12]
 
-    img_mod = layer_norm(img) * (1 + i_sc1) + i_sh1
-    txt_mod = layer_norm(txt) * (1 + t_sc1) + t_sh1
+    img_mod = layer_norm(img, eps=1e-6) * (1 + i_sc1) + i_sh1
+    txt_mod = layer_norm(txt, eps=1e-6) * (1 + t_sc1) + t_sh1
     a = _attn_joint(params, p, img_mod, txt_mod, H, qcfg)
     L_img = img.shape[1]
     img_a, txt_a = a[:, :L_img], a[:, L_img:]
@@ -185,10 +185,10 @@ def _double_block(params, i, img, txt, vec, cfg: HiDreamConfig, qcfg):
                               params.get(f"{p}.attn1.to_out_t.bias"),
                               cfg=qcfg)
 
-    h = layer_norm(img) * (1 + i_sc2) + i_sh2
+    h = layer_norm(img, eps=1e-6) * (1 + i_sc2) + i_sh2
     img = img + i_g2 * moe_ffn(params, f"{p}.ff_i", h, cfg.n_experts,
                                cfg.top_k, qcfg)
-    h = layer_norm(txt) * (1 + t_sc2) + t_sh2
+    h = layer_norm(txt, eps=1e-6) * (1 + t_sc2) + t_sh2
     txt = txt + t_g2 * _swiglu(params, f"{p}.ff_t", h, qcfg)
     return img, txt
 
@@ -197,11 +197,11 @@ def _single_block(params, i, x, vec, cfg: HiDreamConfig, qcfg):
     p = f"single_stream_blocks.{i}.block"
     H = cfg.n_heads
     sh1, sc1, g1, sh2, sc2, g2 = _adaln(params, p, vec, qcfg, cfg.hidden)[:6]
-    h = layer_norm(x) * (1 + sc1) + sh1
+    h = layer_norm(x, eps=1e-6) * (1 + sc1) + sh1
     a = _attn_joint(params, p, h, None, H, qcfg)
     x = x + g1 * linear(a, params[f"{p}.attn1.to_out.weight"],
                         params.get(f"{p}.attn1.to_out.bias"), cfg=qcfg)
-    h = layer_norm(x) * (1 + sc2) + sh2
+    h = layer_norm(x, eps=1e-6) * (1 + sc2) + sh2
     return x + g2 * moe_ffn(params, f"{p}.ff_i", h, cfg.n_experts,
                             cfg.top_k, qcfg)
 
@@ -257,7 +257,7 @@ def forward(params, cfg: HiDreamConfig, latent: jax.Array,
     mod = linear(v, params["final_layer.adaLN_modulation.1.weight"],
                  params.get("final_layer.adaLN_modulation.1.bias"), cfg=qcfg)
     shift, scale = jnp.split(mod[:, None, :], 2, axis=-1)
-    img = layer_norm(img) * (1 + scale) + shift
+    img = layer_norm(img, eps=1e-6) * (1 + scale) + shift
     img = linear(img, params["final_layer.linear.weight"],
                  params.get("final_layer.linear.bias"), cfg=qcfg)
     img = img.reshape(B, h_tok, w_tok, p, p, C)

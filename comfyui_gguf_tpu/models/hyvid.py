@@ -148,8 +148,8 @@ def _double_block(params, i, img, txt, vec, pe, cfg: HyVidConfig, qcfg):
     t_sh1, t_sc1, t_g1, t_sh2, t_sc2, t_g2 = _mod(params, p + "txt_mod",
                                                   vec, 6, qcfg)
 
-    img_mod = layer_norm(img) * (1 + i_sc1) + i_sh1
-    txt_mod = layer_norm(txt) * (1 + t_sc1) + t_sh1
+    img_mod = layer_norm(img, eps=1e-6) * (1 + i_sc1) + i_sh1
+    txt_mod = layer_norm(txt, eps=1e-6) * (1 + t_sc1) + t_sh1
 
     iq, ik, iv = (  # flat HYV naming: img_attn_qkv
         _heads(a, H) for a in jnp.split(
@@ -176,7 +176,7 @@ def _double_block(params, i, img, txt, vec, pe, cfg: HyVidConfig, qcfg):
 
     img = img + i_g1 * linear(img_a, params[p + "img_attn_proj.weight"],
                               params.get(p + "img_attn_proj.bias"), cfg=qcfg)
-    h = layer_norm(img) * (1 + i_sc2) + i_sh2
+    h = layer_norm(img, eps=1e-6) * (1 + i_sc2) + i_sh2
     h = linear(h, params[p + "img_mlp.fc1.weight"],
                params.get(p + "img_mlp.fc1.bias"), cfg=qcfg)
     h = jax.nn.gelu(h.astype(jnp.float32), approximate=True).astype(h.dtype)
@@ -185,7 +185,7 @@ def _double_block(params, i, img, txt, vec, pe, cfg: HyVidConfig, qcfg):
 
     txt = txt + t_g1 * linear(txt_a, params[p + "txt_attn_proj.weight"],
                               params.get(p + "txt_attn_proj.bias"), cfg=qcfg)
-    h = layer_norm(txt) * (1 + t_sc2) + t_sh2
+    h = layer_norm(txt, eps=1e-6) * (1 + t_sc2) + t_sh2
     h = linear(h, params[p + "txt_mlp.fc1.weight"],
                params.get(p + "txt_mlp.fc1.bias"), cfg=qcfg)
     h = jax.nn.gelu(h.astype(jnp.float32), approximate=True).astype(h.dtype)
@@ -200,7 +200,7 @@ def _single_block(params, i, x, vec, pe, L_img, cfg: HyVidConfig, qcfg):
     hid = cfg.hidden
     mlp = int(hid * cfg.mlp_ratio)
     shift, scale, gate = _mod(params, p + "modulation", vec, 3, qcfg)
-    x_mod = layer_norm(x) * (1 + scale) + shift
+    x_mod = layer_norm(x, eps=1e-6) * (1 + scale) + shift
     h = linear(x_mod, params[p + "linear1.weight"],
                params.get(p + "linear1.bias"), cfg=qcfg)
     qkv, mlp_h = h[..., : 3 * hid], h[..., 3 * hid:]
@@ -258,7 +258,7 @@ def forward(params, cfg: HyVidConfig, latent: jax.Array, txt: jax.Array,
     mod = linear(v, params["final_layer.adaLN_modulation.1.weight"],
                  params.get("final_layer.adaLN_modulation.1.bias"), cfg=qcfg)
     shift, scale = jnp.split(mod[:, None, :], 2, axis=-1)
-    img = layer_norm(img) * (1 + scale) + shift
+    img = layer_norm(img, eps=1e-6) * (1 + scale) + shift
     img = linear(img, params["final_layer.linear.weight"],
                  params.get("final_layer.linear.bias"), cfg=qcfg)
     img = img.reshape(B, f, h_, w_, pt, ph, pw, C)

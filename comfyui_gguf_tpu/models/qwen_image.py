@@ -77,8 +77,8 @@ def _block(params, i, img, txt, vec, pe, cfg: QwenImageConfig, qcfg):
     t_sh1, t_sc1, t_g1, t_sh2, t_sc2, t_g2 = _mod(params, p + "txt_mod",
                                                   vec, qcfg)
 
-    img_mod = layer_norm(img) * (1 + i_sc1) + i_sh1
-    txt_mod = layer_norm(txt) * (1 + t_sc1) + t_sh1
+    img_mod = layer_norm(img, eps=1e-6) * (1 + i_sc1) + i_sh1
+    txt_mod = layer_norm(txt, eps=1e-6) * (1 + t_sc1) + t_sh1
 
     iq = rms_norm(_heads(linear(img_mod, params[p + "attn.to_q.weight"],
                                 params.get(p + "attn.to_q.bias"), cfg=qcfg),
@@ -116,14 +116,14 @@ def _block(params, i, img, txt, vec, pe, cfg: QwenImageConfig, qcfg):
                               params.get(p + "attn.to_add_out.bias"),
                               cfg=qcfg)
 
-    h = layer_norm(img) * (1 + i_sc2) + i_sh2
+    h = layer_norm(img, eps=1e-6) * (1 + i_sc2) + i_sh2
     h = linear(h, params[p + "img_mlp.net.0.proj.weight"],
                params.get(p + "img_mlp.net.0.proj.bias"), cfg=qcfg)
     h = jax.nn.gelu(h.astype(jnp.float32), approximate=True).astype(h.dtype)
     img = img + i_g2 * linear(h, params[p + "img_mlp.net.2.weight"],
                               params.get(p + "img_mlp.net.2.bias"), cfg=qcfg)
 
-    h = layer_norm(txt) * (1 + t_sc2) + t_sh2
+    h = layer_norm(txt, eps=1e-6) * (1 + t_sc2) + t_sh2
     h = linear(h, params[p + "txt_mlp.net.0.proj.weight"],
                params.get(p + "txt_mlp.net.0.proj.bias"), cfg=qcfg)
     h = jax.nn.gelu(h.astype(jnp.float32), approximate=True).astype(h.dtype)
@@ -162,6 +162,6 @@ def forward(params, cfg: QwenImageConfig, img: jax.Array, img_ids: jax.Array,
     mod = linear(v, params["norm_out.linear.weight"],
                  params.get("norm_out.linear.bias"), cfg=qcfg)
     sc, sh = jnp.split(mod[:, None, :], 2, axis=-1)
-    img = layer_norm(img) * (1 + sc) + sh
+    img = layer_norm(img, eps=1e-6) * (1 + sc) + sh
     return linear(img, params["proj_out.weight"],
                   params.get("proj_out.bias"), cfg=qcfg)

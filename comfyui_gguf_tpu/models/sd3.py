@@ -121,8 +121,8 @@ def _joint_block(params, i, ctx, x, vec, cfg: SD3Config, qcfg):
     xm = _modulation(params, xb, vec, n_x, qcfg)
     (x_shift, x_scale, x_gate, x_shift2, x_scale2, x_gate2) = xm[:6]
 
-    ctx_mod = layer_norm(ctx) * (1 + c_scale) + c_shift
-    x_norm = layer_norm(x)
+    ctx_mod = layer_norm(ctx, eps=1e-6) * (1 + c_scale) + c_shift
+    x_norm = layer_norm(x, eps=1e-6)
     x_mod = x_norm * (1 + x_scale) + x_shift
 
     cq, ck, cv = _qkv_heads(params, f"{cb}.attn", ctx_mod, H, cfg.qk_norm,
@@ -146,13 +146,13 @@ def _joint_block(params, i, ctx, x, vec, cfg: SD3Config, qcfg):
                                 cfg.qk_norm, qcfg)
         attn2 = dot_product_attention(q2, k2, v2)
         x = x + x2_gate * _attn_out(attn2, params, f"{xb}.attn2", qcfg)
-    h = layer_norm(x) * (1 + x_scale2) + x_shift2
+    h = layer_norm(x, eps=1e-6) * (1 + x_scale2) + x_shift2
     x = x + x_gate2 * _mlp(params, xb, h, qcfg)
 
     if pre_only:
         return None, x
     ctx = ctx + c_gate * _attn_out(c_attn, params, f"{cb}.attn", qcfg)
-    h = layer_norm(ctx) * (1 + c_scale2) + c_shift2
+    h = layer_norm(ctx, eps=1e-6) * (1 + c_scale2) + c_shift2
     ctx = ctx + c_gate2 * _mlp(params, cb, h, qcfg)
     return ctx, x
 
@@ -208,7 +208,7 @@ def forward(params, cfg: SD3Config, latent: jax.Array, context: jax.Array,
     mod = linear(v, params["final_layer.adaLN_modulation.1.weight"],
                  params.get("final_layer.adaLN_modulation.1.bias"), cfg=qcfg)
     shift, scale = jnp.split(mod[:, None, :], 2, axis=-1)
-    x = layer_norm(x) * (1 + scale) + shift
+    x = layer_norm(x, eps=1e-6) * (1 + scale) + shift
     out = linear(x, params["final_layer.linear.weight"],
                  params.get("final_layer.linear.bias"), cfg=qcfg)
 

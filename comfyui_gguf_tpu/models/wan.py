@@ -128,7 +128,7 @@ def _block(params, i, x, e0, ctx, pe, cfg: WanConfig, qcfg):
     sh1, sc1, g1, sh2, sc2, g2 = [mod[:, j][:, None] for j in range(6)]
 
     # Wan applies full-width RMS norms on q/k before the head split
-    h = layer_norm(x) * (1 + sc1) + sh1
+    h = layer_norm(x, eps=1e-6) * (1 + sc1) + sh1
     q = _heads(rms_norm(linear(h, params[p + "self_attn.q.weight"],
                                params.get(p + "self_attn.q.bias"), cfg=qcfg),
                         params[p + "self_attn.norm_q.weight"], eps=1e-6), H)
@@ -145,7 +145,7 @@ def _block(params, i, x, e0, ctx, pe, cfg: WanConfig, qcfg):
 
     # cross attention (norm3 affine LN on input)
     h = layer_norm(x, params.get(p + "norm3.weight"),
-                   params.get(p + "norm3.bias"))
+                   params.get(p + "norm3.bias"), eps=1e-6)
     q = _heads(rms_norm(linear(h, params[p + "cross_attn.q.weight"],
                                 params.get(p + "cross_attn.q.bias"),
                                 cfg=qcfg),
@@ -159,7 +159,7 @@ def _block(params, i, x, e0, ctx, pe, cfg: WanConfig, qcfg):
     x = x + linear(_attn(q, k, v), params[p + "cross_attn.o.weight"],
                    params.get(p + "cross_attn.o.bias"), cfg=qcfg)
 
-    h = layer_norm(x) * (1 + sc2) + sh2
+    h = layer_norm(x, eps=1e-6) * (1 + sc2) + sh2
     h = linear(h, params[p + "ffn.0.weight"], params.get(p + "ffn.0.bias"),
                cfg=qcfg)
     h = jax.nn.gelu(h.astype(jnp.float32), approximate=True).astype(x.dtype)
@@ -208,7 +208,7 @@ def forward(params, cfg: WanConfig, latent: jax.Array, context: jax.Array,
     hm = (params["head.modulation"].reshape(1, 2, cfg.dim)
           + e.reshape(-1, 1, cfg.dim)).astype(x.dtype)
     shift, scale = hm[:, 0][:, None], hm[:, 1][:, None]
-    x = layer_norm(x) * (1 + scale) + shift
+    x = layer_norm(x, eps=1e-6) * (1 + scale) + shift
     x = linear(x, params["head.head.weight"], params.get("head.head.bias"),
                cfg=qcfg)
     x = x.reshape(B, f, h, w, pt, ph, pw, cfg.out_channels)

@@ -62,19 +62,24 @@ def materialize(leaf, dtype=jnp.float32) -> jax.Array:
     PatchedWeight leaves fold their LoRA deltas into the dense result."""
     if hasattr(leaf, "patches") and hasattr(leaf, "base"):
         w = materialize(leaf.base, jnp.float32)
+        shape = w.shape
+        # conv weights (O, I, kh, kw) fold to the (O, I·kh·kw) matrix the
+        # rank factors were trained against (kohya LoCon flattens the same
+        # way; the reference reshapes in comfy.lora.calculate_weight)
+        w = w.reshape(shape[0], -1)
         w0 = w
         for p in leaf.patches:
             if getattr(p, "a1", None) is not None:  # glora: + s·W@a2@a1
                 w = w + p.scale * (w0 @ p.a2.astype(jnp.float32)
                                    @ p.a1.astype(jnp.float32))
             if p.diff is not None:
-                w = w + p.scale * p.diff.astype(jnp.float32)
+                w = w + p.scale * p.diff.astype(jnp.float32).reshape(w.shape)
             elif p.up is not None:
                 delta = p.up.astype(jnp.float32) @ (
                     (p.mid.astype(jnp.float32) @ p.down.astype(jnp.float32))
                     if p.mid is not None else p.down.astype(jnp.float32))
-                w = w + p.scale * delta
-        return w.astype(dtype)
+                w = w + p.scale * delta.reshape(w.shape)
+        return w.reshape(shape).astype(dtype)
     if isinstance(leaf, PlanarQuant):
         return planar_dequantize(leaf, dtype)
     return jnp.asarray(leaf, dtype)

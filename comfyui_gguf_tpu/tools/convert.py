@@ -129,16 +129,17 @@ def handle_tensors(writer: GGUFWriter, sd: dict[str, np.ndarray],
                 or any(s in key for s in spec.keys_hiprec)):
             qtype = GGMLQuantizationType.F32
 
+        # reference tools/convert.py:287-295: any n_dims>1 tensor at or above
+        # the size threshold whose last dim isn't a 256 multiple is flattened
+        # to (N/256, 256) so the block quantizer can take it (covers SD1/SDXL
+        # 4-D convs and narrow 2-D projections; orig_shape restores on load)
         orig_shape = None
-        if (spec.shape_fix and n_dims == 2
-                and data.shape[1] > REARRANGE_THRESHOLD
-                and data.shape[1] % 256 != 0
-                and qtype != GGMLQuantizationType.F32):
-            if data.size % 256 != 0:
-                qtype = GGMLQuantizationType.F32
-            else:
-                orig_shape = data.shape
-                data = data.reshape(data.size // 256, 256)
+        if (spec.shape_fix and n_dims > 1
+                and n_params >= REARRANGE_THRESHOLD
+                and n_params % 256 == 0
+                and data.shape[-1] % 256 != 0):
+            orig_shape = data.shape
+            data = data.reshape(n_params // 256, 256)
 
         payload = codecs.quantize(data.astype(np.float32), qtype)
         writer.add_tensor(key, payload, raw_dtype=qtype, raw_shape=data.shape)

@@ -163,6 +163,15 @@ def quantize_file(src: str, dst: str | None, ftype_name: str) -> str:
         raise ValueError(
             f"{ftype_name}: IQ quantization types are not supported for "
             f"image models (arch {arch!r})")
+    # the recipe below ports the reference's IMAGE-model type ladder
+    # (lcpp.patch img_tensor_get_type); text encoders (t5/llama) go through
+    # stock llama.cpp's llama_tensor_get_type in the reference workflow, a
+    # different per-tensor policy — refuse rather than silently diverge
+    if arch not in IMG_ARCH_LIST:
+        raise ValueError(
+            f"arch {arch!r} is not an image model; this quantizer implements "
+            f"the image-model recipe only — quantize text encoders with "
+            f"stock llama.cpp (the reference does the same, tools/README)")
 
     if dst is None:
         base = src

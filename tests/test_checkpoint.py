@@ -42,3 +42,15 @@ def test_rejects_foreign_file(tmp_path):
         raise AssertionError("should have raised")
     except (ValueError, KeyError):
         pass
+
+
+def test_extensionless_path(tmp_path):
+    """np.savez appends .npz to bare paths; save/load must agree on the
+    on-disk name (ADVICE r1)."""
+    rng = np.random.default_rng(2)
+    params = {"w": jnp.asarray(rng.standard_normal((4, 4)), jnp.float32)}
+    p = str(tmp_path / "ckpt")  # no extension
+    checkpoint.save_params(p, params)
+    out = checkpoint.load_params(p)
+    np.testing.assert_array_equal(np.asarray(out["w"]),
+                                  np.asarray(params["w"]))

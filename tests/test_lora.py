@@ -211,3 +211,41 @@ def test_glora_patch_matches_dense_rewrite():
     # materialize() folds the same delta
     np.testing.assert_allclose(np.asarray(materialize(pw, jnp.float32)),
                                w_dense, rtol=2e-4, atol=2e-4)
+
+
+def test_conv_locon_patch_materializes_and_runs():
+    """Kohya LoCon conv patches carry 2-D (O, I·kh·kw) rank factors against
+    4-D conv weights; materialize must reshape the delta (ADVICE r1; the
+    reference reshapes inside comfy.lora.calculate_weight)."""
+    from comfyui_gguf_tpu.nn.layers import conv2d
+
+    rng = np.random.default_rng(5)
+    O, I, kh, kw, r = 8, 4, 3, 3, 2
+    w = rng.standard_normal((O, I, kh, kw)).astype(np.float32)
+    up = rng.standard_normal((O, r)).astype(np.float32)
+    down = rng.standard_normal((r, I * kh * kw)).astype(np.float32)
+    patch = lora.LoRAPatch(up=jnp.asarray(up), down=jnp.asarray(down),
+                           mid=None, diff=None, scale=0.5)
+    pw = lora.PatchedWeight(jnp.asarray(w), (patch,))
+
+    got = np.asarray(materialize(pw, jnp.float32))
+    want = w + 0.5 * (up @ down).reshape(w.shape)
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+    x = jnp.asarray(rng.standard_normal((1, 8, 8, I)).astype(np.float32))
+    y = conv2d(x, pw, padding=1, cfg=F32CFG)
+    assert y.shape == (1, 8, 8, O)
+    y_ref = conv2d(x, jnp.asarray(want), padding=1, cfg=F32CFG)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_conv_diff_patch_reshapes():
+    rng = np.random.default_rng(6)
+    w = rng.standard_normal((4, 2, 3, 3)).astype(np.float32)
+    diff = rng.standard_normal((4, 2 * 3 * 3)).astype(np.float32)  # flat
+    pw = lora.PatchedWeight(jnp.asarray(w), (lora.LoRAPatch(
+        up=None, down=None, mid=None, diff=jnp.asarray(diff), scale=1.0),))
+    got = np.asarray(materialize(pw, jnp.float32))
+    np.testing.assert_allclose(got, w + diff.reshape(w.shape),
+                               rtol=1e-5, atol=1e-5)

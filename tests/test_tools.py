@@ -199,3 +199,74 @@ def test_module_ms_parses_existing_capture():
         pytest.skip("no capture on disk")
     mods = module_ms(path)
     assert mods and all(ms > 0 for ms, n in mods.values())
+
+
+def _sd1_like_sd(rng):
+    """Key set fingerprinting as sd1 (shape_fix=True arch, archs.py)."""
+    def t(*s):
+        return rng.standard_normal(s).astype(np.float32)
+
+    sd = {k: t(32, 32, 3, 3) for k in (
+        "input_blocks.3.0.op.weight", "input_blocks.6.0.op.weight",
+        "input_blocks.9.0.op.weight", "output_blocks.2.1.conv.weight",
+        "output_blocks.5.2.conv.weight", "output_blocks.8.2.conv.weight",
+    )}
+    # 4-D conv: 64*16*3*3 = 9216 elements (256-divisible, last dim 3)
+    sd["input_blocks.1.1.proj_in.weight"] = t(64, 16, 3, 3)
+    # narrow 2-D: last dim 320 not a 256 multiple, 64*320 = 20480 divisible
+    sd["input_blocks.1.1.to_q.weight"] = t(64, 320)
+    # not 256-divisible in total -> left alone
+    sd["input_blocks.1.1.odd.weight"] = t(30, 33)
+    return sd
+
+
+def test_shape_fix_rearranges_convs_and_narrow_2d(tmp_path):
+    """Reference convert.py:287-295: any n_dims>1, size>=512, size%256==0,
+    last-dim%256!=0 tensor is flattened to (N/256, 256) + orig_shape KV."""
+    rng = np.random.default_rng(7)
+    sd = _sd1_like_sd(rng)
+    import safetensors.torch
+    import torch
+
+    src = tmp_path / "model.safetensors"
+    safetensors.torch.save_file(
+        {k: torch.from_numpy(v) for k, v in sd.items()}, str(src))
+    out = convert.convert_file(str(src), str(tmp_path / "m-F16.gguf"))
+    r = GGUFReader(out)
+    by_name = {t.name: t for t in r.tensors}
+
+    conv = by_name["input_blocks.1.1.proj_in.weight"]
+    assert tuple(conv.shape) == (9216 // 256, 256)
+    assert r.get_orig_shape("input_blocks.1.1.proj_in.weight") == \
+        (64, 16, 3, 3)
+
+    narrow = by_name["input_blocks.1.1.to_q.weight"]
+    assert tuple(narrow.shape) == (20480 // 256, 256)
+    assert r.get_orig_shape("input_blocks.1.1.to_q.weight") == (64, 320)
+
+    odd = by_name["input_blocks.1.1.odd.weight"]
+    assert tuple(odd.shape) == (30, 33)
+    assert r.get_orig_shape("input_blocks.1.1.odd.weight") is None
+
+    # loader restores logical shapes
+    loaded = gguf_sd_loader(out)
+    assert tuple(loaded["input_blocks.1.1.proj_in.weight"].shape) == \
+        (64, 16, 3, 3)
+    assert tuple(loaded["input_blocks.1.1.to_q.weight"].shape) == (64, 320)
+
+
+def test_quantize_rejects_text_arch(tmp_path):
+    """Text encoders take stock llama.cpp's type rules in the reference
+    workflow — applying the image recipe would silently diverge."""
+    import pytest
+
+    from comfyui_gguf_tpu.gguf.writer import GGUFWriter
+
+    w = GGUFWriter("t5")
+    w.add_tensor("enc.blk.0.ffn_up.weight",
+                 np.zeros((256, 256), np.float16).tobytes(),
+                 raw_dtype=Q.F16, raw_shape=(256, 256))
+    path = tmp_path / "t5-F16.gguf"
+    w.write_to_file(str(path))
+    with pytest.raises(ValueError, match="image model"):
+        quantize.quantize_file(str(path), None, "Q8_0")
