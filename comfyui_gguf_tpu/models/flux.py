@@ -159,26 +159,34 @@ def _split_heads(x: jax.Array, n_heads: int) -> tuple[jax.Array, ...]:
     return tuple(qkv[:, :, i].transpose(0, 2, 1, 3) for i in range(3))
 
 
-def _double_block(params, i: int, img, txt, vec, pe, cfg: FluxConfig, qcfg):
-    p = f"double_blocks.{i}."
+def block_subtree(params, prefix: str) -> dict:
+    """Per-block param view: strips ``prefix`` from matching keys."""
+    n = len(prefix)
+    return {k[n:]: v for k, v in params.items() if k.startswith(prefix)}
+
+
+def _double_block(p: dict, img, txt, vec, pe, cfg: FluxConfig, qcfg):
+    """One double-stream block over its UNPREFIXED param subtree ``p``
+    (scan-compatible: the same function runs under lax.scan with stacked
+    params in forward_stacked and in the python loop in forward)."""
     H = cfg.n_heads
 
     i_shift1, i_scale1, i_gate1, i_shift2, i_scale2, i_gate2 = _modulation(
-        params, p + "img_mod", vec, 6, qcfg)
+        p, "img_mod", vec, 6, qcfg)
     t_shift1, t_scale1, t_gate1, t_shift2, t_scale2, t_gate2 = _modulation(
-        params, p + "txt_mod", vec, 6, qcfg)
+        p, "txt_mod", vec, 6, qcfg)
 
     img_mod = layer_norm(img, eps=1e-6) * (1 + i_scale1) + i_shift1
     txt_mod = layer_norm(txt, eps=1e-6) * (1 + t_scale1) + t_shift1
 
     iq, ik, iv = _split_heads(
-        linear(img_mod, params[p + "img_attn.qkv.weight"],
-               params.get(p + "img_attn.qkv.bias"), cfg=qcfg), H)
+        linear(img_mod, p["img_attn.qkv.weight"],
+               p.get("img_attn.qkv.bias"), cfg=qcfg), H)
     tq, tk, tv = _split_heads(
-        linear(txt_mod, params[p + "txt_attn.qkv.weight"],
-               params.get(p + "txt_attn.qkv.bias"), cfg=qcfg), H)
-    iq, ik = _qknorm(params, p + "img_attn.norm", iq, ik)
-    tq, tk = _qknorm(params, p + "txt_attn.norm", tq, tk)
+        linear(txt_mod, p["txt_attn.qkv.weight"],
+               p.get("txt_attn.qkv.bias"), cfg=qcfg), H)
+    iq, ik = _qknorm(p, "img_attn.norm", iq, ik)
+    tq, tk = _qknorm(p, "txt_attn.norm", tq, tk)
 
     # joint attention, text stream first (BFL ordering)
     q = jnp.concatenate([tq, iq], axis=2)
@@ -188,48 +196,41 @@ def _double_block(params, i: int, img, txt, vec, pe, cfg: FluxConfig, qcfg):
     L_txt = txt.shape[1]
     txt_attn, img_attn = attn[:, :L_txt], attn[:, L_txt:]
 
-    img = img + i_gate1 * linear(img_attn, params[p + "img_attn.proj.weight"],
-                                 params.get(p + "img_attn.proj.bias"),
-                                 cfg=qcfg)
+    img = img + i_gate1 * linear(img_attn, p["img_attn.proj.weight"],
+                                 p.get("img_attn.proj.bias"), cfg=qcfg)
     h = layer_norm(img, eps=1e-6) * (1 + i_scale2) + i_shift2
-    h = linear(h, params[p + "img_mlp.0.weight"],
-               params.get(p + "img_mlp.0.bias"), cfg=qcfg)
+    h = linear(h, p["img_mlp.0.weight"], p.get("img_mlp.0.bias"), cfg=qcfg)
     h = jax.nn.gelu(h.astype(jnp.float32), approximate=True).astype(h.dtype)
-    img = img + i_gate2 * linear(h, params[p + "img_mlp.2.weight"],
-                                 params.get(p + "img_mlp.2.bias"), cfg=qcfg)
+    img = img + i_gate2 * linear(h, p["img_mlp.2.weight"],
+                                 p.get("img_mlp.2.bias"), cfg=qcfg)
 
-    txt = txt + t_gate1 * linear(txt_attn, params[p + "txt_attn.proj.weight"],
-                                 params.get(p + "txt_attn.proj.bias"),
-                                 cfg=qcfg)
+    txt = txt + t_gate1 * linear(txt_attn, p["txt_attn.proj.weight"],
+                                 p.get("txt_attn.proj.bias"), cfg=qcfg)
     h = layer_norm(txt, eps=1e-6) * (1 + t_scale2) + t_shift2
-    h = linear(h, params[p + "txt_mlp.0.weight"],
-               params.get(p + "txt_mlp.0.bias"), cfg=qcfg)
+    h = linear(h, p["txt_mlp.0.weight"], p.get("txt_mlp.0.bias"), cfg=qcfg)
     h = jax.nn.gelu(h.astype(jnp.float32), approximate=True).astype(h.dtype)
-    txt = txt + t_gate2 * linear(h, params[p + "txt_mlp.2.weight"],
-                                 params.get(p + "txt_mlp.2.bias"), cfg=qcfg)
+    txt = txt + t_gate2 * linear(h, p["txt_mlp.2.weight"],
+                                 p.get("txt_mlp.2.bias"), cfg=qcfg)
     return img, txt
 
 
-def _single_block(params, i: int, x, vec, pe, cfg: FluxConfig, qcfg):
-    p = f"single_blocks.{i}."
+def _single_block(p: dict, x, vec, pe, cfg: FluxConfig, qcfg):
+    """One single-stream block over its unprefixed param subtree."""
     H = cfg.n_heads
     hidden = cfg.hidden
-    mlp_dim = int(hidden * cfg.mlp_ratio)
 
-    shift, scale, gate = _modulation(params, p + "modulation", vec, 3, qcfg)
+    shift, scale, gate = _modulation(p, "modulation", vec, 3, qcfg)
     x_mod = layer_norm(x, eps=1e-6) * (1 + scale) + shift
 
-    h = linear(x_mod, params[p + "linear1.weight"],
-               params.get(p + "linear1.bias"), cfg=qcfg)
+    h = linear(x_mod, p["linear1.weight"], p.get("linear1.bias"), cfg=qcfg)
     qkv, mlp = h[..., : 3 * hidden], h[..., 3 * hidden:]
     q, k, v = _split_heads(qkv, H)
-    q, k = _qknorm(params, p + "norm", q, k)
+    q, k = _qknorm(p, "norm", q, k)
     attn = _attention(q, k, v, pe)
     act = jax.nn.gelu(mlp.astype(jnp.float32), approximate=True).astype(
         mlp.dtype)
     out = linear(jnp.concatenate([attn, act], axis=-1),
-                 params[p + "linear2.weight"],
-                 params.get(p + "linear2.bias"), cfg=qcfg)
+                 p["linear2.weight"], p.get("linear2.bias"), cfg=qcfg)
     return x + gate * out
 
 
@@ -237,15 +238,9 @@ def _single_block(params, i: int, x, vec, pe, cfg: FluxConfig, qcfg):
 # full forward
 # ---------------------------------------------------------------------------
 
-def forward(params, cfg: FluxConfig, img: jax.Array, img_ids: jax.Array,
-            txt: jax.Array, txt_ids: jax.Array, timesteps: jax.Array,
-            y: jax.Array, guidance: jax.Array | None = None,
-            qcfg: QuantConfig = DEFAULT_CONFIG) -> jax.Array:
-    """Patchified latent tokens → predicted flow velocity tokens.
-
-    img: (B, L_img, in_channels); txt: (B, L_txt, context_dim);
-    *_ids: (B, L, 3) RoPE position ids; y: (B, vec_dim) pooled CLIP.
-    """
+def _prelude(params, cfg: FluxConfig, img, img_ids, txt, txt_ids,
+             timesteps, y, guidance, qcfg):
+    """Input embeddings + conditioning vector + RoPE table."""
     img = linear(img, params["img_in.weight"], params.get("img_in.bias"),
                  cfg=qcfg)
     txt = linear(txt, params["txt_in.weight"], params.get("txt_in.bias"),
@@ -265,16 +260,11 @@ def forward(params, cfg: FluxConfig, img: jax.Array, img_ids: jax.Array,
 
     ids = jnp.concatenate([txt_ids, img_ids], axis=1)
     pe = rope_freqs(ids, cfg.axes_dim, cfg.theta)
+    return img, txt, vec, pe
 
-    for i in range(cfg.depth_double):
-        img, txt = _double_block(params, i, img, txt, vec, pe, cfg, qcfg)
 
-    x = jnp.concatenate([txt, img], axis=1)
-    for i in range(cfg.depth_single):
-        x = _single_block(params, i, x, vec, pe, cfg, qcfg)
-    img = x[:, txt.shape[1]:]
-
-    # final adaLN + projection
+def _final(params, img, vec, qcfg):
+    """Final adaLN + projection to velocity tokens."""
     v = jax.nn.silu(vec.astype(jnp.float32)).astype(vec.dtype)
     mod = linear(v, params["final_layer.adaLN_modulation.1.weight"],
                  params.get("final_layer.adaLN_modulation.1.bias"), cfg=qcfg)
@@ -282,6 +272,85 @@ def forward(params, cfg: FluxConfig, img: jax.Array, img_ids: jax.Array,
     img = layer_norm(img, eps=1e-6) * (1 + scale) + shift
     return linear(img, params["final_layer.linear.weight"],
                   params.get("final_layer.linear.bias"), cfg=qcfg)
+
+
+def forward(params, cfg: FluxConfig, img: jax.Array, img_ids: jax.Array,
+            txt: jax.Array, txt_ids: jax.Array, timesteps: jax.Array,
+            y: jax.Array, guidance: jax.Array | None = None,
+            qcfg: QuantConfig = DEFAULT_CONFIG) -> jax.Array:
+    """Patchified latent tokens → predicted flow velocity tokens.
+
+    img: (B, L_img, in_channels); txt: (B, L_txt, context_dim);
+    *_ids: (B, L, 3) RoPE position ids; y: (B, vec_dim) pooled CLIP.
+    """
+    img, txt, vec, pe = _prelude(params, cfg, img, img_ids, txt, txt_ids,
+                                 timesteps, y, guidance, qcfg)
+
+    for i in range(cfg.depth_double):
+        img, txt = _double_block(block_subtree(params, f"double_blocks.{i}."),
+                                 img, txt, vec, pe, cfg, qcfg)
+
+    x = jnp.concatenate([txt, img], axis=1)
+    for i in range(cfg.depth_single):
+        x = _single_block(block_subtree(params, f"single_blocks.{i}."),
+                          x, vec, pe, cfg, qcfg)
+    img = x[:, txt.shape[1]:]
+    return _final(params, img, vec, qcfg)
+
+
+# ---------------------------------------------------------------------------
+# stacked-params forward (lax.scan over block depth)
+#
+# The python-loop forward above traces every block separately — fine at
+# tiny depth, but a full flux (19+38 blocks) would unroll into a huge HLO.
+# TPU-idiomatic execution stacks the per-block params along a leading axis
+# (PlanarQuant leaves stack like any pytree) and runs ONE traced block per
+# kind under lax.scan: compile time stays O(1) in depth, the Pallas qmm
+# kernels compile once per shape, and the same stacked layout feeds the
+# pipeline-parallel trunk (parallel/pp.py).
+# ---------------------------------------------------------------------------
+
+def stack_flux_params(params: dict, cfg: FluxConfig) -> dict:
+    """Flat GGUF-keyed params → {non-block keys, "double_blocks": stacked
+    subtree (leading dim depth_double), "single_blocks": stacked subtree}.
+
+    Stacking concatenates the per-block HBM buffers once at load time.
+    """
+    out = {k: v for k, v in params.items()
+           if not k.startswith(("double_blocks.", "single_blocks."))}
+    for kind, n in (("double_blocks", cfg.depth_double),
+                    ("single_blocks", cfg.depth_single)):
+        subs = [block_subtree(params, f"{kind}.{i}.") for i in range(n)]
+        out[kind] = jax.tree.map(lambda *xs: jnp.stack(xs), *subs)
+    return out
+
+
+def forward_stacked(sparams: dict, cfg: FluxConfig, img: jax.Array,
+                    img_ids: jax.Array, txt: jax.Array, txt_ids: jax.Array,
+                    timesteps: jax.Array, y: jax.Array,
+                    guidance: jax.Array | None = None,
+                    qcfg: QuantConfig = DEFAULT_CONFIG) -> jax.Array:
+    """forward() over stack_flux_params() output — identical math, one
+    lax.scan per block kind instead of an unrolled python loop."""
+    img, txt, vec, pe = _prelude(sparams, cfg, img, img_ids, txt, txt_ids,
+                                 timesteps, y, guidance, qcfg)
+
+    def dbody(carry, bp):
+        i, t = carry
+        i, t = _double_block(bp, i, t, vec, pe, cfg, qcfg)
+        return (i, t), None
+
+    (img, txt), _ = jax.lax.scan(dbody, (img, txt),
+                                 sparams["double_blocks"])
+
+    x = jnp.concatenate([txt, img], axis=1)
+
+    def sbody(x, bp):
+        return _single_block(bp, x, vec, pe, cfg, qcfg), None
+
+    x, _ = jax.lax.scan(sbody, x, sparams["single_blocks"])
+    img = x[:, txt.shape[1]:]
+    return _final(sparams, img, vec, qcfg)
 
 
 # ---------------------------------------------------------------------------

