@@ -321,7 +321,8 @@ def stack_flux_params(params: dict, cfg: FluxConfig) -> dict:
     for kind, n in (("double_blocks", cfg.depth_double),
                     ("single_blocks", cfg.depth_single)):
         subs = [block_subtree(params, f"{kind}.{i}.") for i in range(n)]
-        out[kind] = jax.tree.map(lambda *xs: jnp.stack(xs), *subs)
+        out[kind] = (jax.tree.map(lambda *xs: jnp.stack(xs), *subs)
+                     if subs else {})
     return out
 
 

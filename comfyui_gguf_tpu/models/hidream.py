@@ -75,8 +75,40 @@ def _swiglu(params, p, x, qcfg):
     return linear(h, params[f"{p}.w2.weight"], cfg=qcfg)
 
 
-MOE_DISPATCH = "dense"  # "dense" (exact, all experts) | "capacity" (top-k)
+MOE_DISPATCH = "dense"  # "dense" (exact) | "capacity" (top-k) | "ep"
 MOE_CAPACITY_FACTOR = 1.5
+# "ep" mode: experts sharded one-per-device over this mesh (parallel/ep.py);
+# requires stack_moe_experts() to have rewritten the params first
+EP_MESH = None
+EP_AXIS = "ep"
+
+
+def stack_moe_experts(params: dict, n_experts: int) -> dict:
+    """Rewrite flat per-expert keys ``{p}.experts.{e}.w{1,2,3}.weight``
+    into stacked trees ``{p}.experts_stacked`` = {"w1": (E, ...), ...}
+    (PlanarQuant leaves stack like any pytree) — the layout
+    parallel/ep.py shards one-expert-per-device. Originals are dropped."""
+    import jax
+
+    prefixes = sorted({k.split(".experts.")[0] for k in params
+                       if ".experts." in k})
+    out = {k: v for k, v in params.items() if ".experts." not in k}
+    for p in prefixes:
+        stacked = {}
+        for w in ("w1", "w2", "w3"):
+            per = [params[f"{p}.experts.{e}.{w}.weight"]
+                   for e in range(n_experts)]
+            stacked[w] = jax.tree_util.tree_map(
+                lambda *xs: jnp.stack(xs), *per)
+        out[f"{p}.experts_stacked"] = stacked
+    return out
+
+
+def _swiglu_w(w: dict, x, qcfg):
+    a = linear(x, w["w1"], cfg=qcfg)
+    b = linear(x, w["w3"], cfg=qcfg)
+    h = jax.nn.silu(a.astype(jnp.float32)).astype(a.dtype) * b
+    return linear(h, w["w2"], cfg=qcfg)
 
 
 def _routing_probs(params, p, x, n_experts, top_k, qcfg):
@@ -103,6 +135,22 @@ def moe_ffn(params, p, x, n_experts, top_k, qcfg):
     if n_experts == 0:
         return out
     probs, k = _routing_probs(params, p, x, n_experts, top_k, qcfg)
+
+    stacked = params.get(f"{p}.experts_stacked")
+    if stacked is not None:
+        if MOE_DISPATCH == "ep" and EP_MESH is not None:
+            # one expert per device, psum combine — exact vs dense
+            # (masked probs are zero off the top-k)
+            from ..parallel.ep import ep_moe_inline
+
+            return out + ep_moe_inline(
+                lambda w, xx: _swiglu_w(w, xx, qcfg), stacked, x, probs,
+                EP_MESH, EP_AXIS)
+        # stacked-but-unsharded: dense loop over expert slices
+        for e in range(n_experts):
+            we = jax.tree_util.tree_map(lambda a: a[e], stacked)
+            out = out + probs[..., e: e + 1] * _swiglu_w(we, x, qcfg)
+        return out
 
     if MOE_DISPATCH != "capacity":
         for e in range(n_experts):

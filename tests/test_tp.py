@@ -58,11 +58,29 @@ def test_planarize_shards_matches_unsharded(qtype, axis):
     np.testing.assert_allclose(full, ref, atol=1e-6)
 
 
-def test_k_split_refuses_to_break_superblocks():
+def test_k_split_inside_superblocks_is_exact():
+    """Component-level splitting cuts K at quant-GROUP granularity (32 for
+    Q4_K), inside the 256-element superblock — each chunk re-tiles exactly
+    (round 2: replaces the old block-aligned-only restriction)."""
+    from comfyui_gguf_tpu.quant.planar import dequantize
+
     rng = np.random.default_rng(9)
+    R, K, n = 64, 512, 4  # 128 per shard: half a superblock
+    blocks, ref = _packed(rng, R, K, Q.Q4_K)
+    st = planarize_shards(blocks, Q.Q4_K, (R, K), n, axis="k")
+    ks = K // n
+    for s in range(n):
+        shard = jax.tree_util.tree_map(lambda leaf: leaf[s], st)
+        got = np.asarray(dequantize(shard, jnp.float32))
+        np.testing.assert_allclose(got, ref[:, s * ks:(s + 1) * ks],
+                                   rtol=1e-6, atol=1e-6)
+
+
+def test_k_split_rejects_sub_group_cuts():
+    rng = np.random.default_rng(10)
     blocks, _ = _packed(rng, 64, 512, Q.Q4_K)
-    with pytest.raises(ValueError, match="splits"):
-        planarize_shards(blocks, Q.Q4_K, (64, 512), 4, axis="k")
+    with pytest.raises(ValueError, match="granularity"):
+        planarize_shards(blocks, Q.Q4_K, (64, 512), 32, axis="k")
 
 
 def test_column_linear(mesh):
