@@ -1,0 +1,373 @@
+"""Golden numerics for the flagship DiT graphs (VERDICT r1 item 3).
+
+Each test hand-derives an INDEPENDENT torch implementation of one block
+from the published architecture description — Flux double/single stream
+(BFL: 3D-axis RoPE on adjacent pairs, QK-RMSNorm eps 1e-6, adaLN
+[shift,scale,gate]×2 chunking, GELU-tanh MLP), SD3 MMDiT joint block
+(context-first joint attention, 6-chunk adaLN per stream), SDXL
+BasicTransformerBlock (self+cross attention, exact-GELU GEGLU) — and
+asserts the JAX graph matches on random weights in f32. Same discipline
+as tests/test_t5_parity.py, extended to the graphs the reference trusts
+ComfyUI for (reference nodes.py:169).
+"""
+
+import numpy as np
+import pytest
+import torch
+
+import jax
+import jax.numpy as jnp
+
+from comfyui_gguf_tpu.models import flux, sd3, unet
+from comfyui_gguf_tpu.nn.layers import QuantConfig
+
+F32 = QuantConfig(dequant_dtype=jnp.float32, compute_dtype=jnp.float32,
+                  prefer_pallas=False)
+
+torch.manual_seed(0)
+
+
+def _t(a):
+    return torch.from_numpy(np.asarray(a, np.float32))
+
+
+def _ln(x, eps=1e-6):
+    return torch.nn.functional.layer_norm(x, (x.shape[-1],), eps=eps)
+
+
+def _rms(x, w, eps=1e-6):
+    v = x.float().pow(2).mean(-1, keepdim=True)
+    return x * torch.rsqrt(v + eps) * w
+
+
+def _torch_rope_table(ids: np.ndarray, axes_dim, theta=10_000.0):
+    """(B, L, n_axes) ids → (B, L, D/2) cos & sin, axis-concatenated."""
+    cos, sin = [], []
+    for i, d in enumerate(axes_dim):
+        pos = torch.from_numpy(ids[..., i].astype(np.float32))
+        omega = 1.0 / theta ** (torch.arange(0, d, 2).float() / d)
+        ang = pos[..., None] * omega
+        cos.append(torch.cos(ang))
+        sin.append(torch.sin(ang))
+    return torch.cat(cos, dim=-1), torch.cat(sin, dim=-1)
+
+
+def _torch_apply_rope(x, cos, sin):
+    """x (B, H, L, D): rotate adjacent (even, odd) pairs."""
+    xe, xo = x[..., 0::2], x[..., 1::2]
+    c = cos[:, None]
+    s = sin[:, None]
+    out = torch.stack([xe * c - xo * s, xe * s + xo * c], dim=-1)
+    return out.reshape(x.shape)
+
+
+def _heads(x, H):
+    B, L, D = x.shape
+    return x.view(B, L, H, D // H).transpose(1, 2)
+
+
+def _unheads(a):
+    B, H, L, D = a.shape
+    return a.transpose(1, 2).reshape(B, L, H * D)
+
+
+def _sdpa(q, k, v):
+    return torch.nn.functional.scaled_dot_product_attention(q, k, v)
+
+
+# ---------------------------------------------------------------------------
+# Flux
+# ---------------------------------------------------------------------------
+
+HID, H, MLP = 64, 2, 256
+AXES = (8, 12, 12)  # head_dim 32
+CTX_LEN, IMG_LEN = 6, 16
+
+
+def _rand(rng, *s):
+    return (rng.standard_normal(s) * 0.1).astype(np.float32)
+
+
+def _flux_double_weights(rng):
+    w = {}
+    for s in ("img", "txt"):
+        w[f"{s}_mod.lin.weight"] = _rand(rng, 6 * HID, HID)
+        w[f"{s}_mod.lin.bias"] = _rand(rng, 6 * HID)
+        w[f"{s}_attn.qkv.weight"] = _rand(rng, 3 * HID, HID)
+        w[f"{s}_attn.qkv.bias"] = _rand(rng, 3 * HID)
+        w[f"{s}_attn.norm.query_norm.scale"] = _rand(rng, HID // H) + 1
+        w[f"{s}_attn.norm.key_norm.scale"] = _rand(rng, HID // H) + 1
+        w[f"{s}_attn.proj.weight"] = _rand(rng, HID, HID)
+        w[f"{s}_attn.proj.bias"] = _rand(rng, HID)
+        w[f"{s}_mlp.0.weight"] = _rand(rng, MLP, HID)
+        w[f"{s}_mlp.0.bias"] = _rand(rng, MLP)
+        w[f"{s}_mlp.2.weight"] = _rand(rng, HID, MLP)
+        w[f"{s}_mlp.2.bias"] = _rand(rng, HID)
+    return w
+
+
+def _torch_mod(w, pfx, vec):
+    out = torch.nn.functional.silu(vec) @ _t(w[f"{pfx}.lin.weight"]).T \
+        + _t(w[f"{pfx}.lin.bias"])
+    return [c[:, None, :] for c in out.chunk(6, dim=-1)]
+
+
+def _torch_flux_stream_qkv(w, pfx, x_mod):
+    qkv = x_mod @ _t(w[f"{pfx}.qkv.weight"]).T + _t(w[f"{pfx}.qkv.bias"])
+    q, k, v = (_heads(c, H) for c in qkv.chunk(3, dim=-1))
+    q = _rms(q, _t(w[f"{pfx}.norm.query_norm.scale"]))
+    k = _rms(k, _t(w[f"{pfx}.norm.key_norm.scale"]))
+    return q, k, v
+
+
+def _torch_flux_double(w, img, txt, vec, cos, sin):
+    i_m = _torch_mod(w, "img_mod", vec)
+    t_m = _torch_mod(w, "txt_mod", vec)
+
+    img_mod = _ln(img) * (1 + i_m[1]) + i_m[0]
+    txt_mod = _ln(txt) * (1 + t_m[1]) + t_m[0]
+
+    iq, ik, iv = _torch_flux_stream_qkv(w, "img_attn", img_mod)
+    tq, tk, tv = _torch_flux_stream_qkv(w, "txt_attn", txt_mod)
+
+    q = torch.cat([tq, iq], dim=2)
+    k = torch.cat([tk, ik], dim=2)
+    v = torch.cat([tv, iv], dim=2)
+    q = _torch_apply_rope(q, cos, sin)
+    k = _torch_apply_rope(k, cos, sin)
+    a = _unheads(_sdpa(q, k, v))
+    ta, ia = a[:, :txt.shape[1]], a[:, txt.shape[1]:]
+
+    def stream(x, a, m, s):
+        x = x + m[2] * (a @ _t(w[f"{s}_attn.proj.weight"]).T
+                        + _t(w[f"{s}_attn.proj.bias"]))
+        h = _ln(x) * (1 + m[4]) + m[3]
+        h = h @ _t(w[f"{s}_mlp.0.weight"]).T + _t(w[f"{s}_mlp.0.bias"])
+        h = torch.nn.functional.gelu(h, approximate="tanh")
+        return x + m[5] * (h @ _t(w[f"{s}_mlp.2.weight"]).T
+                           + _t(w[f"{s}_mlp.2.bias"]))
+
+    return stream(img, ia, i_m, "img"), stream(txt, ta, t_m, "txt")
+
+
+def _flux_inputs(rng):
+    img = _rand(rng, 1, IMG_LEN, HID)
+    txt = _rand(rng, 1, CTX_LEN, HID)
+    vec = _rand(rng, 1, HID)
+    img_ids = flux.make_img_ids(4, 4, 1)
+    txt_ids = np.zeros((1, CTX_LEN, 3), np.int32)
+    ids = np.concatenate([txt_ids, img_ids], axis=1)
+    return img, txt, vec, ids
+
+
+def test_flux_double_block_golden():
+    rng = np.random.default_rng(42)
+    w = _flux_double_weights(rng)
+    img, txt, vec, ids = _flux_inputs(rng)
+
+    cos, sin = _torch_rope_table(ids, AXES)
+    t_img, t_txt = _torch_flux_double(w, _t(img), _t(txt), _t(vec), cos,
+                                      sin)
+
+    cfg = flux.FluxConfig(hidden=HID, n_heads=H, axes_dim=AXES)
+    p = {k: jnp.asarray(v) for k, v in w.items()}
+    pe = flux.rope_freqs(jnp.asarray(ids), AXES, 10_000)
+    j_img, j_txt = flux._double_block(p, jnp.asarray(img), jnp.asarray(txt),
+                                      jnp.asarray(vec)[:, :],
+                                      pe, cfg, F32)
+    np.testing.assert_allclose(np.asarray(j_img), t_img.numpy(),
+                               rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(j_txt), t_txt.numpy(),
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_flux_single_block_golden():
+    rng = np.random.default_rng(43)
+    w = {
+        "linear1.weight": _rand(rng, 3 * HID + MLP, HID),
+        "linear1.bias": _rand(rng, 3 * HID + MLP),
+        "linear2.weight": _rand(rng, HID, HID + MLP),
+        "linear2.bias": _rand(rng, HID),
+        "modulation.lin.weight": _rand(rng, 3 * HID, HID),
+        "modulation.lin.bias": _rand(rng, 3 * HID),
+        "norm.query_norm.scale": _rand(rng, HID // H) + 1,
+        "norm.key_norm.scale": _rand(rng, HID // H) + 1,
+    }
+    img, txt, vec, ids = _flux_inputs(rng)
+    x = np.concatenate([txt, img], axis=1)
+
+    # torch: pre-norm → modulate → linear1 → [qkv | mlp] → rope attention
+    # over ALL tokens ‖ gelu-tanh(mlp) → linear2 → gated residual
+    xt, vt = _t(x), _t(vec)
+    mod = torch.nn.functional.silu(vt) @ _t(w["modulation.lin.weight"]).T \
+        + _t(w["modulation.lin.bias"])
+    shift, scale, gate = (c[:, None, :] for c in mod.chunk(3, dim=-1))
+    xm = _ln(xt) * (1 + scale) + shift
+    h = xm @ _t(w["linear1.weight"]).T + _t(w["linear1.bias"])
+    qkv, mlp_h = h[..., : 3 * HID], h[..., 3 * HID:]
+    q, k, v = (_heads(c, H) for c in qkv.chunk(3, dim=-1))
+    q = _rms(q, _t(w["norm.query_norm.scale"]))
+    k = _rms(k, _t(w["norm.key_norm.scale"]))
+    cos, sin = _torch_rope_table(ids, AXES)
+    q = _torch_apply_rope(q, cos, sin)
+    k = _torch_apply_rope(k, cos, sin)
+    a = _unheads(_sdpa(q, k, v))
+    act = torch.nn.functional.gelu(mlp_h, approximate="tanh")
+    out = torch.cat([a, act], dim=-1) @ _t(w["linear2.weight"]).T \
+        + _t(w["linear2.bias"])
+    want = xt + gate * out
+
+    cfg = flux.FluxConfig(hidden=HID, n_heads=H, axes_dim=AXES)
+    p = {k2: jnp.asarray(v2) for k2, v2 in w.items()}
+    pe = flux.rope_freqs(jnp.asarray(ids), AXES, 10_000)
+    got = flux._single_block(p, jnp.asarray(x), jnp.asarray(vec), pe, cfg,
+                             F32)
+    np.testing.assert_allclose(np.asarray(got), want.numpy(),
+                               rtol=2e-4, atol=2e-4)
+
+
+# ---------------------------------------------------------------------------
+# SD3 MMDiT joint block
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("qk_norm", [False, True])
+def test_sd3_joint_block_golden(qk_norm):
+    rng = np.random.default_rng(44)
+    D, Hn, M = 64, 2, 256
+
+    def blockw(pfx, w):
+        w[f"{pfx}.adaLN_modulation.1.weight"] = _rand(rng, 6 * D, D)
+        w[f"{pfx}.adaLN_modulation.1.bias"] = _rand(rng, 6 * D)
+        w[f"{pfx}.attn.qkv.weight"] = _rand(rng, 3 * D, D)
+        w[f"{pfx}.attn.qkv.bias"] = _rand(rng, 3 * D)
+        w[f"{pfx}.attn.proj.weight"] = _rand(rng, D, D)
+        w[f"{pfx}.attn.proj.bias"] = _rand(rng, D)
+        w[f"{pfx}.mlp.fc1.weight"] = _rand(rng, M, D)
+        w[f"{pfx}.mlp.fc1.bias"] = _rand(rng, M)
+        w[f"{pfx}.mlp.fc2.weight"] = _rand(rng, D, M)
+        w[f"{pfx}.mlp.fc2.bias"] = _rand(rng, D)
+        if qk_norm:
+            w[f"{pfx}.attn.ln_q.weight"] = _rand(rng, D // Hn) + 1
+            w[f"{pfx}.attn.ln_k.weight"] = _rand(rng, D // Hn) + 1
+
+    w = {}
+    blockw("joint_blocks.0.context_block", w)
+    blockw("joint_blocks.0.x_block", w)
+
+    ctx = _rand(rng, 1, 5, D)
+    x = _rand(rng, 1, 12, D)
+    vec = _rand(rng, 1, D)
+
+    # torch independent implementation (SD3 paper / sd3-ref mmdit):
+    # per-stream 6-chunk adaLN (shift, scale, gate) × (attn, mlp), fused
+    # qkv (+ optional per-head RMS ln_q/ln_k), joint attention with the
+    # CONTEXT tokens first, gelu-tanh MLP
+    def tmod(pfx, v):
+        o = torch.nn.functional.silu(v) \
+            @ _t(w[f"{pfx}.adaLN_modulation.1.weight"]).T \
+            + _t(w[f"{pfx}.adaLN_modulation.1.bias"])
+        return [c[:, None, :] for c in o.chunk(6, dim=-1)]
+
+    def tqkv(pfx, xm):
+        qkv = xm @ _t(w[f"{pfx}.attn.qkv.weight"]).T \
+            + _t(w[f"{pfx}.attn.qkv.bias"])
+        q, k, v = (_heads(c, Hn) for c in qkv.chunk(3, dim=-1))
+        if qk_norm:
+            q = _rms(q, _t(w[f"{pfx}.attn.ln_q.weight"]))
+            k = _rms(k, _t(w[f"{pfx}.attn.ln_k.weight"]))
+        return q, k, v
+
+    cb, xb = "joint_blocks.0.context_block", "joint_blocks.0.x_block"
+    ct, xt, vt = _t(ctx), _t(x), _t(vec)
+    cm, xm_ = tmod(cb, vt), tmod(xb, vt)
+    c_mod = _ln(ct) * (1 + cm[1]) + cm[0]
+    x_mod = _ln(xt) * (1 + xm_[1]) + xm_[0]
+    cq, ck, cv = tqkv(cb, c_mod)
+    xq, xk, xv = tqkv(xb, x_mod)
+    q = torch.cat([cq, xq], dim=2)
+    k = torch.cat([ck, xk], dim=2)
+    v = torch.cat([cv, xv], dim=2)
+    a = _unheads(_sdpa(q, k, v))
+    ca, xa = a[:, :ctx.shape[1]], a[:, ctx.shape[1]:]
+
+    def stream(pfx, s, a_, m):
+        s = s + m[2] * (a_ @ _t(w[f"{pfx}.attn.proj.weight"]).T
+                        + _t(w[f"{pfx}.attn.proj.bias"]))
+        h = _ln(s) * (1 + m[4]) + m[3]
+        h = h @ _t(w[f"{pfx}.mlp.fc1.weight"]).T + _t(w[f"{pfx}.mlp.fc1.bias"])
+        h = torch.nn.functional.gelu(h, approximate="tanh")
+        return s + m[5] * (h @ _t(w[f"{pfx}.mlp.fc2.weight"]).T
+                           + _t(w[f"{pfx}.mlp.fc2.bias"]))
+
+    want_ctx = stream(cb, ct, ca, cm)
+    want_x = stream(xb, xt, xa, xm_)
+
+    cfg = sd3.SD3Config(hidden=D, depth=1, n_heads=Hn, qk_norm=qk_norm)
+    p = {k2: jnp.asarray(v2) for k2, v2 in w.items()}
+    got_ctx, got_x = sd3._joint_block(p, 0, jnp.asarray(ctx),
+                                      jnp.asarray(x), jnp.asarray(vec),
+                                      cfg, F32)
+    np.testing.assert_allclose(np.asarray(got_x), want_x.numpy(),
+                               rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(got_ctx), want_ctx.numpy(),
+                               rtol=2e-4, atol=2e-4)
+
+
+# ---------------------------------------------------------------------------
+# SDXL BasicTransformerBlock
+# ---------------------------------------------------------------------------
+
+def test_sdxl_basic_transformer_block_golden():
+    rng = np.random.default_rng(45)
+    D, Hn, CD = 64, 2, 48
+
+    w = {}
+    p = "blk"
+    for n in (1, 2, 3):
+        w[f"{p}.norm{n}.weight"] = _rand(rng, D) + 1
+        w[f"{p}.norm{n}.bias"] = _rand(rng, D)
+    for a, kd in (("attn1", D), ("attn2", CD)):
+        w[f"{p}.{a}.to_q.weight"] = _rand(rng, D, D)
+        w[f"{p}.{a}.to_k.weight"] = _rand(rng, D, kd)
+        w[f"{p}.{a}.to_v.weight"] = _rand(rng, D, kd)
+        w[f"{p}.{a}.to_out.0.weight"] = _rand(rng, D, D)
+        w[f"{p}.{a}.to_out.0.bias"] = _rand(rng, D)
+    w[f"{p}.ff.net.0.proj.weight"] = _rand(rng, 8 * D, D)
+    w[f"{p}.ff.net.0.proj.bias"] = _rand(rng, 8 * D)
+    w[f"{p}.ff.net.2.weight"] = _rand(rng, D, 4 * D)
+    w[f"{p}.ff.net.2.bias"] = _rand(rng, D)
+
+    x = _rand(rng, 1, 12, D)
+    ctx = _rand(rng, 1, 7, CD)
+
+    # torch independent implementation (SGM/diffusers BasicTransformerBlock):
+    # affine LN (eps 1e-5) → self-attn (no qkv bias) → affine LN →
+    # cross-attn over context → affine LN → GEGLU (exact gelu) → proj
+    def ln(xx, n):
+        return torch.nn.functional.layer_norm(
+            xx, (D,), _t(w[f"{p}.norm{n}.weight"]),
+            _t(w[f"{p}.norm{n}.bias"]), eps=1e-5)
+
+    def attn(a, q_in, kv_in):
+        q = q_in @ _t(w[f"{p}.{a}.to_q.weight"]).T
+        k = kv_in @ _t(w[f"{p}.{a}.to_k.weight"]).T
+        v = kv_in @ _t(w[f"{p}.{a}.to_v.weight"]).T
+        o = _unheads(_sdpa(_heads(q, Hn), _heads(k, Hn), _heads(v, Hn)))
+        return o @ _t(w[f"{p}.{a}.to_out.0.weight"]).T \
+            + _t(w[f"{p}.{a}.to_out.0.bias"])
+
+    xt, ct = _t(x), _t(ctx)
+    xt = xt + attn("attn1", ln(xt, 1), ln(xt, 1))
+    xt = xt + attn("attn2", ln(xt, 2), ct)
+    h = ln(xt, 3) @ _t(w[f"{p}.ff.net.0.proj.weight"]).T \
+        + _t(w[f"{p}.ff.net.0.proj.bias"])
+    a_, gate = h.chunk(2, dim=-1)
+    h = a_ * torch.nn.functional.gelu(gate)
+    want = xt + h @ _t(w[f"{p}.ff.net.2.weight"]).T \
+        + _t(w[f"{p}.ff.net.2.bias"])
+
+    jp = {k2: jnp.asarray(v2) for k2, v2 in w.items()}
+    got = unet._basic_block(jp, p, jnp.asarray(x), jnp.asarray(ctx), Hn,
+                            F32)
+    np.testing.assert_allclose(np.asarray(got), want.numpy(),
+                               rtol=2e-4, atol=2e-4)
