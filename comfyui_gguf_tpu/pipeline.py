@@ -165,10 +165,10 @@ def _load_safetensors_sd(path: str) -> dict:
 def load_vae(path: str):
     """Load any supported VAE and detect its family from the keys.
 
-    → (kind, params, config): kind ∈ {"image", "wan", "hyvid"}; decode with
-    models.vae / models.wan_vae / models.hyvid_vae respectively. Strips a
-    leading ``vae.`` / ``first_stage_model.`` prefix (checkpoint-bundled
-    VAEs use it)."""
+    → (kind, params, config): kind ∈ {"image", "wan", "hyvid", "ltxv"};
+    decode with models.vae / models.wan_vae / models.hyvid_vae /
+    models.ltxv_vae respectively. Strips a leading ``vae.`` /
+    ``first_stage_model.`` prefix (checkpoint-bundled VAEs use it)."""
     raw = _load_safetensors_sd(path)
     for pfx in ("vae.", "first_stage_model."):
         if any(k.startswith(pfx) for k in raw):
@@ -180,6 +180,11 @@ def load_vae(path: str):
         from .models import wan_vae
 
         return "wan", params, wan_vae.WanVAEConfig.from_state_dict(params)
+    from .models import ltxv_vae
+
+    if ltxv_vae.detect_ltxv_vae(params.keys()):
+        return ("ltxv", params,
+                ltxv_vae.LTXVVAEConfig.from_state_dict(params))
     if any(k.startswith("decoder.mid_block.") for k in params):
         from .models import hyvid_vae
 
@@ -687,11 +692,13 @@ class HyVidPipeline:
 @dataclasses.dataclass
 class LTXVPipeline:
     """LTX-Video t2v: T5 conditioning over flattened latent voxels with
-    (t, h, w) position ids; rectified flow; latent output."""
+    (t, h, w) position ids; rectified flow; causal pixel-shuffle VAE
+    decode to pixels when vae_params is set (models/ltxv_vae.py)."""
 
     model: DiffusionModel
     t5: TextEncoder
     shift: float = 3.0
+    vae_params: dict | None = None
 
     def generate(self, prompt: str, latent_frames: int = 9,
                  latent_height: int = 32, latent_width: int = 32,
@@ -735,7 +742,15 @@ class LTXVPipeline:
 
         args = (nctx,) if use_cfg else ()
         lat = denoise(model.params, x, ctx, *args)
-        return np.asarray(lat[0].reshape(F_, H_, W_, C))
+        lat = lat.reshape(1, F_, H_, W_, C)
+        if self.vae_params is None:
+            return np.asarray(lat[0])
+        from .models import ltxv_vae
+
+        vcfg = ltxv_vae.LTXVVAEConfig.from_state_dict(self.vae_params)
+        vid = ltxv_vae.decode(self.vae_params, vcfg,
+                              lat.astype(jnp.float32), qcfg=model.qcfg)
+        return np.asarray((jnp.clip(vid[0], -1, 1) + 1) / 2)
 
 
 @dataclasses.dataclass

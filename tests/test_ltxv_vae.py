@@ -1,0 +1,136 @@
+"""LTX-Video causal VAE: shape laws, causality, introspection
+(VERDICT r1 item 7 — the third video VAE; PARITY gap 3)."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from comfyui_gguf_tpu.models import ltxv_vae
+
+CH = (8, 12, 12, 16)  # tiny per-level widths (level 0 shallowest)
+LAT = 6
+P = 4
+NRES = 2
+
+
+def _conv(rng, o, i, kt=3, kh=3, kw=3):
+    return (rng.standard_normal((o, i, kt, kh, kw)) * 0.08).astype(
+        np.float32)
+
+
+def _res(rng, p, c_in, c_out, sd):
+    sd[f"{p}.conv1.conv.weight"] = _conv(rng, c_out, c_in)
+    sd[f"{p}.conv1.conv.bias"] = np.zeros(c_out, np.float32)
+    sd[f"{p}.conv2.conv.weight"] = _conv(rng, c_out, c_out)
+    sd[f"{p}.conv2.conv.bias"] = np.zeros(c_out, np.float32)
+    if c_in != c_out:
+        sd[f"{p}.conv_shortcut.conv.weight"] = _conv(rng, c_out, c_in,
+                                                     1, 1, 1)
+
+
+def _tiny_sd(rng, lat=LAT):
+    sd = {}
+    # encoder
+    sd["encoder.conv_in.conv.weight"] = _conv(rng, CH[0], 3 * P * P)
+    sd["encoder.conv_in.conv.bias"] = np.zeros(CH[0], np.float32)
+    for i in range(4):
+        base = f"encoder.down_blocks.{i}"
+        c_in = CH[i]
+        for j in range(NRES):
+            _res(rng, f"{base}.res_blocks.{j}", c_in, CH[i], sd)
+            c_in = CH[i]
+        if i < 3:
+            sd[f"{base}.downsamplers.0.conv.weight"] = _conv(
+                rng, CH[i + 1], CH[i])
+            sd[f"{base}.downsamplers.0.conv.bias"] = np.zeros(
+                CH[i + 1], np.float32)
+    for j in range(NRES):
+        _res(rng, f"encoder.mid_block.res_blocks.{j}", CH[3], CH[3], sd)
+    sd["encoder.conv_out.conv.weight"] = _conv(rng, 2 * lat, CH[3])
+    sd["encoder.conv_out.conv.bias"] = np.zeros(2 * lat, np.float32)
+    # decoder (up block i mirrors encoder level 3-i)
+    sd["decoder.conv_in.conv.weight"] = _conv(rng, CH[3], lat)
+    sd["decoder.conv_in.conv.bias"] = np.zeros(CH[3], np.float32)
+    for j in range(NRES):
+        _res(rng, f"decoder.mid_block.res_blocks.{j}", CH[3], CH[3], sd)
+    for i in range(4):
+        base = f"decoder.up_blocks.{i}"
+        lvl = 3 - i
+        c_in = CH[lvl + 1] if lvl < 3 else CH[3]
+        if lvl < 3:  # encoder level lvl had a downsampler → upsample here
+            st = 2  # sts[lvl] is True for lvl 0..2
+            sd[f"{base}.upsamplers.0.conv.weight"] = _conv(
+                rng, CH[lvl] * st * 2 * 2, c_in)
+            sd[f"{base}.upsamplers.0.conv.bias"] = np.zeros(
+                CH[lvl] * st * 4, np.float32)
+        for j in range(NRES):
+            _res(rng, f"{base}.res_blocks.{j}", CH[lvl], CH[lvl], sd)
+    sd["decoder.conv_out.conv.weight"] = _conv(rng, 3 * P * P, CH[0])
+    sd["decoder.conv_out.conv.bias"] = np.zeros(3 * P * P, np.float32)
+    sd["per_channel_statistics.mean-of-means"] = (
+        rng.standard_normal(lat).astype(np.float32) * 0.1)
+    sd["per_channel_statistics.std-of-means"] = (
+        1 + rng.standard_normal(lat).astype(np.float32) * 0.05)
+    return {k: jnp.asarray(v) for k, v in sd.items()}
+
+
+@pytest.fixture(scope="module")
+def setup():
+    rng = np.random.default_rng(0)
+    sd = _tiny_sd(rng)
+    cfg = ltxv_vae.LTXVVAEConfig.from_state_dict(sd)
+    return sd, cfg
+
+
+def test_config_introspection(setup):
+    sd, cfg = setup
+    assert cfg.n_levels == 4
+    assert cfg.latent_channels == LAT
+    assert cfg.res_blocks_per_level == NRES
+    assert cfg.spatial_factor == 32
+    assert cfg.temporal_factor == 8
+    assert ltxv_vae.detect_ltxv_vae(sd.keys())
+
+
+def test_encode_decode_shape_law(setup):
+    sd, cfg = setup
+    rng = np.random.default_rng(1)
+    B, T, H, W = 1, 9, 64, 64  # T = 1 + 8·1
+    vid = jnp.asarray(rng.standard_normal((B, T, H, W, 3)) * 0.5,
+                      jnp.float32)
+    z = ltxv_vae.encode(sd, cfg, vid)
+    assert z.shape == (B, 1 + (T - 1) // 8, H // 32, W // 32, LAT)
+    out = ltxv_vae.decode(sd, cfg, z)
+    assert out.shape == (B, T, H, W, 3)
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_decoder_causality(setup):
+    """Pixel frames for latent frame t must not change when latent frames
+    > t change (front-only temporal padding everywhere)."""
+    sd, cfg = setup
+    rng = np.random.default_rng(2)
+    B, TL, h, w = 1, 3, 2, 2
+    z = jnp.asarray(rng.standard_normal((B, TL, h, w, LAT)), jnp.float32)
+    out1 = np.asarray(ltxv_vae.decode(sd, cfg, z))
+    z2 = z.at[:, -1].add(10.0)
+    out2 = np.asarray(ltxv_vae.decode(sd, cfg, z2))
+    # frames from latent frames 0..TL-2 → pixel frames 0 .. 1+8·(TL-2)-1
+    keep = 1 + 8 * (TL - 2)
+    np.testing.assert_allclose(out1[:, :keep], out2[:, :keep],
+                               rtol=1e-5, atol=1e-5)
+    assert np.abs(out1[:, keep:] - out2[:, keep:]).max() > 1e-4
+
+
+def test_encoder_causality(setup):
+    sd, cfg = setup
+    rng = np.random.default_rng(3)
+    B, T, H, W = 1, 17, 32, 32
+    vid = jnp.asarray(rng.standard_normal((B, T, H, W, 3)) * 0.5,
+                      jnp.float32)
+    z1 = np.asarray(ltxv_vae.encode(sd, cfg, vid))
+    vid2 = vid.at[:, -8:].add(5.0)  # only the LAST latent frame's window
+    z2 = np.asarray(ltxv_vae.encode(sd, cfg, vid2))
+    np.testing.assert_allclose(z1[:, :-1], z2[:, :-1], rtol=1e-5,
+                               atol=1e-5)

@@ -184,3 +184,26 @@ def test_load_vae_detects_families(tmp_path):
     kind, params, cfg = load_vae(f2)
     assert kind == "hyvid" and cfg.z_channels == 5
     assert "decoder.conv_in.conv.weight" in params  # prefix stripped
+
+
+def test_ltxv_pipeline_pixels():
+    """LTXVPipeline emits PIXELS when a VAE is attached (VERDICT r1
+    item 7 / PARITY gap 3 closed)."""
+    from tests.test_ltxv import _tiny_ltxv
+    from tests.test_ltxv_vae import _tiny_sd as _tiny_vae
+    from comfyui_gguf_tpu.models import ltxv
+
+    rng = np.random.default_rng(3)
+    params = {k: jnp.asarray(v) for k, v in _tiny_ltxv(rng).items()}
+    cfg = ltxv.LTXVConfig.from_state_dict(params)
+    vae = _tiny_vae(rng, lat=cfg.in_channels)
+    model = pipeline.DiffusionModel(arch="ltxv", params=params, config=cfg,
+                                    qcfg=F32)
+    pipe = pipeline.LTXVPipeline(model, t5=StubT5(cfg.caption_dim),
+                                 vae_params=vae)
+    out = pipe.generate("a dog", latent_frames=2, latent_height=2,
+                        latent_width=2, steps=2, cfg_scale=1.0,
+                        max_t5_len=6)
+    assert out.shape == (1 + 8 * 1, 2 * 32, 2 * 32, 3)
+    assert np.isfinite(out).all()
+    assert out.min() >= 0.0 and out.max() <= 1.0
