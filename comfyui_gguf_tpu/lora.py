@@ -83,9 +83,27 @@ def apply_patch_prologue(x: jax.Array, patches: tuple[LoRAPatch, ...],
 def apply_patch_epilogue(x: jax.Array, out: jax.Array,
                          patches: tuple[LoRAPatch, ...],
                          patch_dtype=None) -> jax.Array:
-    """out += Σ scale · x @ ΔWᵀ, rank-factored when possible."""
+    """out += Σ scale · x @ ΔWᵀ, rank-factored when possible.
+
+    Multiple plain rank patches on one weight batch into ONE concatenated
+    rank-Σr matmul pair (scales folded into the up factor) — N stacked
+    LoRAs cost one epilogue, and the wider rank dim fills MXU lanes a
+    lone rank-16 factor leaves idle (BASELINE config 5 round-2 item)."""
     dt = patch_dtype or x.dtype
     acc = out
+    plain = [p for p in patches
+             if p.diff is None and p.up is not None and p.mid is None]
+    if len(plain) > 1:
+        down_cat = jnp.concatenate([p.down.astype(dt) for p in plain],
+                                   axis=0)
+        up_cat = jnp.concatenate(
+            [(p.scale * p.up.astype(jnp.float32)).astype(dt)
+             for p in plain], axis=1)
+        h = jnp.dot(x.astype(dt), down_cat.T,
+                    preferred_element_type=jnp.float32).astype(dt)
+        acc = acc + jnp.dot(h, up_cat.T).astype(acc.dtype)
+        plain_ids = {id(p) for p in plain}
+        patches = tuple(p for p in patches if id(p) not in plain_ids)
     for p in patches:
         if p.diff is None and p.up is None:
             continue  # prologue-only patch (glora without a b-branch)

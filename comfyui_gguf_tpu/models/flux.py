@@ -326,6 +326,45 @@ def stack_flux_params(params: dict, cfg: FluxConfig) -> dict:
     return out
 
 
+def scan_blocks(block_tree: dict, body, carry, length: int):
+    """lax.scan over stacked block params WITHOUT slicing the packed
+    weights: quantized leaves stay whole (scan constants) and blocks see
+    them as ``IndexedQuant`` handles carrying the induction variable —
+    the Pallas kernel gathers tiles via scalar prefetch. Dense leaves
+    (biases, norm scales — tiny) ride the normal scan-xs slicing.
+
+    Round-2 profile motivation: scan-sliced packed weights forced a
+    slice+copy of every block's bytes before each custom call (~1.1 s of
+    a 690 ms-compute forward); this removes it. body(carry, params_dict)
+    → carry."""
+    from ..lora import PatchedWeight
+    from ..quant.planar import IndexedQuant, PlanarQuant
+
+    quant, patched, dense = {}, {}, {}
+    for k, v in block_tree.items():
+        if isinstance(v, PlanarQuant):
+            quant[k] = v
+        elif (isinstance(v, PatchedWeight)
+              and isinstance(v.base, PlanarQuant)):
+            patched[k] = v  # packed base stays whole; LoRA factors (tiny)
+        else:
+            dense[k] = v
+    xs_patches = {k: v.patches for k, v in patched.items()}
+
+    def step(c, xs):
+        i, dsl, psl = xs
+        p = dict(dsl)
+        for k, v in quant.items():
+            p[k] = IndexedQuant(v, i)
+        for k, v in patched.items():
+            p[k] = PatchedWeight(IndexedQuant(v.base, i), psl[k])
+        return body(c, p), None
+
+    carry, _ = jax.lax.scan(step, carry,
+                            (jnp.arange(length), dense, xs_patches))
+    return carry
+
+
 def forward_stacked(sparams: dict, cfg: FluxConfig, img: jax.Array,
                     img_ids: jax.Array, txt: jax.Array, txt_ids: jax.Array,
                     timesteps: jax.Array, y: jax.Array,
@@ -338,18 +377,17 @@ def forward_stacked(sparams: dict, cfg: FluxConfig, img: jax.Array,
 
     def dbody(carry, bp):
         i, t = carry
-        i, t = _double_block(bp, i, t, vec, pe, cfg, qcfg)
-        return (i, t), None
+        return _double_block(bp, i, t, vec, pe, cfg, qcfg)
 
-    (img, txt), _ = jax.lax.scan(dbody, (img, txt),
-                                 sparams["double_blocks"])
+    img, txt = scan_blocks(sparams["double_blocks"], dbody, (img, txt),
+                           cfg.depth_double)
 
     x = jnp.concatenate([txt, img], axis=1)
 
     def sbody(x, bp):
-        return _single_block(bp, x, vec, pe, cfg, qcfg), None
+        return _single_block(bp, x, vec, pe, cfg, qcfg)
 
-    x, _ = jax.lax.scan(sbody, x, sparams["single_blocks"])
+    x = scan_blocks(sparams["single_blocks"], sbody, x, cfg.depth_single)
     img = x[:, txt.shape[1]:]
     return _final(sparams, img, vec, qcfg)
 

@@ -28,7 +28,8 @@ import jax
 import jax.numpy as jnp
 
 from ..ops.qmatmul import quantized_matmul
-from ..quant.planar import PlanarQuant, dequantize as planar_dequantize
+from ..quant.planar import (IndexedQuant, PlanarQuant,
+                            dequantize as planar_dequantize)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -100,7 +101,16 @@ def linear(x: jax.Array, weight, bias=None, *,
 
             x = apply_patch_prologue(x, patches,
                                      patch_dtype=cfg.effective_patch_dtype)
-    if isinstance(weight, PlanarQuant):
+    if isinstance(weight, IndexedQuant):
+        from ..ops.qmatmul import indexed_matmul
+
+        out = indexed_matmul(
+            x, weight.pq, weight.idx,
+            dequant_dtype=cfg.dequant_dtype,
+            out_dtype=x.dtype,
+            prefer_pallas=cfg.prefer_pallas,
+        )
+    elif isinstance(weight, PlanarQuant):
         out = quantized_matmul(
             x, weight,
             dequant_dtype=cfg.dequant_dtype,

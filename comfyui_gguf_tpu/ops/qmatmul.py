@@ -67,8 +67,15 @@ def _expand_scales(s, gs: int, rows: int, rt: int):
 FUSE_NIB4_DOT = True
 
 
-def _make_nib4_kernel(*, zp, gs, kt, rt, n_k, compute_dtype, has_offsets):
+def _make_nib4_kernel(*, zp, gs, kt, rt, n_k, compute_dtype, has_offsets,
+                      lead=False):
+    # lead=True: weight refs carry a leading depth-block dim of 1 (the
+    # scalar-prefetch indexed path over stacked per-block weights)
+    w = (lambda r: r[0]) if lead else (lambda r: r[:])
+
     def kernel(*refs):
+        if lead:
+            refs = refs[1:]  # scalar-prefetch ref (depth index) unused here
         if has_offsets:
             (x_lo_ref, x_hi_ref, qs_ref, sc_lo_ref, sc_hi_ref,
              of_lo_ref, of_hi_ref, out_ref, acc_ref) = refs
@@ -83,17 +90,17 @@ def _make_nib4_kernel(*, zp, gs, kt, rt, n_k, compute_dtype, has_offsets):
 
         # (kt, rt) u8: codes for rows j (lo nibble) and j+K/2 (hi nibble).
         # Mosaic has no u8 shifts or u8->f32 casts; widen to i32 first.
-        qs = qs_ref[:].astype(jnp.int32)
+        qs = w(qs_ref).astype(jnp.int32)
         lo = (qs & 0x0F).astype(jnp.float32)
         hi = ((qs >> 4) & 0x0F).astype(jnp.float32)
         if zp:
             lo = lo - float(zp)
             hi = hi - float(zp)
-        w_lo = lo * _expand_scales(sc_lo_ref[:], gs, kt, rt)
-        w_hi = hi * _expand_scales(sc_hi_ref[:], gs, kt, rt)
+        w_lo = lo * _expand_scales(w(sc_lo_ref), gs, kt, rt)
+        w_hi = hi * _expand_scales(w(sc_hi_ref), gs, kt, rt)
         if has_offsets:
-            w_lo = w_lo + _expand_scales(of_lo_ref[:], gs, kt, rt)
-            w_hi = w_hi + _expand_scales(of_hi_ref[:], gs, kt, rt)
+            w_lo = w_lo + _expand_scales(w(of_lo_ref), gs, kt, rt)
+            w_hi = w_hi + _expand_scales(w(of_hi_ref), gs, kt, rt)
 
         if FUSE_NIB4_DOT:
             xc = jnp.concatenate([x_lo_ref[:], x_hi_ref[:]], axis=1)
@@ -116,8 +123,13 @@ def _make_nib4_kernel(*, zp, gs, kt, rt, n_k, compute_dtype, has_offsets):
     return kernel
 
 
-def _make_int8_kernel(*, gs, kt, rt, n_k, compute_dtype, has_offsets):
+def _make_int8_kernel(*, gs, kt, rt, n_k, compute_dtype, has_offsets,
+                      lead=False):
+    w = (lambda r: r[0]) if lead else (lambda r: r[:])
+
     def kernel(*refs):
+        if lead:
+            refs = refs[1:]
         if has_offsets:
             x_ref, qs_ref, sc_ref, of_ref, out_ref, acc_ref = refs
         else:
@@ -128,13 +140,13 @@ def _make_int8_kernel(*, gs, kt, rt, n_k, compute_dtype, has_offsets):
         def _():
             acc_ref[:] = jnp.zeros_like(acc_ref)
 
-        w = (qs_ref[:].astype(jnp.int32).astype(jnp.float32)
-             * _expand_scales(sc_ref[:], gs, kt, rt))
+        wv = (w(qs_ref).astype(jnp.int32).astype(jnp.float32)
+              * _expand_scales(w(sc_ref), gs, kt, rt))
         if has_offsets:
-            w = w + _expand_scales(of_ref[:], gs, kt, rt)
+            wv = wv + _expand_scales(w(of_ref), gs, kt, rt)
 
         acc_ref[:] += jnp.dot(
-            x_ref[:], w.astype(compute_dtype),
+            x_ref[:], wv.astype(compute_dtype),
             preferred_element_type=jnp.float32,
         )
 
@@ -324,6 +336,151 @@ def pallas_qmm(x: jax.Array, pq: PlanarQuant, *, dequant_dtype=jnp.bfloat16,
     )(*args)
 
     return out[:m, :R].reshape(*lead, R)
+
+
+# ---------------------------------------------------------------------------
+# indexed (stacked-depth) kernel — the scan hot path
+# ---------------------------------------------------------------------------
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("dequant_dtype", "out_dtype", "interpret"),
+)
+def pallas_qmm_indexed(x: jax.Array, pq: PlanarQuant, idx: jax.Array, *,
+                       dequant_dtype=jnp.bfloat16, out_dtype=None,
+                       interpret: bool = False) -> jax.Array:
+    """x @ W_idxᵀ where pq leaves carry a leading DEPTH axis and ``idx``
+    is a traced block index (e.g. the lax.scan induction variable).
+
+    Motivation (round-2 profile of the full-depth flux forward): scanning
+    over scan-sliced stacked weights forced XLA to MATERIALIZE each
+    block's packed bytes before the custom call — ``copy`` (770 ms) +
+    ``slice`` (332 ms) dwarfed the matmul work itself (394 ms). Pallas
+    scalar prefetch moves the depth index into the kernel's index_maps,
+    so weight tiles stream straight from the stacked HBM buffer — the
+    slice/copy pair disappears entirely.
+    """
+    out_dtype = out_dtype or x.dtype
+    R, K = pq.shape
+    rp = pq.padded_out
+    lead_sh = x.shape[:-1]
+    x2 = x.reshape(-1, K)
+    m = x2.shape[0]
+    gs = pq.group_size
+    has_offsets = pq.offsets is not None
+    nib4 = pq.layout == "nib4"
+    k_rows = pq.qs.shape[1]  # leaves are (depth, k_rows, rp)
+    kp = k_rows * (2 if nib4 else 1)
+    if kp != K:
+        x2 = jnp.pad(x2, ((0, 0), (0, kp - K)))
+
+    mt, kt, rt = _pick_tiles(m, k_rows, rp, gs,
+                             out_bytes=jnp.dtype(out_dtype).itemsize,
+                             layout=pq.layout)
+    if kt is None:
+        raise ValueError(f"untileable K rows {k_rows} (gs={gs})")
+    mp = _cdiv(m, mt) * mt
+    if mp != m:
+        x2 = jnp.pad(x2, ((0, mp - m), (0, 0)))
+    x2 = x2.astype(dequant_dtype)
+
+    n_m, n_r, n_k = mp // mt, rp // rt, k_rows // kt
+    sg = kt // gs
+
+    def vmem(block, index_map):
+        return pl.BlockSpec(block, index_map, memory_space=pltpu.VMEM)
+
+    out_spec = vmem((mt, rt), lambda i, j, k, s: (i, j))
+    cost = pl.CostEstimate(
+        flops=2 * mp * K * rp,
+        bytes_accessed=pq.nbytes_packed // pq.qs.shape[0]
+        + mp * K * 2 + mp * rp * 2,
+        transcendentals=0,
+    )
+
+    # weight index_maps read the depth index from the scalar-prefetch ref
+    if nib4:
+        kernel = _make_nib4_kernel(
+            zp=pq.zero_point, gs=gs, kt=kt, rt=rt, n_k=n_k,
+            compute_dtype=dequant_dtype, has_offsets=has_offsets,
+            lead=True,
+        )
+        in_specs = [
+            vmem((mt, kt), lambda i, j, k, s: (i, k)),
+            vmem((mt, kt), lambda i, j, k, s: (i, k + n_k)),
+            vmem((1, kt, rt), lambda i, j, k, s: (s[0], k, j)),
+            vmem((1, sg, rt), lambda i, j, k, s: (s[0], k, j)),
+            vmem((1, sg, rt), lambda i, j, k, s: (s[0], k + n_k, j)),
+        ]
+        args = [x2, x2, pq.qs, pq.scales, pq.scales]
+        if has_offsets:
+            in_specs += [
+                vmem((1, sg, rt), lambda i, j, k, s: (s[0], k, j)),
+                vmem((1, sg, rt), lambda i, j, k, s: (s[0], k + n_k, j)),
+            ]
+            args += [pq.offsets, pq.offsets]
+    else:
+        kernel = _make_int8_kernel(
+            gs=gs, kt=kt, rt=rt, n_k=n_k,
+            compute_dtype=dequant_dtype, has_offsets=has_offsets,
+            lead=True,
+        )
+        in_specs = [
+            vmem((mt, kt), lambda i, j, k, s: (i, k)),
+            vmem((1, kt, rt), lambda i, j, k, s: (s[0], k, j)),
+            vmem((1, sg, rt), lambda i, j, k, s: (s[0], k, j)),
+        ]
+        args = [x2, pq.qs, pq.scales]
+        if has_offsets:
+            in_specs.append(vmem((1, sg, rt), lambda i, j, k, s: (s[0], k, j)))
+            args.append(pq.offsets)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_m, n_r, n_k),
+        in_specs=in_specs,
+        out_specs=out_spec,
+        scratch_shapes=[pltpu.VMEM((mt, rt), jnp.float32)],
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((mp, rp), out_dtype),
+        cost_estimate=cost,
+        interpret=interpret,
+    )(jnp.atleast_1d(idx).astype(jnp.int32), *args)
+
+    return out[:m, :R].reshape(*lead_sh, R)
+
+
+def indexed_matmul(x: jax.Array, pq_stacked: PlanarQuant, idx, *,
+                   dequant_dtype=jnp.bfloat16, out_dtype=None,
+                   prefer_pallas: bool | None = None) -> jax.Array:
+    """Dispatcher for depth-stacked weights + traced index. Pallas on TPU
+    via scalar prefetch (zero-copy); XLA fallback slices then dequantizes
+    (the copy is unavoidable without the custom kernel)."""
+    shape1 = PlanarQuant(
+        qs=jax.ShapeDtypeStruct(pq_stacked.qs.shape[1:],
+                                pq_stacked.qs.dtype),
+        scales=None, offsets=None, qtype=pq_stacked.qtype,
+        layout=pq_stacked.layout, group_size=pq_stacked.group_size,
+        zero_point=pq_stacked.zero_point, shape=pq_stacked.shape)
+    if prefer_pallas is None:
+        prefer_pallas = _have_tpu()
+    m = 1
+    for d in x.shape[:-1]:
+        m *= d
+    big_weight = pq_stacked.shape[0] * pq_stacked.shape[1] >= (1 << 23)
+    if prefer_pallas and (m >= 16 or big_weight) and pallas_tileable(shape1):
+        return pallas_qmm_indexed(x, pq_stacked, idx,
+                                  dequant_dtype=dequant_dtype,
+                                  out_dtype=out_dtype,
+                                  interpret=_interpret_default())
+    sliced = jax.tree_util.tree_map(
+        lambda a: jax.lax.dynamic_index_in_dim(a, idx, axis=0,
+                                               keepdims=False), pq_stacked)
+    return xla_qmm(x, sliced, dequant_dtype=dequant_dtype,
+                   out_dtype=out_dtype)
 
 
 # ---------------------------------------------------------------------------

@@ -129,7 +129,7 @@ def pp_flux_single_trunk(single_stacked: dict, x, vec, pe, cfg, qcfg,
     x: (B, L, hidden) joint txt|img stream; vec: (B, hidden); pe RoPE
     (B, L, d/2, 2). Exact vs the sequential scan (tests/test_pp.py).
     """
-    from ..models.flux import _single_block
+    from ..models.flux import _single_block, scan_blocks
 
     n_stages = mesh.shape[axis]
     depth = jax.tree_util.tree_leaves(single_stacked)[0].shape[0]
@@ -143,9 +143,10 @@ def pp_flux_single_trunk(single_stacked: dict, x, vec, pe, cfg, qcfg,
         xm, vecm, pem = payload
 
         def body(x, bp):
-            return _single_block(bp, x, vecm, pem, cfg, qcfg), None
+            return _single_block(bp, x, vecm, pem, cfg, qcfg)
 
-        xm, _ = jax.lax.scan(body, xm, stage_params)
+        # zero-copy block scan (scalar-prefetch indexed kernel)
+        xm = scan_blocks(stage_params, body, xm, depth // n_stages)
         return (xm, vecm, pem)
 
     out, _, _ = pp_trunk(stage_fn, staged, (x, vec, pe), mesh, axis=axis,

@@ -278,19 +278,23 @@ def tp_forward_stacked(params: dict, cfg: FluxConfig, img, img_ids, txt,
         img, txt, vec, pe = _prelude(nonblk, cfg, img, img_ids, txt,
                                      txt_ids, timesteps, y, g, qcfg)
 
+        # scan_blocks keeps the per-shard packed stacks whole (scalar-
+        # prefetch indexed kernel) — same zero-copy property as the
+        # single-device forward_stacked
+        from ..models.flux import scan_blocks
+
         def dbody(carry, bp):
             i, t = carry
-            i, t = _tp_double_block(bp, i, t, vec, pe, cfg, qcfg, tp)
-            return (i, t), None
+            return _tp_double_block(bp, i, t, vec, pe, cfg, qcfg, tp)
 
-        (img, txt), _ = jax.lax.scan(dbody, (img, txt), dbl_l)
+        img, txt = scan_blocks(dbl_l, dbody, (img, txt), cfg.depth_double)
 
         x = jnp.concatenate([txt, img], axis=1)
 
         def sbody(x, bp):
-            return _tp_single_block(bp, x, vec, pe, cfg, qcfg, tp), None
+            return _tp_single_block(bp, x, vec, pe, cfg, qcfg, tp)
 
-        x, _ = jax.lax.scan(sbody, x, sgl_l)
+        x = scan_blocks(sgl_l, sbody, x, cfg.depth_single)
         img = x[:, txt.shape[1]:]
         return _final(nonblk, img, vec, qcfg)
 

@@ -430,13 +430,18 @@ def flux_engine(model: DiffusionModel, h_lat: int, w_lat: int,
         flux_model.make_img_ids(h_lat // 2, w_lat // 2, 1))[0]
     txt_ids = jnp.zeros((txt_len, 3), jnp.int32)
 
+    # stacked param trees (flux_model.stack_flux_params layout) take the
+    # scanned zero-copy forward — O(1)-in-depth compile for serving boots
+    fwd = (flux_model.forward_stacked if "double_blocks" in model.params
+           else flux_model.forward)
+
     @jax.jit
     def _step(params, x, s_cur, s_next, txt, y, guidance):
         B = x.shape[0]
         ids_i = jnp.broadcast_to(img_ids[None], (B, *img_ids.shape))
         ids_t = jnp.broadcast_to(txt_ids[None], (B, *txt_ids.shape))
-        v = flux_model.forward(params, model.config, x, ids_i, txt, ids_t,
-                               s_cur, y, guidance, qcfg=model.qcfg)
+        v = fwd(params, model.config, x, ids_i, txt, ids_t,
+                s_cur, y, guidance, qcfg=model.qcfg)
         step = (s_next - s_cur)[:, None, None] * v.astype(jnp.float32)
         return (x.astype(jnp.float32) + step).astype(x.dtype)
 

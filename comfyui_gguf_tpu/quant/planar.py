@@ -276,6 +276,26 @@ def _components_to_planar(q, scales, offsets, qtype, zero_point, gs,
     )
 
 
+@partial(
+    jax.tree_util.register_dataclass,
+    data_fields=["pq", "idx"],
+    meta_fields=[],
+)
+@dataclasses.dataclass(frozen=True)
+class IndexedQuant:
+    """A depth-STACKED PlanarQuant (leaves (depth, ...)) plus a traced
+    block index — the weight handle inside a lax.scan over block depth.
+
+    nn.layers.linear routes this through ops.qmatmul.indexed_matmul: the
+    Pallas kernel gathers its tiles from the stacked HBM buffer via
+    scalar prefetch, so the scan never materializes a per-block copy of
+    the packed weights (round-2 profile: those copies cost more than the
+    matmuls themselves)."""
+
+    pq: PlanarQuant
+    idx: jax.Array
+
+
 def shard_view(p: PlanarQuant) -> PlanarQuant:
     """Inside shard_map: strip the leading shard axis from a stacked
     PlanarQuant (each device sees a (1, ...) slice)."""

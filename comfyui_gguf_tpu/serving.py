@@ -45,6 +45,12 @@ class GenRequest:
     result: np.ndarray | None = None
     error: Exception | None = None
     cancelled: bool = False
+    completed_at: float | None = None  # monotonic; for latency percentiles
+
+    @property
+    def latency_s(self) -> float | None:
+        return (None if self.completed_at is None
+                else self.completed_at - self.submitted_at)
 
     def cancel(self):
         """Drop the request at the next engine tick (no partial result)."""
@@ -230,8 +236,9 @@ class ContinuousBatchEngine:
             r.step += 1
             if r.finished:
                 r.result = np.asarray(r.latent)
+                r.completed_at = time.monotonic()
                 self.stats.completed += 1
-                self.stats.total_latency_s += time.monotonic() - r.submitted_at
+                self.stats.total_latency_s += r.completed_at - r.submitted_at
                 r.done_event.set()
             else:
                 still.append(r)

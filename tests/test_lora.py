@@ -249,3 +249,63 @@ def test_conv_diff_patch_reshapes():
     got = np.asarray(materialize(pw, jnp.float32))
     np.testing.assert_allclose(got, w + diff.reshape(w.shape),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_multi_patch_batched_epilogue_matches_sum():
+    """N plain rank patches batch into one concat matmul pair — output
+    must equal the per-patch sum."""
+    rng = np.random.default_rng(11)
+    R, K = 128, 256
+    pq, w_deq = _planar_weight(rng, R, K)
+    ps = []
+    want_delta = np.zeros((R, K), np.float32)
+    for s, r in ((0.5, 2), (1.25, 4), (0.1, 8)):
+        up = rng.standard_normal((R, r), dtype=np.float32)
+        down = rng.standard_normal((r, K), dtype=np.float32)
+        ps.append(lora.LoRAPatch(up=jnp.asarray(up), down=jnp.asarray(down),
+                                 mid=None, diff=None, scale=s))
+        want_delta += s * (up @ down)
+    pw = lora.PatchedWeight(pq, tuple(ps))
+    x = rng.standard_normal((5, K), dtype=np.float32)
+    got = np.asarray(linear(jnp.asarray(x), pw, cfg=F32CFG))
+    np.testing.assert_allclose(got, x @ (w_deq + want_delta).T,
+                               rtol=3e-4, atol=3e-4)
+
+
+def test_lora_survives_stacked_scan():
+    """LoRA patches ride the zero-copy block scan: forward_stacked over
+    patched+stacked params == unrolled forward over patched params."""
+    import jax
+
+    from comfyui_gguf_tpu.models import flux, testing
+    from comfyui_gguf_tpu.nn.layers import QuantConfig
+
+    dims = testing.TinyFluxDims(depth_double=2, depth_single=2)
+    sd = testing.flux_state_dict(dims, seed=21)
+    params = testing.quantize_flux_params(sd)
+    cfg = dims.config()
+    rng = np.random.default_rng(22)
+    patches = {}
+    for i in range(2):
+        for key, R, K in (
+            (f"double_blocks.{i}.img_attn.qkv.weight", 3 * dims.hidden,
+             dims.hidden),
+            (f"single_blocks.{i}.linear1.weight",
+             3 * dims.hidden + dims.mlp, dims.hidden),
+        ):
+            up = jnp.asarray(rng.standard_normal((R, 2)) * 0.1, jnp.float32)
+            down = jnp.asarray(rng.standard_normal((2, K)) * 0.1,
+                               jnp.float32)
+            patches[key] = (lora.LoRAPatch(up=up, down=down, mid=None,
+                                           diff=None, scale=0.5),)
+    patched = lora.attach_patches(params, patches)
+    qcfg = QuantConfig(prefer_pallas=False)
+    inputs = testing.flux_example_inputs(dims, batch=1)
+
+    ref = jax.jit(lambda p, *a: flux.forward(p, cfg, *a, qcfg=qcfg))(
+        patched, *inputs)
+    sp = flux.stack_flux_params(patched, cfg)
+    got = jax.jit(lambda p, *a: flux.forward_stacked(p, cfg, *a,
+                                                     qcfg=qcfg))(sp, *inputs)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-2, atol=2e-2)

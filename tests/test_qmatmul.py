@@ -117,3 +117,60 @@ def test_kt_candidates_are_mosaic_legal():
             if kt is not None:
                 assert kt % 128 == 0 and (kt // gs) % 8 == 0
                 assert k_rows % kt == 0
+
+
+def test_indexed_kernel_matches_sliced(monkeypatch):
+    """pallas_qmm_indexed (scalar-prefetch depth gather) == pallas_qmm on
+    the hand-sliced block, both interpret mode, all layouts."""
+    import jax
+
+    from comfyui_gguf_tpu.models.testing import random_planar
+    from comfyui_gguf_tpu.ops import qmatmul
+
+    rng = np.random.default_rng(0)
+    for qtype in (Q.Q4_K, Q.Q8_0):
+        st = random_planar(qtype, (256, 512), rng, stack=3)
+        x = jnp.asarray(rng.standard_normal((16, 512)), jnp.float32)
+        for i in range(3):
+            got = qmatmul.pallas_qmm_indexed(
+                x, st, jnp.int32(i), dequant_dtype=jnp.float32,
+                interpret=True)
+            sl = jax.tree_util.tree_map(lambda a: a[i], st)
+            want = qmatmul.pallas_qmm(x, sl, dequant_dtype=jnp.float32,
+                                      interpret=True)
+            np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                       rtol=1e-5, atol=1e-5)
+
+
+def test_indexed_under_scan_matches_loop():
+    """indexed_matmul inside lax.scan == python loop over slices (the
+    forward_stacked execution pattern)."""
+    import jax
+
+    from comfyui_gguf_tpu.models.testing import random_planar
+    from comfyui_gguf_tpu.ops import qmatmul
+
+    rng = np.random.default_rng(1)
+    st = random_planar(Q.Q8_0, (512, 512), rng, stack=4)
+    x0 = jnp.asarray(rng.standard_normal((8, 512)) * 0.1, jnp.float32)
+
+    @jax.jit
+    def scanned(x0, st):
+        def body(x, i):
+            o = qmatmul.indexed_matmul(x, st, i,
+                                       dequant_dtype=jnp.float32,
+                                       prefer_pallas=True)
+            return jnp.tanh(o[:, :512]), None
+
+        out, _ = jax.lax.scan(body, x0, jnp.arange(4))
+        return out
+
+    got = scanned(x0, st)
+
+    x = x0
+    for i in range(4):
+        sl = jax.tree_util.tree_map(lambda a: a[i], st)
+        o = qmatmul.xla_qmm(x, sl, dequant_dtype=jnp.float32)
+        x = jnp.tanh(o[:, :512])
+    np.testing.assert_allclose(np.asarray(got), np.asarray(x),
+                               rtol=2e-4, atol=2e-4)
