@@ -371,3 +371,193 @@ def test_sdxl_basic_transformer_block_golden():
                             F32)
     np.testing.assert_allclose(np.asarray(got), want.numpy(),
                                rtol=2e-4, atol=2e-4)
+
+
+# ---------------------------------------------------------------------------
+# Qwen-Image MMDiT block (flux lineage, diffusers key naming)
+# ---------------------------------------------------------------------------
+
+def test_qwen_image_block_golden():
+    from comfyui_gguf_tpu.models import qwen_image
+
+    rng = np.random.default_rng(46)
+    D, Hn, M = 64, 2, 256
+    AX = (8, 12, 12)
+
+    w = {}
+    p = "transformer_blocks.0."
+    for m_ in ("img_mod", "txt_mod"):
+        w[f"{p}{m_}.1.weight"] = _rand(rng, 6 * D, D)
+        w[f"{p}{m_}.1.bias"] = _rand(rng, 6 * D)
+    for n in ("to_q", "to_k", "to_v", "add_q_proj", "add_k_proj",
+              "add_v_proj"):
+        w[f"{p}attn.{n}.weight"] = _rand(rng, D, D)
+        w[f"{p}attn.{n}.bias"] = _rand(rng, D)
+    for n in ("norm_q", "norm_k", "norm_added_q", "norm_added_k"):
+        w[f"{p}attn.{n}.weight"] = _rand(rng, D // Hn) + 1
+    for n in ("to_out.0", "to_add_out"):
+        w[f"{p}attn.{n}.weight"] = _rand(rng, D, D)
+        w[f"{p}attn.{n}.bias"] = _rand(rng, D)
+    for s in ("img_mlp", "txt_mlp"):
+        w[f"{p}{s}.net.0.proj.weight"] = _rand(rng, M, D)
+        w[f"{p}{s}.net.0.proj.bias"] = _rand(rng, M)
+        w[f"{p}{s}.net.2.weight"] = _rand(rng, D, M)
+        w[f"{p}{s}.net.2.bias"] = _rand(rng, D)
+
+    img = _rand(rng, 1, 16, D)
+    txt = _rand(rng, 1, 5, D)
+    vec = _rand(rng, 1, D)
+    img_ids = flux.make_img_ids(4, 4, 1)
+    txt_ids = np.zeros((1, 5, 3), np.int32)
+    ids = np.concatenate([txt_ids, img_ids], axis=1)
+
+    # torch independent implementation: per-stream 6-chunk modulation,
+    # separate q/k/v projections with per-head RMS q/k norms (image AND
+    # "added" text projections), joint rope attention text-first,
+    # gelu-tanh MLPs
+    def lin(name, x):
+        return x @ _t(w[f"{p}{name}.weight"]).T + _t(w[f"{p}{name}.bias"])
+
+    def mod(name, v):
+        o = torch.nn.functional.silu(v) @ _t(w[f"{p}{name}.1.weight"]).T \
+            + _t(w[f"{p}{name}.1.bias"])
+        return [c[:, None, :] for c in o.chunk(6, dim=-1)]
+
+    it, tt_, vt = _t(img), _t(txt), _t(vec)
+    im = mod("img_mod", vt)
+    tm = mod("txt_mod", vt)
+    img_m = _ln(it) * (1 + im[1]) + im[0]
+    txt_m = _ln(tt_) * (1 + tm[1]) + tm[0]
+
+    iq = _rms(_heads(lin("attn.to_q", img_m), Hn),
+              _t(w[f"{p}attn.norm_q.weight"]))
+    ik = _rms(_heads(lin("attn.to_k", img_m), Hn),
+              _t(w[f"{p}attn.norm_k.weight"]))
+    iv = _heads(lin("attn.to_v", img_m), Hn)
+    tq = _rms(_heads(lin("attn.add_q_proj", txt_m), Hn),
+              _t(w[f"{p}attn.norm_added_q.weight"]))
+    tk = _rms(_heads(lin("attn.add_k_proj", txt_m), Hn),
+              _t(w[f"{p}attn.norm_added_k.weight"]))
+    tv = _heads(lin("attn.add_v_proj", txt_m), Hn)
+    cos, sin = _torch_rope_table(ids, AX)
+    q = _torch_apply_rope(torch.cat([tq, iq], dim=2), cos, sin)
+    k = _torch_apply_rope(torch.cat([tk, ik], dim=2), cos, sin)
+    v = torch.cat([tv, iv], dim=2)
+    a = _unheads(_sdpa(q, k, v))
+    ta, ia = a[:, :5], a[:, 5:]
+
+    it = it + im[2] * lin("attn.to_out.0", ia)
+    tt_ = tt_ + tm[2] * lin("attn.to_add_out", ta)
+    h = _ln(it) * (1 + im[4]) + im[3]
+    h = torch.nn.functional.gelu(lin("img_mlp.net.0.proj", h),
+                                 approximate="tanh")
+    it = it + im[5] * lin("img_mlp.net.2", h)
+    h = _ln(tt_) * (1 + tm[4]) + tm[3]
+    h = torch.nn.functional.gelu(lin("txt_mlp.net.0.proj", h),
+                                 approximate="tanh")
+    tt_ = tt_ + tm[5] * lin("txt_mlp.net.2", h)
+
+    cfg = qwen_image.QwenImageConfig(hidden=D, n_layers=1, n_heads=Hn,
+                                     axes_dim=AX)
+    jp = {k2: jnp.asarray(v2) for k2, v2 in w.items()}
+    pe = flux.rope_freqs(jnp.asarray(ids), AX, 10_000)
+    j_img, j_txt = qwen_image._block(jp, 0, jnp.asarray(img),
+                                     jnp.asarray(txt), jnp.asarray(vec),
+                                     pe, cfg, F32)
+    np.testing.assert_allclose(np.asarray(j_img), it.numpy(), rtol=2e-4,
+                               atol=2e-4)
+    np.testing.assert_allclose(np.asarray(j_txt), tt_.numpy(), rtol=2e-4,
+                               atol=2e-4)
+
+
+# ---------------------------------------------------------------------------
+# HiDream double-stream block (12-chunk adaLN, image-first joint attention,
+# swiglu FF + MoE on the image stream)
+# ---------------------------------------------------------------------------
+
+def test_hidream_double_block_golden():
+    from comfyui_gguf_tpu.models import hidream
+
+    rng = np.random.default_rng(47)
+    D, Hn, F, NE = 64, 2, 128, 2
+    p = "double_stream_blocks.0.block"
+
+    w = {}
+    w[f"{p}.adaLN_modulation.1.weight"] = _rand(rng, 12 * D, D)
+    w[f"{p}.adaLN_modulation.1.bias"] = _rand(rng, 12 * D)
+    for suf in ("", "_t"):
+        for n in ("to_q", "to_k", "to_v", "to_out"):
+            w[f"{p}.attn1.{n}{suf}.weight"] = _rand(rng, D, D)
+        w[f"{p}.attn1.q_rms_norm{suf}.weight"] = _rand(rng, D // Hn) + 1
+        w[f"{p}.attn1.k_rms_norm{suf}.weight"] = _rand(rng, D // Hn) + 1
+    def swiglu_w(pfx):
+        w[f"{pfx}.w1.weight"] = _rand(rng, F, D)
+        w[f"{pfx}.w3.weight"] = _rand(rng, F, D)
+        w[f"{pfx}.w2.weight"] = _rand(rng, D, F)
+    swiglu_w(f"{p}.ff_i.shared_experts")
+    for e in range(NE):
+        swiglu_w(f"{p}.ff_i.experts.{e}")
+    w[f"{p}.ff_i.gate.weight"] = _rand(rng, NE, D)
+    swiglu_w(f"{p}.ff_t")
+
+    img = _rand(rng, 1, 12, D)
+    txt = _rand(rng, 1, 5, D)
+    vec = _rand(rng, 1, D)
+
+    def lin(name, x, pfx=f"{p}.attn1"):
+        return x @ _t(w[f"{pfx}.{name}.weight"]).T
+
+    def swiglu(pfx, x):
+        a = lin("w1", x, pfx)
+        b = lin("w3", x, pfx)
+        return lin("w2", torch.nn.functional.silu(a) * b, pfx)
+
+    it, tt_, vt = _t(img), _t(txt), _t(vec)
+    modv = torch.nn.functional.silu(vt) \
+        @ _t(w[f"{p}.adaLN_modulation.1.weight"]).T \
+        + _t(w[f"{p}.adaLN_modulation.1.bias"])
+    m = [c[:, None, :] for c in modv.chunk(12, dim=-1)]
+
+    img_m = _ln(it) * (1 + m[1]) + m[0]
+    txt_m = _ln(tt_) * (1 + m[7]) + m[6]
+    iq = _rms(_heads(lin("to_q", img_m), Hn),
+              _t(w[f"{p}.attn1.q_rms_norm.weight"]))
+    ik = _rms(_heads(lin("to_k", img_m), Hn),
+              _t(w[f"{p}.attn1.k_rms_norm.weight"]))
+    iv = _heads(lin("to_v", img_m), Hn)
+    tq = _rms(_heads(lin("to_q_t", txt_m), Hn),
+              _t(w[f"{p}.attn1.q_rms_norm_t.weight"]))
+    tk = _rms(_heads(lin("to_k_t", txt_m), Hn),
+              _t(w[f"{p}.attn1.k_rms_norm_t.weight"]))
+    tv = _heads(lin("to_v_t", txt_m), Hn)
+    # IMAGE stream first in the joint sequence (HiDream ordering)
+    a = _unheads(_sdpa(torch.cat([iq, tq], 2), torch.cat([ik, tk], 2),
+                       torch.cat([iv, tv], 2)))
+    ia, ta = a[:, :12], a[:, 12:]
+    it = it + m[2] * lin("to_out", ia)
+    tt_ = tt_ + m[8] * lin("to_out_t", ta)
+
+    h = _ln(it) * (1 + m[4]) + m[3]
+    # MoE: shared expert + softmax over top-k gate logits
+    logits = h @ _t(w[f"{p}.ff_i.gate.weight"]).T
+    top = torch.topk(logits, 2, dim=-1).values[..., -1:]
+    probs = torch.softmax(
+        torch.where(logits >= top, logits,
+                    torch.tensor(float("-inf"))), dim=-1)
+    moe = swiglu(f"{p}.ff_i.shared_experts", h)
+    for e in range(NE):
+        moe = moe + probs[..., e:e + 1] * swiglu(f"{p}.ff_i.experts.{e}", h)
+    it = it + m[5] * moe
+    h = _ln(tt_) * (1 + m[10]) + m[9]
+    tt_ = tt_ + m[11] * swiglu(f"{p}.ff_t", h)
+
+    cfg = hidream.HiDreamConfig(hidden=D, n_heads=Hn, depth_double=1,
+                                depth_single=0, n_experts=NE, top_k=2)
+    jp = {k2: jnp.asarray(v2) for k2, v2 in w.items()}
+    j_img, j_txt = hidream._double_block(jp, 0, jnp.asarray(img),
+                                         jnp.asarray(txt),
+                                         jnp.asarray(vec), cfg, F32)
+    np.testing.assert_allclose(np.asarray(j_img), it.numpy(), rtol=3e-4,
+                               atol=3e-4)
+    np.testing.assert_allclose(np.asarray(j_txt), tt_.numpy(), rtol=3e-4,
+                               atol=3e-4)
