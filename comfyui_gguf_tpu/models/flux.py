@@ -21,7 +21,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..nn.layers import QuantConfig, DEFAULT_CONFIG, layer_norm, linear, rms_norm
+from ..nn.layers import (QuantConfig, DEFAULT_CONFIG, layer_norm, linear,
+                         linear_gelu, rms_norm)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -199,16 +200,17 @@ def _double_block(p: dict, img, txt, vec, pe, cfg: FluxConfig, qcfg):
     img = img + i_gate1 * linear(img_attn, p["img_attn.proj.weight"],
                                  p.get("img_attn.proj.bias"), cfg=qcfg)
     h = layer_norm(img, eps=1e-6) * (1 + i_scale2) + i_shift2
-    h = linear(h, p["img_mlp.0.weight"], p.get("img_mlp.0.bias"), cfg=qcfg)
-    h = jax.nn.gelu(h.astype(jnp.float32), approximate=True).astype(h.dtype)
+    # bias+gelu ride the kernel epilogue (fusion barrier otherwise)
+    h = linear_gelu(h, p["img_mlp.0.weight"], p.get("img_mlp.0.bias"),
+                    cfg=qcfg)
     img = img + i_gate2 * linear(h, p["img_mlp.2.weight"],
                                  p.get("img_mlp.2.bias"), cfg=qcfg)
 
     txt = txt + t_gate1 * linear(txt_attn, p["txt_attn.proj.weight"],
                                  p.get("txt_attn.proj.bias"), cfg=qcfg)
     h = layer_norm(txt, eps=1e-6) * (1 + t_scale2) + t_shift2
-    h = linear(h, p["txt_mlp.0.weight"], p.get("txt_mlp.0.bias"), cfg=qcfg)
-    h = jax.nn.gelu(h.astype(jnp.float32), approximate=True).astype(h.dtype)
+    h = linear_gelu(h, p["txt_mlp.0.weight"], p.get("txt_mlp.0.bias"),
+                    cfg=qcfg)
     txt = txt + t_gate2 * linear(h, p["txt_mlp.2.weight"],
                                  p.get("txt_mlp.2.bias"), cfg=qcfg)
     return img, txt
@@ -222,13 +224,14 @@ def _single_block(p: dict, x, vec, pe, cfg: FluxConfig, qcfg):
     shift, scale, gate = _modulation(p, "modulation", vec, 3, qcfg)
     x_mod = layer_norm(x, eps=1e-6) * (1 + scale) + shift
 
-    h = linear(x_mod, p["linear1.weight"], p.get("linear1.bias"), cfg=qcfg)
-    qkv, mlp = h[..., : 3 * hidden], h[..., 3 * hidden:]
+    # fused linear1: qkv columns pass through, mlp columns get the
+    # GELU applied in the kernel epilogue (3·hidden is r-tile aligned)
+    h = linear_gelu(x_mod, p["linear1.weight"], p.get("linear1.bias"),
+                    tail_from=3 * hidden, cfg=qcfg)
+    qkv, act = h[..., : 3 * hidden], h[..., 3 * hidden:]
     q, k, v = _split_heads(qkv, H)
     q, k = _qknorm(p, "norm", q, k)
     attn = _attention(q, k, v, pe)
-    act = jax.nn.gelu(mlp.astype(jnp.float32), approximate=True).astype(
-        mlp.dtype)
     out = linear(jnp.concatenate([attn, act], axis=-1),
                  p["linear2.weight"], p.get("linear2.bias"), cfg=qcfg)
     return x + gate * out

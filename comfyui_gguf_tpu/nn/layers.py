@@ -131,6 +131,40 @@ def linear(x: jax.Array, weight, bias=None, *,
     return out
 
 
+def linear_gelu(x: jax.Array, weight, bias=None, *, tail_from: int = 0,
+                cfg: QuantConfig = DEFAULT_CONFIG) -> jax.Array:
+    """linear() followed by GELU-tanh on output columns >= ``tail_from``
+    (0 = the whole output), with the activation and bias FUSED into the
+    Pallas kernel epilogue for packed weights.
+
+    Custom calls are fusion barriers for XLA, so the unfused form pays a
+    full HBM round trip on the widest activations in a DiT (the mlp-up
+    output); the epilogue applies them on the f32 accumulator in VMEM.
+    Patched (LoRA) weights fall back to the unfused composition — the
+    rank epilogue must see the pre-activation output."""
+    if (not hasattr(weight, "patches")
+            and isinstance(weight, (PlanarQuant, IndexedQuant))):
+        if isinstance(weight, IndexedQuant):
+            from ..ops.qmatmul import indexed_matmul
+
+            return indexed_matmul(
+                x, weight.pq, weight.idx,
+                dequant_dtype=cfg.dequant_dtype, out_dtype=x.dtype,
+                prefer_pallas=cfg.prefer_pallas, bias=bias,
+                act_from_col=tail_from)
+        return quantized_matmul(
+            x, weight, dequant_dtype=cfg.dequant_dtype, out_dtype=x.dtype,
+            prefer_pallas=cfg.prefer_pallas, bias=bias,
+            act_from_col=tail_from)
+    out = linear(x, weight, bias, cfg=cfg)
+    act = lambda t: jax.nn.gelu(t.astype(jnp.float32),
+                                approximate=True).astype(t.dtype)
+    if tail_from == 0:
+        return act(out)
+    return jnp.concatenate([out[..., :tail_from], act(out[..., tail_from:])],
+                           axis=-1)
+
+
 def embedding(ids: jax.Array, table, *,
               cfg: QuantConfig = DEFAULT_CONFIG) -> jax.Array:
     """ids: int (...,) -> (..., D). table: dense (V, D) (big quantized

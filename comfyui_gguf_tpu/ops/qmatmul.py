@@ -67,15 +67,40 @@ def _expand_scales(s, gs: int, rows: int, rt: int):
 FUSE_NIB4_DOT = True
 
 
+def _gelu_tanh(x):
+    # tanh-approximate GELU on the f32 accumulator (matches
+    # jax.nn.gelu(approximate=True))
+    c = 0.7978845608028654  # sqrt(2/pi)
+    return 0.5 * x * (1.0 + jnp.tanh(c * (x + 0.044715 * x * x * x)))
+
+
+def _epilogue(acc, bias_ref, act_tile_from, j):
+    # j (the r-grid index) is hoisted to kernel top level: program_id
+    # doesn't lower inside pl.when branches in interpret mode
+    if bias_ref is not None:
+        acc = acc + bias_ref[0].astype(jnp.float32)[None, :]
+    if act_tile_from is not None:
+        acc = jnp.where(j >= act_tile_from, _gelu_tanh(acc), acc)
+    return acc
+
+
 def _make_nib4_kernel(*, zp, gs, kt, rt, n_k, compute_dtype, has_offsets,
-                      lead=False):
+                      lead=False, has_bias=False, act_tile_from=None):
     # lead=True: weight refs carry a leading depth-block dim of 1 (the
-    # scalar-prefetch indexed path over stacked per-block weights)
+    # scalar-prefetch indexed path over stacked per-block weights).
+    # has_bias / act_tile_from: fused epilogue — bias add and GELU-tanh on
+    # r-tiles >= act_tile_from applied on the f32 accumulator before the
+    # output cast (custom calls block XLA fusion, so doing it here saves
+    # a full HBM round trip of the activation).
     w = (lambda r: r[0]) if lead else (lambda r: r[:])
 
     def kernel(*refs):
         if lead:
             refs = refs[1:]  # scalar-prefetch ref (depth index) unused here
+        bias_ref = None
+        if has_bias:
+            bias_ref = refs[0]  # bias is the FIRST tensor operand
+            refs = refs[1:]
         if has_offsets:
             (x_lo_ref, x_hi_ref, qs_ref, sc_lo_ref, sc_hi_ref,
              of_lo_ref, of_hi_ref, out_ref, acc_ref) = refs
@@ -83,6 +108,7 @@ def _make_nib4_kernel(*, zp, gs, kt, rt, n_k, compute_dtype, has_offsets,
             (x_lo_ref, x_hi_ref, qs_ref, sc_lo_ref, sc_hi_ref,
              out_ref, acc_ref) = refs
         k = pl.program_id(2)
+        j = pl.program_id(1)
 
         @pl.when(k == 0)
         def _():
@@ -118,23 +144,29 @@ def _make_nib4_kernel(*, zp, gs, kt, rt, n_k, compute_dtype, has_offsets,
 
         @pl.when(k == n_k - 1)
         def _():
-            out_ref[:] = acc_ref[:].astype(out_ref.dtype)
+            out_ref[:] = _epilogue(acc_ref[:], bias_ref, act_tile_from,
+                                   j).astype(out_ref.dtype)
 
     return kernel
 
 
 def _make_int8_kernel(*, gs, kt, rt, n_k, compute_dtype, has_offsets,
-                      lead=False):
+                      lead=False, has_bias=False, act_tile_from=None):
     w = (lambda r: r[0]) if lead else (lambda r: r[:])
 
     def kernel(*refs):
         if lead:
+            refs = refs[1:]
+        bias_ref = None
+        if has_bias:
+            bias_ref = refs[0]
             refs = refs[1:]
         if has_offsets:
             x_ref, qs_ref, sc_ref, of_ref, out_ref, acc_ref = refs
         else:
             x_ref, qs_ref, sc_ref, out_ref, acc_ref = refs
         k = pl.program_id(2)
+        j = pl.program_id(1)
 
         @pl.when(k == 0)
         def _():
@@ -152,7 +184,8 @@ def _make_int8_kernel(*, gs, kt, rt, n_k, compute_dtype, has_offsets,
 
         @pl.when(k == n_k - 1)
         def _():
-            out_ref[:] = acc_ref[:].astype(out_ref.dtype)
+            out_ref[:] = _epilogue(acc_ref[:], bias_ref, act_tile_from,
+                                   j).astype(out_ref.dtype)
 
     return kernel
 
@@ -245,11 +278,18 @@ def _pick_tiles(m: int, k_rows: int, rp: int, gs: int,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("dequant_dtype", "out_dtype", "interpret"),
+    static_argnames=("dequant_dtype", "out_dtype", "interpret",
+                     "act_from_col"),
 )
 def pallas_qmm(x: jax.Array, pq: PlanarQuant, *, dequant_dtype=jnp.bfloat16,
-               out_dtype=None, interpret: bool = False) -> jax.Array:
-    """Fused x @ W^T with W kept packed. x: (..., K) -> (..., R)."""
+               out_dtype=None, interpret: bool = False, bias=None,
+               act_from_col: int | None = None) -> jax.Array:
+    """Fused x @ W^T with W kept packed. x: (..., K) -> (..., R).
+
+    bias: optional (R,) added on the f32 accumulator in-kernel.
+    act_from_col: apply GELU-tanh to output columns >= this index (0 =
+    whole output) inside the kernel — must be a multiple of the r-tile
+    (callers check via fusable_epilogue)."""
     out_dtype = out_dtype or x.dtype
     R, K = pq.shape
     rp = pq.padded_out
@@ -288,21 +328,35 @@ def pallas_qmm(x: jax.Array, pq: PlanarQuant, *, dequant_dtype=jnp.bfloat16,
         transcendentals=0,
     )
 
+    has_bias = bias is not None
+    act_tile_from = None
+    if act_from_col is not None:
+        if act_from_col % rt:
+            raise ValueError(f"act_from_col {act_from_col} not a multiple "
+                             f"of r-tile {rt}")
+        act_tile_from = act_from_col // rt
+    ep = dict(has_bias=has_bias, act_tile_from=act_tile_from)
+    bias_specs, bias_args = [], []
+    if has_bias:
+        bias_specs = [vmem((1, rt), lambda i, j, k: (0, j))]
+        bias_args = [jnp.pad(bias.astype(jnp.float32),
+                             (0, rp - bias.shape[0]))[None, :]]
+
     if nib4:
         kernel = _make_nib4_kernel(
             zp=pq.zero_point, gs=gs, kt=kt, rt=rt, n_k=n_k,
-            compute_dtype=dequant_dtype, has_offsets=has_offsets,
+            compute_dtype=dequant_dtype, has_offsets=has_offsets, **ep,
         )
         # lo covers logical k rows [k*kt, (k+1)*kt); hi the same + K/2,
         # i.e. block index shifted by n_k.
-        in_specs = [
+        in_specs = bias_specs + [
             vmem((mt, kt), lambda i, j, k: (i, k)),
             vmem((mt, kt), lambda i, j, k: (i, k + n_k)),
             vmem((kt, rt), lambda i, j, k: (k, j)),
             vmem((sg, rt), lambda i, j, k: (k, j)),
             vmem((sg, rt), lambda i, j, k: (k + n_k, j)),
         ]
-        args = [x2, x2, pq.qs, pq.scales, pq.scales]
+        args = bias_args + [x2, x2, pq.qs, pq.scales, pq.scales]
         if has_offsets:
             in_specs += [
                 vmem((sg, rt), lambda i, j, k: (k, j)),
@@ -312,14 +366,14 @@ def pallas_qmm(x: jax.Array, pq: PlanarQuant, *, dequant_dtype=jnp.bfloat16,
     else:
         kernel = _make_int8_kernel(
             gs=gs, kt=kt, rt=rt, n_k=n_k,
-            compute_dtype=dequant_dtype, has_offsets=has_offsets,
+            compute_dtype=dequant_dtype, has_offsets=has_offsets, **ep,
         )
-        in_specs = [
+        in_specs = bias_specs + [
             vmem((mt, kt), lambda i, j, k: (i, k)),
             vmem((kt, rt), lambda i, j, k: (k, j)),
             vmem((sg, rt), lambda i, j, k: (k, j)),
         ]
-        args = [x2, pq.qs, pq.scales]
+        args = bias_args + [x2, pq.qs, pq.scales]
         if has_offsets:
             in_specs.append(vmem((sg, rt), lambda i, j, k: (k, j)))
             args.append(pq.offsets)
@@ -344,11 +398,13 @@ def pallas_qmm(x: jax.Array, pq: PlanarQuant, *, dequant_dtype=jnp.bfloat16,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("dequant_dtype", "out_dtype", "interpret"),
+    static_argnames=("dequant_dtype", "out_dtype", "interpret",
+                     "act_from_col"),
 )
 def pallas_qmm_indexed(x: jax.Array, pq: PlanarQuant, idx: jax.Array, *,
                        dequant_dtype=jnp.bfloat16, out_dtype=None,
-                       interpret: bool = False) -> jax.Array:
+                       interpret: bool = False, bias=None,
+                       act_from_col: int | None = None) -> jax.Array:
     """x @ W_idxᵀ where pq leaves carry a leading DEPTH axis and ``idx``
     is a traced block index (e.g. the lax.scan induction variable).
 
@@ -398,21 +454,41 @@ def pallas_qmm_indexed(x: jax.Array, pq: PlanarQuant, idx: jax.Array, *,
         transcendentals=0,
     )
 
+    has_bias = bias is not None
+    act_tile_from = None
+    if act_from_col is not None:
+        if act_from_col % rt:
+            raise ValueError(f"act_from_col {act_from_col} not a multiple "
+                             f"of r-tile {rt}")
+        act_tile_from = act_from_col // rt
+    ep = dict(has_bias=has_bias, act_tile_from=act_tile_from)
+    bias_specs, bias_args = [], []
+    if has_bias:
+        # bias may itself be depth-stacked (depth, R) or shared (R,)
+        if bias.ndim == 2:
+            bias_specs = [vmem((1, rt), lambda i, j, k, s: (s[0], j))]
+            bias_args = [jnp.pad(bias.astype(jnp.float32),
+                                 ((0, 0), (0, rp - bias.shape[1])))]
+        else:
+            bias_specs = [vmem((1, rt), lambda i, j, k, s: (0, j))]
+            bias_args = [jnp.pad(bias.astype(jnp.float32),
+                                 (0, rp - bias.shape[0]))[None, :]]
+
     # weight index_maps read the depth index from the scalar-prefetch ref
     if nib4:
         kernel = _make_nib4_kernel(
             zp=pq.zero_point, gs=gs, kt=kt, rt=rt, n_k=n_k,
             compute_dtype=dequant_dtype, has_offsets=has_offsets,
-            lead=True,
+            lead=True, **ep,
         )
-        in_specs = [
+        in_specs = bias_specs + [
             vmem((mt, kt), lambda i, j, k, s: (i, k)),
             vmem((mt, kt), lambda i, j, k, s: (i, k + n_k)),
             vmem((1, kt, rt), lambda i, j, k, s: (s[0], k, j)),
             vmem((1, sg, rt), lambda i, j, k, s: (s[0], k, j)),
             vmem((1, sg, rt), lambda i, j, k, s: (s[0], k + n_k, j)),
         ]
-        args = [x2, x2, pq.qs, pq.scales, pq.scales]
+        args = bias_args + [x2, x2, pq.qs, pq.scales, pq.scales]
         if has_offsets:
             in_specs += [
                 vmem((1, sg, rt), lambda i, j, k, s: (s[0], k, j)),
@@ -423,14 +499,14 @@ def pallas_qmm_indexed(x: jax.Array, pq: PlanarQuant, idx: jax.Array, *,
         kernel = _make_int8_kernel(
             gs=gs, kt=kt, rt=rt, n_k=n_k,
             compute_dtype=dequant_dtype, has_offsets=has_offsets,
-            lead=True,
+            lead=True, **ep,
         )
-        in_specs = [
+        in_specs = bias_specs + [
             vmem((mt, kt), lambda i, j, k, s: (i, k)),
             vmem((1, kt, rt), lambda i, j, k, s: (s[0], k, j)),
             vmem((1, sg, rt), lambda i, j, k, s: (s[0], k, j)),
         ]
-        args = [x2, pq.qs, pq.scales]
+        args = bias_args + [x2, pq.qs, pq.scales]
         if has_offsets:
             in_specs.append(vmem((1, sg, rt), lambda i, j, k, s: (s[0], k, j)))
             args.append(pq.offsets)
@@ -455,7 +531,8 @@ def pallas_qmm_indexed(x: jax.Array, pq: PlanarQuant, idx: jax.Array, *,
 
 def indexed_matmul(x: jax.Array, pq_stacked: PlanarQuant, idx, *,
                    dequant_dtype=jnp.bfloat16, out_dtype=None,
-                   prefer_pallas: bool | None = None) -> jax.Array:
+                   prefer_pallas: bool | None = None, bias=None,
+                   act_from_col: int | None = None) -> jax.Array:
     """Dispatcher for depth-stacked weights + traced index. Pallas on TPU
     via scalar prefetch (zero-copy); XLA fallback slices then dequantizes
     (the copy is unavoidable without the custom kernel)."""
@@ -471,16 +548,23 @@ def indexed_matmul(x: jax.Array, pq_stacked: PlanarQuant, idx, *,
     for d in x.shape[:-1]:
         m *= d
     big_weight = pq_stacked.shape[0] * pq_stacked.shape[1] >= (1 << 23)
-    if prefer_pallas and (m >= 16 or big_weight) and pallas_tileable(shape1):
+    if (prefer_pallas and (m >= 16 or big_weight)
+            and pallas_tileable(shape1)
+            and _epilogue_tiles_ok(m, pq_stacked, act_from_col)):
         return pallas_qmm_indexed(x, pq_stacked, idx,
                                   dequant_dtype=dequant_dtype,
                                   out_dtype=out_dtype,
-                                  interpret=_interpret_default())
+                                  interpret=_interpret_default(),
+                                  bias=bias, act_from_col=act_from_col)
     sliced = jax.tree_util.tree_map(
         lambda a: jax.lax.dynamic_index_in_dim(a, idx, axis=0,
                                                keepdims=False), pq_stacked)
-    return xla_qmm(x, sliced, dequant_dtype=dequant_dtype,
-                   out_dtype=out_dtype)
+    if bias is not None and bias.ndim == 2:
+        bias = jax.lax.dynamic_index_in_dim(bias, idx, axis=0,
+                                            keepdims=False)
+    return _host_epilogue(
+        xla_qmm(x, sliced, dequant_dtype=dequant_dtype,
+                out_dtype=out_dtype), bias, act_from_col)
 
 
 # ---------------------------------------------------------------------------
@@ -514,9 +598,35 @@ def _interpret_default() -> bool:
     return not _have_tpu()
 
 
+def _host_epilogue(out, bias, act_from_col):
+    """Unfused fallback for the kernel epilogue (XLA/CPU paths)."""
+    if bias is not None:
+        out = out + bias.astype(out.dtype)
+    if act_from_col is not None:
+        act = lambda t: jax.nn.gelu(t.astype(jnp.float32),
+                                    approximate=True).astype(t.dtype)
+        if act_from_col == 0:
+            out = act(out)
+        else:
+            out = jnp.concatenate(
+                [out[..., :act_from_col], act(out[..., act_from_col:])],
+                axis=-1)
+    return out
+
+
+def _epilogue_tiles_ok(m, pq, act_from_col, out_bytes=2):
+    if act_from_col is None or act_from_col == 0:
+        return True
+    _, _, rt = _pick_tiles(m, pq.qs.shape[-2], pq.padded_out,
+                           pq.group_size, out_bytes=out_bytes,
+                           layout=pq.layout)
+    return act_from_col % rt == 0
+
+
 def quantized_matmul(x: jax.Array, pq: PlanarQuant, *,
                      dequant_dtype=jnp.bfloat16, out_dtype=None,
-                     prefer_pallas: bool | None = None) -> jax.Array:
+                     prefer_pallas: bool | None = None, bias=None,
+                     act_from_col: int | None = None) -> jax.Array:
     """x @ W^T with packed planar W. Dispatches Pallas on TPU, XLA otherwise.
 
     Tiny-M calls on small weights stay on the XLA path (m-tile padding
@@ -532,10 +642,14 @@ def quantized_matmul(x: jax.Array, pq: PlanarQuant, *,
     for d in x.shape[:-1]:
         m *= d
     big_weight = pq.shape[0] * pq.shape[1] >= (1 << 23)
-    if prefer_pallas and (m >= 16 or big_weight) and pallas_tileable(pq):
+    if (prefer_pallas and (m >= 16 or big_weight) and pallas_tileable(pq)
+            and _epilogue_tiles_ok(m, pq, act_from_col)):
         # prefer_pallas=True off-TPU runs the kernel in interpret mode
         # (slow, test-only) rather than failing the Mosaic compile
         return pallas_qmm(x, pq, dequant_dtype=dequant_dtype,
                           out_dtype=out_dtype,
-                          interpret=_interpret_default())
-    return xla_qmm(x, pq, dequant_dtype=dequant_dtype, out_dtype=out_dtype)
+                          interpret=_interpret_default(),
+                          bias=bias, act_from_col=act_from_col)
+    return _host_epilogue(
+        xla_qmm(x, pq, dequant_dtype=dequant_dtype, out_dtype=out_dtype),
+        bias, act_from_col)

@@ -174,3 +174,77 @@ def test_indexed_under_scan_matches_loop():
         x = jnp.tanh(o[:, :512])
     np.testing.assert_allclose(np.asarray(got), np.asarray(x),
                                rtol=2e-4, atol=2e-4)
+
+
+def test_fused_epilogue_matches_host():
+    """In-kernel bias + (tail-)GELU epilogue == unfused composition,
+    interpret mode, plain and indexed kernels."""
+    import jax
+
+    from comfyui_gguf_tpu.models.testing import random_planar
+    from comfyui_gguf_tpu.ops import qmatmul
+
+    rng = np.random.default_rng(3)
+    R, K = 1024, 512  # r-tile 512 → tail must be a 512 multiple
+    x = jnp.asarray(rng.standard_normal((16, K)) * 0.3, jnp.float32)
+    for qtype in (Q.Q4_K, Q.Q8_0):
+        pq = random_planar(qtype, (R, K), rng)
+        bias = jnp.asarray(rng.standard_normal((R,)) * 0.2, jnp.float32)
+        for tail in (0, 512):
+            got = qmatmul.pallas_qmm(x, pq, dequant_dtype=jnp.float32,
+                                     interpret=True, bias=bias,
+                                     act_from_col=tail)
+            base = qmatmul.pallas_qmm(x, pq, dequant_dtype=jnp.float32,
+                                      interpret=True)
+            want = qmatmul._host_epilogue(base, bias, tail)
+            np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                       rtol=2e-5, atol=2e-5)
+
+        st = random_planar(qtype, (R, K), rng, stack=2)
+        sbias = jnp.asarray(rng.standard_normal((2, R)) * 0.2, jnp.float32)
+        for i in range(2):
+            got = qmatmul.pallas_qmm_indexed(
+                x, st, jnp.int32(i), dequant_dtype=jnp.float32,
+                interpret=True, bias=sbias, act_from_col=512)
+            sl = jax.tree_util.tree_map(lambda a: a[i], st)
+            base = qmatmul.pallas_qmm(x, sl, dequant_dtype=jnp.float32,
+                                      interpret=True)
+            want = qmatmul._host_epilogue(base, sbias[i], 512)
+            np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                       rtol=2e-5, atol=2e-5)
+
+
+def test_linear_gelu_layer_paths():
+    """linear_gelu: fused (packed, interpret) == unfused (dense) on the
+    same logical weight; patched weights fall back correctly."""
+    from comfyui_gguf_tpu import lora
+    from comfyui_gguf_tpu.nn.layers import QuantConfig, linear_gelu
+    from comfyui_gguf_tpu.quant import codecs, planar
+
+    rng = np.random.default_rng(4)
+    R, K = 512, 512
+    w = rng.standard_normal((R, K)).astype(np.float32) * 0.1
+    blocks = codecs.quantize(w, Q.Q8_0)
+    pq = planar.planarize(blocks, Q.Q8_0, (R, K))
+    wd = codecs.dequantize(blocks, Q.Q8_0, (R, K))
+    b = jnp.asarray(rng.standard_normal((R,)) * 0.1, jnp.float32)
+    x = jnp.asarray(rng.standard_normal((17, K)) * 0.3, jnp.float32)
+
+    cfg_fused = QuantConfig(dequant_dtype=jnp.float32,
+                            compute_dtype=jnp.float32, prefer_pallas=True)
+    cfg_plain = QuantConfig(dequant_dtype=jnp.float32,
+                            compute_dtype=jnp.float32, prefer_pallas=False)
+    # tail 256 is NOT r-tile aligned at R=512 → dispatcher must fall back
+    # to the unfused composition and still be correct
+    got = linear_gelu(x, pq, b, tail_from=256, cfg=cfg_fused)
+    want = linear_gelu(x, jnp.asarray(wd), b, tail_from=256, cfg=cfg_plain)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-4, atol=2e-4)
+
+    patch = lora.LoRAPatch(up=jnp.zeros((R, 2), jnp.float32),
+                           down=jnp.zeros((2, K), jnp.float32),
+                           mid=None, diff=None, scale=1.0)
+    pw = lora.PatchedWeight(pq, (patch,))
+    got2 = linear_gelu(x, pw, b, tail_from=256, cfg=cfg_fused)
+    np.testing.assert_allclose(np.asarray(got2), np.asarray(want),
+                               rtol=2e-4, atol=2e-4)
