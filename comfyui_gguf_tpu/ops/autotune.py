@@ -15,14 +15,14 @@ Usage (on the target chip):
     autotune.save(path)                          # → JSON
     # on boot: autotune.load(path)  (or set $GGUF_TPU_TILE_CACHE)
 
-MEASURED CAVEAT (v5e, flux-dev shapes): the per-kernel objective picks
-(512, 256, 1024) everywhere (+7-10%% custom-call time), but the FULL
-MODEL gets SLOWER with those tiles (step 710 ms vs 592-684 default) —
-bigger r-tiles raise the kernel's VMEM footprint and starve neighbouring
-ops' prefetch double-buffering. Per-kernel tuning is necessary but not
-sufficient: accept a tuned entry only after a model-step A/B
-(docs/NOTES_ROUND1.md "serving-knob A/B"). The infrastructure is kept
-for chips/models where the tradeoff lands differently.
+MODEL-LEVEL ACCEPTANCE (round 2): per-kernel wins must be confirmed at
+the model step before becoming defaults. Round 1's regression (wide
+r-tiles: kernel +7-10%%, model -4%%) was an artifact of the scan-sliced
+copy era; with the scalar-prefetch indexed kernel the same candidates
+WIN at model level (step 687->658->644 ms across kt=512 and wide
+rt=1024, tools_tile_ab*.py, docs/NOTES_ROUND2.md) and are now the
+_pick_tiles defaults. Use this module's per-kernel search to produce
+CANDIDATES, then A/B them with a full-model step before persisting.
 """
 
 from __future__ import annotations

@@ -240,22 +240,26 @@ def _pick_tiles(m: int, k_rows: int, rp: int, gs: int,
     tuned = SHAPE_TILES.get(shape_key(m, k_rows, rp, layout))
     if tuned is not None:
         return tuple(tuned)
-    # kt=256 code rows: scale tiles stay ≥8 sublanes for gs∈{16,32} and the
-    # unpacked (kt, rt) plane fits VMEM alongside the accumulator
+    # kt preference: deeper k-tiles won the round-2 MODEL-LEVEL A/B on
+    # v5e (kt 512 everywhere: step 687→658 ms at flux-dev full depth;
+    # docs/NOTES_ROUND2.md). Legality: see _pick_kt.
     kt = None
-    for cand in (256, 128):  # legality: see _pick_kt
+    for cand in (512, 256, 128):
         if k_rows % cand == 0 and cand % (8 * gs) == 0:
             kt = cand
             break
     K = k_rows  # logical K/2 for nib4; ratio heuristic is layout-agnostic
     mp2 = max(8, 1 << max(0, (m - 1)).bit_length()) if m > 0 else 8
-    # measured on v5e (tests/sweeps @ M=4608, Q4_K): (512, 512) reaches
-    # 148-155 TF/s (~0.78 MXU SoL) with sane Mosaic compile times;
-    # (1024, 1024) squeezes out 176-181 TF/s but compiles 3-5× slower —
-    # selectable via TILE_OVERRIDES for dedicated serving builds
+    # r-tiles: 1024 on WIDE weights (rp ≥ 9216 — qkv/mlp-up/mod/linear1
+    # class) ALSO model-level validated in round 2 (658→644 ms combined
+    # with kt=512). Round 1 measured the same candidates as regressions —
+    # that was the scan-sliced-copy era; with the scalar-prefetch indexed
+    # kernel the VMEM picture changed. Everything else stays 512.
     mt_pref, rt_pref = 512, 512
-    if SERVING_TILES and rp >= 4096 and m >= 1024:
-        rt_pref = 1024  # wide weights: fewer x re-streams, +8-10% TF/s
+    if m >= 1024 and rp >= 9216:
+        rt_pref = 1024
+    elif SERVING_TILES and rp >= 4096 and m >= 1024:
+        rt_pref = 1024
     mt = min(mt_pref, mp2)
     rt = next((c for c in (rt_pref, 512, 256, LANE) if rp % c == 0), LANE)
 
