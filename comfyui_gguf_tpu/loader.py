@@ -389,6 +389,13 @@ def to_jax_params(
 
     params: dict[str, object] = {}
     put = (lambda x: jax.device_put(x, device)) if device else jnp.asarray
+    # GGUF_TPU_BF16_SCALES=1: store planar scale/offset planes in bf16 —
+    # Q4_K drops ~6 → ~5 bpw of HBM (more batch/depth headroom). The
+    # ~2^-8 relative scale rounding sits far below the quantization noise
+    # itself (tests/test_planar.py tolerance check).
+    scale_dtype = (jnp.bfloat16
+                   if os.environ.get("GGUF_TPU_BF16_SCALES", "")
+                   not in ("", "0") else np.float32)
     for key, qt in sd.items():
         if isinstance(qt.data, np.ndarray) and not qt.is_quantized:
             arr = qt.dequantize(np.float32)
@@ -400,7 +407,8 @@ def to_jax_params(
             dt = jnp.float32 if keep_f32 else cfg.compute_dtype
             params[key] = put(jnp.asarray(arr, dtype=dt))
         elif _planarizable(qt):
-            params[key] = planarize(qt.data, qt.qtype, qt.shape, device=device)
+            params[key] = planarize(qt.data, qt.qtype, qt.shape,
+                                    device=device, scale_dtype=scale_dtype)
         else:
             arr = qt.dequantize(np.float32)
             dt = jnp.float32 if arr.ndim <= 1 else cfg.dequant_dtype

@@ -98,3 +98,60 @@ def test_bf16_scale_storage():
     # bf16 scale rounding ≤ 2^-8 relative — far below 4-bit quant noise
     rel_l2 = np.linalg.norm(a - b) / np.linalg.norm(a)
     assert rel_l2 < 1e-2, rel_l2  # scales+offsets each round at ~2^-9
+
+
+def test_bf16_scales_within_quant_noise():
+    """scale_dtype=bfloat16 halves scale bytes; dequant error must stay
+    well below the Q4_K quantization noise itself."""
+    import jax.numpy as jnp
+
+    from comfyui_gguf_tpu.gguf.constants import GGMLQuantizationType as Q
+    from comfyui_gguf_tpu.quant import codecs
+    from comfyui_gguf_tpu.quant.planar import dequantize, planarize
+
+    rng = np.random.default_rng(0)
+    w = rng.standard_normal((64, 512)).astype(np.float32)
+    blocks = codecs.quantize(w, Q.Q4_K)
+    ref = codecs.dequantize(blocks, Q.Q4_K, (64, 512))
+    quant_noise = np.abs(ref - w).mean()
+
+    p16 = planarize(blocks, Q.Q4_K, (64, 512), scale_dtype=jnp.bfloat16)
+    assert p16.scales.dtype == jnp.bfloat16
+    got = np.asarray(dequantize(p16, jnp.float32))
+    bf16_err = np.abs(got - ref).mean()
+    # measured: ~6-7% of the Q4_K quantization noise (bf16 scale
+    # rounding is ~2^-8 relative; noise dominates by >10x)
+    assert bf16_err < 0.15 * quant_noise, (bf16_err, quant_noise)
+
+    # kernel path consumes bf16 scale planes directly (interpret)
+    from comfyui_gguf_tpu.ops.qmatmul import pallas_qmm, xla_qmm
+
+    x = jnp.asarray(rng.standard_normal((16, 512)) * 0.3, jnp.float32)
+    got_k = np.asarray(pallas_qmm(x, p16, dequant_dtype=jnp.float32,
+                                  interpret=True))
+    want_k = np.asarray(xla_qmm(x, p16, dequant_dtype=jnp.float32))
+    np.testing.assert_allclose(got_k, want_k, rtol=2e-4, atol=2e-4)
+
+
+def test_bf16_scales_env_knob(tmp_path, monkeypatch):
+    """GGUF_TPU_BF16_SCALES=1 routes the loader's planarization."""
+    import jax.numpy as jnp
+
+    from comfyui_gguf_tpu.gguf.constants import GGMLQuantizationType as Q
+    from comfyui_gguf_tpu.gguf.writer import GGUFWriter
+    from comfyui_gguf_tpu.loader import gguf_sd_loader, to_jax_params
+    from comfyui_gguf_tpu.quant import codecs
+
+    rng = np.random.default_rng(1)
+    w = rng.standard_normal((64, 1024)).astype(np.float32)
+    wr = GGUFWriter("flux")
+    wr.add_tensor("double_blocks.0.img_attn.qkv.weight",
+                  codecs.quantize(w, Q.Q4_K), raw_dtype=Q.Q4_K,
+                  raw_shape=(64, 1024))
+    path = tmp_path / "m.gguf"
+    wr.write_to_file(str(path))
+
+    monkeypatch.setenv("GGUF_TPU_BF16_SCALES", "1")
+    params = to_jax_params(gguf_sd_loader(str(path)))
+    pq = params["double_blocks.0.img_attn.qkv.weight"]
+    assert pq.scales.dtype == jnp.bfloat16
