@@ -111,6 +111,22 @@ class DiffusionModel:
         """Reference unpatch_model semantics (nodes.py:68-77)."""
         self.params = lora_mod.detach_patches(self.params)
         self.base_params = None
+
+    def stack(self) -> "DiffusionModel":
+        """Flux only: restack per-block params along a depth axis so
+        forwards run the O(1)-compile scanned zero-copy path
+        (models/flux.py forward_stacked; flux_engine auto-detects).
+
+        NOTE: stacking copies the packed leaves — transiently ~2× model
+        HBM. Prefer stacking right after load, before anything else
+        occupies the chip."""
+        if self.arch != "flux" or "double_blocks" in self.params:
+            return self
+        from .models import flux as flux_model
+
+        return dataclasses.replace(
+            self, params=flux_model.stack_flux_params(self.params,
+                                                      self.config))
         return self
 
     def memory_report(self) -> dict:

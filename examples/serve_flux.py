@@ -28,12 +28,9 @@ def main():
 
     import jax
 
-    # long-lived serving: the high-throughput kernel tiles are worth their
-    # one-time multi-minute Mosaic compile (docs/KERNEL.md)
-    from comfyui_gguf_tpu.ops import qmatmul
-
-    qmatmul.TILE_OVERRIDES.update(mt=512, kt=256, rt=1024)
-
+    # the round-2 model-level A/B winners (deep k-tiles, wide r-tiles)
+    # are the _pick_tiles defaults now — no overrides needed; pin
+    # per-shape tables via $GGUF_TPU_TILE_CACHE for other chip gens
     from comfyui_gguf_tpu.models import flux as flux_model
     from comfyui_gguf_tpu.pipeline import (
         FluxPipeline,
@@ -42,11 +39,12 @@ def main():
     from comfyui_gguf_tpu.sampling import flux_schedule
 
     pipe = FluxPipeline.load(args.unet, args.t5, args.clip_l)
+    model = pipe.model.stack()  # depth-stacked: scanned zero-copy forward
     h_lat, w_lat = args.height // 8, args.width // 8
     lat_c = pipe.model.config.in_channels // 4
     L_img = (h_lat // 2) * (w_lat // 2)
 
-    eng = flux_engine(pipe.model, h_lat, w_lat, args.t5_len,
+    eng = flux_engine(model, h_lat, w_lat, args.t5_len,
                       max_batch=args.max_batch)
     eng.start()
 
