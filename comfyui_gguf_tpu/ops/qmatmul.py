@@ -240,38 +240,38 @@ def _pick_tiles(m: int, k_rows: int, rp: int, gs: int,
     tuned = SHAPE_TILES.get(shape_key(m, k_rows, rp, layout))
     if tuned is not None:
         return tuple(tuned)
-    # kt preference: deeper k-tiles won the round-2 MODEL-LEVEL A/B on
-    # v5e (kt 512 everywhere: step 687→658 ms at flux-dev full depth;
-    # docs/NOTES_ROUND2.md). Legality: see _pick_kt.
+    # DEEP k-tiles win at MODEL level (round-2 A/B ladder on v5e,
+    # flux-dev full depth: kt256→512 687→658 ms; kt→1536 everywhere
+    # 658→589 ms — whole-K single-pass for hidden-3072 shapes kills the
+    # k-loop accumulator revisits; docs/NOTES_ROUND2.md). kt=3072 blows
+    # the 16 MB scoped-VMEM budget (measured compile OOM: 23.4 MB), so
+    # 1536 is the ceiling; the estimate below keeps (mt, rt) honest.
     kt = None
-    for cand in (512, 256, 128):
+    for cand in (1536, 512, 256, 128):
         if k_rows % cand == 0 and cand % (8 * gs) == 0:
             kt = cand
             break
-    K = k_rows  # logical K/2 for nib4; ratio heuristic is layout-agnostic
     mp2 = max(8, 1 << max(0, (m - 1)).bit_length()) if m > 0 else 8
-    # r-tiles: 1024 on WIDE weights (rp ≥ 9216 — qkv/mlp-up/mod/linear1
-    # class) ALSO model-level validated in round 2 (658→644 ms combined
-    # with kt=512). Round 1 measured the same candidates as regressions —
-    # that was the scan-sliced-copy era; with the scalar-prefetch indexed
-    # kernel the VMEM picture changed. Everything else stays 512.
-    mt_pref, rt_pref = 512, 512
-    if m >= 1024 and rp >= 9216:
-        rt_pref = 1024
-    elif SERVING_TILES and rp >= 4096 and m >= 1024:
-        rt_pref = 1024
-    mt = min(mt_pref, mp2)
-    rt = next((c for c in (rt_pref, 512, 256, LANE) if rp % c == 0), LANE)
+    mt = min(512, mp2)
+    rt = next((c for c in (512, 256, LANE) if rp % c == 0), LANE)
 
-    def vmem_est(mt, rt):
-        # acc f32 + out tile + double-buffered x (two operands for nib4) +
-        # qs + unpack temporaries (f32 planes before the bf16 cast)
+    def vmem_est(mt, kt, rt):
+        # calibrated against the measured compile-OOM report (kt=3072,
+        # rt=512 → 23.4 MB scoped): acc f32 + out + double-buffered x
+        # (two operands for nib4) + double-buffered u8 codes + the two
+        # f32 unpack planes
+        ktx = kt or 256
         return (4 * mt * rt + out_bytes * mt * rt
-                + 2 * 2 * mt * (kt or 256) * 2
-                + 2 * (kt or 256) * rt + 2 * 4 * (kt or 256) * rt)
+                + 2 * 2 * mt * ktx * 2
+                + 2 * ktx * rt + 2 * 4 * ktx * rt)
 
-    while vmem_est(mt, rt) > 12 * 1024 * 1024 and (mt > 256 or rt > 256):
-        if rt >= mt and rt > 256:
+    budget = 15_800_000  # scoped-vmem limit is 16 MiB
+    while kt and vmem_est(mt, kt, rt) > budget:
+        if kt > 512:
+            # deep-kt over budget: drop to the next legal depth first
+            kt = next((c for c in (512, 256, 128)
+                       if k_rows % c == 0 and c % (8 * gs) == 0), 128)
+        elif rt > 256:
             rt //= 2
         elif mt > 256:
             mt //= 2
