@@ -40,13 +40,16 @@ from ..quant.planar import PlanarQuant
 log = logging.getLogger(__name__)
 
 # candidate (mt, kt, rt); all Mosaic-legal for gs in {16, 32} given
-# k_rows % kt == 0 and rp % rt == 0 (filtered per shape below)
+# k_rows % kt == 0 and rp % rt == 0 (filtered per shape below).
+# Deep-kt entries added after the round-2 model-level ladder (whole-K
+# single-pass tiles were the biggest win; docs/NOTES_ROUND2.md).
 CANDIDATES = (
-    (512, 256, 512),
+    (512, 1536, 512),
+    (512, 1024, 512),
     (512, 512, 512),
+    (512, 512, 1024),
+    (512, 256, 512),
     (256, 256, 512),
-    (512, 256, 256),
-    (1024, 256, 512),
     (512, 256, 1024),
 )
 
