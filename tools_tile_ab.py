@@ -1,12 +1,9 @@
-"""Model-level tile A/B at full depth (round 2).
+"""Model-level tile/flash A/B ladder runner (round-2 provenance).
 
-Round-1 rule: accept tuned tiles only on a model-step win. This re-runs
-the wide-r-tile and deep-k-tile candidates against the scalar-prefetch
-indexed kernel path (the VMEM picture changed: no more sliced-weight
-double buffers).
-
-Run on chip: python tools_tile_ab.py
-"""
+The acceptance protocol for kernel knobs: measure the FULL-model step,
+never the isolated kernel (ops/autotune.py docstring). This script ran
+the round-2 ladder (687 -> 554 ms; docs/NOTES_ROUND2.md); edit the
+configs list at the bottom to run new candidates on chip."""
 
 from __future__ import annotations
 
@@ -21,6 +18,7 @@ import jax.numpy as jnp
 
 from comfyui_gguf_tpu.gguf.constants import GGMLQuantizationType as Q
 from comfyui_gguf_tpu.models import flux, testing
+from comfyui_gguf_tpu.nn import attention as attn
 from comfyui_gguf_tpu.nn.layers import QuantConfig
 from comfyui_gguf_tpu.ops import qmatmul
 
@@ -29,7 +27,6 @@ def log(m):
     print(m, file=sys.stderr, flush=True)
 
 
-# flux-dev matmul shapes (R, K) at M=4608
 SHAPES = {
     "qkv": (9216, 3072), "proj": (3072, 3072),
     "mlp0": (12288, 3072), "mlp2": (3072, 12288),
@@ -37,16 +34,20 @@ SHAPES = {
     "lin2": (3072, 15360), "mod_s": (9216, 3072),
 }
 WIDE = {"qkv", "mlp0", "mod_d", "lin1", "mod_s"}
+K3072 = {k for k, (r, kk) in SHAPES.items() if kk == 3072}
 M = 4608
 
 
-def keys_for(names):
-    out = []
-    for n in names:
-        R, K = SHAPES[n]
-        kp = -(-K // 512) * 512
-        out.append(qmatmul.shape_key(M, kp // 2, R, "nib4"))
-    return out
+def key_of(n):
+    R, K = SHAPES[n]
+    kp = -(-K // 512) * 512
+    return qmatmul.shape_key(M, kp // 2, R, "nib4")
+
+
+def tiles_D():
+    m = {key_of(n): (512, 512, 512) for n in SHAPES}
+    m.update({key_of(n): (512, 512, 1024) for n in WIDE})
+    return m
 
 
 def set_tiles(mapping):
@@ -89,15 +90,22 @@ def main():
         return med
 
     results = {}
-    set_tiles({})
-    results["A_default"] = measure("A default(512,256,512)")
+    set_tiles(tiles_D())
+    results["D"] = measure("D kt512+wide-rt1024 (baseline)")
 
-    set_tiles({k: (512, 256, 1024) for k in keys_for(WIDE)})
-    results["B_wide_rt1024"] = measure("B wide rt=1024")
+    m = tiles_D()
+    m.update({key_of(n): (512, 1536, 512) for n in K3072})
+    set_tiles(m)
+    results["E_kt1536_K3072"] = measure("E kt=1536 on K=3072 shapes")
 
-    set_tiles({k: (512, 512, 512) for k in keys_for(SHAPES)})
-    results["C_kt512"] = measure("C all kt=512")
+    set_tiles(tiles_D())
+    attn.FLASH_BLOCK_Q, attn.FLASH_BLOCK_K = 768, 768
+    results["F_flash768"] = measure("F flash (768,768)")
 
+    attn.FLASH_BLOCK_Q, attn.FLASH_BLOCK_K = 512, 1536
+    results["G_flash_512_1536"] = measure("G flash (512,1536)")
+
+    attn.FLASH_BLOCK_Q, attn.FLASH_BLOCK_K = 512, 512
     best = min(results, key=results.get)
     log(f"BEST: {best}  {results}")
     print(results)
