@@ -80,6 +80,37 @@ def apply_patch_prologue(x: jax.Array, patches: tuple[LoRAPatch, ...],
     return x
 
 
+def rank_factorize(x: jax.Array, patches: tuple[LoRAPatch, ...],
+                   patch_dtype=None):
+    """Reduce a patch list to ONE (h, upᵀ) pair for the fused kernel
+    epilogue: Σ scale·x@ΔWᵀ = h @ upᵀ with h = [x@downᵀ(@midᵀ)?…] the
+    column-concatenated rank intermediates and upᵀ the scale-folded up
+    factors. Returns None when any patch needs the dense path (diff /
+    loha / lokr deltas) — callers fall back to apply_patch_epilogue.
+
+    glora patches participate with their b-branch only (the weight-
+    dependent a-branch rides apply_patch_prologue on the kernel INPUT,
+    so the combination stays exact)."""
+    dt = patch_dtype or x.dtype
+    hs, ups = [], []
+    for p in patches:
+        if p.diff is not None:
+            return None
+        if p.up is None:
+            continue  # prologue-only glora: nothing for the epilogue
+        h = jnp.dot(x.astype(dt), p.down.astype(dt).T,
+                    preferred_element_type=jnp.float32).astype(dt)
+        if p.mid is not None:
+            h = jnp.dot(h, p.mid.astype(dt).T,
+                        preferred_element_type=jnp.float32).astype(dt)
+        hs.append(h)
+        ups.append((p.scale * p.up.astype(jnp.float32)).astype(dt).T)
+    if not hs:
+        return None
+    return (jnp.concatenate(hs, axis=-1) if len(hs) > 1 else hs[0],
+            jnp.concatenate(ups, axis=0) if len(ups) > 1 else ups[0])
+
+
 def apply_patch_epilogue(x: jax.Array, out: jax.Array,
                          patches: tuple[LoRAPatch, ...],
                          patch_dtype=None) -> jax.Array:

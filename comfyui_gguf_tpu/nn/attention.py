@@ -49,6 +49,15 @@ FLASH_BLOCK_K = 512
 if os.environ.get("GGUF_TPU_FAST_COMPILE", "") not in ("", "0"):
     FLASH_BLOCK_Q = 256
 
+# attention kernel implementation: "flash" (default) or "splash".
+# splash (fwd-only, self-attn, lane-aligned L) measured ~0.4 ms/call
+# faster than flash at the flux joint-attn shape in the scan harness
+# (tools_attn_ab.py: 2.23 vs 2.6-2.8 ms, blocks bq=512/bkv=full/
+# compute=1536); model-level A/B decides the default.
+ATTN_IMPL = os.environ.get("GGUF_TPU_ATTN", "flash")
+SPLASH_BLOCK_Q = 512
+SPLASH_BLOCK_KV_COMPUTE = 1536
+
 
 @functools.cache
 def _on_tpu() -> bool:
@@ -102,6 +111,25 @@ def dot_product_attention(q: jax.Array, k: jax.Array, v: jax.Array,
             q.transpose(0, 2, 1, 3), k.transpose(0, 2, 1, 3),
             v.transpose(0, 2, 1, 3), axis_name=sp, scale=float(scale))
         return out.transpose(0, 2, 1, 3)
+
+    if (ATTN_IMPL == "splash" and _on_tpu() and _flash_ok(q, k)
+            and Lq == Lk and Lq % _LANE == 0
+            and Lq % SPLASH_BLOCK_Q == 0 and Lk <= 8192):
+        # Lk cap: block_kv=Lk keeps whole-KV rows resident per q block
+        # (~2.4 MB at flux's 4608×128); video token counts fall through
+        # to flash's tiled KV instead of blowing VMEM
+        # splash-attention kernel (fwd-only; self-attn with no masking —
+        # segment-id/padded shapes stay on the flash path below). splash
+        # applies no sm_scale internally, so q is pre-scaled.
+        from jax.experimental.pallas.ops.tpu import splash_attention as sa
+
+        bkvc = next(b for b in (SPLASH_BLOCK_KV_COMPUTE, 512, 256, 128)
+                    if Lk % b == 0)
+        bs = sa.BlockSizes(block_q=SPLASH_BLOCK_Q, block_kv=Lk,
+                           block_kv_compute=bkvc)
+        mask = sa.MultiHeadMask([sa.FullMask((Lq, Lk))] * H)
+        kernel = sa.make_splash_mha_single_device(mask, block_sizes=bs)
+        return jax.vmap(kernel)((q * scale).astype(q.dtype), k, v)
 
     if _on_tpu() and _flash_ok(q, k):
         from jax.experimental.pallas.ops.tpu import flash_attention as fa

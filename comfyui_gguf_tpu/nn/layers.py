@@ -92,6 +92,7 @@ def linear(x: jax.Array, weight, bias=None, *,
     lora.PatchedWeight — patches apply as a rank-factored output epilogue
     (the patch-on-dequant equivalent of reference ops.py:166-191)."""
     patches = None
+    fac = None  # (h, upᵀ) rank factorization for the fused kernel epilogue
     x_in = x  # epilogue b-branches see the unrewritten input
     if hasattr(weight, "patches") and hasattr(weight, "base"):
         patches = weight.patches
@@ -101,6 +102,15 @@ def linear(x: jax.Array, weight, bias=None, *,
 
             x = apply_patch_prologue(x, patches,
                                      patch_dtype=cfg.effective_patch_dtype)
+        if isinstance(weight, (PlanarQuant, IndexedQuant)):
+            # rank patches fuse into the kernel epilogue (the (M, R)
+            # delta never round-trips HBM); dense-delta patches (diff/
+            # loha/lokr) return None and take the unfused path below
+            from ..lora import rank_factorize
+
+            fac = rank_factorize(x_in, patches,
+                                 patch_dtype=cfg.effective_patch_dtype)
+    lh, lu = fac if fac is not None else (None, None)
     if isinstance(weight, IndexedQuant):
         from ..ops.qmatmul import indexed_matmul
 
@@ -109,6 +119,7 @@ def linear(x: jax.Array, weight, bias=None, *,
             dequant_dtype=cfg.dequant_dtype,
             out_dtype=x.dtype,
             prefer_pallas=cfg.prefer_pallas,
+            lora_h=lh, lora_up=lu,
         )
     elif isinstance(weight, PlanarQuant):
         out = quantized_matmul(
@@ -116,12 +127,13 @@ def linear(x: jax.Array, weight, bias=None, *,
             dequant_dtype=cfg.dequant_dtype,
             out_dtype=x.dtype,
             prefer_pallas=cfg.prefer_pallas,
+            lora_h=lh, lora_up=lu,
         )
     else:
         w = weight.astype(cfg.compute_dtype)
         out = jnp.dot(x.astype(cfg.compute_dtype), w.T,
                       preferred_element_type=jnp.float32).astype(x.dtype)
-    if patches:
+    if patches and fac is None:
         from ..lora import apply_patch_epilogue
 
         out = apply_patch_epilogue(x_in, out, patches,
@@ -140,22 +152,43 @@ def linear_gelu(x: jax.Array, weight, bias=None, *, tail_from: int = 0,
     Custom calls are fusion barriers for XLA, so the unfused form pays a
     full HBM round trip on the widest activations in a DiT (the mlp-up
     output); the epilogue applies them on the f32 accumulator in VMEM.
-    Patched (LoRA) weights fall back to the unfused composition — the
-    rank epilogue must see the pre-activation output."""
-    if (not hasattr(weight, "patches")
-            and isinstance(weight, (PlanarQuant, IndexedQuant))):
-        if isinstance(weight, IndexedQuant):
-            from ..ops.qmatmul import indexed_matmul
+    Rank-factorable LoRA patches ride the same kernel epilogue (delta
+    added on the accumulator BEFORE bias/activation — exactly patching
+    W); only dense-delta patches (diff/loha/lokr) fall back to the
+    unfused composition."""
+    base, patches = weight, None
+    if hasattr(weight, "patches") and hasattr(weight, "base"):
+        base, patches = weight.base, weight.patches
+    if isinstance(base, (PlanarQuant, IndexedQuant)):
+        lh = lu = None
+        xk = x
+        fused_ok = patches is None
+        if patches is not None:
+            from ..lora import apply_patch_prologue, rank_factorize
 
-            return indexed_matmul(
-                x, weight.pq, weight.idx,
-                dequant_dtype=cfg.dequant_dtype, out_dtype=x.dtype,
-                prefer_pallas=cfg.prefer_pallas, bias=bias,
-                act_from_col=tail_from)
-        return quantized_matmul(
-            x, weight, dequant_dtype=cfg.dequant_dtype, out_dtype=x.dtype,
-            prefer_pallas=cfg.prefer_pallas, bias=bias,
-            act_from_col=tail_from)
+            fac = rank_factorize(x, patches,
+                                 patch_dtype=cfg.effective_patch_dtype)
+            if fac is not None:
+                lh, lu = fac
+                fused_ok = True
+                if any(getattr(p, "a1", None) is not None
+                       for p in patches):
+                    xk = apply_patch_prologue(
+                        x, patches,
+                        patch_dtype=cfg.effective_patch_dtype)
+        if fused_ok:
+            if isinstance(base, IndexedQuant):
+                from ..ops.qmatmul import indexed_matmul
+
+                return indexed_matmul(
+                    xk, base.pq, base.idx,
+                    dequant_dtype=cfg.dequant_dtype, out_dtype=x.dtype,
+                    prefer_pallas=cfg.prefer_pallas, bias=bias,
+                    act_from_col=tail_from, lora_h=lh, lora_up=lu)
+            return quantized_matmul(
+                xk, base, dequant_dtype=cfg.dequant_dtype,
+                out_dtype=x.dtype, prefer_pallas=cfg.prefer_pallas,
+                bias=bias, act_from_col=tail_from, lora_h=lh, lora_up=lu)
     out = linear(x, weight, bias, cfg=cfg)
     act = lambda t: jax.nn.gelu(t.astype(jnp.float32),
                                 approximate=True).astype(t.dtype)

@@ -74,9 +74,18 @@ def _gelu_tanh(x):
     return 0.5 * x * (1.0 + jnp.tanh(c * (x + 0.044715 * x * x * x)))
 
 
-def _epilogue(acc, bias_ref, act_tile_from, j):
+def _epilogue(acc, bias_ref, act_tile_from, j, lh_ref=None, lu_ref=None):
     # j (the r-grid index) is hoisted to kernel top level: program_id
     # doesn't lower inside pl.when branches in interpret mode
+    if lh_ref is not None:
+        # fused LoRA: += h @ upᵀ on the f32 accumulator. h is the tiny
+        # (m, Σr) rank intermediate computed outside the kernel; doing
+        # the rank-expand here (instead of an XLA epilogue after the
+        # custom call) saves the full (M, R) delta HBM write + the
+        # out-buffer re-read for the add — measured +77.5 ms/step at
+        # flux full depth for the unfused form (BASELINE config 5).
+        acc = acc + jnp.dot(lh_ref[:], lu_ref[:],
+                            preferred_element_type=jnp.float32)
     if bias_ref is not None:
         acc = acc + bias_ref[0].astype(jnp.float32)[None, :]
     if act_tile_from is not None:
@@ -85,22 +94,28 @@ def _epilogue(acc, bias_ref, act_tile_from, j):
 
 
 def _make_nib4_kernel(*, zp, gs, kt, rt, n_k, compute_dtype, has_offsets,
-                      lead=False, has_bias=False, act_tile_from=None):
+                      lead=False, has_bias=False, act_tile_from=None,
+                      has_lora=False):
     # lead=True: weight refs carry a leading depth-block dim of 1 (the
     # scalar-prefetch indexed path over stacked per-block weights).
     # has_bias / act_tile_from: fused epilogue — bias add and GELU-tanh on
     # r-tiles >= act_tile_from applied on the f32 accumulator before the
     # output cast (custom calls block XLA fusion, so doing it here saves
     # a full HBM round trip of the activation).
+    # has_lora: rank-factored LoRA delta h @ upᵀ added on the accumulator
+    # (operand order: [bias], [h, upᵀ], then the packed-weight refs).
     w = (lambda r: r[0]) if lead else (lambda r: r[:])
 
     def kernel(*refs):
         if lead:
             refs = refs[1:]  # scalar-prefetch ref (depth index) unused here
-        bias_ref = None
+        bias_ref = lh_ref = lu_ref = None
         if has_bias:
             bias_ref = refs[0]  # bias is the FIRST tensor operand
             refs = refs[1:]
+        if has_lora:
+            lh_ref, lu_ref = refs[0], refs[1]
+            refs = refs[2:]
         if has_offsets:
             (x_lo_ref, x_hi_ref, qs_ref, sc_lo_ref, sc_hi_ref,
              of_lo_ref, of_hi_ref, out_ref, acc_ref) = refs
@@ -145,22 +160,26 @@ def _make_nib4_kernel(*, zp, gs, kt, rt, n_k, compute_dtype, has_offsets,
         @pl.when(k == n_k - 1)
         def _():
             out_ref[:] = _epilogue(acc_ref[:], bias_ref, act_tile_from,
-                                   j).astype(out_ref.dtype)
+                                   j, lh_ref, lu_ref).astype(out_ref.dtype)
 
     return kernel
 
 
 def _make_int8_kernel(*, gs, kt, rt, n_k, compute_dtype, has_offsets,
-                      lead=False, has_bias=False, act_tile_from=None):
+                      lead=False, has_bias=False, act_tile_from=None,
+                      has_lora=False):
     w = (lambda r: r[0]) if lead else (lambda r: r[:])
 
     def kernel(*refs):
         if lead:
             refs = refs[1:]
-        bias_ref = None
+        bias_ref = lh_ref = lu_ref = None
         if has_bias:
             bias_ref = refs[0]
             refs = refs[1:]
+        if has_lora:
+            lh_ref, lu_ref = refs[0], refs[1]
+            refs = refs[2:]
         if has_offsets:
             x_ref, qs_ref, sc_ref, of_ref, out_ref, acc_ref = refs
         else:
@@ -185,7 +204,7 @@ def _make_int8_kernel(*, gs, kt, rt, n_k, compute_dtype, has_offsets,
         @pl.when(k == n_k - 1)
         def _():
             out_ref[:] = _epilogue(acc_ref[:], bias_ref, act_tile_from,
-                                   j).astype(out_ref.dtype)
+                                   j, lh_ref, lu_ref).astype(out_ref.dtype)
 
     return kernel
 
@@ -280,6 +299,19 @@ def _pick_tiles(m: int, k_rows: int, rp: int, gs: int,
     return mt, kt, rt
 
 
+def _prep_lora(lora_h, lora_up, mp: int, rp: int, dt):
+    """Pad the rank-factored epilogue operands to kernel-legal shapes:
+    h (..., r) → (mp, rk), upᵀ (r, R) → (rk, rp), rk = r padded to a lane
+    multiple (zero pad — padded rank rows contribute nothing)."""
+    r = lora_up.shape[0]
+    rk = _cdiv(r, LANE) * LANE
+    lh = lora_h.reshape(-1, r).astype(dt)
+    lh = jnp.pad(lh, ((0, mp - lh.shape[0]), (0, rk - r)))
+    lu = jnp.pad(lora_up.astype(dt),
+                 ((0, rk - r), (0, rp - lora_up.shape[1])))
+    return lh, lu
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("dequant_dtype", "out_dtype", "interpret",
@@ -287,13 +319,19 @@ def _pick_tiles(m: int, k_rows: int, rp: int, gs: int,
 )
 def pallas_qmm(x: jax.Array, pq: PlanarQuant, *, dequant_dtype=jnp.bfloat16,
                out_dtype=None, interpret: bool = False, bias=None,
-               act_from_col: int | None = None) -> jax.Array:
+               act_from_col: int | None = None, lora_h=None,
+               lora_up=None) -> jax.Array:
     """Fused x @ W^T with W kept packed. x: (..., K) -> (..., R).
 
     bias: optional (R,) added on the f32 accumulator in-kernel.
     act_from_col: apply GELU-tanh to output columns >= this index (0 =
     whole output) inside the kernel — must be a multiple of the r-tile
-    (callers check via fusable_epilogue)."""
+    (callers check via fusable_epilogue).
+    lora_h / lora_up: rank-factored LoRA epilogue fused into the kernel —
+    ``out += lora_h @ lora_up`` with lora_h (..., Σr) the precomputed
+    rank intermediate and lora_up (Σr, R) the scale-folded upᵀ; applied
+    on the f32 accumulator BEFORE bias/activation (= patching W itself).
+    """
     out_dtype = out_dtype or x.dtype
     R, K = pq.shape
     rp = pq.padded_out
@@ -339,12 +377,20 @@ def pallas_qmm(x: jax.Array, pq: PlanarQuant, *, dequant_dtype=jnp.bfloat16,
             raise ValueError(f"act_from_col {act_from_col} not a multiple "
                              f"of r-tile {rt}")
         act_tile_from = act_from_col // rt
-    ep = dict(has_bias=has_bias, act_tile_from=act_tile_from)
+    has_lora = lora_h is not None
+    ep = dict(has_bias=has_bias, act_tile_from=act_tile_from,
+              has_lora=has_lora)
     bias_specs, bias_args = [], []
     if has_bias:
         bias_specs = [vmem((1, rt), lambda i, j, k: (0, j))]
         bias_args = [jnp.pad(bias.astype(jnp.float32),
                              (0, rp - bias.shape[0]))[None, :]]
+    if has_lora:
+        lh, lu = _prep_lora(lora_h, lora_up, mp, rp, dequant_dtype)
+        rk = lh.shape[1]
+        bias_specs += [vmem((mt, rk), lambda i, j, k: (i, 0)),
+                       vmem((rk, rt), lambda i, j, k: (0, j))]
+        bias_args += [lh, lu]
 
     if nib4:
         kernel = _make_nib4_kernel(
@@ -408,7 +454,8 @@ def pallas_qmm(x: jax.Array, pq: PlanarQuant, *, dequant_dtype=jnp.bfloat16,
 def pallas_qmm_indexed(x: jax.Array, pq: PlanarQuant, idx: jax.Array, *,
                        dequant_dtype=jnp.bfloat16, out_dtype=None,
                        interpret: bool = False, bias=None,
-                       act_from_col: int | None = None) -> jax.Array:
+                       act_from_col: int | None = None, lora_h=None,
+                       lora_up=None) -> jax.Array:
     """x @ W_idxᵀ where pq leaves carry a leading DEPTH axis and ``idx``
     is a traced block index (e.g. the lax.scan induction variable).
 
@@ -465,7 +512,9 @@ def pallas_qmm_indexed(x: jax.Array, pq: PlanarQuant, idx: jax.Array, *,
             raise ValueError(f"act_from_col {act_from_col} not a multiple "
                              f"of r-tile {rt}")
         act_tile_from = act_from_col // rt
-    ep = dict(has_bias=has_bias, act_tile_from=act_tile_from)
+    has_lora = lora_h is not None
+    ep = dict(has_bias=has_bias, act_tile_from=act_tile_from,
+              has_lora=has_lora)
     bias_specs, bias_args = [], []
     if has_bias:
         # bias may itself be depth-stacked (depth, R) or shared (R,)
@@ -477,6 +526,14 @@ def pallas_qmm_indexed(x: jax.Array, pq: PlanarQuant, idx: jax.Array, *,
             bias_specs = [vmem((1, rt), lambda i, j, k, s: (0, j))]
             bias_args = [jnp.pad(bias.astype(jnp.float32),
                                  (0, rp - bias.shape[0]))[None, :]]
+    if has_lora:
+        # h/upᵀ are per-block values computed in the scan body (the patch
+        # factors ride the scan's xs), so no depth indexing here
+        lh, lu = _prep_lora(lora_h, lora_up, mp, rp, dequant_dtype)
+        rk = lh.shape[1]
+        bias_specs += [vmem((mt, rk), lambda i, j, k, s: (i, 0)),
+                       vmem((rk, rt), lambda i, j, k, s: (0, j))]
+        bias_args += [lh, lu]
 
     # weight index_maps read the depth index from the scalar-prefetch ref
     if nib4:
@@ -536,7 +593,8 @@ def pallas_qmm_indexed(x: jax.Array, pq: PlanarQuant, idx: jax.Array, *,
 def indexed_matmul(x: jax.Array, pq_stacked: PlanarQuant, idx, *,
                    dequant_dtype=jnp.bfloat16, out_dtype=None,
                    prefer_pallas: bool | None = None, bias=None,
-                   act_from_col: int | None = None) -> jax.Array:
+                   act_from_col: int | None = None, lora_h=None,
+                   lora_up=None) -> jax.Array:
     """Dispatcher for depth-stacked weights + traced index. Pallas on TPU
     via scalar prefetch (zero-copy); XLA fallback slices then dequantizes
     (the copy is unavoidable without the custom kernel)."""
@@ -559,7 +617,8 @@ def indexed_matmul(x: jax.Array, pq_stacked: PlanarQuant, idx, *,
                                   dequant_dtype=dequant_dtype,
                                   out_dtype=out_dtype,
                                   interpret=_interpret_default(),
-                                  bias=bias, act_from_col=act_from_col)
+                                  bias=bias, act_from_col=act_from_col,
+                                  lora_h=lora_h, lora_up=lora_up)
     sliced = jax.tree_util.tree_map(
         lambda a: jax.lax.dynamic_index_in_dim(a, idx, axis=0,
                                                keepdims=False), pq_stacked)
@@ -568,7 +627,8 @@ def indexed_matmul(x: jax.Array, pq_stacked: PlanarQuant, idx, *,
                                             keepdims=False)
     return _host_epilogue(
         xla_qmm(x, sliced, dequant_dtype=dequant_dtype,
-                out_dtype=out_dtype), bias, act_from_col)
+                out_dtype=out_dtype), bias, act_from_col,
+        lora_h, lora_up)
 
 
 # ---------------------------------------------------------------------------
@@ -602,8 +662,15 @@ def _interpret_default() -> bool:
     return not _have_tpu()
 
 
-def _host_epilogue(out, bias, act_from_col):
+def _host_epilogue(out, bias, act_from_col, lora_h=None, lora_up=None):
     """Unfused fallback for the kernel epilogue (XLA/CPU paths)."""
+    if lora_h is not None:
+        dt = lora_h.dtype
+        delta = jnp.dot(lora_h.reshape(-1, lora_h.shape[-1]),
+                        lora_up.astype(dt),
+                        preferred_element_type=jnp.float32)
+        out = out + delta.reshape(*out.shape[:-1],
+                                  lora_up.shape[1]).astype(out.dtype)
     if bias is not None:
         out = out + bias.astype(out.dtype)
     if act_from_col is not None:
@@ -630,7 +697,8 @@ def _epilogue_tiles_ok(m, pq, act_from_col, out_bytes=2):
 def quantized_matmul(x: jax.Array, pq: PlanarQuant, *,
                      dequant_dtype=jnp.bfloat16, out_dtype=None,
                      prefer_pallas: bool | None = None, bias=None,
-                     act_from_col: int | None = None) -> jax.Array:
+                     act_from_col: int | None = None, lora_h=None,
+                     lora_up=None) -> jax.Array:
     """x @ W^T with packed planar W. Dispatches Pallas on TPU, XLA otherwise.
 
     Tiny-M calls on small weights stay on the XLA path (m-tile padding
@@ -653,7 +721,8 @@ def quantized_matmul(x: jax.Array, pq: PlanarQuant, *,
         return pallas_qmm(x, pq, dequant_dtype=dequant_dtype,
                           out_dtype=out_dtype,
                           interpret=_interpret_default(),
-                          bias=bias, act_from_col=act_from_col)
+                          bias=bias, act_from_col=act_from_col,
+                          lora_h=lora_h, lora_up=lora_up)
     return _host_epilogue(
         xla_qmm(x, pq, dequant_dtype=dequant_dtype, out_dtype=out_dtype),
-        bias, act_from_col)
+        bias, act_from_col, lora_h, lora_up)

@@ -309,3 +309,132 @@ def test_lora_survives_stacked_scan():
                                                      qcfg=qcfg))(sp, *inputs)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                rtol=2e-2, atol=2e-2)
+
+
+# ---------------------------------------------------------------------------
+# fused kernel epilogue (rank delta added on the f32 accumulator in-kernel;
+# round-2 perf item: the unfused epilogue cost +77.5 ms/step at flux depth)
+# ---------------------------------------------------------------------------
+
+PALLAS_F32 = QuantConfig(dequant_dtype=jnp.float32, compute_dtype=jnp.float32,
+                         patch_dtype=jnp.float32, prefer_pallas=True)
+
+
+def _rank_patch(rng, R, K, r=4, scale=0.5, mid=False):
+    return lora.LoRAPatch(
+        up=jnp.asarray(rng.standard_normal((R, r)), jnp.float32),
+        down=jnp.asarray(rng.standard_normal((r, K)), jnp.float32),
+        mid=(jnp.asarray(rng.standard_normal((r, r)), jnp.float32)
+             if mid else None),
+        diff=None, scale=scale)
+
+
+def test_fused_kernel_epilogue_matches_unfused():
+    """linear() on the Pallas path (interpret) with rank patches ==
+    the unfused epilogue composition."""
+    rng = np.random.default_rng(30)
+    R, K = 512, 512
+    pq, w_deq = _planar_weight(rng, R, K)
+    patches = (_rank_patch(rng, R, K, r=4),
+               _rank_patch(rng, R, K, r=8, scale=-0.3))
+    pw = lora.PatchedWeight(pq, patches)
+    x = jnp.asarray(rng.standard_normal((32, K)), jnp.float32)
+
+    got = np.asarray(linear(x, pw, cfg=PALLAS_F32))
+    want = np.asarray(linear(x, pw, cfg=F32CFG))
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
+
+
+def test_fused_kernel_epilogue_with_mid_patch():
+    rng = np.random.default_rng(31)
+    R, K = 512, 512
+    pq, _ = _planar_weight(rng, R, K)
+    pw = lora.PatchedWeight(pq, (_rank_patch(rng, R, K, r=4, mid=True),))
+    x = jnp.asarray(rng.standard_normal((16, K)), jnp.float32)
+    got = np.asarray(linear(x, pw, cfg=PALLAS_F32))
+    want = np.asarray(linear(x, pw, cfg=F32CFG))
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
+
+
+def test_fused_linear_gelu_with_lora_matches_unfused():
+    """linear_gelu keeps the fused kernel path under rank LoRA: delta is
+    applied pre-activation (== patching W), bias and GELU after."""
+    from comfyui_gguf_tpu.nn.layers import linear_gelu
+
+    rng = np.random.default_rng(32)
+    R, K = 512, 512
+    pq, w_deq = _planar_weight(rng, R, K)
+    patch = _rank_patch(rng, R, K, r=4)
+    pw = lora.PatchedWeight(pq, (patch,))
+    x = jnp.asarray(rng.standard_normal((32, K)), jnp.float32)
+    bias = jnp.asarray(rng.standard_normal((R,)), jnp.float32)
+
+    got = np.asarray(linear_gelu(x, pw, bias, cfg=PALLAS_F32))
+    import jax
+    w_patched = w_deq + patch.scale * np.asarray(
+        patch.up, np.float32) @ np.asarray(patch.down, np.float32)
+    pre = np.asarray(x) @ w_patched.T + np.asarray(bias)
+    want = np.asarray(jax.nn.gelu(pre, approximate=True))
+    np.testing.assert_allclose(got, want, rtol=5e-4, atol=5e-4)
+
+
+def test_fused_epilogue_indexed_scan_path():
+    """forward_stacked with the Pallas indexed kernel (interpret) under
+    LoRA == the prefer_pallas=False reference — exercises the fused
+    epilogue through scan/IndexedQuant."""
+    import jax
+
+    from comfyui_gguf_tpu.models import flux, testing
+    from comfyui_gguf_tpu.nn.layers import QuantConfig
+
+    dims = testing.TinyFluxDims(depth_double=1, depth_single=1)
+    sd = testing.flux_state_dict(dims, seed=33)
+    params = testing.quantize_flux_params(sd)
+    cfg = dims.config()
+    rng = np.random.default_rng(34)
+    R, K = 3 * dims.hidden, dims.hidden
+    patches = {"double_blocks.0.img_attn.qkv.weight":
+               (_rank_patch(rng, R, K, r=2, scale=0.1),)}
+    patched = lora.attach_patches(params, patches)
+    inputs = testing.flux_example_inputs(dims, batch=1)
+    sp = flux.stack_flux_params(patched, cfg)
+
+    ref = jax.jit(lambda p, *a: flux.forward_stacked(
+        p, cfg, *a, qcfg=QuantConfig(prefer_pallas=False)))(sp, *inputs)
+    got = jax.jit(lambda p, *a: flux.forward_stacked(
+        p, cfg, *a, qcfg=QuantConfig(prefer_pallas=True)))(sp, *inputs)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-2, atol=2e-2)
+
+
+def test_glora_fused_matches_unfused():
+    """glora: a-branch prologue + fused b-branch epilogue == unfused."""
+    rng = np.random.default_rng(35)
+    R, K, r = 512, 512, 4
+    pq, _ = _planar_weight(rng, R, K)
+    patch = lora.LoRAPatch(
+        up=jnp.asarray(rng.standard_normal((R, r)) * 0.1, jnp.float32),
+        down=jnp.asarray(rng.standard_normal((r, K)) * 0.1, jnp.float32),
+        mid=None, diff=None, scale=0.5,
+        a1=jnp.asarray(rng.standard_normal((r, K)) * 0.1, jnp.float32),
+        a2=jnp.asarray(rng.standard_normal((K, r)) * 0.1, jnp.float32))
+    pw = lora.PatchedWeight(pq, (patch,))
+    x = jnp.asarray(rng.standard_normal((16, K)), jnp.float32)
+    got = np.asarray(linear(x, pw, cfg=PALLAS_F32))
+    want = np.asarray(linear(x, pw, cfg=F32CFG))
+    np.testing.assert_allclose(got, want, rtol=5e-4, atol=5e-4)
+
+
+def test_diff_patch_still_unfused_on_pallas_path():
+    """diff patches can't rank-factorize — the Pallas path must still
+    produce the right answer via the unfused epilogue."""
+    rng = np.random.default_rng(36)
+    R, K = 512, 512
+    pq, w_deq = _planar_weight(rng, R, K)
+    diff = rng.standard_normal((R, K)).astype(np.float32)
+    pw = lora.PatchedWeight(pq, (lora.LoRAPatch(
+        up=None, down=None, mid=None, diff=jnp.asarray(diff), scale=0.5),))
+    x = jnp.asarray(rng.standard_normal((16, K)), jnp.float32)
+    got = np.asarray(linear(x, pw, cfg=PALLAS_F32))
+    want = np.asarray(x) @ (w_deq + 0.5 * diff).T
+    np.testing.assert_allclose(got, want, rtol=5e-4, atol=5e-4)

@@ -1,0 +1,133 @@
+"""Kernel-level attention A/B: flash vs splash at the flux joint-attn shape.
+
+Correctness vs the XLA reference + isolated timing. Kernel wins here are
+CANDIDATES only — acceptance requires the full-model step A/B
+(tools_tile_ab.py; see ops/autotune.py acceptance protocol).
+"""
+
+from __future__ import annotations
+
+import functools
+import statistics
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+import jax
+import jax.numpy as jnp
+
+
+def log(m):
+    print(m, file=sys.stderr, flush=True)
+
+
+B, H, L, D = 1, 24, 4608, 128
+SCALE = D ** -0.5
+
+
+ITERS = 50
+
+
+def bench(fn, *args, n=3):
+    """Time ITERS iterations inside ONE jit (scan) — per-dispatch timing
+    through the tunnel is RTT/jitter-dominated at sub-ms scale."""
+    out = fn(*args)  # correctness output (single call)
+    jax.block_until_ready(out)
+
+    @jax.jit
+    def many(q, k, v):
+        def body(c, _):
+            o = fn(q + c * 1e-6, k, v)  # data dep defeats CSE/DCE
+            return jnp.mean(o[..., :1, :1]).astype(q.dtype), None
+        c, _ = jax.lax.scan(body, jnp.zeros((), args[0].dtype), None,
+                            length=ITERS)
+        return c
+
+    # distinct inputs per timed call: the tunnel appears to memoize
+    # (program, inputs) → result across processes (see NOTES_ROUND2) —
+    # identical repeat executions can return without running
+    q0, k0, v0 = args
+    variants = [(q0 + (i + 1) * 1e-3, k0, v0) for i in range(n + 1)]
+    jax.block_until_ready([v[0] for v in variants])
+    many(*variants[0]).block_until_ready()  # compile
+    ts = []
+    for i in range(n):
+        t0 = time.perf_counter()
+        many(*variants[i + 1]).block_until_ready()
+        ts.append(time.perf_counter() - t0)
+    return statistics.median(ts) / ITERS, out
+
+
+def main():
+    key = jax.random.PRNGKey(0)
+    kq, kk, kv = jax.random.split(key, 3)
+    q = jax.random.normal(kq, (B, H, L, D), jnp.bfloat16)
+    k = jax.random.normal(kk, (B, H, L, D), jnp.bfloat16)
+    v = jax.random.normal(kv, (B, H, L, D), jnp.bfloat16)
+    flops = 2 * 2 * B * H * L * L * D  # qk + pv
+
+    @jax.jit
+    def ref(q, k, v):
+        return jax.nn.dot_product_attention(
+            q.transpose(0, 2, 1, 3), k.transpose(0, 2, 1, 3),
+            v.transpose(0, 2, 1, 3), scale=SCALE).transpose(0, 2, 1, 3)
+
+    t_ref, o_ref = bench(ref, q, k, v, n=5)
+    log(f"xla ref: {t_ref*1e3:.2f} ms  {flops/t_ref/1e12:.1f} TF/s")
+    o_ref = o_ref.astype(jnp.float32)
+
+    # flash (current default blocks)
+    from jax.experimental.pallas.ops.tpu import flash_attention as fa
+
+    def flash(bq, bk):
+        bs = fa.BlockSizes(
+            block_q=bq, block_k_major=bk, block_k=bk, block_b=1,
+            block_q_major_dkv=bq, block_k_major_dkv=bk, block_k_dkv=bk,
+            block_q_dkv=bq, block_k_major_dq=bk, block_k_dq=bk,
+            block_q_dq=bq)
+
+        @jax.jit
+        def f(q, k, v):
+            return fa.flash_attention(q, k, v, causal=False,
+                                      sm_scale=SCALE, block_sizes=bs)
+        return f
+
+    for bq, bk in [(512, 512), (256, 512), (512, 1536), (1536, 512)]:
+        try:
+            t, o = bench(flash(bq, bk), q, k, v)
+            err = float(jnp.abs(o.astype(jnp.float32) - o_ref).max())
+            log(f"flash ({bq},{bk}): {t*1e3:.2f} ms  "
+                f"{flops/t/1e12:.1f} TF/s  maxerr {err:.4f}")
+        except Exception as e:
+            log(f"flash ({bq},{bk}): FAIL {type(e).__name__}: {e}")
+
+    # splash
+    from jax.experimental.pallas.ops.tpu import splash_attention as sa
+
+    def splash(bq, bkv, bkvc):
+        mask = sa.MultiHeadMask([sa.FullMask((L, L))] * H)
+        bs = sa.BlockSizes(block_q=bq, block_kv=bkv, block_kv_compute=bkvc)
+        kernel = sa.make_splash_mha_single_device(mask, block_sizes=bs)
+
+        @jax.jit
+        def f(q, k, v):
+            return jax.vmap(kernel)((q * SCALE).astype(q.dtype), k, v)
+        return f
+
+    for bq, bkv, bkvc in [(512, 512, 512), (256, 512, 512),
+                          (512, 1536, 512), (1536, 512, 512),
+                          (512, 2304, 768), (512, 4608, 512),
+                          (512, 4608, 1536)]:
+        try:
+            t, o = bench(splash(bq, bkv, bkvc), q, k, v)
+            err = float(jnp.abs(o.astype(jnp.float32) - o_ref).max())
+            log(f"splash ({bq},{bkv},{bkvc}): {t*1e3:.2f} ms  "
+                f"{flops/t/1e12:.1f} TF/s  maxerr {err:.4f}")
+        except Exception as e:
+            log(f"splash ({bq},{bkv},{bkvc}): FAIL {type(e).__name__}: "
+                f"{str(e)[:200]}")
+
+
+if __name__ == "__main__":
+    main()
