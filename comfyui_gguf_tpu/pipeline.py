@@ -432,13 +432,17 @@ class FluxPipeline:
 
 
 def flux_engine(model: DiffusionModel, h_lat: int, w_lat: int,
-                txt_len: int, max_batch: int = 4):
+                txt_len: int, max_batch: int = 4,
+                pipeline_depth: int = 1):
     """Continuous-batching engine for a loaded flux model.
 
     Requests carry latent tokens + cond {"txt", "y", "guidance"}; one
     engine tick advances the whole in-flight pool by one Euler step
     (serving.ContinuousBatchEngine). Shapes are fixed per engine (one
     resolution bucket), so jit compiles once per batch-size bucket.
+    pipeline_depth > 1 chains that many ticks per host sync (JAX async
+    dispatch) — pays the dispatch round trip once per window, which
+    matters when the host link is slow (remote-chip tunnel).
     """
     from .serving import ContinuousBatchEngine
 
@@ -468,7 +472,8 @@ def flux_engine(model: DiffusionModel, h_lat: int, w_lat: int,
                      jnp.asarray(cond["y"], jnp.bfloat16),
                      jnp.asarray(cond["guidance"], jnp.float32))
 
-    return ContinuousBatchEngine(step_fn, max_batch=max_batch)
+    return ContinuousBatchEngine(step_fn, max_batch=max_batch,
+                                 pipeline_depth=pipeline_depth)
 
 
 @dataclasses.dataclass

@@ -110,7 +110,8 @@ class ContinuousBatchEngine:
     """
 
     def __init__(self, step_fn: Callable, max_batch: int = 4,
-                 batch_sizes: tuple[int, ...] | None = None):
+                 batch_sizes: tuple[int, ...] | None = None,
+                 pipeline_depth: int = 1):
         self.step_fn = step_fn
         self.max_batch = max_batch
         # fixed buckets so jit sees a closed set of shapes
@@ -119,12 +120,24 @@ class ContinuousBatchEngine:
             tuple(itertools.takewhile(lambda b: b <= max_batch,
                                       (1, 2, 4, 8, 16, 32)))
         ))
+        # pipeline_depth > 1: dispatch up to D steps WITHOUT a host sync
+        # between them. JAX async dispatch chains device work on futures
+        # (stacking / admission / per-sample sigma advance all operate on
+        # device futures), so the host round trip — ~0.45 s/tick through
+        # the remote-chip tunnel vs ~0.55 s compute — is paid once per
+        # window instead of once per step. A sync is forced whenever a
+        # request reaches its final step (its result must come to host).
+        self.pipeline_depth = max(1, pipeline_depth)
         self.queue: "queue.Queue[GenRequest]" = queue.Queue()
         self.active: list[GenRequest] = []
         self.stats = EngineStats()
         self._id = itertools.count()
         self._stop = threading.Event()
         self._thread: threading.Thread | None = None
+        # in-flight (x_next future, [requests advanced by it]) since the
+        # last host sync, oldest first
+        self._pending: list[tuple[Any, list[GenRequest]]] = []
+        self._window_t0: float | None = None
 
     # -- client API ---------------------------------------------------------
 
@@ -153,6 +166,7 @@ class ContinuousBatchEngine:
         self._stop.set()
         if self._thread:
             self._thread.join(timeout=30)
+        self._sync()  # flush any in-flight window (engine thread is dead)
 
     def _loop(self):
         while not self._stop.is_set():
@@ -211,10 +225,13 @@ class ContinuousBatchEngine:
         cond = _stack_cond([r.cond for r in batch]
                            + [batch[-1].cond] * pad)
 
-        t0 = time.monotonic()
+        if self._window_t0 is None:
+            self._window_t0 = time.monotonic()
         try:
+            # NO host sync here: x may contain futures from the previous
+            # tick; the runtime chains device work. Trace/shape errors
+            # still raise synchronously.
             x_next = self.step_fn(x, s_cur, s_next, cond)
-            x_next = jax.block_until_ready(x_next)  # surface async errors
         except Exception as e:  # fail the batch, keep the engine alive
             log.exception("denoise step failed; failing %d request(s)", n)
             for r in batch:
@@ -222,27 +239,65 @@ class ContinuousBatchEngine:
                 self.stats.failed += 1
                 r.done_event.set()
             self.active = self.active[self.max_batch:]
+            self._window_t0 = None if not self._pending else self._window_t0
             return
-        dt = time.monotonic() - t0
 
         self.stats.batches_executed += 1
         self.stats.steps_executed += n
         self.stats.total_padding_lanes += pad
+
+        finishing = False
+        for i, r in enumerate(batch):
+            r.latent = x_next[i]  # device future; no transfer
+            r.step += 1
+            finishing |= r.finished
+        self._pending.append((x_next, batch))
+        if finishing or len(self._pending) >= self.pipeline_depth:
+            self._sync()
+
+    def _sync(self):
+        """Block on the newest in-flight step, surface async errors for
+        the whole unsynced window, retire finished requests."""
+        if not self._pending:
+            return
+        import jax
+
+        window = self._pending
+        self._pending = []
+        try:
+            jax.block_until_ready(window[-1][0])
+        except Exception as e:
+            log.exception("async denoise failure; failing window of %d "
+                          "dispatch(es)", len(window))
+            failed = {}
+            for _, batch in window:
+                for r in batch:
+                    failed.setdefault(id(r), r)
+            for r in failed.values():
+                r.error = e
+                self.stats.failed += 1
+                r.done_event.set()
+            self.active = [r for r in self.active
+                           if id(r) not in failed]
+            self._window_t0 = None
+            return
+        dt = time.monotonic() - (self._window_t0 or time.monotonic())
+        self._window_t0 = None
         self.stats.total_step_time_s += dt
 
-        still = []
-        for i, r in enumerate(batch):
-            r.latent = x_next[i]
-            r.step += 1
-            if r.finished:
-                r.result = np.asarray(r.latent)
-                r.completed_at = time.monotonic()
-                self.stats.completed += 1
-                self.stats.total_latency_s += r.completed_at - r.submitted_at
-                r.done_event.set()
-            else:
-                still.append(r)
-        self.active = still + self.active[self.max_batch:]
+        retired = set()
+        for _, batch in window:
+            for r in batch:
+                if r.finished and id(r) not in retired:
+                    retired.add(id(r))
+                    r.result = np.asarray(r.latent)
+                    r.completed_at = time.monotonic()
+                    self.stats.completed += 1
+                    self.stats.total_latency_s += (r.completed_at
+                                                   - r.submitted_at)
+                    r.done_event.set()
+        if retired:
+            self.active = [r for r in self.active if id(r) not in retired]
 
 
 def _stack_cond(conds: list):

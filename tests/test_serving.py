@@ -115,6 +115,70 @@ def test_cancellation_drops_requests():
     assert eng.stats.cancelled == 1 and eng.stats.completed == 1
 
 
+def test_pipelined_window_is_exact():
+    """pipeline_depth > 1 defers host syncs but must integrate each
+    request's schedule exactly — results identical to depth-1."""
+    eng = ContinuousBatchEngine(_linear_step, max_batch=4, pipeline_depth=3)
+    reqs = []
+    for i, steps in enumerate((3, 7, 5)):
+        x0 = np.full((2, 2, 1), float(i), np.float32)
+        reqs.append(eng.submit(x0, {"c": np.float32(i + 1)},
+                               linear_schedule(steps)))
+    eng.run_until_drained()
+    for i, r in enumerate(reqs):
+        np.testing.assert_allclose(r.result, float(i) - (i + 1), rtol=1e-5,
+                                   atol=1e-6)
+    assert eng.stats.completed == 3 and not eng._pending
+
+
+def test_pipelined_sync_cadence():
+    """Host syncs happen once per window (or at a finish), not per step."""
+    eng = ContinuousBatchEngine(_linear_step, max_batch=2, pipeline_depth=4)
+    syncs = {"n": 0}
+    orig = eng._sync
+
+    def counting_sync():
+        if eng._pending:
+            syncs["n"] += 1
+        orig()
+
+    eng._sync = counting_sync
+    req = eng.submit(np.zeros((2, 2, 1), np.float32), {"c": np.float32(1)},
+                     linear_schedule(8))
+    eng.run_until_drained()
+    assert req.finished and req.error is None
+    # 8 steps at depth 4 → one full-window sync + one finishing sync
+    assert syncs["n"] == 2
+    assert eng.stats.steps_executed == 8
+
+
+def test_pipelined_finish_forces_sync():
+    """A request hitting its last step is retired on that same tick even
+    when the pipeline window is not full."""
+    eng = ContinuousBatchEngine(_linear_step, max_batch=2, pipeline_depth=8)
+    req = eng.submit(np.zeros((2, 2, 1), np.float32), {"c": np.float32(2)},
+                     linear_schedule(3))
+    eng.tick()
+    eng.tick()
+    assert not req.done_event.is_set()  # mid-flight, window open
+    eng.tick()  # final step → forced sync
+    assert req.done_event.is_set() and req.result is not None
+    np.testing.assert_allclose(req.result, -2.0, atol=1e-6)
+
+
+def test_pipelined_stop_flushes_window():
+    """stop() drains the in-flight window so no dispatched work is lost."""
+    eng = ContinuousBatchEngine(_linear_step, max_batch=2, pipeline_depth=8)
+    eng.submit(np.zeros((2, 2, 1), np.float32), {"c": np.float32(1)},
+               linear_schedule(6))
+    for _ in range(3):
+        eng.tick()
+    assert eng._pending  # window open
+    eng.stop()
+    assert not eng._pending
+    assert eng.stats.total_step_time_s > 0
+
+
 def test_engine_group_multi_resolution():
     """Requests of different latent shapes route to per-shape engines and
     all complete."""

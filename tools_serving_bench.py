@@ -5,7 +5,10 @@ FULL-DEPTH flux model (19+38 blocks, Q4_K, stacked zero-copy scan) at
 1024², records steps/s, batch occupancy, and request latency P50/P95.
 
 Run: python tools_serving_bench.py [n_requests] [steps] [max_batch]
-Prints one JSON line with the serving metrics.
+         [pipeline_depths, comma-sep (default "1,4")]
+Prints one JSON line per pipeline depth with the serving metrics —
+depth > 1 chains that many dispatches per host sync (the tunnel pays
+~0.45 s of RTT per synced tick; see serving.ContinuousBatchEngine).
 """
 
 from __future__ import annotations
@@ -35,6 +38,8 @@ def main():
     n_req = int(sys.argv[1]) if len(sys.argv) > 1 else 6
     steps = int(sys.argv[2]) if len(sys.argv) > 2 else 8
     max_batch = int(sys.argv[3]) if len(sys.argv) > 3 else 2
+    depths = [int(d) for d in
+              (sys.argv[4] if len(sys.argv) > 4 else "1,4").split(",")]
 
     on_tpu = any(d.platform == "tpu" for d in jax.devices())
     if on_tpu:
@@ -78,34 +83,38 @@ def main():
     log(f"warmup (compile) {time.perf_counter()-t0:.0f}s")
     eng.stats.__init__()  # reset counters after warmup
 
-    reqs = []
-    t_start = time.perf_counter()
-    for i in range(n_req):
-        lat = rng.standard_normal((L, dims.in_ch)).astype(np.float32)
-        reqs.append(eng.submit(lat, cond(i), sigmas))
-    eng.run_until_drained(timeout_s=3600)
-    wall = time.perf_counter() - t_start
+    for depth in depths:
+        eng.pipeline_depth = depth
+        eng.stats.__init__()
+        reqs = []
+        t_start = time.perf_counter()
+        for i in range(n_req):
+            lat = rng.standard_normal((L, dims.in_ch)).astype(np.float32)
+            reqs.append(eng.submit(lat, cond(i), sigmas))
+        eng.run_until_drained(timeout_s=3600)
+        wall = time.perf_counter() - t_start
 
-    for r in reqs:
-        assert r.error is None, r.error
-        assert r.result is not None
-    snap = eng.stats.snapshot()
-    lats = sorted(r.latency_s for r in reqs)
-    p50 = lats[len(lats) // 2]
-    p95 = lats[min(len(lats) - 1, int(0.95 * len(lats)))]
+        for r in reqs:
+            assert r.error is None, r.error
+            assert r.result is not None
+        snap = eng.stats.snapshot()
+        lats = sorted(r.latency_s for r in reqs)
+        p50 = lats[len(lats) // 2]
+        p95 = lats[min(len(lats) - 1, int(0.95 * len(lats)))]
 
-    out = {
-        "config": f"flux-dev-dims Q4_K 1024² serving, {n_req} req × "
-                  f"{steps} steps, max_batch {max_batch}"
-                  + ("" if on_tpu else " (cpu-smoke)"),
-        "wall_s": round(wall, 2),
-        "steps_per_second": snap["steps_per_second"],
-        "mean_batch_occupancy": snap["mean_batch_occupancy"],
-        "latency_p50_s": round(p50, 2),
-        "latency_p95_s": round(p95, 2),
-        "throughput_img_per_s": round(n_req / wall, 3),
-    }
-    print(json.dumps(out))
+        out = {
+            "config": f"flux-dev-dims Q4_K 1024² serving, {n_req} req × "
+                      f"{steps} steps, max_batch {max_batch}, "
+                      f"pipeline_depth {depth}"
+                      + ("" if on_tpu else " (cpu-smoke)"),
+            "wall_s": round(wall, 2),
+            "steps_per_second": snap["steps_per_second"],
+            "mean_batch_occupancy": snap["mean_batch_occupancy"],
+            "latency_p50_s": round(p50, 2),
+            "latency_p95_s": round(p95, 2),
+            "throughput_img_per_s": round(n_req / wall, 3),
+        }
+        print(json.dumps(out), flush=True)
 
 
 if __name__ == "__main__":
