@@ -49,12 +49,15 @@ FLASH_BLOCK_K = 512
 if os.environ.get("GGUF_TPU_FAST_COMPILE", "") not in ("", "0"):
     FLASH_BLOCK_Q = 256
 
-# attention kernel implementation: "flash" (default) or "splash".
-# splash (fwd-only, self-attn, lane-aligned L) measured ~0.4 ms/call
-# faster than flash at the flux joint-attn shape in the scan harness
-# (tools_attn_ab.py: 2.23 vs 2.6-2.8 ms, blocks bq=512/bkv=full/
-# compute=1536); model-level A/B decides the default.
-ATTN_IMPL = os.environ.get("GGUF_TPU_ATTN", "flash")
+# attention kernel implementation: "splash" (default) or "flash".
+# splash (fwd-only, self-attn, lane-aligned L, blocks bq=512/bkv=full/
+# compute=1536) won BOTH the kernel harness (tools_attn_ab.py: 2.23 vs
+# 2.6-2.8 ms/call) and the full-depth flux model A/B
+# (tools_attn_model_ab.py: 551.4 vs 574.3 ms step, same chip session,
+# max output delta 1.3% = bf16 accumulation) — accepted as default per
+# the ops/autotune.py protocol. Shapes splash can't take (masking,
+# cross-attn, lane-odd, Lk>8192 video) fall through to flash.
+ATTN_IMPL = os.environ.get("GGUF_TPU_ATTN", "splash")
 SPLASH_BLOCK_Q = 512
 SPLASH_BLOCK_KV_COMPUTE = 1536
 
