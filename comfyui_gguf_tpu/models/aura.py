@@ -12,7 +12,10 @@ quantizer excludes from quantization at tools/lcpp.patch:357-368:
 * single layers: one stream over the concatenation (``w1*``/``mlp``/
   ``modCX``);
 * SwiGLU-style MLP ``c_proj(silu(c_fc1(x)) · c_fc2(x))``; modulations are
-  6-chunk (shift/scale/gate ×2), final ``modF`` is 2-chunk.
+  6-chunk (shift/scale/gate ×2), final ``modF`` is 2-chunk;
+* per-head qk layer-norm WITHOUT affine weights (AuraFlow's published
+  training-stability feature) — weightless, so it never shows up in the
+  checkpoint key set and must be applied unconditionally.
 """
 
 from __future__ import annotations
@@ -84,6 +87,17 @@ def _heads(x, n):
     return x.reshape(B, L, n, D // n).transpose(0, 2, 1, 3)
 
 
+def _qk_norm(x):
+    """Per-head LayerNorm over head_dim, no affine (AuraFlow qk-norm).
+
+    eps matches torch's nn.LayerNorm default (1e-5) — the published
+    implementation constructs it with default eps."""
+    xf = x.astype(jnp.float32)
+    mu = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.var(xf, axis=-1, keepdims=True)
+    return ((xf - mu) * jax.lax.rsqrt(var + 1e-5)).astype(x.dtype)
+
+
 def _attn_joint(q, k, v):
     from ..nn.attention import dot_product_attention
 
@@ -102,11 +116,15 @@ def _double_layer(params, i, c, x, vec, cfg: AuraConfig, qcfg):
     c_mod = layer_norm(c) * (1 + c_sc1) + c_sh1
     x_mod = layer_norm(x) * (1 + x_sc1) + x_sh1
 
-    cq = _heads(linear(c_mod, params[p + "attn.w1q.weight"], cfg=qcfg), H)
-    ck = _heads(linear(c_mod, params[p + "attn.w1k.weight"], cfg=qcfg), H)
+    cq = _qk_norm(_heads(linear(c_mod, params[p + "attn.w1q.weight"],
+                                cfg=qcfg), H))
+    ck = _qk_norm(_heads(linear(c_mod, params[p + "attn.w1k.weight"],
+                                cfg=qcfg), H))
     cv = _heads(linear(c_mod, params[p + "attn.w1v.weight"], cfg=qcfg), H)
-    xq = _heads(linear(x_mod, params[p + "attn.w2q.weight"], cfg=qcfg), H)
-    xk = _heads(linear(x_mod, params[p + "attn.w2k.weight"], cfg=qcfg), H)
+    xq = _qk_norm(_heads(linear(x_mod, params[p + "attn.w2q.weight"],
+                                cfg=qcfg), H))
+    xk = _qk_norm(_heads(linear(x_mod, params[p + "attn.w2k.weight"],
+                                cfg=qcfg), H))
     xv = _heads(linear(x_mod, params[p + "attn.w2v.weight"], cfg=qcfg), H)
 
     q = jnp.concatenate([cq, xq], axis=2)
@@ -130,8 +148,10 @@ def _single_layer(params, i, cx, vec, cfg: AuraConfig, qcfg):
     H = cfg.n_heads
     sh1, sc1, g1, sh2, sc2, g2 = _mod(params, p + "modCX", vec, 6, qcfg)
     m = layer_norm(cx) * (1 + sc1) + sh1
-    q = _heads(linear(m, params[p + "attn.w1q.weight"], cfg=qcfg), H)
-    k = _heads(linear(m, params[p + "attn.w1k.weight"], cfg=qcfg), H)
+    q = _qk_norm(_heads(linear(m, params[p + "attn.w1q.weight"], cfg=qcfg),
+                        H))
+    k = _qk_norm(_heads(linear(m, params[p + "attn.w1k.weight"], cfg=qcfg),
+                        H))
     v = _heads(linear(m, params[p + "attn.w1v.weight"], cfg=qcfg), H)
     a = _attn_joint(q, k, v)
     cx = cx + g1 * linear(a, params[p + "attn.w1o.weight"], cfg=qcfg)

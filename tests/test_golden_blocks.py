@@ -561,3 +561,208 @@ def test_hidream_double_block_golden():
                                atol=3e-4)
     np.testing.assert_allclose(np.asarray(j_txt), tt_.numpy(), rtol=3e-4,
                                atol=3e-4)
+
+
+# ---------------------------------------------------------------------------
+# AuraFlow double + single layers (fal's MMDiT: separate cond/x parameter
+# sets, cond-first joint attention, weightless per-head qk layer-norm,
+# silu-gated c_fc1/c_fc2/c_proj MLP, 6-chunk [shift,scale,gate]x2 adaLN
+# with bias-free modulation linears)
+# ---------------------------------------------------------------------------
+
+def _aura_weights(rng, D, F):
+    w = {}
+    p = "double_layers.0."
+    for mod in ("modC", "modX"):
+        w[f"{p}{mod}.1.weight"] = _rand(rng, 6 * D, D)
+    for s in ("1", "2"):
+        for n in ("q", "k", "v", "o"):
+            w[f"{p}attn.w{s}{n}.weight"] = _rand(rng, D, D)
+    for mlp in ("mlpC", "mlpX"):
+        w[f"{p}{mlp}.c_fc1.weight"] = _rand(rng, F, D)
+        w[f"{p}{mlp}.c_fc2.weight"] = _rand(rng, F, D)
+        w[f"{p}{mlp}.c_proj.weight"] = _rand(rng, D, F)
+    s = "single_layers.0."
+    w[f"{s}modCX.1.weight"] = _rand(rng, 6 * D, D)
+    for n in ("q", "k", "v", "o"):
+        w[f"{s}attn.w1{n}.weight"] = _rand(rng, D, D)
+    w[f"{s}mlp.c_fc1.weight"] = _rand(rng, F, D)
+    w[f"{s}mlp.c_fc2.weight"] = _rand(rng, F, D)
+    w[f"{s}mlp.c_proj.weight"] = _rand(rng, D, F)
+    return w
+
+
+def _aura_torch_mod(w, key, vec, n):
+    out = torch.nn.functional.silu(vec) @ _t(w[f"{key}.1.weight"]).T
+    return [c[:, None, :] for c in out.chunk(n, dim=-1)]
+
+
+def _aura_qknorm(x):
+    # per-head LayerNorm over head_dim, NO affine (torch default eps)
+    return torch.nn.functional.layer_norm(x, (x.shape[-1],))
+
+
+def _aura_torch_mlp(w, pfx, x):
+    a = x @ _t(w[f"{pfx}.c_fc1.weight"]).T
+    b = x @ _t(w[f"{pfx}.c_fc2.weight"]).T
+    return (torch.nn.functional.silu(a) * b) @ _t(w[f"{pfx}.c_proj.weight"]).T
+
+
+def test_aura_double_layer_golden():
+    from comfyui_gguf_tpu.models import aura
+
+    rng = np.random.default_rng(48)
+    D, Hn, F = 64, 2, 96
+    w = _aura_weights(rng, D, F)
+    c0 = _rand(rng, 1, 5, D)
+    x0 = _rand(rng, 1, 12, D)
+    vec = _rand(rng, 1, D)
+    p = "double_layers.0."
+
+    ct, xt, vt = _t(c0), _t(x0), _t(vec)
+    cm = _aura_torch_mod(w, p + "modC", vt, 6)
+    xm = _aura_torch_mod(w, p + "modX", vt, 6)
+    c_mod = _ln(ct, eps=1e-5) * (1 + cm[1]) + cm[0]
+    x_mod = _ln(xt, eps=1e-5) * (1 + xm[1]) + xm[0]
+
+    def wlin(s, n, h):
+        return h @ _t(w[f"{p}attn.w{s}{n}.weight"]).T
+
+    cq = _aura_qknorm(_heads(wlin("1", "q", c_mod), Hn))
+    ck = _aura_qknorm(_heads(wlin("1", "k", c_mod), Hn))
+    cv = _heads(wlin("1", "v", c_mod), Hn)
+    xq = _aura_qknorm(_heads(wlin("2", "q", x_mod), Hn))
+    xk = _aura_qknorm(_heads(wlin("2", "k", x_mod), Hn))
+    xv = _heads(wlin("2", "v", x_mod), Hn)
+    # cond stream FIRST in the joint sequence
+    a = _unheads(_sdpa(torch.cat([cq, xq], 2), torch.cat([ck, xk], 2),
+                       torch.cat([cv, xv], 2)))
+    ca, xa = a[:, :5], a[:, 5:]
+    ct = ct + cm[2] * (ca @ _t(w[f"{p}attn.w1o.weight"]).T)
+    ct = ct + cm[5] * _aura_torch_mlp(
+        w, p + "mlpC", _ln(ct, eps=1e-5) * (1 + cm[4]) + cm[3])
+    xt = xt + xm[2] * (xa @ _t(w[f"{p}attn.w2o.weight"]).T)
+    xt = xt + xm[5] * _aura_torch_mlp(
+        w, p + "mlpX", _ln(xt, eps=1e-5) * (1 + xm[4]) + xm[3])
+
+    cfg = aura.AuraConfig(hidden=D, n_heads=Hn, depth_double=1,
+                          depth_single=1)
+    jp = {k2: jnp.asarray(v2) for k2, v2 in w.items()}
+    j_c, j_x = aura._double_layer(jp, 0, jnp.asarray(c0), jnp.asarray(x0),
+                                  jnp.asarray(vec), cfg, F32)
+    np.testing.assert_allclose(np.asarray(j_c), ct.numpy(), rtol=3e-4,
+                               atol=3e-4)
+    np.testing.assert_allclose(np.asarray(j_x), xt.numpy(), rtol=3e-4,
+                               atol=3e-4)
+
+
+def test_aura_single_layer_golden():
+    from comfyui_gguf_tpu.models import aura
+
+    rng = np.random.default_rng(49)
+    D, Hn, F = 64, 2, 96
+    w = _aura_weights(rng, D, F)
+    cx0 = _rand(rng, 1, 17, D)
+    vec = _rand(rng, 1, D)
+    s = "single_layers.0."
+
+    xt, vt = _t(cx0), _t(vec)
+    m = _aura_torch_mod(w, s + "modCX", vt, 6)
+    h = _ln(xt, eps=1e-5) * (1 + m[1]) + m[0]
+    q = _aura_qknorm(_heads(h @ _t(w[f"{s}attn.w1q.weight"]).T, Hn))
+    k = _aura_qknorm(_heads(h @ _t(w[f"{s}attn.w1k.weight"]).T, Hn))
+    v = _heads(h @ _t(w[f"{s}attn.w1v.weight"]).T, Hn)
+    a = _unheads(_sdpa(q, k, v))
+    xt = xt + m[2] * (a @ _t(w[f"{s}attn.w1o.weight"]).T)
+    xt = xt + m[5] * _aura_torch_mlp(
+        w, s + "mlp", _ln(xt, eps=1e-5) * (1 + m[4]) + m[3])
+
+    cfg = aura.AuraConfig(hidden=D, n_heads=Hn, depth_double=1,
+                          depth_single=1)
+    jp = {k2: jnp.asarray(v2) for k2, v2 in w.items()}
+    j = aura._single_layer(jp, 0, jnp.asarray(cx0), jnp.asarray(vec), cfg,
+                           F32)
+    np.testing.assert_allclose(np.asarray(j), xt.numpy(), rtol=3e-4,
+                               atol=3e-4)
+
+
+# ---------------------------------------------------------------------------
+# Lumina2 NextDiT layer (sandwich RMSNorms, scale-only 4-chunk adaLN with
+# tanh-squashed gates, fused qkv + per-head affine RMS qk-norm, complex-
+# pair multi-axis RoPE, llama-style SwiGLU w1/w3/w2)
+# ---------------------------------------------------------------------------
+
+def test_lumina2_layer_golden():
+    from comfyui_gguf_tpu.models import lumina2
+
+    rng = np.random.default_rng(50)
+    D, Hn = 96, 2
+    hd = D // Hn  # 48
+    AX = (16, 16, 16)
+    FF = 128
+    L = 14
+    p = "layers.0"
+
+    w = {
+        f"{p}.adaLN_modulation.1.weight": _rand(rng, 4 * D, D),
+        f"{p}.adaLN_modulation.1.bias": _rand(rng, 4 * D),
+        f"{p}.attention.qkv.weight": _rand(rng, 3 * D, D),
+        f"{p}.attention.q_norm.weight": _rand(rng, hd) + 1,
+        f"{p}.attention.k_norm.weight": _rand(rng, hd) + 1,
+        f"{p}.attention.out.weight": _rand(rng, D, D),
+        f"{p}.attention_norm1.weight": _rand(rng, D) + 1,
+        f"{p}.attention_norm2.weight": _rand(rng, D) + 1,
+        f"{p}.ffn_norm1.weight": _rand(rng, D) + 1,
+        f"{p}.ffn_norm2.weight": _rand(rng, D) + 1,
+        f"{p}.feed_forward.w1.weight": _rand(rng, FF, D),
+        f"{p}.feed_forward.w3.weight": _rand(rng, FF, D),
+        f"{p}.feed_forward.w2.weight": _rand(rng, D, FF),
+    }
+    x0 = _rand(rng, 1, L, D)
+    vec = _rand(rng, 1, D)
+    ids = np.zeros((1, L, 3), np.int32)
+    ids[0, :, 0] = np.arange(L)
+    ids[0, :, 1] = np.arange(L) % 3
+    ids[0, :, 2] = np.arange(L) % 5
+
+    # torch side: complex-pair rotation with axis-concatenated tables;
+    # pair j of head_dim rotates by the j-th concatenated frequency
+    def rope_pairs(x):
+        cos, sin = _torch_rope_table(ids, AX)  # (B, L, hd/2) each
+        xe = x[..., 0::2]
+        xo = x[..., 1::2]
+        c, s = cos[:, None], sin[:, None]
+        out = torch.stack([xe * c - xo * s, xe * s + xo * c], dim=-1)
+        return out.reshape(x.shape)
+
+    xt, vt = _t(x0), _t(vec)
+    mod = torch.nn.functional.silu(vt) \
+        @ _t(w[f"{p}.adaLN_modulation.1.weight"]).T \
+        + _t(w[f"{p}.adaLN_modulation.1.bias"])
+    sc_msa, g_msa, sc_mlp, g_mlp = [c[:, None, :] for c in
+                                    mod.chunk(4, dim=-1)]
+    g_msa, g_mlp = torch.tanh(g_msa), torch.tanh(g_mlp)
+
+    h = _rms(xt, _t(w[f"{p}.attention_norm1.weight"])) * (1 + sc_msa)
+    qkv = h @ _t(w[f"{p}.attention.qkv.weight"]).T
+    q, k, v = (_heads(c, Hn) for c in qkv.chunk(3, dim=-1))
+    q = rope_pairs(_rms(q, _t(w[f"{p}.attention.q_norm.weight"])))
+    k = rope_pairs(_rms(k, _t(w[f"{p}.attention.k_norm.weight"])))
+    a = _unheads(_sdpa(q, k, v)) @ _t(w[f"{p}.attention.out.weight"]).T
+    xt = xt + g_msa * _rms(a, _t(w[f"{p}.attention_norm2.weight"]))
+
+    h = _rms(xt, _t(w[f"{p}.ffn_norm1.weight"])) * (1 + sc_mlp)
+    ff = torch.nn.functional.silu(
+        h @ _t(w[f"{p}.feed_forward.w1.weight"]).T) \
+        * (h @ _t(w[f"{p}.feed_forward.w3.weight"]).T)
+    ff = ff @ _t(w[f"{p}.feed_forward.w2.weight"]).T
+    xt = xt + g_mlp * _rms(ff, _t(w[f"{p}.ffn_norm2.weight"]))
+
+    cfg = lumina2.Lumina2Config(dim=D, n_layers=1, n_refiner=0,
+                                n_heads=Hn, axes_dim=AX)
+    jp = {k2: jnp.asarray(v2) for k2, v2 in w.items()}
+    pe = lumina2._rope(jnp.asarray(ids), AX)
+    j = lumina2._block(jp, p, jnp.asarray(x0), jnp.asarray(vec), pe, cfg,
+                       F32)
+    np.testing.assert_allclose(np.asarray(j), xt.numpy(), rtol=3e-4,
+                               atol=3e-4)
