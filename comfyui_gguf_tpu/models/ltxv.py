@@ -2,8 +2,11 @@
 
 PixArt-lineage video transformer: per-block learned ``scale_shift_table``
 added to a single shared adaLN projection (``adaln_single``), RMS-normed
-modulated self-attention with 3-axis RoPE, un-modulated cross-attention to
-T5 states, gelu-approx feed-forward, 2-chunk modulated projection head.
+modulated self-attention with 3-axis RoPE (qk-norm applied ACROSS heads —
+one RMS over the full inner dim, weight ``(dim,)`` — per the published
+implementation; a per-head ``(head_dim,)`` weight is also accepted),
+un-modulated cross-attention to T5 states, gelu-approx feed-forward,
+2-chunk modulated projection head.
 The reference's quantizer keeps ``scale_shift_table``/``adaln_single``/
 ``caption_projection``/``patchify_proj``/``proj_out`` unquantized
 (reference tools/lcpp.patch:369-376) and its converter stores
@@ -85,13 +88,25 @@ def _heads(x, n):
 
 
 def _attention(params, p, xq, xkv, n_heads, qcfg, pe=None):
-    q = _heads(linear(xq, params[f"{p}.to_q.weight"],
-                      params.get(f"{p}.to_q.bias"), cfg=qcfg), n_heads)
-    k = _heads(linear(xkv, params[f"{p}.to_k.weight"],
-                      params.get(f"{p}.to_k.bias"), cfg=qcfg), n_heads)
-    v = _heads(linear(xkv, params[f"{p}.to_v.weight"],
-                      params.get(f"{p}.to_v.bias"), cfg=qcfg), n_heads)
+    q = linear(xq, params[f"{p}.to_q.weight"],
+               params.get(f"{p}.to_q.bias"), cfg=qcfg)
+    k = linear(xkv, params[f"{p}.to_k.weight"],
+               params.get(f"{p}.to_k.bias"), cfg=qcfg)
+    v = linear(xkv, params[f"{p}.to_v.weight"],
+               params.get(f"{p}.to_v.bias"), cfg=qcfg)
+    # qk-norm: LTXV's published impl normalizes ACROSS heads (one RMS
+    # over the full inner dim, weight (dim,)) before the head split;
+    # dispatch on the stored weight's length so a per-head (head_dim,)
+    # variant also works
     if f"{p}.q_norm.weight" in params:
+        qn, kn = params[f"{p}.q_norm.weight"], params[f"{p}.k_norm.weight"]
+        qn_len = int(np.prod(getattr(qn, "shape", np.shape(qn))))
+        if qn_len == q.shape[-1]:  # across heads, pre-split
+            q = rms_norm(q, qn, eps=1e-6)
+            k = rms_norm(k, kn, eps=1e-6)
+    q, k, v = _heads(q, n_heads), _heads(k, n_heads), _heads(v, n_heads)
+    if (f"{p}.q_norm.weight" in params
+            and qn_len == q.shape[-1]):  # per-head, post-split
         q = rms_norm(q, params[f"{p}.q_norm.weight"], eps=1e-6)
         k = rms_norm(k, params[f"{p}.k_norm.weight"], eps=1e-6)
     if pe is not None:

@@ -766,3 +766,132 @@ def test_lumina2_layer_golden():
                        F32)
     np.testing.assert_allclose(np.asarray(j), xt.numpy(), rtol=3e-4,
                                atol=3e-4)
+
+
+# ---------------------------------------------------------------------------
+# LTX-Video full forward, 1 block (PixArt-lineage adaLN-single: per-block
+# scale_shift_table + shared 6-chunk timestep projection, across-heads
+# RMS qk-norm, un-normed un-modulated cross-attention, gelu-approx FF,
+# 2-chunk [shift, scale] projection head)
+# ---------------------------------------------------------------------------
+
+def test_ltxv_forward_golden():
+    from comfyui_gguf_tpu.models import ltxv
+
+    rng = np.random.default_rng(51)
+    D, Hn = 96, 2
+    hd = D // Hn
+    AX = (16, 16, 16)  # axes_dim for head_dim 48: (48-2*16, 16, 16)
+    FF = 256
+    L, Lc, CAP, IN = 10, 4, 64, 32
+    p = "transformer_blocks.0"
+
+    w = {
+        f"{p}.scale_shift_table": _rand(rng, 6, D),
+        "scale_shift_table": _rand(rng, 2, D),
+        "patchify_proj.weight": _rand(rng, D, IN),
+        "patchify_proj.bias": _rand(rng, D),
+        "proj_out.weight": _rand(rng, IN, D),
+        "proj_out.bias": _rand(rng, IN),
+        "adaln_single.emb.timestep_embedder.linear_1.weight":
+            _rand(rng, D, 256),
+        "adaln_single.emb.timestep_embedder.linear_1.bias": _rand(rng, D),
+        "adaln_single.emb.timestep_embedder.linear_2.weight":
+            _rand(rng, D, D),
+        "adaln_single.emb.timestep_embedder.linear_2.bias": _rand(rng, D),
+        "adaln_single.linear.weight": _rand(rng, 6 * D, D),
+        "adaln_single.linear.bias": _rand(rng, 6 * D),
+        "caption_projection.linear_1.weight": _rand(rng, D, CAP),
+        "caption_projection.linear_1.bias": _rand(rng, D),
+        "caption_projection.linear_2.weight": _rand(rng, D, D),
+        "caption_projection.linear_2.bias": _rand(rng, D),
+    }
+    for attn in ("attn1", "attn2"):
+        for n in ("to_q", "to_k", "to_v"):
+            w[f"{p}.{attn}.{n}.weight"] = _rand(rng, D, D)
+            w[f"{p}.{attn}.{n}.bias"] = _rand(rng, D)
+        w[f"{p}.{attn}.to_out.0.weight"] = _rand(rng, D, D)
+        w[f"{p}.{attn}.to_out.0.bias"] = _rand(rng, D)
+        # ACROSS-heads qk-norm: weight over the full inner dim
+        w[f"{p}.{attn}.q_norm.weight"] = _rand(rng, D) + 1
+        w[f"{p}.{attn}.k_norm.weight"] = _rand(rng, D) + 1
+    w[f"{p}.ff.net.0.proj.weight"] = _rand(rng, FF, D)
+    w[f"{p}.ff.net.0.proj.bias"] = _rand(rng, FF)
+    w[f"{p}.ff.net.2.weight"] = _rand(rng, D, FF)
+    w[f"{p}.ff.net.2.bias"] = _rand(rng, D)
+
+    tok0 = _rand(rng, 1, L, IN)
+    cap0 = _rand(rng, 1, Lc, CAP)
+    tstep = np.array([0.4], np.float32)
+    ids = np.zeros((1, L, 3), np.int32)
+    ids[0, :, 0] = np.arange(L)
+    ids[0, :, 1] = np.arange(L) % 2
+    ids[0, :, 2] = np.arange(L) % 4
+
+    def rope_pairs(x):
+        cos, sin = _torch_rope_table(ids, AX)
+        xe, xo = x[..., 0::2], x[..., 1::2]
+        c, s = cos[:, None], sin[:, None]
+        return torch.stack([xe * c - xo * s, xe * s + xo * c],
+                           dim=-1).reshape(x.shape)
+
+    def t_rms(x, weight=None, eps=1e-6):
+        v = x.float().pow(2).mean(-1, keepdim=True)
+        y = x * torch.rsqrt(v + eps)
+        return y if weight is None else y * weight
+
+    def lin(name, x):
+        return x @ _t(w[f"{name}.weight"]).T + _t(w[f"{name}.bias"])
+
+    def t_attn(attn, xq, xkv, rope):
+        pf = f"{p}.{attn}"
+        q = t_rms(lin(f"{pf}.to_q", xq), _t(w[f"{pf}.q_norm.weight"]))
+        k = t_rms(lin(f"{pf}.to_k", xkv), _t(w[f"{pf}.k_norm.weight"]))
+        v = lin(f"{pf}.to_v", xkv)
+        q, k, v = _heads(q, Hn), _heads(k, Hn), _heads(v, Hn)
+        if rope:
+            q, k = rope_pairs(q), rope_pairs(k)
+        return _unheads(_sdpa(q, k, v)) @ _t(
+            w[f"{pf}.to_out.0.weight"]).T + _t(w[f"{pf}.to_out.0.bias"])
+
+    # torch forward, independently derived
+    xt = _t(tok0) @ _t(w["patchify_proj.weight"]).T \
+        + _t(w["patchify_proj.bias"])
+    half = 128
+    tt = torch.tensor(tstep) * 1000.0
+    freqs = torch.exp(-np.log(10_000.0)
+                      * torch.arange(half, dtype=torch.float32) / half)
+    sincos = torch.cat([torch.cos(tt[:, None] * freqs[None]),
+                        torch.sin(tt[:, None] * freqs[None])], dim=-1)
+    e = lin("adaln_single.emb.timestep_embedder.linear_1", sincos)
+    e = lin("adaln_single.emb.timestep_embedder.linear_2",
+            torch.nn.functional.silu(e))
+    e6 = lin("adaln_single.linear", torch.nn.functional.silu(e))
+
+    ct = lin("caption_projection.linear_1", _t(cap0))
+    ct = lin("caption_projection.linear_2",
+             torch.nn.functional.gelu(ct, approximate="tanh"))
+
+    ss = _t(w[f"{p}.scale_shift_table"])[None] + e6.reshape(1, 6, D)
+    sh1, sc1, g1, sh2, sc2, g2 = [ss[:, j][:, None] for j in range(6)]
+    h = t_rms(xt) * (1 + sc1) + sh1
+    xt = xt + g1 * t_attn("attn1", h, h, True)
+    xt = xt + t_attn("attn2", xt, ct, False)
+    h = t_rms(xt) * (1 + sc2) + sh2
+    h = torch.nn.functional.gelu(
+        h @ _t(w[f"{p}.ff.net.0.proj.weight"]).T
+        + _t(w[f"{p}.ff.net.0.proj.bias"]), approximate="tanh")
+    xt = xt + g2 * (h @ _t(w[f"{p}.ff.net.2.weight"]).T
+                    + _t(w[f"{p}.ff.net.2.bias"]))
+    fin = _t(w["scale_shift_table"])[None] + e.reshape(1, 1, D)
+    xt = t_rms(xt) * (1 + fin[:, 1][:, None]) + fin[:, 0][:, None]
+    xt = xt @ _t(w["proj_out.weight"]).T + _t(w["proj_out.bias"])
+
+    # the real jax forward
+    cfg = ltxv.LTXVConfig(dim=D, n_layers=1, n_heads=Hn, in_channels=IN,
+                          caption_dim=CAP, head_dim=hd)
+    jp = {k2: jnp.asarray(v2) for k2, v2 in w.items()}
+    j = ltxv.forward(jp, cfg, jnp.asarray(tok0), jnp.asarray(ids),
+                     jnp.asarray(cap0), jnp.asarray(tstep), qcfg=F32)
+    np.testing.assert_allclose(np.asarray(j), xt.numpy(), rtol=3e-4,
+                               atol=3e-4)
