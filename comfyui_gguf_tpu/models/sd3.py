@@ -105,29 +105,34 @@ def _modulation(params, prefix, vec, n, qcfg):
     return jnp.split(out[:, None, :], n, axis=-1)
 
 
-def _joint_block(params, i, ctx, x, vec, cfg: SD3Config, qcfg):
-    cb = f"joint_blocks.{i}.context_block"
-    xb = f"joint_blocks.{i}.x_block"
+def _joint_block(p: dict, ctx, x, vec, cfg: SD3Config, qcfg):
+    """One MMDiT joint block over its UNPREFIXED param subtree ``p``
+    (scan-compatible, flux._double_block style: the same function runs
+    under lax.scan with stacked params in forward_stacked and in the
+    python loop in forward). pre_only / dual-attention are detected from
+    the subtree's key set."""
+    cb = "context_block"
+    xb = "x_block"
     H = cfg.n_heads
-    pre_only = f"{cb}.attn.proj.weight" not in params
-    dual = i in cfg.dual_attn_layers
+    pre_only = f"{cb}.attn.proj.weight" not in p
+    dual = f"{xb}.attn2.qkv.weight" in p
 
     if pre_only:
-        c_shift, c_scale = _modulation(params, cb, vec, 2, qcfg)
+        c_shift, c_scale = _modulation(p, cb, vec, 2, qcfg)
     else:
         (c_shift, c_scale, c_gate, c_shift2, c_scale2,
-         c_gate2) = _modulation(params, cb, vec, 6, qcfg)
+         c_gate2) = _modulation(p, cb, vec, 6, qcfg)
     n_x = 9 if dual else 6
-    xm = _modulation(params, xb, vec, n_x, qcfg)
+    xm = _modulation(p, xb, vec, n_x, qcfg)
     (x_shift, x_scale, x_gate, x_shift2, x_scale2, x_gate2) = xm[:6]
 
     ctx_mod = layer_norm(ctx, eps=1e-6) * (1 + c_scale) + c_shift
     x_norm = layer_norm(x, eps=1e-6)
     x_mod = x_norm * (1 + x_scale) + x_shift
 
-    cq, ck, cv = _qkv_heads(params, f"{cb}.attn", ctx_mod, H, cfg.qk_norm,
+    cq, ck, cv = _qkv_heads(p, f"{cb}.attn", ctx_mod, H, cfg.qk_norm,
                             qcfg)
-    xq, xk, xv = _qkv_heads(params, f"{xb}.attn", x_mod, H, cfg.qk_norm,
+    xq, xk, xv = _qkv_heads(p, f"{xb}.attn", x_mod, H, cfg.qk_norm,
                             qcfg)
     q = jnp.concatenate([cq, xq], axis=2)
     k = jnp.concatenate([ck, xk], axis=2)
@@ -138,22 +143,22 @@ def _joint_block(params, i, ctx, x, vec, cfg: SD3Config, qcfg):
     Lc = ctx.shape[1]
     c_attn, x_attn = attn[:, :, :Lc], attn[:, :, Lc:]
 
-    x = x + x_gate * _attn_out(x_attn, params, f"{xb}.attn", qcfg)
+    x = x + x_gate * _attn_out(x_attn, p, f"{xb}.attn", qcfg)
     if dual:
         x2_shift, x2_scale, x2_gate = xm[6:]
         x_mod2 = x_norm * (1 + x2_scale) + x2_shift
-        q2, k2, v2 = _qkv_heads(params, f"{xb}.attn2", x_mod2, H,
+        q2, k2, v2 = _qkv_heads(p, f"{xb}.attn2", x_mod2, H,
                                 cfg.qk_norm, qcfg)
         attn2 = dot_product_attention(q2, k2, v2)
-        x = x + x2_gate * _attn_out(attn2, params, f"{xb}.attn2", qcfg)
+        x = x + x2_gate * _attn_out(attn2, p, f"{xb}.attn2", qcfg)
     h = layer_norm(x, eps=1e-6) * (1 + x_scale2) + x_shift2
-    x = x + x_gate2 * _mlp(params, xb, h, qcfg)
+    x = x + x_gate2 * _mlp(p, xb, h, qcfg)
 
     if pre_only:
         return None, x
-    ctx = ctx + c_gate * _attn_out(c_attn, params, f"{cb}.attn", qcfg)
+    ctx = ctx + c_gate * _attn_out(c_attn, p, f"{cb}.attn", qcfg)
     h = layer_norm(ctx, eps=1e-6) * (1 + c_scale2) + c_shift2
-    ctx = ctx + c_gate2 * _mlp(params, cb, h, qcfg)
+    ctx = ctx + c_gate2 * _mlp(p, cb, h, qcfg)
     return ctx, x
 
 
@@ -171,11 +176,8 @@ def cropped_pos_embed(params, cfg: SD3Config, h_tok: int,
     return crop.reshape(1, h_tok * w_tok, -1)
 
 
-def forward(params, cfg: SD3Config, latent: jax.Array, context: jax.Array,
-            pooled: jax.Array, timesteps: jax.Array,
-            qcfg: QuantConfig = DEFAULT_CONFIG) -> jax.Array:
-    """latent (B, H, W, C) NHWC, context (B, L, context_dim),
-    pooled (B, pooled_dim), timesteps (B,) in [0, 1] → velocity latent."""
+def _prelude(params, cfg: SD3Config, latent, context, pooled, timesteps,
+             qcfg):
     B, Hh, Ww, C = latent.shape
     p = cfg.patch_size
     h_tok, w_tok = Hh // p, Ww // p
@@ -197,13 +199,20 @@ def forward(params, cfg: SD3Config, latent: jax.Array, context: jax.Array,
     temb = timestep_embedding(timesteps, 256)
     vec = _timestep_mlp(params, "t_embedder", temb, qcfg)
     vec = vec + _timestep_mlp(params, "y_embedder", pooled, qcfg)
+    # keep the conditioning vector in activation dtype — the f32 timestep
+    # embedding must not promote every modulated stream to f32 (and the
+    # scan carry dtype must stay fixed)
+    vec = vec.astype(x.dtype)
 
     ctx = linear(context, params["context_embedder.weight"],
                  params.get("context_embedder.bias"), cfg=qcfg)
+    return ctx, x, vec, (h_tok, w_tok)
 
-    for i in range(cfg.depth):
-        ctx, x = _joint_block(params, i, ctx, x, vec, cfg, qcfg)
 
+def _final(params, cfg: SD3Config, x, vec, toks, qcfg):
+    h_tok, w_tok = toks
+    B = x.shape[0]
+    p = cfg.patch_size
     v = jax.nn.silu(vec.astype(jnp.float32)).astype(vec.dtype)
     mod = linear(v, params["final_layer.adaLN_modulation.1.weight"],
                  params.get("final_layer.adaLN_modulation.1.bias"), cfg=qcfg)
@@ -213,6 +222,73 @@ def forward(params, cfg: SD3Config, latent: jax.Array, context: jax.Array,
                  params.get("final_layer.linear.bias"), cfg=qcfg)
 
     # unpatchify: token vectors are (ph, pw, C)-ordered (MMDiT convention)
+    C = out.shape[-1] // (p * p)
     out = out.reshape(B, h_tok, w_tok, p, p, C)
-    out = out.transpose(0, 1, 3, 2, 4, 5).reshape(B, Hh, Ww, C)
+    out = out.transpose(0, 1, 3, 2, 4, 5).reshape(B, h_tok * p, w_tok * p, C)
     return out
+
+
+def forward(params, cfg: SD3Config, latent: jax.Array, context: jax.Array,
+            pooled: jax.Array, timesteps: jax.Array,
+            qcfg: QuantConfig = DEFAULT_CONFIG) -> jax.Array:
+    """latent (B, H, W, C) NHWC, context (B, L, context_dim),
+    pooled (B, pooled_dim), timesteps (B,) in [0, 1] → velocity latent."""
+    from .flux import block_subtree
+
+    ctx, x, vec, toks = _prelude(params, cfg, latent, context, pooled,
+                                 timesteps, qcfg)
+    for i in range(cfg.depth):
+        ctx, x = _joint_block(block_subtree(params, f"joint_blocks.{i}."),
+                              ctx, x, vec, cfg, qcfg)
+    return _final(params, cfg, x, vec, toks, qcfg)
+
+
+def stack_sd3_params(params: dict, cfg: SD3Config) -> dict:
+    """Flat GGUF-keyed params → {non-block keys, "joint_blocks": stacked
+    subtree over the homogeneous depth-1 prefix, "joint_blocks_last":
+    the final (pre-only context) block kept flat}.
+
+    Requires a homogeneous prefix: dual-attention layers (sd3.5-medium)
+    have extra ``attn2`` keys and cannot be depth-stacked — use the
+    unrolled forward() for those checkpoints."""
+    from .flux import block_subtree
+
+    if cfg.dual_attn_layers:
+        raise ValueError("dual-attention layers break block homogeneity; "
+                         "use forward() for sd3.5-medium checkpoints")
+    out = {k: v for k, v in params.items()
+           if not k.startswith("joint_blocks.")}
+    subs = [block_subtree(params, f"joint_blocks.{i}.")
+            for i in range(cfg.depth - 1)]
+    keysets = {frozenset(s) for s in subs}
+    if len(keysets) > 1:
+        raise ValueError("non-homogeneous joint blocks; use forward()")
+    out["joint_blocks"] = (jax.tree.map(lambda *xs: jnp.stack(xs), *subs)
+                           if subs else {})
+    out["joint_blocks_last"] = block_subtree(params,
+                                             f"joint_blocks.{cfg.depth - 1}.")
+    return out
+
+
+def forward_stacked(sparams: dict, cfg: SD3Config, latent: jax.Array,
+                    context: jax.Array, pooled: jax.Array,
+                    timesteps: jax.Array,
+                    qcfg: QuantConfig = DEFAULT_CONFIG) -> jax.Array:
+    """forward() over stack_sd3_params() output — identical math, one
+    lax.scan over the homogeneous joint-block prefix (zero-copy packed
+    weights via IndexedQuant scalar prefetch, flux.scan_blocks) plus the
+    unrolled pre-only final block."""
+    from .flux import scan_blocks
+
+    ctx, x, vec, toks = _prelude(sparams, cfg, latent, context, pooled,
+                                 timesteps, qcfg)
+
+    def body(carry, bp):
+        c, t = carry
+        return _joint_block(bp, c, t, vec, cfg, qcfg)
+
+    ctx, x = scan_blocks(sparams["joint_blocks"], body, (ctx, x),
+                         cfg.depth - 1)
+    _, x = _joint_block(sparams["joint_blocks_last"], ctx, x, vec, cfg,
+                        qcfg)
+    return _final(sparams, cfg, x, vec, toks, qcfg)

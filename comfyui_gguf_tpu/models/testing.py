@@ -311,3 +311,154 @@ def flux_example_inputs(dims: TinyFluxDims, batch: int = 1, h_lat: int = 8,
     y = jnp.asarray(rng.standard_normal((batch, dims.vec)), dtype)
     g = jnp.full((batch,), 4.0, jnp.float32)
     return img, img_ids, txt, txt_ids, t, y, g
+
+
+# ---------------------------------------------------------------------------
+# SD3 / SD3.5 (MMDiT)
+# ---------------------------------------------------------------------------
+
+@dataclasses.dataclass(frozen=True)
+class TinySD3Dims:
+    hidden: int = 64
+    heads: int = 2
+    depth: int = 3
+    ctx_dim: int = 32
+    pooled: int = 16
+    in_ch: int = 16
+    pos_max: int = 8
+    qk_norm: bool = True
+
+    def config(self):
+        from .sd3 import SD3Config
+
+        return SD3Config(
+            hidden=self.hidden, depth=self.depth, n_heads=self.heads,
+            in_channels=self.in_ch, context_dim=self.ctx_dim,
+            pooled_dim=self.pooled, pos_embed_max=self.pos_max,
+            qk_norm=self.qk_norm)
+
+
+# sd3.5-large real dims (8B params): hidden 2432, 38 heads, 38 joint blocks
+SD35_LARGE_DIMS = TinySD3Dims(
+    hidden=2432, heads=38, depth=38, ctx_dim=4096, pooled=2048,
+    in_ch=16, pos_max=192, qk_norm=True)
+
+
+def _sd3_nonblock(dims: TinySD3Dims, rng, dense):
+    """Non-block keys (the reference quantizer excludes all of these —
+    lcpp.patch sd3 rules — so they stay dense here too)."""
+    HID, P, C = dims.hidden, 2, dims.in_ch
+    return {
+        "x_embedder.proj.weight": dense(HID, C, P, P),
+        "x_embedder.proj.bias": dense(HID),
+        "pos_embed": dense(1, dims.pos_max * dims.pos_max, HID),
+        "t_embedder.mlp.0.weight": dense(HID, 256),
+        "t_embedder.mlp.0.bias": dense(HID),
+        "t_embedder.mlp.2.weight": dense(HID, HID),
+        "t_embedder.mlp.2.bias": dense(HID),
+        "y_embedder.mlp.0.weight": dense(HID, dims.pooled),
+        "y_embedder.mlp.0.bias": dense(HID),
+        "y_embedder.mlp.2.weight": dense(HID, HID),
+        "y_embedder.mlp.2.bias": dense(HID),
+        "context_embedder.weight": dense(HID, dims.ctx_dim),
+        "context_embedder.bias": dense(HID),
+        "final_layer.linear.weight": dense(P * P * C, HID),
+        "final_layer.linear.bias": dense(P * P * C),
+        "final_layer.adaLN_modulation.1.weight": dense(2 * HID, HID),
+        "final_layer.adaLN_modulation.1.bias": dense(2 * HID),
+    }
+
+
+def _sd3_block_leaves(dims: TinySD3Dims, packed, dense, pre_only: bool):
+    """One joint block's relative-keyed leaves (n=None → unstacked)."""
+    HID = dims.hidden
+    hd = HID // dims.heads
+    w = {}
+    for blk in ("context_block", "x_block"):
+        po = pre_only and blk == "context_block"
+        w[f"{blk}.attn.qkv.weight"] = packed(3 * HID, HID)
+        w[f"{blk}.attn.qkv.bias"] = dense(3 * HID)
+        if dims.qk_norm:
+            w[f"{blk}.attn.ln_q.weight"] = dense(hd)
+            w[f"{blk}.attn.ln_k.weight"] = dense(hd)
+        w[f"{blk}.adaLN_modulation.1.weight"] = packed(
+            (2 if po else 6) * HID, HID)
+        w[f"{blk}.adaLN_modulation.1.bias"] = dense((2 if po else 6) * HID)
+        if not po:
+            w[f"{blk}.attn.proj.weight"] = packed(HID, HID)
+            w[f"{blk}.attn.proj.bias"] = dense(HID)
+            w[f"{blk}.mlp.fc1.weight"] = packed(4 * HID, HID)
+            w[f"{blk}.mlp.fc1.bias"] = dense(4 * HID)
+            w[f"{blk}.mlp.fc2.weight"] = packed(HID, 4 * HID)
+            w[f"{blk}.mlp.fc2.bias"] = dense(HID)
+    return w
+
+
+def sd3_random_quant_params(dims: TinySD3Dims, qtype=Q.Q4_K, seed: int = 0,
+                            device=None) -> dict:
+    """Flat (joint_blocks.{i}.-keyed) sd3 params with random packed block
+    weights at real layout; final block pre-only like real checkpoints."""
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(seed)
+
+    def dense(*shape):
+        dt = jnp.float32 if len(shape) <= 1 else jnp.bfloat16
+        return jnp.asarray(
+            (rng.standard_normal(shape) * 0.02).astype(np.float32), dtype=dt)
+
+    def packed(r, k):
+        return random_planar(qtype, (r, k), rng, device=device)
+
+    params = _sd3_nonblock(dims, rng, dense)
+    for i in range(dims.depth):
+        blk = _sd3_block_leaves(dims, packed, dense,
+                                pre_only=(i == dims.depth - 1))
+        params.update({f"joint_blocks.{i}.{k}": v for k, v in blk.items()})
+    return params
+
+
+def sd3_random_stacked_params(dims: TinySD3Dims, qtype=Q.Q4_K,
+                              seed: int = 0, device=None) -> dict:
+    """Full-depth sd3 params in stack_sd3_params layout, packed weights
+    generated DIRECTLY stacked (no transient 2x HBM; see
+    flux_random_stacked_params)."""
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(seed)
+    n = dims.depth - 1
+
+    def dense(*shape):
+        dt = jnp.float32 if len(shape) <= 1 else jnp.bfloat16
+        return jnp.asarray(
+            (rng.standard_normal(shape) * 0.02).astype(np.float32), dtype=dt)
+
+    params = _sd3_nonblock(dims, rng, dense)
+    params["joint_blocks"] = _sd3_block_leaves(
+        dims,
+        packed=lambda r, k: random_planar(qtype, (r, k), rng, device=device,
+                                          stack=n),
+        dense=lambda *s: dense(n, *s), pre_only=False)
+    params["joint_blocks_last"] = _sd3_block_leaves(
+        dims,
+        packed=lambda r, k: random_planar(qtype, (r, k), rng,
+                                          device=device),
+        dense=dense, pre_only=True)
+    return params
+
+
+def sd3_example_inputs(dims: TinySD3Dims, batch: int = 1, h_lat: int = 16,
+                       w_lat: int = 16, ctx_len: int = 16, seed: int = 1,
+                       dtype=None):
+    """(latent, context, pooled, t) matching sd3.forward."""
+    import jax.numpy as jnp
+
+    dtype = dtype or jnp.bfloat16
+    rng = np.random.default_rng(seed)
+    latent = jnp.asarray(
+        rng.standard_normal((batch, h_lat, w_lat, dims.in_ch)), dtype)
+    context = jnp.asarray(
+        rng.standard_normal((batch, ctx_len, dims.ctx_dim)), dtype)
+    pooled = jnp.asarray(rng.standard_normal((batch, dims.pooled)), dtype)
+    t = jnp.full((batch,), 0.7, jnp.float32)
+    return latent, context, pooled, t

@@ -303,8 +303,9 @@ def test_sd3_joint_block_golden(qk_norm):
     want_x = stream(xb, xt, xa, xm_)
 
     cfg = sd3.SD3Config(hidden=D, depth=1, n_heads=Hn, qk_norm=qk_norm)
-    p = {k2: jnp.asarray(v2) for k2, v2 in w.items()}
-    got_ctx, got_x = sd3._joint_block(p, 0, jnp.asarray(ctx),
+    p = {k2.removeprefix("joint_blocks.0."): jnp.asarray(v2)
+         for k2, v2 in w.items()}
+    got_ctx, got_x = sd3._joint_block(p, jnp.asarray(ctx),
                                       jnp.asarray(x), jnp.asarray(vec),
                                       cfg, F32)
     np.testing.assert_allclose(np.asarray(got_x), want_x.numpy(),

@@ -150,3 +150,49 @@ def test_pos_embed_crop_center():
     grid = pe.reshape(POSMAX, POSMAX, 4)
     want = grid[2:6, 2:6].reshape(1, 16, 4)
     np.testing.assert_array_equal(crop, want)
+
+
+def test_sd3_forward_stacked_matches_unrolled():
+    """stack_sd3_params + forward_stacked (scan over the homogeneous
+    prefix, unrolled pre-only tail) == unrolled forward, exactly."""
+    import jax
+    import jax.numpy as jnp
+
+    from comfyui_gguf_tpu.models import sd3, testing
+    from comfyui_gguf_tpu.nn.layers import QuantConfig
+
+    dims = testing.TinySD3Dims(depth=4)
+    cfg = dims.config()
+    params = testing.sd3_random_quant_params(dims, seed=3)
+    inputs = testing.sd3_example_inputs(dims, h_lat=8, w_lat=8, ctx_len=8)
+    qcfg = QuantConfig()
+
+    ref = jax.jit(lambda p, *a: sd3.forward(p, cfg, *a, qcfg=qcfg))(
+        params, *inputs)
+    sp = sd3.stack_sd3_params(params, cfg)
+    got = jax.jit(lambda p, *a: sd3.forward_stacked(p, cfg, *a,
+                                                    qcfg=qcfg))(sp, *inputs)
+    assert got.shape == ref.shape
+    # scan compiles/fuses differently than the unrolled loop — bf16-level
+    # tolerance, same policy as test_flux.py::test_forward_stacked_*
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-2, atol=2e-2)
+    assert float(abs(got - ref).max()) < 0.05
+
+
+def test_sd3_stacked_generator_runs():
+    """Direct-stacked generator feeds forward_stacked (shape + finite)."""
+    import jax
+    import jax.numpy as jnp
+
+    from comfyui_gguf_tpu.models import sd3, testing
+    from comfyui_gguf_tpu.nn.layers import QuantConfig
+
+    dims = testing.TinySD3Dims(depth=3)
+    cfg = dims.config()
+    sp = testing.sd3_random_stacked_params(dims, seed=5)
+    inputs = testing.sd3_example_inputs(dims, h_lat=8, w_lat=8, ctx_len=8)
+    out = jax.jit(lambda p, *a: sd3.forward_stacked(
+        p, cfg, *a, qcfg=QuantConfig()))(sp, *inputs)
+    assert out.shape == inputs[0].shape
+    assert bool(jnp.isfinite(out.astype(jnp.float32)).all())
