@@ -896,3 +896,299 @@ def test_ltxv_forward_golden():
                      jnp.asarray(cap0), jnp.asarray(tstep), qcfg=F32)
     np.testing.assert_allclose(np.asarray(j), xt.numpy(), rtol=3e-4,
                                atol=3e-4)
+
+
+# ---------------------------------------------------------------------------
+# Wan 2.1 (video DiT)
+# ---------------------------------------------------------------------------
+
+def _wan_rope_complex(f, h, w, hd):
+    """Wan's rope table derived via the published complex-polar form:
+    per-axis rope_params tables (t: hd-4*(hd//6), h/w: 2*(hd//6) dims),
+    grid-expanded and concatenated along the half-dim axis → (L, 1, hd/2)
+    complex. Independent of the JAX cos/sin formulation."""
+    def params(n, d):
+        ang = torch.outer(
+            torch.arange(n, dtype=torch.float64),
+            1.0 / torch.pow(torch.tensor(10_000.0, dtype=torch.float64),
+                            torch.arange(0, d, 2, dtype=torch.float64) / d))
+        return torch.polar(torch.ones_like(ang), ang)  # (n, d/2)
+
+    d_hw = 2 * (hd // 6)
+    d_t = hd - 2 * d_hw
+    ft, fh, fw = params(f, d_t), params(h, d_hw), params(w, d_hw)
+    grid = torch.cat([
+        ft.view(f, 1, 1, -1).expand(f, h, w, -1),
+        fh.view(1, h, 1, -1).expand(f, h, w, -1),
+        fw.view(1, 1, w, -1).expand(f, h, w, -1),
+    ], dim=-1)
+    return grid.reshape(f * h * w, 1, -1)
+
+
+def _wan_apply_rope_t(x, freqs):
+    """x (B, Hn, L, D) → complex multiply on interleaved pairs (the
+    published view_as_complex path), float64 like the original."""
+    B, Hn, L, D = x.shape
+    xc = torch.view_as_complex(
+        x.permute(0, 2, 1, 3).double().reshape(B, L, Hn, D // 2, 2))
+    out = torch.view_as_real(xc * freqs.unsqueeze(0))
+    return out.reshape(B, L, Hn, D).permute(0, 2, 1, 3).float()
+
+
+def test_wan_block_golden():
+    """Wan 2.1 attention block vs an independent torch derivation of the
+    published architecture (Wan-Video/Wan2.1 wan/modules/model.py):
+    learned (1,6,dim) modulation table + time projection, full-dim RMS
+    qk-norm BEFORE the head split, complex-pair 3-D rope with
+    (hd-4*(hd//6), 2*(hd//6), 2*(hd//6)) axis dims, ungated cross
+    attention through an affine norm3, GELU-tanh FFN."""
+    from comfyui_gguf_tpu.models import wan
+
+    rng = np.random.default_rng(60)
+    D, Hn = 64, 2
+    hd = D // Hn
+    FF = 128
+    f, hh, ww = 2, 2, 2
+    L = f * hh * ww
+    Lc = 6
+    p = "blocks.0."
+
+    w = {p + "modulation": _rand(rng, 1, 6, D),
+         p + "norm3.weight": _rand(rng, D) + 1,
+         p + "norm3.bias": _rand(rng, D)}
+    for a in ("self_attn", "cross_attn"):
+        for n in ("q", "k", "v", "o"):
+            w[f"{p}{a}.{n}.weight"] = _rand(rng, D, D)
+            w[f"{p}{a}.{n}.bias"] = _rand(rng, D)
+        w[f"{p}{a}.norm_q.weight"] = _rand(rng, D) + 1
+        w[f"{p}{a}.norm_k.weight"] = _rand(rng, D) + 1
+    w[p + "ffn.0.weight"] = _rand(rng, FF, D)
+    w[p + "ffn.0.bias"] = _rand(rng, FF)
+    w[p + "ffn.2.weight"] = _rand(rng, D, FF)
+    w[p + "ffn.2.bias"] = _rand(rng, D)
+
+    x0 = _rand(rng, 1, L, D)
+    ctx0 = _rand(rng, 1, Lc, D)
+    e0 = _rand(rng, 1, 6 * D)
+
+    def lin(name, x):
+        return x @ _t(w[f"{p}{name}.weight"]).T + _t(w[f"{p}{name}.bias"])
+
+    def t_rms(x, weight, eps=1e-6):
+        v = x.float().pow(2).mean(-1, keepdim=True)
+        return x * torch.rsqrt(v + eps) * weight
+
+    freqs = _wan_rope_complex(f, hh, ww, hd)
+
+    xt = _t(x0)
+    ct = _t(ctx0)
+    mod = _t(w[p + "modulation"]) + _t(e0).reshape(1, 6, D)
+    e = [mod[:, j][:, None] for j in range(6)]
+
+    h = _ln(xt) * (1 + e[1]) + e[0]
+    q = _heads(t_rms(lin("self_attn.q", h),
+                     _t(w[p + "self_attn.norm_q.weight"])), Hn)
+    k = _heads(t_rms(lin("self_attn.k", h),
+                     _t(w[p + "self_attn.norm_k.weight"])), Hn)
+    v = _heads(lin("self_attn.v", h), Hn)
+    q = _wan_apply_rope_t(q, freqs)
+    k = _wan_apply_rope_t(k, freqs)
+    xt = xt + e[2] * lin("self_attn.o", _unheads(_sdpa(q, k, v)))
+
+    h = torch.nn.functional.layer_norm(
+        xt, (D,), _t(w[p + "norm3.weight"]), _t(w[p + "norm3.bias"]),
+        eps=1e-6)
+    q = _heads(t_rms(lin("cross_attn.q", h),
+                     _t(w[p + "cross_attn.norm_q.weight"])), Hn)
+    k = _heads(t_rms(lin("cross_attn.k", ct),
+                     _t(w[p + "cross_attn.norm_k.weight"])), Hn)
+    v = _heads(lin("cross_attn.v", ct), Hn)
+    xt = xt + lin("cross_attn.o", _unheads(_sdpa(q, k, v)))
+
+    h = _ln(xt) * (1 + e[4]) + e[3]
+    h = torch.nn.functional.gelu(lin("ffn.0", h), approximate="tanh")
+    xt = xt + e[5] * lin("ffn.2", h)
+
+    cfg = wan.WanConfig(dim=D, ffn_dim=FF, n_heads=Hn, n_layers=1)
+    jp = {k2: jnp.asarray(v2) for k2, v2 in w.items()}
+    pe = wan.rope_3d(f, hh, ww, (hd - 4 * (hd // 6),
+                                 2 * (hd // 6), 2 * (hd // 6)))
+    j = wan._block(jp, 0, jnp.asarray(x0), jnp.asarray(e0),
+                   jnp.asarray(ctx0), pe, cfg, F32)
+    np.testing.assert_allclose(np.asarray(j), xt.numpy(), rtol=3e-4,
+                               atol=3e-4)
+
+
+# ---------------------------------------------------------------------------
+# HunyuanVideo (flux-lineage video DiT, HYV naming)
+# ---------------------------------------------------------------------------
+
+def _hyvid_mod_t(w, key, vec, n):
+    out = torch.nn.functional.silu(vec) @ _t(w[f"{key}.linear.weight"]).T \
+        + _t(w[f"{key}.linear.bias"])
+    return [c[:, None] for c in out.chunk(n, dim=-1)]
+
+
+def test_hyvid_double_block_golden():
+    """HYV MMDoubleStreamBlock vs an independent torch derivation of the
+    published architecture (Tencent HunyuanVideo models.py): 6-chunk
+    img/txt modulation, flat qkv naming, PER-HEAD RMS qk-norm, rope on
+    image tokens only, image-first joint attention, GELU-tanh MLPs."""
+    from comfyui_gguf_tpu.models import hyvid
+
+    rng = np.random.default_rng(61)
+    D, Hn = 64, 2
+    hd = D // Hn
+    MLPD = 4 * D
+    f, hh, ww = 2, 2, 2
+    L = f * hh * ww
+    Lt = 6
+    AX = (hd - 2 * (2 * ((hd - hd // 8) // 4)),
+          2 * ((hd - hd // 8) // 4), 2 * ((hd - hd // 8) // 4))
+    p = "double_blocks.0."
+
+    w = {}
+    for s in ("img", "txt"):
+        w[f"{p}{s}_mod.linear.weight"] = _rand(rng, 6 * D, D)
+        w[f"{p}{s}_mod.linear.bias"] = _rand(rng, 6 * D)
+        w[f"{p}{s}_attn_qkv.weight"] = _rand(rng, 3 * D, D)
+        w[f"{p}{s}_attn_qkv.bias"] = _rand(rng, 3 * D)
+        w[f"{p}{s}_attn_q_norm.weight"] = _rand(rng, hd) + 1
+        w[f"{p}{s}_attn_k_norm.weight"] = _rand(rng, hd) + 1
+        w[f"{p}{s}_attn_proj.weight"] = _rand(rng, D, D)
+        w[f"{p}{s}_attn_proj.bias"] = _rand(rng, D)
+        w[f"{p}{s}_mlp.fc1.weight"] = _rand(rng, MLPD, D)
+        w[f"{p}{s}_mlp.fc1.bias"] = _rand(rng, MLPD)
+        w[f"{p}{s}_mlp.fc2.weight"] = _rand(rng, D, MLPD)
+        w[f"{p}{s}_mlp.fc2.bias"] = _rand(rng, D)
+
+    img0 = _rand(rng, 1, L, D)
+    txt0 = _rand(rng, 1, Lt, D)
+    vec0 = _rand(rng, 1, D)
+
+    # rope ids over the (f, h, w) voxel grid, adjacent-pair rotation
+    ids = np.stack(np.meshgrid(np.arange(f), np.arange(hh), np.arange(ww),
+                               indexing="ij"), axis=-1).reshape(1, L, 3)
+    cos, sin = _torch_rope_table(ids, AX)
+
+    def t_rms(x, weight, eps=1e-6):
+        v = x.float().pow(2).mean(-1, keepdim=True)
+        return x * torch.rsqrt(v + eps) * weight
+
+    im = _hyvid_mod_t(w, p + "img_mod", _t(vec0), 6)
+    tm = _hyvid_mod_t(w, p + "txt_mod", _t(vec0), 6)
+
+    img_m = _ln(_t(img0)) * (1 + im[1]) + im[0]
+    txt_m = _ln(_t(txt0)) * (1 + tm[1]) + tm[0]
+    iq, ik, iv = (_heads(a, Hn) for a in (
+        img_m @ _t(w[p + "img_attn_qkv.weight"]).T
+        + _t(w[p + "img_attn_qkv.bias"])).chunk(3, dim=-1))
+    tq, tk, tv = (_heads(a, Hn) for a in (
+        txt_m @ _t(w[p + "txt_attn_qkv.weight"]).T
+        + _t(w[p + "txt_attn_qkv.bias"])).chunk(3, dim=-1))
+    iq = t_rms(iq, _t(w[p + "img_attn_q_norm.weight"]))
+    ik = t_rms(ik, _t(w[p + "img_attn_k_norm.weight"]))
+    tq = t_rms(tq, _t(w[p + "txt_attn_q_norm.weight"]))
+    tk = t_rms(tk, _t(w[p + "txt_attn_k_norm.weight"]))
+    iq = _torch_apply_rope(iq, cos, sin)
+    ik = _torch_apply_rope(ik, cos, sin)
+    a = _unheads(_sdpa(torch.cat([iq, tq], dim=2),
+                       torch.cat([ik, tk], dim=2),
+                       torch.cat([iv, tv], dim=2)))
+    ia, ta = a[:, :L], a[:, L:]
+
+    it = _t(img0) + im[2] * (ia @ _t(w[p + "img_attn_proj.weight"]).T
+                             + _t(w[p + "img_attn_proj.bias"]))
+    h = _ln(it) * (1 + im[4]) + im[3]
+    h = torch.nn.functional.gelu(
+        h @ _t(w[p + "img_mlp.fc1.weight"]).T
+        + _t(w[p + "img_mlp.fc1.bias"]), approximate="tanh")
+    it = it + im[5] * (h @ _t(w[p + "img_mlp.fc2.weight"]).T
+                       + _t(w[p + "img_mlp.fc2.bias"]))
+
+    tt_ = _t(txt0) + tm[2] * (ta @ _t(w[p + "txt_attn_proj.weight"]).T
+                              + _t(w[p + "txt_attn_proj.bias"]))
+    h = _ln(tt_) * (1 + tm[4]) + tm[3]
+    h = torch.nn.functional.gelu(
+        h @ _t(w[p + "txt_mlp.fc1.weight"]).T
+        + _t(w[p + "txt_mlp.fc1.bias"]), approximate="tanh")
+    tt_ = tt_ + tm[5] * (h @ _t(w[p + "txt_mlp.fc2.weight"]).T
+                         + _t(w[p + "txt_mlp.fc2.bias"]))
+
+    cfg = hyvid.HyVidConfig(hidden=D, n_heads=Hn, depth_double=1,
+                            depth_single=0)
+    jp = {k2: jnp.asarray(v2) for k2, v2 in w.items()}
+    pe = hyvid.rope_3d(f, hh, ww, AX)
+    j_img, j_txt = hyvid._double_block(jp, 0, jnp.asarray(img0),
+                                       jnp.asarray(txt0), jnp.asarray(vec0),
+                                       pe, cfg, F32)
+    np.testing.assert_allclose(np.asarray(j_img), it.numpy(), rtol=3e-4,
+                               atol=3e-4)
+    np.testing.assert_allclose(np.asarray(j_txt), tt_.numpy(), rtol=3e-4,
+                               atol=3e-4)
+
+
+def test_hyvid_single_block_golden():
+    """HYV MMSingleStreamBlock vs an independent torch derivation:
+    3-chunk modulation, fused linear1 → (qkv | mlp) split, per-head RMS
+    qk-norm, rope on the image prefix only, linear2 over
+    concat(attn, gelu-tanh(mlp))."""
+    from comfyui_gguf_tpu.models import hyvid
+
+    rng = np.random.default_rng(62)
+    D, Hn = 64, 2
+    hd = D // Hn
+    MLPD = 4 * D
+    f, hh, ww = 2, 2, 2
+    L = f * hh * ww
+    Lt = 6
+    AX = (hd - 2 * (2 * ((hd - hd // 8) // 4)),
+          2 * ((hd - hd // 8) // 4), 2 * ((hd - hd // 8) // 4))
+    p = "single_blocks.0."
+
+    w = {
+        p + "modulation.linear.weight": _rand(rng, 3 * D, D),
+        p + "modulation.linear.bias": _rand(rng, 3 * D),
+        p + "linear1.weight": _rand(rng, 3 * D + MLPD, D),
+        p + "linear1.bias": _rand(rng, 3 * D + MLPD),
+        p + "linear2.weight": _rand(rng, D, D + MLPD),
+        p + "linear2.bias": _rand(rng, D),
+        p + "q_norm.weight": _rand(rng, hd) + 1,
+        p + "k_norm.weight": _rand(rng, hd) + 1,
+    }
+
+    x0 = _rand(rng, 1, L + Lt, D)
+    vec0 = _rand(rng, 1, D)
+    ids = np.stack(np.meshgrid(np.arange(f), np.arange(hh), np.arange(ww),
+                               indexing="ij"), axis=-1).reshape(1, L, 3)
+    cos, sin = _torch_rope_table(ids, AX)
+
+    def t_rms(x, weight, eps=1e-6):
+        v = x.float().pow(2).mean(-1, keepdim=True)
+        return x * torch.rsqrt(v + eps) * weight
+
+    sh, sc, g = _hyvid_mod_t(w, p + "modulation", _t(vec0), 3)
+    xm = _ln(_t(x0)) * (1 + sc) + sh
+    hcat = xm @ _t(w[p + "linear1.weight"]).T + _t(w[p + "linear1.bias"])
+    qkv, mlp_h = hcat[..., :3 * D], hcat[..., 3 * D:]
+    q, k, v = (_heads(a, Hn) for a in qkv.chunk(3, dim=-1))
+    q = t_rms(q, _t(w[p + "q_norm.weight"]))
+    k = t_rms(k, _t(w[p + "k_norm.weight"]))
+    q = torch.cat([_torch_apply_rope(q[:, :, :L], cos, sin), q[:, :, L:]],
+                  dim=2)
+    k = torch.cat([_torch_apply_rope(k[:, :, :L], cos, sin), k[:, :, L:]],
+                  dim=2)
+    a = _unheads(_sdpa(q, k, v))
+    act = torch.nn.functional.gelu(mlp_h, approximate="tanh")
+    out = torch.cat([a, act], dim=-1) @ _t(w[p + "linear2.weight"]).T \
+        + _t(w[p + "linear2.bias"])
+    want = _t(x0) + g * out
+
+    cfg = hyvid.HyVidConfig(hidden=D, n_heads=Hn, depth_double=0,
+                            depth_single=1)
+    jp = {k2: jnp.asarray(v2) for k2, v2 in w.items()}
+    pe = hyvid.rope_3d(f, hh, ww, AX)
+    j = hyvid._single_block(jp, 0, jnp.asarray(x0), jnp.asarray(vec0), pe,
+                            L, cfg, F32)
+    np.testing.assert_allclose(np.asarray(j), want.numpy(), rtol=3e-4,
+                               atol=3e-4)
