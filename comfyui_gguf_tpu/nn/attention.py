@@ -68,12 +68,16 @@ def _on_tpu() -> bool:
 
 
 def _flash_ok(q, k) -> bool:
-    # kernel wants lane-aligned head_dim and seq lengths
     B, H, Lq, D = q.shape
     Lk = k.shape[2]
-    # lane-odd lengths are handled by masked padding in the dispatcher,
-    # so only the head dim and a minimum size gate the kernel
-    return D % _LANE == 0 and Lq >= 512 and Lk >= 512
+    # lane-odd lengths are handled by masked padding in the dispatcher.
+    # head_dim: the in-tree kernel takes sub-lane dims natively (its
+    # l_broadcast slices l[:, :head_dim] when head_dim < 128) — e.g.
+    # sd3.5-large's hd=64 (2432/38). Gating hd<128 OUT sent sd3's joint
+    # attention to XLA, which materialized 38×4250² score tensors: 835 ms
+    # of fusion per step in the xplane profile, 5× the qmm time.
+    return ((D <= _LANE or D % _LANE == 0)
+            and Lq >= 512 and Lk >= 512)
 
 
 def _pad128(x, L):
@@ -116,6 +120,7 @@ def dot_product_attention(q: jax.Array, k: jax.Array, v: jax.Array,
         return out.transpose(0, 2, 1, 3)
 
     if (ATTN_IMPL == "splash" and _on_tpu() and _flash_ok(q, k)
+            and D % _LANE == 0  # splash not validated on sub-lane hd
             and Lq == Lk and Lq % _LANE == 0
             and Lq % SPLASH_BLOCK_Q == 0 and Lk <= 8192):
         # Lk cap: block_kv=Lk keeps whole-KV rows resident per q block

@@ -209,14 +209,30 @@ def _make_int8_kernel(*, gs, kt, rt, n_k, compute_dtype, has_offsets,
     return kernel
 
 
+def _lcm(a: int, b: int) -> int:
+    import math
+
+    return a * b // math.gcd(a, b)
+
+
+def _largest_divisor_tile(total: int, align: int, cap: int) -> int | None:
+    """Largest divisor of ``total`` that is a multiple of ``align`` and
+    ≤ ``cap`` (None if there is none). Tile dims must DIVIDE the array
+    dim (Mosaic block legality) — a fixed power-of-two candidate list
+    misses every legal tile of non-power-of-two dims like sd3.5-large's
+    2432/7296/1280."""
+    best = None
+    for d in range(align, min(total, cap) + 1, align):
+        if total % d == 0:
+            best = d
+    return best
+
+
 def _pick_kt(k_rows: int, gs: int) -> int | None:
     # Mosaic block legality: x block last dim -> kt % 128 == 0; scale
     # block sublanes -> (kt // gs) % 8 == 0. Smaller kt would need the
     # block to equal the full array dim, which defeats k-tiling.
-    for cand in (512, 256, 128):
-        if k_rows % cand == 0 and cand % (8 * gs) == 0:
-            return cand
-    return None
+    return _largest_divisor_tile(k_rows, _lcm(LANE, 8 * gs), 512)
 
 
 # overridable for autotuning (see tests/bench sweeps)
@@ -265,14 +281,16 @@ def _pick_tiles(m: int, k_rows: int, rp: int, gs: int,
     # k-loop accumulator revisits; docs/NOTES_ROUND2.md). kt=3072 blows
     # the 16 MB scoped-VMEM budget (measured compile OOM: 23.4 MB), so
     # 1536 is the ceiling; the estimate below keeps (mt, rt) honest.
-    kt = None
-    for cand in (1536, 512, 256, 128):
-        if k_rows % cand == 0 and cand % (8 * gs) == 0:
-            kt = cand
-            break
+    # Tiles are chosen as the LARGEST LEGAL DIVISOR under the cap, not
+    # from a fixed candidate list: non-power-of-two dims (sd3.5-large
+    # hidden 2432 → code rows 1280, qkv rp 7296 = 57·128) have no
+    # 512-series divisors at all and previously collapsed to kt=256 /
+    # rt=128 shallow tiles (measured 1134 ms step vs the ~1.7× fused
+    # advantage flux shapes get).
+    kt = _largest_divisor_tile(k_rows, _lcm(LANE, 8 * gs), 1536)
     mp2 = max(8, 1 << max(0, (m - 1)).bit_length()) if m > 0 else 8
     mt = min(512, mp2)
-    rt = next((c for c in (512, 256, LANE) if rp % c == 0), LANE)
+    rt = _largest_divisor_tile(rp, LANE, 512) or LANE
 
     def vmem_est(mt, kt, rt):
         # calibrated against the measured compile-OOM report (kt=3072,
@@ -288,8 +306,10 @@ def _pick_tiles(m: int, k_rows: int, rp: int, gs: int,
     while kt and vmem_est(mt, kt, rt) > budget:
         if kt > 512:
             # deep-kt over budget: drop to the next legal depth first
-            kt = next((c for c in (512, 256, 128)
-                       if k_rows % c == 0 and c % (8 * gs) == 0), 128)
+            shallow = _largest_divisor_tile(k_rows, _lcm(LANE, 8 * gs), 512)
+            if shallow is None or shallow == kt:
+                mt //= 2  # no shallower legal depth; shrink m instead
+            kt = shallow or kt
         elif rt > 256:
             rt //= 2
         elif mt > 256:

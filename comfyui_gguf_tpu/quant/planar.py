@@ -47,6 +47,34 @@ _NIB4_TYPES = frozenset({Q.Q4_0, Q.Q4_1, Q.Q4_K, Q.Q2_K})
 LANE = 128
 
 
+def _lcm(a: int, b: int) -> int:
+    import math
+
+    return a * b // math.gcd(a, b)
+
+
+def _best_tile(total: int, align: int, cap: int) -> int | None:
+    """Largest divisor of ``total`` that is a multiple of ``align`` and
+    ≤ ``cap`` (mirrors ops/qmatmul._largest_divisor_tile — kept local to
+    avoid a quant→ops import cycle)."""
+    best = None
+    for d in range(align, min(total, cap) + 1, align):
+        if total % d == 0:
+            best = d
+    return best
+
+
+def _pad_for_deep_tiles(base: int, step: int, tile_of, target: int) -> int:
+    """Smallest ``base + i·step`` (i ≥ 0, ≤6.25% over ``base``) whose
+    best tile per ``tile_of`` reaches ``target``; ``base`` if none does."""
+    cand = base
+    while cand <= base + base // 16:
+        if tile_of(cand) >= target:
+            return cand
+        cand += step
+    return base
+
+
 @partial(
     jax.tree_util.register_dataclass,
     data_fields=["qs", "scales", "offsets"],
@@ -232,9 +260,26 @@ def _components_to_planar(q, scales, offsets, qtype, zero_point, gs,
     block-multiple in-features (e.g. SD3.5-large's 2432): the x block
     needs kt%128, the scale block needs (kt/gs)%8 sublanes, and the nib4
     K-split halves the code rows — 512 covers all of gs∈{16,32}.
+
+    Beyond legality, K and R are padded (within a ≤6.25% byte-waste cap)
+    to the nearest sizes whose code rows / lanes admit DEEP tiles: a
+    dim like 9728 = 19·512 has code rows 4864 = 19·256 whose only legal
+    k-tile is a shallow 256, and out-features like 2432 = 19·128 admit
+    only 128-wide r-tiles — both measured as large whole-model
+    regressions on sd3.5-large (1134 ms step vs the deep-tile flux
+    efficiency). Pad codes dequantize to exactly 0 (zero scales), pad
+    output lanes are sliced off, so the only cost is the padded bytes.
     """
     R, K = shape
-    kp = -(-K // 512) * 512
+    kp = _pad_for_deep_tiles(
+        -(-K // 512) * 512, 512,
+        # nib4 halves the code rows; kt must divide them, be a multiple
+        # of lcm(128, 8·gs), and a depth ≥512 is what the model-level
+        # A/B ladder wants (ops/qmatmul._pick_tiles)
+        lambda kpc: _best_tile(
+            kpc // (2 if qtype in _NIB4_TYPES else 1),
+            _lcm(128, 8 * gs), 1536) or 0,
+        target=512)
     if kp != K:
         q = q.reshape(R, K)
         qpad = np.full((R, kp - K), zero_point, dtype=q.dtype)
@@ -247,7 +292,9 @@ def _components_to_planar(q, scales, offsets, qtype, zero_point, gs,
                 [offsets.reshape(R, K // gs),
                  np.zeros((R, (kp - K) // gs), dtype=np.float32)], axis=1)
         K = kp
-    rp = -(-R // LANE) * LANE
+    rp = _pad_for_deep_tiles(
+        -(-R // LANE) * LANE, LANE,
+        lambda rpc: _best_tile(rpc, LANE, 512) or 0, target=384)
     pad = rp - R
     scales_t = np.pad(scales.reshape(R, K // gs).T, ((0, 0), (0, pad)))
     offsets_t = (None if offsets is None

@@ -40,6 +40,9 @@ def test_flash_gate_shapes():
     assert attention._flash_ok(z((1, 2, 512, 128)), z((1, 2, 512, 128)))
     # short or misaligned sequences fall back
     assert not attention._flash_ok(z((1, 2, 384, 128)), z((1, 2, 384, 128)))
-    assert not attention._flash_ok(z((1, 2, 512, 64)), z((1, 2, 512, 64)))
+    # sub-lane head dims are kernel-legal (sd3.5-large hd=64)
+    assert attention._flash_ok(z((1, 2, 512, 64)), z((1, 2, 512, 64)))
+    # >lane head dims must still be lane multiples
+    assert not attention._flash_ok(z((1, 2, 512, 192)), z((1, 2, 512, 192)))
     # lane-odd lengths are now accepted (masked padding in dispatcher)
     assert attention._flash_ok(z((1, 2, 520, 128)), z((1, 2, 520, 128)))
