@@ -52,13 +52,18 @@ class SD3Config:
             i for i in range(depth)
             if f"joint_blocks.{i}.x_block.attn2.qkv.weight" in sd
         )
+        qk = "joint_blocks.0.x_block.attn.ln_q.weight" in sd
+        # per-head qk-norm weights carry the true head dim; the family
+        # default is 64 (sd3-medium 1536/24, sd3.5-large 2432/38)
+        hd = (int(shape("joint_blocks.0.x_block.attn.ln_q.weight")[0])
+              if qk else 64)
         return SD3Config(
-            hidden=int(hidden), depth=depth, n_heads=int(hidden) // 64,
+            hidden=int(hidden), depth=depth, n_heads=int(hidden) // hd,
             context_dim=int(shape("context_embedder.weight")[1]),
             pooled_dim=int(shape("y_embedder.mlp.0.weight")[1]),
             pos_embed_max=pos_max,
             dual_attn_layers=dual,
-            qk_norm="joint_blocks.0.x_block.attn.ln_q.weight" in sd,
+            qk_norm=qk,
         )
 
 
@@ -206,6 +211,9 @@ def _prelude(params, cfg: SD3Config, latent, context, pooled, timesteps,
 
     ctx = linear(context, params["context_embedder.weight"],
                  params.get("context_embedder.bias"), cfg=qcfg)
+    # f32 conditioning (e.g. CLIP/T5 encoder states) must not promote the
+    # joint streams: both scan carries keep the latent activation dtype
+    ctx = ctx.astype(x.dtype)
     return ctx, x, vec, (h_tok, w_tok)
 
 

@@ -113,20 +113,28 @@ class DiffusionModel:
         self.base_params = None
 
     def stack(self) -> "DiffusionModel":
-        """Flux only: restack per-block params along a depth axis so
+        """Flux / SD3: restack per-block params along a depth axis so
         forwards run the O(1)-compile scanned zero-copy path
-        (models/flux.py forward_stacked; flux_engine auto-detects).
+        (models/flux.py forward_stacked, models/sd3.py forward_stacked;
+        flux_engine and SD3Pipeline auto-detect).
 
         NOTE: stacking copies the packed leaves — transiently ~2× model
         HBM. Prefer stacking right after load, before anything else
-        occupies the chip."""
-        if self.arch != "flux" or "double_blocks" in self.params:
-            return self
-        from .models import flux as flux_model
+        occupies the chip. SD3.5-medium (dual-attention layers) is not
+        depth-homogeneous and stays unstacked."""
+        if self.arch == "flux" and "double_blocks" not in self.params:
+            from .models import flux as flux_model
 
-        return dataclasses.replace(
-            self, params=flux_model.stack_flux_params(self.params,
-                                                      self.config))
+            return dataclasses.replace(
+                self, params=flux_model.stack_flux_params(self.params,
+                                                          self.config))
+        if self.arch == "sd3" and "joint_blocks" not in self.params \
+                and not self.config.dual_attn_layers:
+            from .models import sd3 as sd3_model
+
+            return dataclasses.replace(
+                self, params=sd3_model.stack_sd3_params(self.params,
+                                                        self.config))
         return self
 
     def memory_report(self) -> dict:
@@ -514,8 +522,10 @@ class SD3Pipeline:
         g_out = self.clip_g.encode(clip_g_ids)
         clip_ctx = jnp.concatenate(
             [l_out["penultimate"], g_out["penultimate"]], axis=-1)
+        ctx_dim = (self.model.config.context_dim
+                   if self.model is not None else 4096)
         clip_ctx = jnp.pad(
-            clip_ctx, ((0, 0), (0, 0), (0, 4096 - clip_ctx.shape[-1])))
+            clip_ctx, ((0, 0), (0, 0), (0, ctx_dim - clip_ctx.shape[-1])))
         parts = [clip_ctx]
         if self.t5 is not None and t5_ids is not None:
             parts.append(self.t5.encode(t5_ids).astype(clip_ctx.dtype))
@@ -569,16 +579,20 @@ class SD3Pipeline:
         sigmas = shift_sigmas(linear_schedule(steps), self.shift)
         model = self.model
 
+        # stacked trees (DiffusionModel.stack) take the scanned forward
+        fwd = (sd3_model.forward_stacked if "joint_blocks" in model.params
+               else sd3_model.forward)
+
         @jax.jit
         def denoise(params, x0, ctx, pooled, *neg):
             def velocity(xc, sigma):
                 tt = jnp.full((xc.shape[0],), sigma, jnp.float32)
-                v_c = sd3_model.forward(params, model.config, xc, ctx,
-                                        pooled, tt, qcfg=model.qcfg)
+                v_c = fwd(params, model.config, xc, ctx,
+                          pooled, tt, qcfg=model.qcfg)
                 if not neg:
                     return v_c
-                v_u = sd3_model.forward(params, model.config, xc, neg[0],
-                                        neg[1], tt, qcfg=model.qcfg)
+                v_u = fwd(params, model.config, xc, neg[0],
+                          neg[1], tt, qcfg=model.qcfg)
                 return v_u + cfg_scale * (v_c - v_u)
             return sample_flow(velocity, x0, sigmas)
 

@@ -390,3 +390,37 @@ def test_sdxl_img2img_tiny():
                                  denoise=0.5)
     assert out.shape == (16, 16, 3)
     assert np.isfinite(out).all()
+
+
+def test_sd3_pipeline_tiny_stacked_matches_unrolled():
+    """SD3Pipeline.generate_from_ids end-to-end on a tiny quantized MMDiT;
+    DiffusionModel.stack() reroutes to sd3.forward_stacked and must
+    reproduce the unstacked latent (scan-vs-unrolled bf16 tolerance)."""
+    import jax.numpy as jnp
+
+    from comfyui_gguf_tpu.models import testing
+    from comfyui_gguf_tpu.nn.layers import QuantConfig
+
+    dims = testing.TinySD3Dims(depth=3)
+    params = testing.sd3_random_quant_params(dims, seed=7)
+    model = pipeline.DiffusionModel(arch="sd3", params=params,
+                                    config=dims.config(),
+                                    qcfg=QuantConfig())
+    mk = lambda: pipeline.SD3Pipeline(
+        model=model,
+        clip_l=StubEncoder("clip_l", 16, 8),
+        clip_g=StubEncoder("clip_g", 16, 8))
+    ids = jnp.ones((1, 4), jnp.int32)
+    out = mk().generate_from_ids(ids, ids, width=64, height=64, steps=2,
+                                 cfg_scale=1.0)
+    assert out.shape == (8, 8, dims.in_ch)
+    assert np.isfinite(out).all()
+
+    stacked = model.stack()
+    assert "joint_blocks" in stacked.params  # scanned layout detected
+    p2 = pipeline.SD3Pipeline(model=stacked,
+                              clip_l=StubEncoder("clip_l", 16, 8),
+                              clip_g=StubEncoder("clip_g", 16, 8))
+    out2 = p2.generate_from_ids(ids, ids, width=64, height=64, steps=2,
+                                cfg_scale=1.0)
+    np.testing.assert_allclose(out2, out, rtol=2e-2, atol=2e-2)
