@@ -28,6 +28,7 @@ _PUBLIC = {
     "SDXLPipeline": ".pipeline",
     "SD1Pipeline": ".pipeline",
     "flux_engine": ".pipeline",
+    "sd3_engine": ".pipeline",
     "ModelRegistry": ".registry",
     "QuantConfig": ".nn.layers",
     "quantized_matmul": ".ops.qmatmul",

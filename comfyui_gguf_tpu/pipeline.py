@@ -484,6 +484,38 @@ def flux_engine(model: DiffusionModel, h_lat: int, w_lat: int,
                                  pipeline_depth=pipeline_depth)
 
 
+def sd3_engine(model: DiffusionModel, max_batch: int = 4,
+               pipeline_depth: int = 1):
+    """Continuous-batching engine for a loaded SD3/SD3.5 model.
+
+    Requests carry spatial latents (h_lat, w_lat, C) + cond
+    {"ctx", "pooled"}; one tick advances the in-flight pool by one Euler
+    step. Stacked param trees (DiffusionModel.stack) take the scanned
+    forward; EngineGroup handles mixed resolutions (one jit bucket per
+    latent shape). Same pipeline_depth dispatch-window semantics as
+    flux_engine."""
+    from .serving import ContinuousBatchEngine
+
+    fwd = (sd3_model.forward_stacked if "joint_blocks" in model.params
+           else sd3_model.forward)
+
+    @jax.jit
+    def _step(params, x, s_cur, s_next, ctx, pooled):
+        v = fwd(params, model.config, x, ctx, pooled, s_cur,
+                qcfg=model.qcfg)
+        step = (s_next - s_cur)[:, None, None, None] * v.astype(jnp.float32)
+        return (x.astype(jnp.float32) + step).astype(x.dtype)
+
+    def step_fn(x, s_cur, s_next, cond):
+        return _step(model.params, jnp.asarray(x, jnp.bfloat16),
+                     jnp.asarray(s_cur), jnp.asarray(s_next),
+                     jnp.asarray(cond["ctx"], jnp.bfloat16),
+                     jnp.asarray(cond["pooled"], jnp.bfloat16))
+
+    return ContinuousBatchEngine(step_fn, max_batch=max_batch,
+                                 pipeline_depth=pipeline_depth)
+
+
 @dataclasses.dataclass
 class SD3Pipeline:
     """SD3/SD3.5 txt2img: CLIP-L + CLIP-G (+ optional T5) conditioning,
