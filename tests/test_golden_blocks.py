@@ -1319,3 +1319,104 @@ def test_vae_resnet_and_attn_golden():
     ja = vae._mid_attn(jp, ap, jr, F32)
     np.testing.assert_allclose(np.asarray(ja).transpose(0, 3, 1, 2),
                                want.numpy(), rtol=2e-4, atol=2e-4)
+
+
+# ---------------------------------------------------------------------------
+# Cosmos Predict2 (adaLN-DiT with per-branch modulations, NVIDIA naming)
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("adaln_lora", [False, True])
+def test_cosmos_block_golden(adaln_lora):
+    """Cosmos Predict2 block vs an independent torch derivation of the
+    published architecture (nvidia-cosmos/cosmos-predict2 minimal DiT):
+    three per-branch adaLN modulations (self_attn / cross_attn / mlp),
+    each SiLU -> Linear [-> Linear when adaLN-LoRA] -> (shift, scale,
+    gate) chunks over a LayerNorm(eps 1e-6, no affine) pre-norm; per-head
+    RMS(eps 1e-6) qk-norm applied BEFORE rope; complex-pair 3-D rope with
+    (hd-4*(hd//6), 2*(hd//6), 2*(hd//6)) axis dims on self-attention
+    only; cross-attention with q/k RMS-norm, no rope, own gate; GELU-tanh
+    mlp (layer1/layer2). The two-linear adaLN Sequential is the layout
+    the reference quantizer pins (lcpp.patch:193 names
+    ``.adaln_modulation_mlp.2.weight``)."""
+    from comfyui_gguf_tpu.models import cosmos, wan
+
+    rng = np.random.default_rng(61)
+    D, Hn, FF, Td, LORA = 64, 2, 160, 48, 16
+    hd = D // Hn
+    f, hh, ww = 2, 2, 2
+    L = f * hh * ww
+    Lc = 5
+    p = "blocks.0"
+
+    w = {}
+    for br in ("self_attn", "cross_attn", "mlp"):
+        key = f"{p}.adaln_modulation_{br}"
+        if adaln_lora:
+            w[key + ".1.weight"] = _rand(rng, LORA, D)
+            w[key + ".2.weight"] = _rand(rng, 3 * D, LORA)
+        else:
+            w[key + ".1.weight"] = _rand(rng, 3 * D, D)
+    for a in ("self_attn", "cross_attn"):
+        kv_in = D if a == "self_attn" else Td
+        w[f"{p}.{a}.q_proj.weight"] = _rand(rng, D, D)
+        w[f"{p}.{a}.k_proj.weight"] = _rand(rng, D, kv_in)
+        w[f"{p}.{a}.v_proj.weight"] = _rand(rng, D, kv_in)
+        w[f"{p}.{a}.output_proj.weight"] = _rand(rng, D, D)
+        w[f"{p}.{a}.q_norm.weight"] = _rand(rng, hd) + 1
+        w[f"{p}.{a}.k_norm.weight"] = _rand(rng, hd) + 1
+    w[f"{p}.mlp.layer1.weight"] = _rand(rng, FF, D)
+    w[f"{p}.mlp.layer2.weight"] = _rand(rng, D, FF)
+
+    x0 = _rand(rng, 1, L, D)
+    ctx0 = _rand(rng, 1, Lc, Td)
+    vec0 = _rand(rng, 1, D)
+
+    def lin(name, x):
+        return x @ _t(w[f"{p}.{name}.weight"]).T
+
+    def mod3(br):
+        o = torch.nn.functional.silu(_t(vec0))
+        o = o @ _t(w[f"{p}.adaln_modulation_{br}.1.weight"]).T
+        if adaln_lora:
+            o = o @ _t(w[f"{p}.adaln_modulation_{br}.2.weight"]).T
+        sh, sc, g = o.chunk(3, dim=-1)
+        return sh[:, None], sc[:, None], g[:, None]
+
+    freqs = _wan_rope_complex(f, hh, ww, hd)
+    xt = _t(x0)
+    ct = _t(ctx0)
+
+    sh, sc, g = mod3("self_attn")
+    h = _ln(xt) * (1 + sc) + sh
+    q = _rms(_heads(lin("self_attn.q_proj", h), Hn),
+             _t(w[f"{p}.self_attn.q_norm.weight"]))
+    k = _rms(_heads(lin("self_attn.k_proj", h), Hn),
+             _t(w[f"{p}.self_attn.k_norm.weight"]))
+    v = _heads(lin("self_attn.v_proj", h), Hn)
+    q = _wan_apply_rope_t(q, freqs)
+    k = _wan_apply_rope_t(k, freqs)
+    xt = xt + g * lin("self_attn.output_proj", _unheads(_sdpa(q, k, v)))
+
+    sh, sc, g = mod3("cross_attn")
+    h = _ln(xt) * (1 + sc) + sh
+    q = _rms(_heads(lin("cross_attn.q_proj", h), Hn),
+             _t(w[f"{p}.cross_attn.q_norm.weight"]))
+    k = _rms(_heads(lin("cross_attn.k_proj", ct), Hn),
+             _t(w[f"{p}.cross_attn.k_norm.weight"]))
+    v = _heads(lin("cross_attn.v_proj", ct), Hn)
+    xt = xt + g * lin("cross_attn.output_proj", _unheads(_sdpa(q, k, v)))
+
+    sh, sc, g = mod3("mlp")
+    h = _ln(xt) * (1 + sc) + sh
+    h = torch.nn.functional.gelu(lin("mlp.layer1", h), approximate="tanh")
+    xt = xt + g * lin("mlp.layer2", h)
+
+    cfg = cosmos.CosmosConfig(dim=D, n_layers=1, n_heads=Hn, text_dim=Td)
+    assert cfg.axes_dim == (hd - 4 * (hd // 6), 2 * (hd // 6), 2 * (hd // 6))
+    jp = {k2: jnp.asarray(v2) for k2, v2 in w.items()}
+    pe = wan.rope_3d(f, hh, ww, cfg.axes_dim)
+    j = cosmos._block(jp, 0, jnp.asarray(x0), jnp.asarray(ctx0),
+                      jnp.asarray(vec0), pe, cfg, F32)
+    np.testing.assert_allclose(np.asarray(j), xt.numpy(), rtol=3e-4,
+                               atol=3e-4)
