@@ -13,7 +13,11 @@ Q2_K…Q8_0 GGUF with the same per-tensor recipe:
   (reference tools/lcpp.patch:427-429);
 * K-quant row-width check: in-features % 256 != 0 → F16 fallback
   (reference tools/lcpp.patch:229-255);
-* T5 relative-position bias never quantized.
+* T5 relative-position bias never quantized;
+* TEXT models (t5 / llama families) routed through a port of stock
+  llama.cpp's ``llama_tensor_get_type`` policy (``text_tensor_qtype``) —
+  the reference workflow quantizes text encoders with the unpatched
+  binary, whose per-tensor rules differ from the image recipe.
 
 The reference's ndim metadata surgery (SD3 ``pos_embed``, Aura
 ``positional_encoding``, Wan ``.modulation`` — lcpp.patch:275-319) exists
@@ -34,7 +38,7 @@ import logging
 
 import numpy as np
 
-from ..archs import IMG_ARCH_LIST, get_arch_spec
+from ..archs import IMG_ARCH_LIST, TXT_ARCH_LIST, get_arch_spec
 from ..gguf.constants import GGMLQuantizationType, LlamaFileType, QK_K
 from ..gguf.reader import GGUFReader
 from ..gguf.writer import GGUFWriter
@@ -74,10 +78,16 @@ def _is_ffn_down(name: str) -> bool:
 class QuantState:
     """Running counters used by layer-position-dependent rules."""
 
-    def __init__(self):
+    def __init__(self, n_attention_wv: int = 0, n_ffn_down: int = 0,
+                 n_gqa: int = 1):
         self.i_attention_wv = 0
         self.i_ffn_down = 0
         self.n_fallback = 0
+        # totals + GQA ratio feed the text-model layer-position rules
+        # (llama.cpp llama_tensor_get_type); unused by the image recipe
+        self.n_attention_wv = n_attention_wv
+        self.n_ffn_down = n_ffn_down
+        self.n_gqa = n_gqa
 
 
 def tensor_qtype(name: str, shape: tuple[int, ...], ftype: LlamaFileType,
@@ -132,6 +142,108 @@ def tensor_qtype(name: str, shape: tuple[int, ...], ftype: LlamaFileType,
     return new_type
 
 
+def _use_more_bits(i_layer: int, n_layers: int) -> bool:
+    """llama.cpp's use_more_bits: bump the first and last eighth of the
+    layers plus every third layer in between."""
+    return (i_layer < n_layers // 8 or i_layer >= 7 * n_layers // 8
+            or (i_layer - n_layers // 8) % 3 == 2)
+
+
+# misaligned-row conversion ladder for text models (llama.cpp quantizes to
+# the nearest narrower format whose block divides the row instead of
+# falling all the way back to F16)
+_TEXT_ROW_FALLBACK = {
+    Q.Q2_K: Q.IQ4_NL, Q.Q3_K: Q.IQ4_NL, Q.IQ4_XS: Q.IQ4_NL,
+    Q.Q4_K: Q.Q5_0, Q.Q5_K: Q.Q5_1, Q.Q6_K: Q.Q8_0,
+}
+
+
+def text_tensor_qtype(name: str, shape: tuple[int, ...],
+                      ftype: LlamaFileType,
+                      qs: QuantState) -> GGMLQuantizationType:
+    """Per-tensor qtype selection for TEXT models (t5 / llama families).
+
+    Ports the non-imatrix core of llama.cpp's ``llama_tensor_get_type``
+    (src/llama-quant.cpp) — the policy stock ``llama-quantize`` applies to
+    the text-encoder GGUFs the reference workflow consumes (reference
+    tools/README quantizes t5/llama with unpatched llama.cpp; the lcpp
+    patch's ``img_tensor_get_type`` only replaces this for image archs).
+    Name fragments match llama.cpp tensor naming, which covers both llama
+    (``blk.N.attn_v.weight``) and t5 (``enc.blk.N.attn_v.weight``).
+    MoE/Falcon/70B special cases are out of scope (no text encoder the
+    loader supports hits them).
+    """
+    new_type = ftype.default_qtype
+
+    if name in ("output.weight", "dec.output.weight"):
+        # keep the logits projection high-precision for every K ftype
+        if shape[-1] % QK_K != 0:
+            new_type = Q.Q8_0
+        elif new_type not in (Q.Q8_0, Q.F16, Q.BF16, Q.F32):
+            new_type = Q.Q6_K
+    elif "attn_v.weight" in name:
+        if ftype == F.MOSTLY_Q2_K:
+            new_type = Q.Q4_K if qs.n_gqa >= 4 else Q.Q3_K
+        elif ftype == F.MOSTLY_Q3_K_M:
+            new_type = Q.Q5_K if qs.i_attention_wv < 2 else Q.Q4_K
+        elif ftype == F.MOSTLY_Q3_K_L:
+            new_type = Q.Q5_K
+        elif (ftype in (F.MOSTLY_Q4_K_M, F.MOSTLY_Q5_K_M)
+                and _use_more_bits(qs.i_attention_wv, qs.n_attention_wv)):
+            new_type = Q.Q6_K
+        elif ftype == F.MOSTLY_Q4_K_S and qs.i_attention_wv < 4:
+            new_type = Q.Q5_K
+        qs.i_attention_wv += 1
+    elif "attn_qkv.weight" in name:
+        if ftype in (F.MOSTLY_Q3_K_M, F.MOSTLY_Q3_K_L):
+            new_type = Q.Q4_K
+        elif ftype == F.MOSTLY_Q4_K_M:
+            new_type = Q.Q5_K
+        elif ftype == F.MOSTLY_Q5_K_M:
+            new_type = Q.Q6_K
+    elif "attn_output.weight" in name:
+        if ftype == F.MOSTLY_Q2_K:
+            new_type = Q.Q3_K
+        elif ftype == F.MOSTLY_Q3_K_M:
+            new_type = Q.Q4_K
+        elif ftype == F.MOSTLY_Q3_K_L:
+            new_type = Q.Q5_K
+    elif "ffn_down" in name:
+        i, n = qs.i_ffn_down, max(qs.n_ffn_down, 1)
+        if ftype == F.MOSTLY_Q2_K:
+            new_type = Q.Q3_K
+        elif ftype == F.MOSTLY_Q3_K_M:
+            new_type = Q.Q5_K if i < n // 16 else Q.Q4_K
+        elif ftype == F.MOSTLY_Q3_K_L:
+            new_type = Q.Q5_K
+        elif ftype == F.MOSTLY_Q4_K_M and _use_more_bits(i, n):
+            new_type = Q.Q6_K
+        elif ftype == F.MOSTLY_Q5_K_M and _use_more_bits(i, n):
+            new_type = Q.Q6_K
+        elif ftype == F.MOSTLY_Q4_K_S and i < n // 8:
+            new_type = Q.Q5_K
+        elif ftype == F.MOSTLY_Q4_0 and i < n // 8:
+            new_type = Q.Q4_1
+        elif ftype == F.MOSTLY_Q5_0 and i < n // 8:
+            new_type = Q.Q5_1
+        qs.i_ffn_down += 1
+
+    # misaligned rows: walk llama.cpp's conversion ladder, then F16
+    from ..gguf.constants import GGML_QUANT_SIZES
+
+    while True:
+        block = GGML_QUANT_SIZES[new_type][0]
+        if block <= 1 or shape[-1] % block == 0:
+            return new_type
+        nxt = _TEXT_ROW_FALLBACK.get(new_type)
+        if nxt is None or nxt == new_type:
+            log.warning("%s: row width %d incompatible — F16 fallback",
+                        name, shape[-1])
+            qs.n_fallback += 1
+            return Q.F16
+        new_type = nxt
+
+
 def should_quantize(name: str, shape: tuple[int, ...], arch: str) -> bool:
     """Exclusion rules (reference lcpp.patch:327-429 + T5 rel-bias rule)."""
     if "attn_rel_b.weight" in name:
@@ -145,7 +257,10 @@ def should_quantize(name: str, shape: tuple[int, ...], arch: str) -> bool:
                 return False
             if name in spec.keys_noquant_exact:
                 return False
-    return True
+        return True
+    # text models: llama.cpp's gating — only .weight tensors of rank >= 2
+    # (norm vectors, biases, and the 1-D position tables stay as-is)
+    return name.endswith(".weight") and len(shape) >= 2
 
 
 _FTYPE_BY_NAME = {f.name.replace("MOSTLY_", ""): f for f in LlamaFileType}
@@ -163,15 +278,16 @@ def quantize_file(src: str, dst: str | None, ftype_name: str) -> str:
         raise ValueError(
             f"{ftype_name}: IQ quantization types are not supported for "
             f"image models (arch {arch!r})")
-    # the recipe below ports the reference's IMAGE-model type ladder
-    # (lcpp.patch img_tensor_get_type); text encoders (t5/llama) go through
-    # stock llama.cpp's llama_tensor_get_type in the reference workflow, a
-    # different per-tensor policy — refuse rather than silently diverge
-    if arch not in IMG_ARCH_LIST:
+    # image archs get the lcpp.patch recipe (img_tensor_get_type); text
+    # archs get the stock-llama.cpp policy (text_tensor_qtype) — the same
+    # split the reference workflow has between its patched and unpatched
+    # llama-quantize binaries
+    is_img = arch in IMG_ARCH_LIST
+    if not is_img and arch not in TXT_ARCH_LIST:
         raise ValueError(
-            f"arch {arch!r} is not an image model; this quantizer implements "
-            f"the image-model recipe only — quantize text encoders with "
-            f"stock llama.cpp (the reference does the same, tools/README)")
+            f"arch {arch!r}: unknown architecture — neither an image model "
+            f"(lcpp.patch recipe) nor a supported text encoder "
+            f"(llama.cpp recipe)")
 
     if dst is None:
         base = src
@@ -188,7 +304,19 @@ def quantize_file(src: str, dst: str | None, ftype_name: str) -> str:
         writer.add_field(key, val.type, val.value, val.item_type)
     writer.add_file_type(ftype)
 
-    qs = QuantState()
+    if is_img:
+        qs = QuantState()
+    else:
+        # text rules are layer-position-dependent: precount the wv /
+        # ffn_down populations and read the GQA ratio from metadata
+        n_wv = sum(1 for t in reader.tensors if "attn_v.weight" in t.name)
+        n_fd = sum(1 for t in reader.tensors if "ffn_down" in t.name
+                   and t.name.endswith(".weight"))
+        heads = reader.get_int(f"{arch}.attention.head_count") or 0
+        heads_kv = reader.get_int(f"{arch}.attention.head_count_kv") or 0
+        n_gqa = heads // heads_kv if heads and heads_kv else 1
+        qs = QuantState(n_attention_wv=n_wv, n_ffn_down=n_fd, n_gqa=n_gqa)
+
     n_quantized = 0
     total_in = total_out = 0
     for t in reader.tensors:
@@ -200,7 +328,8 @@ def quantize_file(src: str, dst: str | None, ftype_name: str) -> str:
                               raw_dtype=t.qtype, raw_shape=t.shape)
             total_out += t.n_bytes
             continue
-        new_type = tensor_qtype(t.name, t.shape, ftype, qs)
+        new_type = (tensor_qtype if is_img else text_tensor_qtype)(
+            t.name, t.shape, ftype, qs)
         if new_type == t.qtype:
             writer.add_tensor(t.name, np.ascontiguousarray(t.data),
                               raw_dtype=t.qtype, raw_shape=t.shape)

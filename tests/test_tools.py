@@ -255,18 +255,71 @@ def test_shape_fix_rearranges_convs_and_narrow_2d(tmp_path):
     assert tuple(loaded["input_blocks.1.1.to_q.weight"].shape) == (64, 320)
 
 
-def test_quantize_rejects_text_arch(tmp_path):
-    """Text encoders take stock llama.cpp's type rules in the reference
-    workflow — applying the image recipe would silently diverge."""
+def test_quantize_text_recipe(tmp_path):
+    """Text encoders (t5/llama) take stock llama.cpp's type rules
+    (llama_tensor_get_type): attn_v / ffn_down bumped to Q6_K on the
+    use_more_bits layer pattern at Q4_K_M, output.weight kept Q6_K,
+    attn_qkv → Q5_K, rel-bias and 1-D tensors untouched, misaligned rows
+    walking the Q4_K→Q5_0 conversion ladder instead of F16."""
+    from comfyui_gguf_tpu.gguf.writer import GGUFWriter
+
+    n_layers = 8
+    w = GGUFWriter("t5")
+
+    def add(name, rows, cols):
+        w.add_tensor(name,
+                     np.zeros((rows, cols), np.float16).tobytes(),
+                     raw_dtype=Q.F16, raw_shape=(rows, cols))
+
+    for i in range(n_layers):
+        add(f"enc.blk.{i}.attn_v.weight", 8, 256)
+        add(f"enc.blk.{i}.ffn_down.weight", 8, 512)
+    add("enc.blk.0.attn_q.weight", 8, 256)
+    add("enc.blk.0.attn_qkv.weight", 24, 256)
+    add("enc.blk.0.attn_rel_b.weight", 32, 8)
+    add("enc.blk.0.ffn_gate.weight", 8, 160)  # 160 % 256 != 0
+    add("token_embd.weight", 32, 256)
+    add("output.weight", 32, 256)
+    w.add_tensor("enc.blk.0.ffn_up.bias", np.zeros(256, np.float32).tobytes(),
+                 raw_dtype=Q.F32, raw_shape=(256,))
+    path = tmp_path / "t5-F16.gguf"
+    w.write_to_file(str(path))
+
+    out = quantize.quantize_file(str(path), None, "Q4_K_M")
+    r = GGUFReader(out)
+    got = {t.name: t.qtype for t in r.tensors}
+
+    # use_more_bits(i, 8): i < 1, i >= 7, or (i-1) % 3 == 2 → {0, 3, 6, 7}
+    bumped = {0, 3, 6, 7}
+    for i in range(n_layers):
+        want = Q.Q6_K if i in bumped else Q.Q4_K
+        assert got[f"enc.blk.{i}.attn_v.weight"] == want, (i, "attn_v")
+        assert got[f"enc.blk.{i}.ffn_down.weight"] == want, (i, "ffn_down")
+    assert got["enc.blk.0.attn_q.weight"] == Q.Q4_K
+    assert got["enc.blk.0.attn_qkv.weight"] == Q.Q5_K
+    assert got["enc.blk.0.attn_rel_b.weight"] == Q.F16  # never quantized
+    assert got["enc.blk.0.ffn_gate.weight"] == Q.Q5_0  # conversion ladder
+    assert got["token_embd.weight"] == Q.Q4_K
+    assert got["output.weight"] == Q.Q6_K
+    assert got["enc.blk.0.ffn_up.bias"] == Q.F32
+
+    # round trip: loader must still decode every produced qtype
+    from comfyui_gguf_tpu.quant import codecs
+    for t in r.tensors:
+        dec = codecs.dequantize(t.data, t.qtype, t.shape)
+        assert dec.shape == tuple(t.shape)
+
+
+def test_quantize_rejects_unknown_arch(tmp_path):
     import pytest
 
     from comfyui_gguf_tpu.gguf.writer import GGUFWriter
 
-    w = GGUFWriter("t5")
-    w.add_tensor("enc.blk.0.ffn_up.weight",
+    w = GGUFWriter("mamba")
+    w.add_tensor("blk.0.ssm_in.weight",
                  np.zeros((256, 256), np.float16).tobytes(),
                  raw_dtype=Q.F16, raw_shape=(256, 256))
-    path = tmp_path / "t5-F16.gguf"
+    path = tmp_path / "mamba-F16.gguf"
     w.write_to_file(str(path))
-    with pytest.raises(ValueError, match="image model"):
+    with pytest.raises(ValueError, match="unknown architecture"):
         quantize.quantize_file(str(path), None, "Q8_0")
