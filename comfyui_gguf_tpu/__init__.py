@@ -37,6 +37,7 @@ _PUBLIC = {
     "ContinuousBatchEngine": ".serving",
     "EngineGroup": ".serving",
     "ResidencyManager": ".lifecycle",
+    "enable_compile_cache": ".compile_cache",
     "save_params": ".checkpoint",
     "load_params": ".checkpoint",
     "ring_attention": ".parallel.ring",

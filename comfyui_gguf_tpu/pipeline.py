@@ -149,6 +149,9 @@ def load_diffusion_model(path: str, dequant_dtype="default",
                          prefer_pallas=None) -> DiffusionModel:
     """GGUF diffusion model → DiffusionModel (role of
     UnetLoaderGGUF.load_unet, reference nodes.py:149-177)."""
+    from .compile_cache import enable_from_env
+
+    enable_from_env()  # GGUF_TPU_COMPILE_CACHE: reuse full-depth compiles
     qcfg = _resolve_qcfg(dequant_dtype, patch_dtype, prefer_pallas)
     sd, arch = gguf_sd_loader(path, return_arch=True)
     params = to_jax_params(sd, qcfg)
