@@ -29,6 +29,7 @@ _PUBLIC = {
     "SD1Pipeline": ".pipeline",
     "flux_engine": ".pipeline",
     "sd3_engine": ".pipeline",
+    "qwen_image_engine": ".pipeline",
     "ModelRegistry": ".registry",
     "QuantConfig": ".nn.layers",
     "quantized_matmul": ".ops.qmatmul",

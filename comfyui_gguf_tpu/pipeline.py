@@ -135,6 +135,13 @@ class DiffusionModel:
             return dataclasses.replace(
                 self, params=sd3_model.stack_sd3_params(self.params,
                                                         self.config))
+        if self.arch == "qwen_image" \
+                and "transformer_blocks" not in self.params:
+            from .models import qwen_image as qi_model
+
+            return dataclasses.replace(
+                self, params=qi_model.stack_qwen_params(self.params,
+                                                        self.config))
         return self
 
     def memory_report(self) -> dict:
@@ -482,6 +489,43 @@ def flux_engine(model: DiffusionModel, h_lat: int, w_lat: int,
                      jnp.asarray(cond["txt"], jnp.bfloat16),
                      jnp.asarray(cond["y"], jnp.bfloat16),
                      jnp.asarray(cond["guidance"], jnp.float32))
+
+    return ContinuousBatchEngine(step_fn, max_batch=max_batch,
+                                 pipeline_depth=pipeline_depth)
+
+
+def qwen_image_engine(model: DiffusionModel, h_tok: int, w_tok: int,
+                      txt_len: int, max_batch: int = 4,
+                      pipeline_depth: int = 1):
+    """Continuous-batching engine for a loaded Qwen-Image model.
+
+    Requests carry patchified latent tokens (L_img, in_channels) + cond
+    {"txt"}; flux-style 3-axis RoPE ids are engine-fixed (one resolution
+    bucket per engine). Stacked param trees (DiffusionModel.stack) take
+    the scanned zero-copy forward; same pipeline_depth dispatch-window
+    semantics as flux_engine."""
+    from .models import qwen_image as qi_model
+    from .serving import ContinuousBatchEngine
+
+    img_ids = jnp.asarray(flux_model.make_img_ids(h_tok, w_tok, 1))[0]
+    txt_ids = jnp.zeros((txt_len, 3), jnp.int32)
+    fwd = (qi_model.forward_stacked
+           if "transformer_blocks" in model.params else qi_model.forward)
+
+    @jax.jit
+    def _step(params, x, s_cur, s_next, txt):
+        B = x.shape[0]
+        ids_i = jnp.broadcast_to(img_ids[None], (B, *img_ids.shape))
+        ids_t = jnp.broadcast_to(txt_ids[None], (B, *txt_ids.shape))
+        v = fwd(params, model.config, x, ids_i, txt, ids_t,
+                s_cur, qcfg=model.qcfg)
+        step = (s_next - s_cur)[:, None, None] * v.astype(jnp.float32)
+        return (x.astype(jnp.float32) + step).astype(x.dtype)
+
+    def step_fn(x, s_cur, s_next, cond):
+        return _step(model.params, jnp.asarray(x, jnp.bfloat16),
+                     jnp.asarray(s_cur), jnp.asarray(s_next),
+                     jnp.asarray(cond["txt"], jnp.bfloat16))
 
     return ContinuousBatchEngine(step_fn, max_batch=max_batch,
                                  pipeline_depth=pipeline_depth)
@@ -865,16 +909,19 @@ class QwenImagePipeline:
         sigmas = shift_sigmas(linear_schedule(steps), self.shift)
         model = self.model
 
+        fwd = (qi_model.forward_stacked
+               if "transformer_blocks" in model.params else qi_model.forward)
+
         @jax.jit
         def denoise(params, x0, txt, *neg):
             def velocity(xc, sigma):
                 ts = jnp.full((xc.shape[0],), sigma, jnp.float32)
-                v_c = qi_model.forward(params, model.config, xc, img_ids,
-                                       txt, txt_ids, ts, qcfg=model.qcfg)
+                v_c = fwd(params, model.config, xc, img_ids,
+                          txt, txt_ids, ts, qcfg=model.qcfg)
                 if not neg:
                     return v_c
-                v_u = qi_model.forward(params, model.config, xc, img_ids,
-                                       neg[0], txt_ids, ts, qcfg=model.qcfg)
+                v_u = fwd(params, model.config, xc, img_ids,
+                          neg[0], txt_ids, ts, qcfg=model.qcfg)
                 return v_u + cfg_scale * (v_c - v_u)
             return sample_flow(velocity, x0, sigmas)
 
