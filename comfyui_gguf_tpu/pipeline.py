@@ -451,7 +451,7 @@ class FluxPipeline:
 
 def flux_engine(model: DiffusionModel, h_lat: int, w_lat: int,
                 txt_len: int, max_batch: int = 4,
-                pipeline_depth: int = 1):
+                pipeline_depth: int = 1, mesh=None):
     """Continuous-batching engine for a loaded flux model.
 
     Requests carry latent tokens + cond {"txt", "y", "guidance"}; one
@@ -461,7 +461,14 @@ def flux_engine(model: DiffusionModel, h_lat: int, w_lat: int,
     pipeline_depth > 1 chains that many ticks per host sync (JAX async
     dispatch) — pays the dispatch round trip once per window, which
     matters when the host link is slow (remote-chip tunnel).
+
+    ``mesh``: a ``jax.sharding.Mesh`` with a ``"tp"`` axis runs every
+    tick tensor-parallel (parallel.tp_flux shard_map forward, per-shard
+    fused kernels); ``model.params`` must then be the TP-sharded tree
+    from ``tp_flux.place_tp_params(tp_flux.shard_flux_params(...))``.
     """
+    import functools
+
     from .serving import ContinuousBatchEngine
 
     img_ids = jnp.asarray(
@@ -470,8 +477,13 @@ def flux_engine(model: DiffusionModel, h_lat: int, w_lat: int,
 
     # stacked param trees (flux_model.stack_flux_params layout) take the
     # scanned zero-copy forward — O(1)-in-depth compile for serving boots
-    fwd = (flux_model.forward_stacked if "double_blocks" in model.params
-           else flux_model.forward)
+    if mesh is not None:
+        from .parallel import tp_flux
+
+        fwd = functools.partial(tp_flux.tp_forward_stacked, mesh=mesh)
+    else:
+        fwd = (flux_model.forward_stacked
+               if "double_blocks" in model.params else flux_model.forward)
 
     @jax.jit
     def _step(params, x, s_cur, s_next, txt, y, guidance):

@@ -110,3 +110,42 @@ def test_tp_shards_actually_take_pallas(setup):
             qtype=st.qtype, layout=st.layout, group_size=st.group_size,
             zero_point=st.zero_point, shape=st.shape)
         assert pallas_tileable(shard0), st.shape
+
+
+def test_tp_serving_engine_matches_unsharded(setup):
+    """flux_engine(mesh=...) serves through the shard_map TP forward;
+    pooled continuous-batch results must match the unsharded engine."""
+    from comfyui_gguf_tpu import pipeline
+    from comfyui_gguf_tpu.sampling import linear_schedule
+
+    sd, cfg, inputs, ref, sharded = setup
+    h_lat = w_lat = 8
+    txt_len = 8
+    L = (h_lat // 2) * (w_lat // 2)
+
+    rng = np.random.default_rng(7)
+    x0 = rng.standard_normal((L, cfg.in_channels)).astype(np.float32)
+    cond = {
+        "txt": rng.standard_normal((txt_len, cfg.context_dim)).astype(
+            np.float32),
+        "y": rng.standard_normal((cfg.vec_dim,)).astype(np.float32),
+        "guidance": np.float32(4.0),
+    }
+    sigmas = linear_schedule(3)
+
+    outs = []
+    for model, mesh in (
+            (pipeline.DiffusionModel(arch="flux", params=ref, config=cfg,
+                                     qcfg=F32), None),
+            (pipeline.DiffusionModel(arch="flux", params=sharded,
+                                     config=cfg, qcfg=F32_PALLAS),
+             _mesh())):
+        eng = pipeline.flux_engine(model, h_lat, w_lat, txt_len,
+                                   max_batch=2, mesh=mesh)
+        req = eng.submit(x0.copy(), cond, sigmas)
+        eng.run_until_drained()
+        assert req.finished
+        outs.append(req.result.astype(np.float32))
+    # bf16 request latents are re-rounded every euler step in both
+    # engines; kernel-order differences then sit at bf16 ulp scale
+    np.testing.assert_allclose(outs[1], outs[0], rtol=0.05, atol=0.05)
