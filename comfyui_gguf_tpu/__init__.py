@@ -30,6 +30,7 @@ _PUBLIC = {
     "flux_engine": ".pipeline",
     "sd3_engine": ".pipeline",
     "qwen_image_engine": ".pipeline",
+    "wan_engine": ".pipeline",
     "ModelRegistry": ".registry",
     "QuantConfig": ".nn.layers",
     "quantized_matmul": ".ops.qmatmul",

@@ -119,60 +119,58 @@ def _attn(q, k, v):
     return _unheads(dot_product_attention(q, k, v))
 
 
-def _block(params, i, x, e0, ctx, pe, cfg: WanConfig, qcfg):
-    p = f"blocks.{i}."
+def _block(p, x, e0, ctx, pe, cfg: WanConfig, qcfg):
+    """One Wan block over its UNPREFIXED param subtree ``p``
+    (scan-compatible: runs under lax.scan with stacked params in
+    forward_stacked and in the python loop in forward)."""
     H = cfg.n_heads
     # 6-chunk modulation: learned table + time projection
-    mod = (params[p + "modulation"].reshape(1, 6, cfg.dim)
+    mod = (p["modulation"].reshape(1, 6, cfg.dim)
            + e0.reshape(-1, 6, cfg.dim)).astype(x.dtype)
     sh1, sc1, g1, sh2, sc2, g2 = [mod[:, j][:, None] for j in range(6)]
 
     # Wan applies full-width RMS norms on q/k before the head split
     h = layer_norm(x, eps=1e-6) * (1 + sc1) + sh1
-    q = _heads(rms_norm(linear(h, params[p + "self_attn.q.weight"],
-                               params.get(p + "self_attn.q.bias"), cfg=qcfg),
-                        params[p + "self_attn.norm_q.weight"], eps=1e-6), H)
-    k = _heads(rms_norm(linear(h, params[p + "self_attn.k.weight"],
-                               params.get(p + "self_attn.k.bias"), cfg=qcfg),
-                        params[p + "self_attn.norm_k.weight"], eps=1e-6), H)
-    v = _heads(linear(h, params[p + "self_attn.v.weight"],
-                      params.get(p + "self_attn.v.bias"), cfg=qcfg), H)
+    q = _heads(rms_norm(linear(h, p["self_attn.q.weight"],
+                               p.get("self_attn.q.bias"), cfg=qcfg),
+                        p["self_attn.norm_q.weight"], eps=1e-6), H)
+    k = _heads(rms_norm(linear(h, p["self_attn.k.weight"],
+                               p.get("self_attn.k.bias"), cfg=qcfg),
+                        p["self_attn.norm_k.weight"], eps=1e-6), H)
+    v = _heads(linear(h, p["self_attn.v.weight"],
+                      p.get("self_attn.v.bias"), cfg=qcfg), H)
     q = _apply_rope(q, pe)
     k = _apply_rope(k, pe)
-    a = linear(_attn(q, k, v), params[p + "self_attn.o.weight"],
-               params.get(p + "self_attn.o.bias"), cfg=qcfg)
+    a = linear(_attn(q, k, v), p["self_attn.o.weight"],
+               p.get("self_attn.o.bias"), cfg=qcfg)
     x = x + g1 * a
 
     # cross attention (norm3 affine LN on input)
-    h = layer_norm(x, params.get(p + "norm3.weight"),
-                   params.get(p + "norm3.bias"), eps=1e-6)
-    q = _heads(rms_norm(linear(h, params[p + "cross_attn.q.weight"],
-                                params.get(p + "cross_attn.q.bias"),
+    h = layer_norm(x, p.get("norm3.weight"),
+                   p.get("norm3.bias"), eps=1e-6)
+    q = _heads(rms_norm(linear(h, p["cross_attn.q.weight"],
+                                p.get("cross_attn.q.bias"),
                                 cfg=qcfg),
-                        params[p + "cross_attn.norm_q.weight"], eps=1e-6), H)
-    k = _heads(rms_norm(linear(ctx, params[p + "cross_attn.k.weight"],
-                               params.get(p + "cross_attn.k.bias"),
+                        p["cross_attn.norm_q.weight"], eps=1e-6), H)
+    k = _heads(rms_norm(linear(ctx, p["cross_attn.k.weight"],
+                               p.get("cross_attn.k.bias"),
                                cfg=qcfg),
-                        params[p + "cross_attn.norm_k.weight"], eps=1e-6), H)
-    v = _heads(linear(ctx, params[p + "cross_attn.v.weight"],
-                      params.get(p + "cross_attn.v.bias"), cfg=qcfg), H)
-    x = x + linear(_attn(q, k, v), params[p + "cross_attn.o.weight"],
-                   params.get(p + "cross_attn.o.bias"), cfg=qcfg)
+                        p["cross_attn.norm_k.weight"], eps=1e-6), H)
+    v = _heads(linear(ctx, p["cross_attn.v.weight"],
+                      p.get("cross_attn.v.bias"), cfg=qcfg), H)
+    x = x + linear(_attn(q, k, v), p["cross_attn.o.weight"],
+                   p.get("cross_attn.o.bias"), cfg=qcfg)
 
     h = layer_norm(x, eps=1e-6) * (1 + sc2) + sh2
-    h = linear(h, params[p + "ffn.0.weight"], params.get(p + "ffn.0.bias"),
+    h = linear(h, p["ffn.0.weight"], p.get("ffn.0.bias"),
                cfg=qcfg)
     h = jax.nn.gelu(h.astype(jnp.float32), approximate=True).astype(x.dtype)
-    h = linear(h, params[p + "ffn.2.weight"], params.get(p + "ffn.2.bias"),
+    h = linear(h, p["ffn.2.weight"], p.get("ffn.2.bias"),
                cfg=qcfg)
     return x + g2 * h
 
 
-def forward(params, cfg: WanConfig, latent: jax.Array, context: jax.Array,
-            timesteps: jax.Array,
-            qcfg: QuantConfig = DEFAULT_CONFIG) -> jax.Array:
-    """latent (B, F, H, W, C) NDHWC, context (B, L, text_dim),
-    timesteps (B,) in [0, 1] → velocity latent, same shape."""
+def _prelude(params, cfg: WanConfig, latent, context, timesteps, qcfg):
     B, F, Hh, Ww, C = latent.shape
     pt, ph, pw = cfg.patch
 
@@ -188,6 +186,9 @@ def forward(params, cfg: WanConfig, latent: jax.Array, context: jax.Array,
         x.dtype)
     ctx = linear(ctx, params["text_embedding.2.weight"],
                  params.get("text_embedding.2.bias"), cfg=qcfg)
+    # ctx rides the closure of the scan body in forward_stacked; keep it
+    # in the activation dtype so mixed-precision contexts don't upcast x
+    ctx = ctx.astype(x.dtype)
 
     e = linear(timestep_embedding(timesteps, 256).astype(x.dtype),
                params["time_embedding.0.weight"],
@@ -200,11 +201,12 @@ def forward(params, cfg: WanConfig, latent: jax.Array, context: jax.Array,
                 params.get("time_projection.1.bias"), cfg=qcfg)
 
     pe = rope_3d(f, h, w, cfg.axes_dim)
+    return x, ctx, e, e0, pe, (B, F, Hh, Ww, f, h, w)
 
-    for i in range(cfg.n_layers):
-        x = _block(params, i, x, e0, ctx, pe, cfg, qcfg)
 
-    # head: 2-chunk modulation then projection to patch voxels
+def _head(params, cfg: WanConfig, x, e, dims, qcfg):
+    B, F, Hh, Ww, f, h, w = dims
+    pt, ph, pw = cfg.patch
     hm = (params["head.modulation"].reshape(1, 2, cfg.dim)
           + e.reshape(-1, 1, cfg.dim)).astype(x.dtype)
     shift, scale = hm[:, 0][:, None], hm[:, 1][:, None]
@@ -214,3 +216,54 @@ def forward(params, cfg: WanConfig, latent: jax.Array, context: jax.Array,
     x = x.reshape(B, f, h, w, pt, ph, pw, cfg.out_channels)
     x = x.transpose(0, 1, 4, 2, 5, 3, 6, 7)
     return x.reshape(B, F, Hh, Ww, cfg.out_channels)
+
+
+def forward(params, cfg: WanConfig, latent: jax.Array, context: jax.Array,
+            timesteps: jax.Array,
+            qcfg: QuantConfig = DEFAULT_CONFIG) -> jax.Array:
+    """latent (B, F, H, W, C) NDHWC, context (B, L, text_dim),
+    timesteps (B,) in [0, 1] → velocity latent, same shape."""
+    from .flux import block_subtree
+
+    x, ctx, e, e0, pe, dims = _prelude(params, cfg, latent, context,
+                                       timesteps, qcfg)
+    for i in range(cfg.n_layers):
+        x = _block(block_subtree(params, f"blocks.{i}."), x, e0, ctx, pe,
+                   cfg, qcfg)
+    return _head(params, cfg, x, e, dims, qcfg)
+
+
+def stack_wan_params(params: dict, cfg: WanConfig) -> dict:
+    """Flat GGUF-keyed params → {non-block keys, "blocks": stacked
+    subtree over the depth axis} for the scanned forward. Wan t2v blocks
+    are fully homogeneous."""
+    from .flux import block_subtree
+
+    out = {k: v for k, v in params.items() if not k.startswith("blocks.")}
+    subs = [block_subtree(params, f"blocks.{i}.")
+            for i in range(cfg.n_layers)]
+    keysets = {frozenset(s) for s in subs}
+    if len(keysets) > 1:
+        raise ValueError("non-homogeneous wan blocks (i2v extras per "
+                         "block?); use forward()")
+    out["blocks"] = (jax.tree.map(lambda *xs: jnp.stack(xs), *subs)
+                     if subs else {})
+    return out
+
+
+def forward_stacked(sparams: dict, cfg: WanConfig, latent: jax.Array,
+                    context: jax.Array, timesteps: jax.Array,
+                    qcfg: QuantConfig = DEFAULT_CONFIG) -> jax.Array:
+    """forward() over stack_wan_params() output — identical math, one
+    lax.scan over the stacked blocks (zero-copy packed weights via
+    IndexedQuant scalar prefetch, flux.scan_blocks)."""
+    from .flux import scan_blocks
+
+    x, ctx, e, e0, pe, dims = _prelude(sparams, cfg, latent, context,
+                                       timesteps, qcfg)
+
+    def body(x, bp):
+        return _block(bp, x, e0, ctx, pe, cfg, qcfg)
+
+    x = scan_blocks(sparams["blocks"], body, x, cfg.n_layers)
+    return _head(sparams, cfg, x, e, dims, qcfg)

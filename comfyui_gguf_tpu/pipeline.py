@@ -142,6 +142,12 @@ class DiffusionModel:
             return dataclasses.replace(
                 self, params=qi_model.stack_qwen_params(self.params,
                                                         self.config))
+        if self.arch == "wan" and "blocks" not in self.params:
+            from .models import wan as wan_model
+
+            return dataclasses.replace(
+                self, params=wan_model.stack_wan_params(self.params,
+                                                        self.config))
         return self
 
     def memory_report(self) -> dict:
@@ -543,6 +549,42 @@ def qwen_image_engine(model: DiffusionModel, h_tok: int, w_tok: int,
                                  pipeline_depth=pipeline_depth)
 
 
+def wan_engine(model: DiffusionModel, max_batch: int = 2,
+               pipeline_depth: int = 1):
+    """Continuous-batching engine for a loaded Wan 2.1 t2v model — video
+    serving: requests carry (F, H, W, C) latent video + cond {"ctx",
+    "nctx", "cfg_scale"}; each tick runs the conditional AND
+    unconditional forwards and applies per-request CFG mixing, so
+    requests with different guidance scales pool into one batch
+    (cfg_scale 1.0 degrades to the pure conditional velocity). Stacked
+    param trees (DiffusionModel.stack) take the scanned zero-copy
+    forward."""
+    from .models import wan as wan_model
+    from .serving import ContinuousBatchEngine
+
+    fwd = (wan_model.forward_stacked if "blocks" in model.params
+           else wan_model.forward)
+
+    @jax.jit
+    def _step(params, x, s_cur, s_next, ctx, nctx, scale):
+        v_c = fwd(params, model.config, x, ctx, s_cur, qcfg=model.qcfg)
+        v_u = fwd(params, model.config, x, nctx, s_cur, qcfg=model.qcfg)
+        v = v_u + scale[:, None, None, None, None] * (
+            v_c.astype(jnp.float32) - v_u.astype(jnp.float32))
+        step = (s_next - s_cur)[:, None, None, None, None] * v
+        return (x.astype(jnp.float32) + step).astype(x.dtype)
+
+    def step_fn(x, s_cur, s_next, cond):
+        return _step(model.params, jnp.asarray(x, jnp.bfloat16),
+                     jnp.asarray(s_cur), jnp.asarray(s_next),
+                     jnp.asarray(cond["ctx"], jnp.bfloat16),
+                     jnp.asarray(cond["nctx"], jnp.bfloat16),
+                     jnp.asarray(cond["cfg_scale"], jnp.float32))
+
+    return ContinuousBatchEngine(step_fn, max_batch=max_batch,
+                                 pipeline_depth=pipeline_depth)
+
+
 def sd3_engine(model: DiffusionModel, max_batch: int = 4,
                pipeline_depth: int = 1):
     """Continuous-batching engine for a loaded SD3/SD3.5 model.
@@ -740,17 +782,19 @@ class WanPipeline:
             jnp.bfloat16)
         sigmas = shift_sigmas(linear_schedule(steps), self.shift)
         model = self.model
+        fwd = (wan_model.forward_stacked if "blocks" in model.params
+               else wan_model.forward)
 
         @jax.jit
         def denoise(params, x0, ctx, *neg):
             def velocity(xc, sigma):
                 tt = jnp.full((xc.shape[0],), sigma, jnp.float32)
-                v_c = wan_model.forward(params, model.config, xc, ctx, tt,
-                                        qcfg=model.qcfg)
+                v_c = fwd(params, model.config, xc, ctx, tt,
+                          qcfg=model.qcfg)
                 if not neg:
                     return v_c
-                v_u = wan_model.forward(params, model.config, xc, neg[0],
-                                        tt, qcfg=model.qcfg)
+                v_u = fwd(params, model.config, xc, neg[0],
+                          tt, qcfg=model.qcfg)
                 return v_u + cfg_scale * (v_c - v_u)
             return sample_flow(velocity, x0, sigmas)
 

@@ -462,9 +462,9 @@ def test_qwen_image_block_golden():
                                      axes_dim=AX)
     jp = {k2: jnp.asarray(v2) for k2, v2 in w.items()}
     pe = flux.rope_freqs(jnp.asarray(ids), AX, 10_000)
-    j_img, j_txt = qwen_image._block(jp, 0, jnp.asarray(img),
-                                     jnp.asarray(txt), jnp.asarray(vec),
-                                     pe, cfg, F32)
+    j_img, j_txt = qwen_image._block(
+        flux.block_subtree(jp, "transformer_blocks.0."), jnp.asarray(img),
+        jnp.asarray(txt), jnp.asarray(vec), pe, cfg, F32)
     np.testing.assert_allclose(np.asarray(j_img), it.numpy(), rtol=2e-4,
                                atol=2e-4)
     np.testing.assert_allclose(np.asarray(j_txt), tt_.numpy(), rtol=2e-4,
@@ -1013,8 +1013,8 @@ def test_wan_block_golden():
     jp = {k2: jnp.asarray(v2) for k2, v2 in w.items()}
     pe = wan.rope_3d(f, hh, ww, (hd - 4 * (hd // 6),
                                  2 * (hd // 6), 2 * (hd // 6)))
-    j = wan._block(jp, 0, jnp.asarray(x0), jnp.asarray(e0),
-                   jnp.asarray(ctx0), pe, cfg, F32)
+    j = wan._block(flux.block_subtree(jp, "blocks.0."), jnp.asarray(x0),
+                   jnp.asarray(e0), jnp.asarray(ctx0), pe, cfg, F32)
     np.testing.assert_allclose(np.asarray(j), xt.numpy(), rtol=3e-4,
                                atol=3e-4)
 

@@ -113,3 +113,75 @@ def test_wan_rope_table():
     assert pe.shape == (24, 64, 2)
     # rotation magnitudes are 1
     np.testing.assert_allclose((pe ** 2).sum(-1), 1.0, atol=1e-5)
+
+
+def test_wan_stacked_forward_matches_unrolled(wan_params):
+    cfg = wan.WanConfig.from_state_dict(wan_params)
+    rng = np.random.default_rng(2)
+    B, F, H, W = 1, 3, 8, 8
+    lat = jnp.asarray(rng.standard_normal((B, F, H, W, C)), jnp.float32)
+    ctx = jnp.asarray(rng.standard_normal((B, 9, TDIM)), jnp.float32)
+    t = jnp.asarray([0.4], jnp.float32)
+
+    want = wan.forward(wan_params, cfg, lat, ctx, t, qcfg=F32CFG)
+    sparams = wan.stack_wan_params(wan_params, cfg)
+    got = wan.forward_stacked(sparams, cfg, lat, ctx, t, qcfg=F32CFG)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_wan_engine_cfg_serving(wan_params):
+    """Video serving: pooled requests with DIFFERENT cfg scales must each
+    match their direct CFG euler integration; stacked params serve the
+    same results."""
+    from comfyui_gguf_tpu import pipeline
+    from comfyui_gguf_tpu.sampling import euler_sample, linear_schedule
+
+    cfg = wan.WanConfig.from_state_dict(wan_params)
+    rng = np.random.default_rng(3)
+    F, H, W = 3, 8, 8
+    sigmas = linear_schedule(3)
+
+    def mk_req(seed, scale):
+        r = np.random.default_rng(seed)
+        return (r.standard_normal((F, H, W, C)).astype(np.float32),
+                {"ctx": r.standard_normal((9, TDIM)).astype(np.float32),
+                 "nctx": r.standard_normal((9, TDIM)).astype(np.float32),
+                 "cfg_scale": np.float32(scale)})
+
+    x1, c1 = mk_req(10, 5.0)
+    x2, c2 = mk_req(11, 1.0)
+
+    results = []
+    for m in (pipeline.DiffusionModel(arch="wan", params=wan_params,
+                                      config=cfg, qcfg=F32CFG),):
+        for stacked in (False, True):
+            mdl = m.stack() if stacked else m
+            eng = pipeline.wan_engine(mdl, max_batch=2)
+            r1 = eng.submit(x1.copy(), c1, sigmas)
+            r2 = eng.submit(x2.copy(), c2, sigmas)
+            eng.run_until_drained()
+            assert r1.finished and r2.finished
+            results.append((r1.result.astype(np.float32),
+                            r2.result.astype(np.float32)))
+
+    # direct CFG euler per request
+    def direct(x0, cond):
+        ctx = jnp.asarray(cond["ctx"])[None].astype(jnp.bfloat16)
+        nctx = jnp.asarray(cond["nctx"])[None].astype(jnp.bfloat16)
+        s = float(cond["cfg_scale"])
+
+        def velocity(x, sig):
+            tt = jnp.full((1,), sig, jnp.float32)
+            v_c = wan.forward(wan_params, cfg, x, ctx, tt, qcfg=F32CFG)
+            v_u = wan.forward(wan_params, cfg, x, nctx, tt, qcfg=F32CFG)
+            return v_u + s * (v_c - v_u)
+
+        return np.asarray(euler_sample(
+            velocity, jnp.asarray(x0)[None].astype(jnp.bfloat16), sigmas
+        )[0], np.float32)
+
+    w1, w2 = direct(x1, c1), direct(x2, c2)
+    for got1, got2 in results:
+        np.testing.assert_allclose(got1, w1, rtol=0.05, atol=0.05)
+        np.testing.assert_allclose(got2, w2, rtol=0.05, atol=0.05)
