@@ -31,6 +31,8 @@ _PUBLIC = {
     "sd3_engine": ".pipeline",
     "qwen_image_engine": ".pipeline",
     "wan_engine": ".pipeline",
+    "hyvid_engine": ".pipeline",
+    "ltxv_engine": ".pipeline",
     "ModelRegistry": ".registry",
     "QuantConfig": ".nn.layers",
     "quantized_matmul": ".ops.qmatmul",

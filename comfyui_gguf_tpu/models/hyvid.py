@@ -140,12 +140,14 @@ def _token_refiner(params, txt, t_emb, qcfg):
     return x
 
 
-def _double_block(params, i, img, txt, vec, pe, cfg: HyVidConfig, qcfg):
-    p = f"double_blocks.{i}."
+def _double_block(p, img, txt, vec, pe, cfg: HyVidConfig, qcfg):
+    """One double block over its UNPREFIXED param subtree ``p``
+    (scan-compatible: runs under lax.scan with stacked params in
+    forward_stacked and in the python loop in forward)."""
     H = cfg.n_heads
-    i_sh1, i_sc1, i_g1, i_sh2, i_sc2, i_g2 = _mod(params, p + "img_mod",
+    i_sh1, i_sc1, i_g1, i_sh2, i_sc2, i_g2 = _mod(p, "img_mod",
                                                   vec, 6, qcfg)
-    t_sh1, t_sc1, t_g1, t_sh2, t_sc2, t_g2 = _mod(params, p + "txt_mod",
+    t_sh1, t_sc1, t_g1, t_sh2, t_sc2, t_g2 = _mod(p, "txt_mod",
                                                   vec, 6, qcfg)
 
     img_mod = layer_norm(img, eps=1e-6) * (1 + i_sc1) + i_sh1
@@ -153,16 +155,16 @@ def _double_block(params, i, img, txt, vec, pe, cfg: HyVidConfig, qcfg):
 
     iq, ik, iv = (  # flat HYV naming: img_attn_qkv
         _heads(a, H) for a in jnp.split(
-            linear(img_mod, params[p + "img_attn_qkv.weight"],
-                   params.get(p + "img_attn_qkv.bias"), cfg=qcfg), 3, -1))
+            linear(img_mod, p["img_attn_qkv.weight"],
+                   p.get("img_attn_qkv.bias"), cfg=qcfg), 3, -1))
     tq, tk, tv = (
         _heads(a, H) for a in jnp.split(
-            linear(txt_mod, params[p + "txt_attn_qkv.weight"],
-                   params.get(p + "txt_attn_qkv.bias"), cfg=qcfg), 3, -1))
-    iq = rms_norm(iq, params[p + "img_attn_q_norm.weight"], eps=1e-6)
-    ik = rms_norm(ik, params[p + "img_attn_k_norm.weight"], eps=1e-6)
-    tq = rms_norm(tq, params[p + "txt_attn_q_norm.weight"], eps=1e-6)
-    tk = rms_norm(tk, params[p + "txt_attn_k_norm.weight"], eps=1e-6)
+            linear(txt_mod, p["txt_attn_qkv.weight"],
+                   p.get("txt_attn_qkv.bias"), cfg=qcfg), 3, -1))
+    iq = rms_norm(iq, p["img_attn_q_norm.weight"], eps=1e-6)
+    ik = rms_norm(ik, p["img_attn_k_norm.weight"], eps=1e-6)
+    tq = rms_norm(tq, p["txt_attn_q_norm.weight"], eps=1e-6)
+    tk = rms_norm(tk, p["txt_attn_k_norm.weight"], eps=1e-6)
     iq = _apply_rope(iq, pe)
     ik = _apply_rope(ik, pe)
 
@@ -174,39 +176,39 @@ def _double_block(params, i, img, txt, vec, pe, cfg: HyVidConfig, qcfg):
     L_img = img.shape[1]
     img_a, txt_a = a[:, :L_img], a[:, L_img:]
 
-    img = img + i_g1 * linear(img_a, params[p + "img_attn_proj.weight"],
-                              params.get(p + "img_attn_proj.bias"), cfg=qcfg)
+    img = img + i_g1 * linear(img_a, p["img_attn_proj.weight"],
+                              p.get("img_attn_proj.bias"), cfg=qcfg)
     h = layer_norm(img, eps=1e-6) * (1 + i_sc2) + i_sh2
-    h = linear(h, params[p + "img_mlp.fc1.weight"],
-               params.get(p + "img_mlp.fc1.bias"), cfg=qcfg)
+    h = linear(h, p["img_mlp.fc1.weight"],
+               p.get("img_mlp.fc1.bias"), cfg=qcfg)
     h = jax.nn.gelu(h.astype(jnp.float32), approximate=True).astype(h.dtype)
-    img = img + i_g2 * linear(h, params[p + "img_mlp.fc2.weight"],
-                              params.get(p + "img_mlp.fc2.bias"), cfg=qcfg)
+    img = img + i_g2 * linear(h, p["img_mlp.fc2.weight"],
+                              p.get("img_mlp.fc2.bias"), cfg=qcfg)
 
-    txt = txt + t_g1 * linear(txt_a, params[p + "txt_attn_proj.weight"],
-                              params.get(p + "txt_attn_proj.bias"), cfg=qcfg)
+    txt = txt + t_g1 * linear(txt_a, p["txt_attn_proj.weight"],
+                              p.get("txt_attn_proj.bias"), cfg=qcfg)
     h = layer_norm(txt, eps=1e-6) * (1 + t_sc2) + t_sh2
-    h = linear(h, params[p + "txt_mlp.fc1.weight"],
-               params.get(p + "txt_mlp.fc1.bias"), cfg=qcfg)
+    h = linear(h, p["txt_mlp.fc1.weight"],
+               p.get("txt_mlp.fc1.bias"), cfg=qcfg)
     h = jax.nn.gelu(h.astype(jnp.float32), approximate=True).astype(h.dtype)
-    txt = txt + t_g2 * linear(h, params[p + "txt_mlp.fc2.weight"],
-                              params.get(p + "txt_mlp.fc2.bias"), cfg=qcfg)
+    txt = txt + t_g2 * linear(h, p["txt_mlp.fc2.weight"],
+                              p.get("txt_mlp.fc2.bias"), cfg=qcfg)
     return img, txt
 
 
-def _single_block(params, i, x, vec, pe, L_img, cfg: HyVidConfig, qcfg):
-    p = f"single_blocks.{i}."
+def _single_block(p, x, vec, pe, L_img, cfg: HyVidConfig, qcfg):
+    """One single block over its UNPREFIXED param subtree ``p`` (scan-compatible)."""
     H = cfg.n_heads
     hid = cfg.hidden
     mlp = int(hid * cfg.mlp_ratio)
-    shift, scale, gate = _mod(params, p + "modulation", vec, 3, qcfg)
+    shift, scale, gate = _mod(p, "modulation", vec, 3, qcfg)
     x_mod = layer_norm(x, eps=1e-6) * (1 + scale) + shift
-    h = linear(x_mod, params[p + "linear1.weight"],
-               params.get(p + "linear1.bias"), cfg=qcfg)
+    h = linear(x_mod, p["linear1.weight"],
+               p.get("linear1.bias"), cfg=qcfg)
     qkv, mlp_h = h[..., : 3 * hid], h[..., 3 * hid:]
     q, k, v = (_heads(a, H) for a in jnp.split(qkv, 3, -1))
-    q = rms_norm(q, params[p + "q_norm.weight"], eps=1e-6)
-    k = rms_norm(k, params[p + "k_norm.weight"], eps=1e-6)
+    q = rms_norm(q, p["q_norm.weight"], eps=1e-6)
+    k = rms_norm(k, p["k_norm.weight"], eps=1e-6)
     # rope applies to image tokens only (text tokens carry no 3-D position)
     q = jnp.concatenate([_apply_rope(q[:, :, :L_img], pe),
                          q[:, :, L_img:]], axis=2)
@@ -216,15 +218,13 @@ def _single_block(params, i, x, vec, pe, L_img, cfg: HyVidConfig, qcfg):
     act = jax.nn.gelu(mlp_h.astype(jnp.float32), approximate=True).astype(
         mlp_h.dtype)
     out = linear(jnp.concatenate([a, act], axis=-1),
-                 params[p + "linear2.weight"],
-                 params.get(p + "linear2.bias"), cfg=qcfg)
+                 p["linear2.weight"],
+                 p.get("linear2.bias"), cfg=qcfg)
     return x + gate * out
 
 
-def forward(params, cfg: HyVidConfig, latent: jax.Array, txt: jax.Array,
-            timesteps: jax.Array, guidance: jax.Array | None = None,
-            qcfg: QuantConfig = DEFAULT_CONFIG) -> jax.Array:
-    """latent (B, F, H, W, C) NDHWC; txt (B, L, text_dim) LLM states."""
+def _prelude(params, cfg: HyVidConfig, latent, txt, timesteps, guidance,
+             qcfg):
     B, F, Hh, Ww, C = latent.shape
     pt, ph, pw = cfg.patch
     img = conv3d(latent, params["img_in.proj.weight"],
@@ -235,25 +235,22 @@ def forward(params, cfg: HyVidConfig, latent: jax.Array, txt: jax.Array,
 
     temb = timestep_embedding(timesteps, 256).astype(img.dtype)
     vec = _mlp_embed(params, "time_in", temb, qcfg)
-    if "vector_in.in_layer.weight" in params:
-        # HYV conditions on the CLIP pooled vector via txt... callers pass it
-        pass
     if cfg.guidance_embed and guidance is not None:
         vec = vec + _mlp_embed(
             params, "guidance_in",
             timestep_embedding(guidance, 256).astype(img.dtype), qcfg)
 
-    txt = _token_refiner(params, txt, temb, qcfg)
+    # txt rides the scan-body closure in forward_stacked; keep it (and
+    # vec) in the activation dtype so the scan carry dtype is fixed
+    txt = _token_refiner(params, txt, temb, qcfg).astype(img.dtype)
+    vec = vec.astype(img.dtype)
     pe = rope_3d(f, h_, w_, cfg.axes_dim)
+    return img, txt, vec, pe, (B, F, Hh, Ww, C, f, h_, w_)
 
-    for i in range(cfg.depth_double):
-        img, txt = _double_block(params, i, img, txt, vec, pe, cfg, qcfg)
-    x = jnp.concatenate([img, txt], axis=1)
-    L_img = img.shape[1]
-    for i in range(cfg.depth_single):
-        x = _single_block(params, i, x, vec, pe, L_img, cfg, qcfg)
-    img = x[:, :L_img]
 
+def _final(params, cfg: HyVidConfig, img, vec, dims, qcfg):
+    B, F, Hh, Ww, C, f, h_, w_ = dims
+    pt, ph, pw = cfg.patch
     v = jax.nn.silu(vec.astype(jnp.float32)).astype(vec.dtype)
     mod = linear(v, params["final_layer.adaLN_modulation.1.weight"],
                  params.get("final_layer.adaLN_modulation.1.bias"), cfg=qcfg)
@@ -264,3 +261,70 @@ def forward(params, cfg: HyVidConfig, latent: jax.Array, txt: jax.Array,
     img = img.reshape(B, f, h_, w_, pt, ph, pw, C)
     img = img.transpose(0, 1, 4, 2, 5, 3, 6, 7)
     return img.reshape(B, F, Hh, Ww, C)
+
+
+def forward(params, cfg: HyVidConfig, latent: jax.Array, txt: jax.Array,
+            timesteps: jax.Array, guidance: jax.Array | None = None,
+            qcfg: QuantConfig = DEFAULT_CONFIG) -> jax.Array:
+    """latent (B, F, H, W, C) NDHWC; txt (B, L, text_dim) LLM states."""
+    from .flux import block_subtree
+
+    img, txt, vec, pe, dims = _prelude(params, cfg, latent, txt, timesteps,
+                                       guidance, qcfg)
+    for i in range(cfg.depth_double):
+        img, txt = _double_block(block_subtree(params, f"double_blocks.{i}."),
+                                 img, txt, vec, pe, cfg, qcfg)
+    x = jnp.concatenate([img, txt], axis=1)
+    L_img = img.shape[1]
+    for i in range(cfg.depth_single):
+        x = _single_block(block_subtree(params, f"single_blocks.{i}."),
+                          x, vec, pe, L_img, cfg, qcfg)
+    return _final(params, cfg, x[:, :L_img], vec, dims, qcfg)
+
+
+def stack_hyvid_params(params: dict, cfg: HyVidConfig) -> dict:
+    """Flat GGUF-keyed params → {non-block keys, "double_blocks": stacked
+    subtree, "single_blocks": stacked subtree} for the scanned forward
+    (same layout as flux.stack_flux_params — HYV blocks are homogeneous
+    within each kind)."""
+    from .flux import block_subtree
+
+    out = {k: v for k, v in params.items()
+           if not k.startswith(("double_blocks.", "single_blocks."))}
+    for kind, n in (("double_blocks", cfg.depth_double),
+                    ("single_blocks", cfg.depth_single)):
+        subs = [block_subtree(params, f"{kind}.{i}.") for i in range(n)]
+        keysets = {frozenset(s) for s in subs}
+        if len(keysets) > 1:
+            raise ValueError(f"non-homogeneous hyvid {kind}; use forward()")
+        out[kind] = (jax.tree.map(lambda *xs: jnp.stack(xs), *subs)
+                     if subs else {})
+    return out
+
+
+def forward_stacked(sparams: dict, cfg: HyVidConfig, latent: jax.Array,
+                    txt: jax.Array, timesteps: jax.Array,
+                    guidance: jax.Array | None = None,
+                    qcfg: QuantConfig = DEFAULT_CONFIG) -> jax.Array:
+    """forward() over stack_hyvid_params() output — identical math, one
+    lax.scan per block kind (zero-copy packed weights via IndexedQuant
+    scalar prefetch, flux.scan_blocks)."""
+    from .flux import scan_blocks
+
+    img, txt, vec, pe, dims = _prelude(sparams, cfg, latent, txt,
+                                       timesteps, guidance, qcfg)
+
+    def dbody(carry, bp):
+        i, t = carry
+        return _double_block(bp, i, t, vec, pe, cfg, qcfg)
+
+    img, txt = scan_blocks(sparams["double_blocks"], dbody, (img, txt),
+                           cfg.depth_double)
+    x = jnp.concatenate([img, txt], axis=1)
+    L_img = img.shape[1]
+
+    def sbody(x, bp):
+        return _single_block(bp, x, vec, pe, L_img, cfg, qcfg)
+
+    x = scan_blocks(sparams["single_blocks"], sbody, x, cfg.depth_single)
+    return _final(sparams, cfg, x[:, :L_img], vec, dims, qcfg)

@@ -121,11 +121,28 @@ def _attention(params, p, xq, xkv, n_heads, qcfg, pe=None):
                   params.get(f"{p}.to_out.0.bias"), cfg=qcfg)
 
 
-def forward(params, cfg: LTXVConfig, tokens: jax.Array, ids: jax.Array,
-            context: jax.Array, timesteps: jax.Array,
-            qcfg: QuantConfig = DEFAULT_CONFIG) -> jax.Array:
-    """tokens (B, L, in_channels) latent voxels, ids (B, L, 3) positions,
-    context (B, Lc, caption_dim), timesteps (B,) ∈ [0, 1]."""
+def _block(p, x, e6, ctx, pe, cfg: LTXVConfig, qcfg):
+    """One LTXV block over its UNPREFIXED param subtree ``p``
+    (scan-compatible: runs under lax.scan with stacked params in
+    forward_stacked and in the python loop in forward)."""
+    ss = (p["scale_shift_table"].reshape(1, 6, cfg.dim)
+          + e6).astype(x.dtype)
+    sh1, sc1, g1, sh2, sc2, g2 = [ss[:, j][:, None] for j in range(6)]
+
+    h = rms_norm(x, eps=1e-6) * (1 + sc1) + sh1
+    x = x + g1 * _attention(p, "attn1", h, h, cfg.n_heads, qcfg, pe=pe)
+    # cross-attention, un-modulated (PixArt convention)
+    x = x + _attention(p, "attn2", x, ctx, cfg.n_heads, qcfg)
+    h = rms_norm(x, eps=1e-6) * (1 + sc2) + sh2
+    h = linear(h, p["ff.net.0.proj.weight"],
+               p.get("ff.net.0.proj.bias"), cfg=qcfg)
+    h = jax.nn.gelu(h.astype(jnp.float32), approximate=True).astype(
+        x.dtype)
+    return x + g2 * linear(h, p["ff.net.2.weight"],
+                           p.get("ff.net.2.bias"), cfg=qcfg)
+
+
+def _prelude(params, cfg: LTXVConfig, tokens, ids, context, timesteps, qcfg):
     x = linear(tokens, params["patchify_proj.weight"],
                params.get("patchify_proj.bias"), cfg=qcfg)
 
@@ -150,29 +167,66 @@ def forward(params, cfg: LTXVConfig, tokens: jax.Array, ids: jax.Array,
                  params.get("caption_projection.linear_2.bias"), cfg=qcfg)
 
     pe = _rope_from_ids(ids, cfg.axes_dim)
+    # ctx/e6 ride the scan-body closure in forward_stacked; fix dtypes
+    return x, ctx.astype(x.dtype), e, e6.astype(x.dtype), pe
 
-    for i in range(cfg.n_layers):
-        p = f"transformer_blocks.{i}"
-        ss = (params[f"{p}.scale_shift_table"].reshape(1, 6, cfg.dim)
-              + e6).astype(x.dtype)
-        sh1, sc1, g1, sh2, sc2, g2 = [ss[:, j][:, None] for j in range(6)]
 
-        h = rms_norm(x, eps=1e-6) * (1 + sc1) + sh1
-        x = x + g1 * _attention(params, f"{p}.attn1", h, h, cfg.n_heads,
-                                qcfg, pe=pe)
-        # cross-attention, un-modulated (PixArt convention)
-        x = x + _attention(params, f"{p}.attn2", x, ctx, cfg.n_heads, qcfg)
-        h = rms_norm(x, eps=1e-6) * (1 + sc2) + sh2
-        h = linear(h, params[f"{p}.ff.net.0.proj.weight"],
-                   params.get(f"{p}.ff.net.0.proj.bias"), cfg=qcfg)
-        h = jax.nn.gelu(h.astype(jnp.float32), approximate=True).astype(
-            x.dtype)
-        x = x + g2 * linear(h, params[f"{p}.ff.net.2.weight"],
-                            params.get(f"{p}.ff.net.2.bias"), cfg=qcfg)
-
+def _head(params, cfg: LTXVConfig, x, e, qcfg):
     fin = (params["scale_shift_table"].reshape(1, 2, cfg.dim)
            + e.reshape(-1, 1, cfg.dim)).astype(x.dtype)
     shift, scale = fin[:, 0][:, None], fin[:, 1][:, None]
     x = rms_norm(x, eps=1e-6) * (1 + scale) + shift
     return linear(x, params["proj_out.weight"],
                   params.get("proj_out.bias"), cfg=qcfg)
+
+
+def forward(params, cfg: LTXVConfig, tokens: jax.Array, ids: jax.Array,
+            context: jax.Array, timesteps: jax.Array,
+            qcfg: QuantConfig = DEFAULT_CONFIG) -> jax.Array:
+    """tokens (B, L, in_channels) latent voxels, ids (B, L, 3) positions,
+    context (B, Lc, caption_dim), timesteps (B,) ∈ [0, 1]."""
+    from .flux import block_subtree
+
+    x, ctx, e, e6, pe = _prelude(params, cfg, tokens, ids, context,
+                                 timesteps, qcfg)
+    for i in range(cfg.n_layers):
+        x = _block(block_subtree(params, f"transformer_blocks.{i}."),
+                   x, e6, ctx, pe, cfg, qcfg)
+    return _head(params, cfg, x, e, qcfg)
+
+
+def stack_ltxv_params(params: dict, cfg: LTXVConfig) -> dict:
+    """Flat GGUF-keyed params → {non-block keys, "transformer_blocks":
+    stacked subtree over the depth axis} for the scanned forward. LTXV
+    blocks are fully homogeneous."""
+    from .flux import block_subtree
+
+    out = {k: v for k, v in params.items()
+           if not k.startswith("transformer_blocks.")}
+    subs = [block_subtree(params, f"transformer_blocks.{i}.")
+            for i in range(cfg.n_layers)]
+    keysets = {frozenset(s) for s in subs}
+    if len(keysets) > 1:
+        raise ValueError("non-homogeneous ltxv blocks; use forward()")
+    out["transformer_blocks"] = (jax.tree.map(lambda *xs: jnp.stack(xs),
+                                              *subs) if subs else {})
+    return out
+
+
+def forward_stacked(sparams: dict, cfg: LTXVConfig, tokens: jax.Array,
+                    ids: jax.Array, context: jax.Array,
+                    timesteps: jax.Array,
+                    qcfg: QuantConfig = DEFAULT_CONFIG) -> jax.Array:
+    """forward() over stack_ltxv_params() output — identical math, one
+    lax.scan over the stacked blocks (zero-copy packed weights via
+    IndexedQuant scalar prefetch, flux.scan_blocks)."""
+    from .flux import scan_blocks
+
+    x, ctx, e, e6, pe = _prelude(sparams, cfg, tokens, ids, context,
+                                 timesteps, qcfg)
+
+    def body(x, bp):
+        return _block(bp, x, e6, ctx, pe, cfg, qcfg)
+
+    x = scan_blocks(sparams["transformer_blocks"], body, x, cfg.n_layers)
+    return _head(sparams, cfg, x, e, qcfg)

@@ -148,6 +148,18 @@ class DiffusionModel:
             return dataclasses.replace(
                 self, params=wan_model.stack_wan_params(self.params,
                                                         self.config))
+        if self.arch == "hyvid" and "double_blocks" not in self.params:
+            from .models import hyvid as hyvid_model
+
+            return dataclasses.replace(
+                self, params=hyvid_model.stack_hyvid_params(self.params,
+                                                            self.config))
+        if self.arch == "ltxv" and "transformer_blocks" not in self.params:
+            from .models import ltxv as ltxv_model
+
+            return dataclasses.replace(
+                self, params=ltxv_model.stack_ltxv_params(self.params,
+                                                          self.config))
         return self
 
     def memory_report(self) -> dict:
@@ -585,6 +597,74 @@ def wan_engine(model: DiffusionModel, max_batch: int = 2,
                                  pipeline_depth=pipeline_depth)
 
 
+def hyvid_engine(model: DiffusionModel, max_batch: int = 2,
+                 pipeline_depth: int = 1):
+    """Continuous-batching engine for a loaded HunyuanVideo model —
+    guidance-distilled video serving: requests carry (F, H, W, C) latent
+    video + cond {"txt", "guidance"}; one conditional forward per tick
+    with per-request embedded-guidance scales (in units of 1.0, embedded
+    ×1000 like HyVidPipeline). Stacked param trees (DiffusionModel.stack)
+    take the scanned zero-copy forward."""
+    from .models import hyvid as hyvid_model
+    from .serving import ContinuousBatchEngine
+
+    fwd = (hyvid_model.forward_stacked
+           if "double_blocks" in model.params else hyvid_model.forward)
+
+    @jax.jit
+    def _step(params, x, s_cur, s_next, txt, guidance):
+        v = fwd(params, model.config, x, txt, s_cur,
+                guidance * 1000.0, qcfg=model.qcfg)
+        step = (s_next - s_cur)[:, None, None, None, None] * v.astype(
+            jnp.float32)
+        return (x.astype(jnp.float32) + step).astype(x.dtype)
+
+    def step_fn(x, s_cur, s_next, cond):
+        return _step(model.params, jnp.asarray(x, jnp.bfloat16),
+                     jnp.asarray(s_cur), jnp.asarray(s_next),
+                     jnp.asarray(cond["txt"], jnp.bfloat16),
+                     jnp.asarray(cond["guidance"], jnp.float32))
+
+    return ContinuousBatchEngine(step_fn, max_batch=max_batch,
+                                 pipeline_depth=pipeline_depth)
+
+
+def ltxv_engine(model: DiffusionModel, max_batch: int = 2,
+                pipeline_depth: int = 1):
+    """Continuous-batching engine for a loaded LTX-Video model — token
+    video serving: requests carry (L, in_channels) latent voxels + cond
+    {"ids" (L, 3) voxel positions, "ctx", "nctx", "cfg_scale"}; each tick
+    runs the conditional AND unconditional forwards and applies
+    per-request CFG mixing (cfg_scale 1.0 degrades to the pure
+    conditional velocity). Stacked param trees (DiffusionModel.stack)
+    take the scanned zero-copy forward."""
+    from .models import ltxv as ltxv_model
+    from .serving import ContinuousBatchEngine
+
+    fwd = (ltxv_model.forward_stacked
+           if "transformer_blocks" in model.params else ltxv_model.forward)
+
+    @jax.jit
+    def _step(params, x, s_cur, s_next, ids, ctx, nctx, scale):
+        v_c = fwd(params, model.config, x, ids, ctx, s_cur, qcfg=model.qcfg)
+        v_u = fwd(params, model.config, x, ids, nctx, s_cur, qcfg=model.qcfg)
+        v = v_u + scale[:, None, None] * (
+            v_c.astype(jnp.float32) - v_u.astype(jnp.float32))
+        step = (s_next - s_cur)[:, None, None] * v
+        return (x.astype(jnp.float32) + step).astype(x.dtype)
+
+    def step_fn(x, s_cur, s_next, cond):
+        return _step(model.params, jnp.asarray(x, jnp.bfloat16),
+                     jnp.asarray(s_cur), jnp.asarray(s_next),
+                     jnp.asarray(cond["ids"], jnp.int32),
+                     jnp.asarray(cond["ctx"], jnp.bfloat16),
+                     jnp.asarray(cond["nctx"], jnp.bfloat16),
+                     jnp.asarray(cond["cfg_scale"], jnp.float32))
+
+    return ContinuousBatchEngine(step_fn, max_batch=max_batch,
+                                 pipeline_depth=pipeline_depth)
+
+
 def sd3_engine(model: DiffusionModel, max_batch: int = 4,
                pipeline_depth: int = 1):
     """Continuous-batching engine for a loaded SD3/SD3.5 model.
@@ -845,12 +925,15 @@ class HyVidPipeline:
         g = jnp.full((1,), guidance * 1000.0, jnp.float32)
         model = self.model
 
+        fwd = (hyvid_model.forward_stacked
+               if "double_blocks" in model.params else hyvid_model.forward)
+
         @jax.jit
         def denoise(params, x0, txt):
             def velocity(xc, sigma):
                 tt = jnp.full((xc.shape[0],), sigma, jnp.float32)
-                return hyvid_model.forward(params, model.config, xc, txt,
-                                           tt, g, qcfg=model.qcfg)
+                return fwd(params, model.config, xc, txt,
+                           tt, g, qcfg=model.qcfg)
             return sample_flow(velocity, x0, sigmas)
 
         lat = denoise(model.params, x, txt)
@@ -902,16 +985,20 @@ class LTXVPipeline:
         sigmas = shift_sigmas(linear_schedule(steps), self.shift)
         model = self.model
 
+        fwd = (ltxv_model.forward_stacked
+               if "transformer_blocks" in model.params
+               else ltxv_model.forward)
+
         @jax.jit
         def denoise(params, x0, ctx, *neg):
             def velocity(xc, sigma):
                 ts = jnp.full((xc.shape[0],), sigma, jnp.float32)
-                v_c = ltxv_model.forward(params, model.config, xc, pos,
-                                         ctx, ts, qcfg=model.qcfg)
+                v_c = fwd(params, model.config, xc, pos,
+                          ctx, ts, qcfg=model.qcfg)
                 if not neg:
                     return v_c
-                v_u = ltxv_model.forward(params, model.config, xc, pos,
-                                         neg[0], ts, qcfg=model.qcfg)
+                v_u = fwd(params, model.config, xc, pos,
+                          neg[0], ts, qcfg=model.qcfg)
                 return v_u + cfg_scale * (v_c - v_u)
             return sample_flow(velocity, x0, sigmas)
 

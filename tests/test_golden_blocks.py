@@ -1119,9 +1119,9 @@ def test_hyvid_double_block_golden():
                             depth_single=0)
     jp = {k2: jnp.asarray(v2) for k2, v2 in w.items()}
     pe = hyvid.rope_3d(f, hh, ww, AX)
-    j_img, j_txt = hyvid._double_block(jp, 0, jnp.asarray(img0),
-                                       jnp.asarray(txt0), jnp.asarray(vec0),
-                                       pe, cfg, F32)
+    j_img, j_txt = hyvid._double_block(
+        flux.block_subtree(jp, "double_blocks.0."), jnp.asarray(img0),
+        jnp.asarray(txt0), jnp.asarray(vec0), pe, cfg, F32)
     np.testing.assert_allclose(np.asarray(j_img), it.numpy(), rtol=3e-4,
                                atol=3e-4)
     np.testing.assert_allclose(np.asarray(j_txt), tt_.numpy(), rtol=3e-4,
@@ -1188,7 +1188,8 @@ def test_hyvid_single_block_golden():
                             depth_single=1)
     jp = {k2: jnp.asarray(v2) for k2, v2 in w.items()}
     pe = hyvid.rope_3d(f, hh, ww, AX)
-    j = hyvid._single_block(jp, 0, jnp.asarray(x0), jnp.asarray(vec0), pe,
+    j = hyvid._single_block(flux.block_subtree(jp, "single_blocks.0."),
+                            jnp.asarray(x0), jnp.asarray(vec0), pe,
                             L, cfg, F32)
     np.testing.assert_allclose(np.asarray(j), want.numpy(), rtol=3e-4,
                                atol=3e-4)

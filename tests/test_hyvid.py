@@ -134,3 +134,71 @@ def test_hyvid_forward(hyvid_params):
     out = hyvid.forward(hyvid_params, cfg, lat, txt, t, g, qcfg=F32CFG)
     assert out.shape == (B, F, H, W, C)
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_hyvid_stacked_forward_matches_unrolled(hyvid_params):
+    cfg = hyvid.HyVidConfig.from_state_dict(hyvid_params)
+    rng = np.random.default_rng(2)
+    B, F, H, W = 1, 3, 8, 8
+    lat = jnp.asarray(rng.standard_normal((B, F, H, W, C)), jnp.float32)
+    txt = jnp.asarray(rng.standard_normal((B, 11, TDIM)), jnp.float32)
+    t = jnp.asarray([0.4], jnp.float32)
+    g = jnp.asarray([5.0], jnp.float32)
+
+    want = hyvid.forward(hyvid_params, cfg, lat, txt, t, g, qcfg=F32CFG)
+    sparams = hyvid.stack_hyvid_params(hyvid_params, cfg)
+    got = hyvid.forward_stacked(sparams, cfg, lat, txt, t, g, qcfg=F32CFG)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_hyvid_engine_serving(hyvid_params):
+    """Guidance-distilled video serving: pooled requests with DIFFERENT
+    embedded-guidance scales each match their direct euler integration;
+    stacked params serve the same results."""
+    from comfyui_gguf_tpu import pipeline
+    from comfyui_gguf_tpu.sampling import euler_sample, linear_schedule
+
+    cfg = hyvid.HyVidConfig.from_state_dict(hyvid_params)
+    F, H, W = 3, 8, 8
+    sigmas = linear_schedule(3)
+
+    def mk_req(seed, g):
+        r = np.random.default_rng(seed)
+        return (r.standard_normal((F, H, W, C)).astype(np.float32),
+                {"txt": r.standard_normal((11, TDIM)).astype(np.float32),
+                 "guidance": np.float32(g)})
+
+    x1, c1 = mk_req(10, 6.0)
+    x2, c2 = mk_req(11, 1.0)
+
+    base = pipeline.DiffusionModel(arch="hyvid", params=hyvid_params,
+                                   config=cfg, qcfg=F32CFG)
+    results = []
+    for stacked in (False, True):
+        mdl = base.stack() if stacked else base
+        eng = pipeline.hyvid_engine(mdl, max_batch=2)
+        r1 = eng.submit(x1.copy(), c1, sigmas)
+        r2 = eng.submit(x2.copy(), c2, sigmas)
+        eng.run_until_drained()
+        assert r1.finished and r2.finished
+        results.append((r1.result.astype(np.float32),
+                        r2.result.astype(np.float32)))
+
+    def direct(x0, cond):
+        txt = jnp.asarray(cond["txt"])[None].astype(jnp.bfloat16)
+        g = jnp.asarray([float(cond["guidance"]) * 1000.0], jnp.float32)
+
+        def velocity(x, sig):
+            tt = jnp.full((1,), sig, jnp.float32)
+            return hyvid.forward(hyvid_params, cfg, x, txt, tt, g,
+                                 qcfg=F32CFG)
+
+        return np.asarray(euler_sample(
+            velocity, jnp.asarray(x0)[None].astype(jnp.bfloat16), sigmas
+        )[0], np.float32)
+
+    w1, w2 = direct(x1, c1), direct(x2, c2)
+    for got1, got2 in results:
+        np.testing.assert_allclose(got1, w1, rtol=0.05, atol=0.05)
+        np.testing.assert_allclose(got2, w2, rtol=0.05, atol=0.05)

@@ -88,3 +88,79 @@ def test_ltxv_forward(ltxv_params):
     out = ltxv.forward(ltxv_params, cfg, tokens, ids, ctx, t, qcfg=F32CFG)
     assert out.shape == (B, L, INCH)
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_ltxv_stacked_forward_matches_unrolled(ltxv_params):
+    cfg = ltxv.LTXVConfig.from_state_dict(ltxv_params)
+    rng = np.random.default_rng(2)
+    B, L, Lc = 2, 24, 9
+    tokens = jnp.asarray(rng.standard_normal((B, L, INCH)), jnp.float32)
+    ids = jnp.asarray(rng.integers(0, 8, (B, L, 3)), jnp.int32)
+    ctx = jnp.asarray(rng.standard_normal((B, Lc, CAP)), jnp.float32)
+    t = jnp.asarray([0.9, 0.3], jnp.float32)
+
+    want = ltxv.forward(ltxv_params, cfg, tokens, ids, ctx, t, qcfg=F32CFG)
+    sparams = ltxv.stack_ltxv_params(ltxv_params, cfg)
+    got = ltxv.forward_stacked(sparams, cfg, tokens, ids, ctx, t,
+                               qcfg=F32CFG)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_ltxv_engine_cfg_serving(ltxv_params):
+    """Token-video serving: pooled requests with DIFFERENT cfg scales and
+    DIFFERENT voxel-position ids each match their direct CFG euler
+    integration; stacked params serve the same results."""
+    from comfyui_gguf_tpu import pipeline
+    from comfyui_gguf_tpu.sampling import euler_sample, linear_schedule
+
+    cfg = ltxv.LTXVConfig.from_state_dict(ltxv_params)
+    L, Lc = 24, 9
+    sigmas = linear_schedule(3)
+
+    def mk_req(seed, scale):
+        r = np.random.default_rng(seed)
+        return (r.standard_normal((L, INCH)).astype(np.float32),
+                {"ids": r.integers(0, 8, (L, 3)).astype(np.int32),
+                 "ctx": r.standard_normal((Lc, CAP)).astype(np.float32),
+                 "nctx": r.standard_normal((Lc, CAP)).astype(np.float32),
+                 "cfg_scale": np.float32(scale)})
+
+    x1, c1 = mk_req(10, 3.0)
+    x2, c2 = mk_req(11, 1.0)
+
+    base = pipeline.DiffusionModel(arch="ltxv", params=ltxv_params,
+                                   config=cfg, qcfg=F32CFG)
+    results = []
+    for stacked in (False, True):
+        mdl = base.stack() if stacked else base
+        eng = pipeline.ltxv_engine(mdl, max_batch=2)
+        r1 = eng.submit(x1.copy(), c1, sigmas)
+        r2 = eng.submit(x2.copy(), c2, sigmas)
+        eng.run_until_drained()
+        assert r1.finished and r2.finished
+        results.append((r1.result.astype(np.float32),
+                        r2.result.astype(np.float32)))
+
+    def direct(x0, cond):
+        ids = jnp.asarray(cond["ids"])[None]
+        ctx = jnp.asarray(cond["ctx"])[None].astype(jnp.bfloat16)
+        nctx = jnp.asarray(cond["nctx"])[None].astype(jnp.bfloat16)
+        s = float(cond["cfg_scale"])
+
+        def velocity(x, sig):
+            tt = jnp.full((1,), sig, jnp.float32)
+            v_c = ltxv.forward(ltxv_params, cfg, x, ids, ctx, tt,
+                               qcfg=F32CFG)
+            v_u = ltxv.forward(ltxv_params, cfg, x, ids, nctx, tt,
+                               qcfg=F32CFG)
+            return v_u + s * (v_c - v_u)
+
+        return np.asarray(euler_sample(
+            velocity, jnp.asarray(x0)[None].astype(jnp.bfloat16), sigmas
+        )[0], np.float32)
+
+    w1, w2 = direct(x1, c1), direct(x2, c2)
+    for got1, got2 in results:
+        np.testing.assert_allclose(got1, w1, rtol=0.05, atol=0.05)
+        np.testing.assert_allclose(got2, w2, rtol=0.05, atol=0.05)
