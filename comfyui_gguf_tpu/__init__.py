@@ -33,6 +33,11 @@ _PUBLIC = {
     "wan_engine": ".pipeline",
     "hyvid_engine": ".pipeline",
     "ltxv_engine": ".pipeline",
+    "lumina2_engine": ".pipeline",
+    "aura_engine": ".pipeline",
+    "cosmos_engine": ".pipeline",
+    "hidream_engine": ".pipeline",
+    "unet_engine": ".pipeline",
     "ModelRegistry": ".registry",
     "QuantConfig": ".nn.layers",
     "quantized_matmul": ".ops.qmatmul",

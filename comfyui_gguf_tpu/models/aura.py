@@ -106,26 +106,28 @@ def _attn_joint(q, k, v):
     return out.transpose(0, 2, 1, 3).reshape(B, L, H * D)
 
 
-def _double_layer(params, i, c, x, vec, cfg: AuraConfig, qcfg):
-    p = f"double_layers.{i}."
+def _double_layer(p, c, x, vec, cfg: AuraConfig, qcfg):
+    """One double layer over its UNPREFIXED param subtree ``p``
+    (scan-compatible: runs under lax.scan with stacked params in
+    forward_stacked and in the python loop in forward)."""
     H = cfg.n_heads
-    c_sh1, c_sc1, c_g1, c_sh2, c_sc2, c_g2 = _mod(params, p + "modC", vec, 6,
+    c_sh1, c_sc1, c_g1, c_sh2, c_sc2, c_g2 = _mod(p, "modC", vec, 6,
                                                   qcfg)
-    x_sh1, x_sc1, x_g1, x_sh2, x_sc2, x_g2 = _mod(params, p + "modX", vec, 6,
+    x_sh1, x_sc1, x_g1, x_sh2, x_sc2, x_g2 = _mod(p, "modX", vec, 6,
                                                   qcfg)
     c_mod = layer_norm(c) * (1 + c_sc1) + c_sh1
     x_mod = layer_norm(x) * (1 + x_sc1) + x_sh1
 
-    cq = _qk_norm(_heads(linear(c_mod, params[p + "attn.w1q.weight"],
+    cq = _qk_norm(_heads(linear(c_mod, p["attn.w1q.weight"],
                                 cfg=qcfg), H))
-    ck = _qk_norm(_heads(linear(c_mod, params[p + "attn.w1k.weight"],
+    ck = _qk_norm(_heads(linear(c_mod, p["attn.w1k.weight"],
                                 cfg=qcfg), H))
-    cv = _heads(linear(c_mod, params[p + "attn.w1v.weight"], cfg=qcfg), H)
-    xq = _qk_norm(_heads(linear(x_mod, params[p + "attn.w2q.weight"],
+    cv = _heads(linear(c_mod, p["attn.w1v.weight"], cfg=qcfg), H)
+    xq = _qk_norm(_heads(linear(x_mod, p["attn.w2q.weight"],
                                 cfg=qcfg), H))
-    xk = _qk_norm(_heads(linear(x_mod, params[p + "attn.w2k.weight"],
+    xk = _qk_norm(_heads(linear(x_mod, p["attn.w2k.weight"],
                                 cfg=qcfg), H))
-    xv = _heads(linear(x_mod, params[p + "attn.w2v.weight"], cfg=qcfg), H)
+    xv = _heads(linear(x_mod, p["attn.w2v.weight"], cfg=qcfg), H)
 
     q = jnp.concatenate([cq, xq], axis=2)
     k = jnp.concatenate([ck, xk], axis=2)
@@ -134,36 +136,33 @@ def _double_layer(params, i, c, x, vec, cfg: AuraConfig, qcfg):
     Lc = c.shape[1]
     c_a, x_a = a[:, :Lc], a[:, Lc:]
 
-    c = c + c_g1 * linear(c_a, params[p + "attn.w1o.weight"], cfg=qcfg)
-    c = c + c_g2 * _mlp(params, p + "mlpC",
+    c = c + c_g1 * linear(c_a, p["attn.w1o.weight"], cfg=qcfg)
+    c = c + c_g2 * _mlp(p, "mlpC",
                         layer_norm(c) * (1 + c_sc2) + c_sh2, qcfg)
-    x = x + x_g1 * linear(x_a, params[p + "attn.w2o.weight"], cfg=qcfg)
-    x = x + x_g2 * _mlp(params, p + "mlpX",
+    x = x + x_g1 * linear(x_a, p["attn.w2o.weight"], cfg=qcfg)
+    x = x + x_g2 * _mlp(p, "mlpX",
                         layer_norm(x) * (1 + x_sc2) + x_sh2, qcfg)
     return c, x
 
 
-def _single_layer(params, i, cx, vec, cfg: AuraConfig, qcfg):
-    p = f"single_layers.{i}."
+def _single_layer(p, cx, vec, cfg: AuraConfig, qcfg):
+    """One single layer over its UNPREFIXED param subtree ``p`` (scan-compatible)."""
     H = cfg.n_heads
-    sh1, sc1, g1, sh2, sc2, g2 = _mod(params, p + "modCX", vec, 6, qcfg)
+    sh1, sc1, g1, sh2, sc2, g2 = _mod(p, "modCX", vec, 6, qcfg)
     m = layer_norm(cx) * (1 + sc1) + sh1
-    q = _qk_norm(_heads(linear(m, params[p + "attn.w1q.weight"], cfg=qcfg),
+    q = _qk_norm(_heads(linear(m, p["attn.w1q.weight"], cfg=qcfg),
                         H))
-    k = _qk_norm(_heads(linear(m, params[p + "attn.w1k.weight"], cfg=qcfg),
+    k = _qk_norm(_heads(linear(m, p["attn.w1k.weight"], cfg=qcfg),
                         H))
-    v = _heads(linear(m, params[p + "attn.w1v.weight"], cfg=qcfg), H)
+    v = _heads(linear(m, p["attn.w1v.weight"], cfg=qcfg), H)
     a = _attn_joint(q, k, v)
-    cx = cx + g1 * linear(a, params[p + "attn.w1o.weight"], cfg=qcfg)
-    cx = cx + g2 * _mlp(params, p + "mlp",
+    cx = cx + g1 * linear(a, p["attn.w1o.weight"], cfg=qcfg)
+    cx = cx + g2 * _mlp(p, "mlp",
                         layer_norm(cx) * (1 + sc2) + sh2, qcfg)
     return cx
 
 
-def forward(params, cfg: AuraConfig, latent: jax.Array, cond: jax.Array,
-            timesteps: jax.Array,
-            qcfg: QuantConfig = DEFAULT_CONFIG) -> jax.Array:
-    """latent (B, H, W, C) NHWC; cond (B, L, cond_dim) T5 states."""
+def _prelude(params, cfg: AuraConfig, latent, cond, timesteps, qcfg):
     B, Hh, Ww, C = latent.shape
     p = cfg.patch_size
     h_tok, w_tok = Hh // p, Ww // p
@@ -193,16 +192,78 @@ def forward(params, cfg: AuraConfig, latent: jax.Array, cond: jax.Array,
         [jnp.broadcast_to(regs.astype(c.dtype),
                           (B, regs.shape[-2], c.shape[-1])), c], axis=1)
 
-    for i in range(cfg.depth_double):
-        c, x = _double_layer(params, i, c, x, vec, cfg, qcfg)
-    cx = jnp.concatenate([c, x], axis=1)
-    for i in range(cfg.depth_single):
-        cx = _single_layer(params, i, cx, vec, cfg, qcfg)
-    x = cx[:, c.shape[1]:]
+    # c/vec ride the scan-body closures in forward_stacked; fix dtypes
+    return c.astype(x.dtype), x, vec.astype(x.dtype), (B, Hh, Ww, C,
+                                                       h_tok, w_tok)
 
+
+def _head(params, cfg: AuraConfig, x, vec, dims, qcfg):
+    B, Hh, Ww, C, h_tok, w_tok = dims
+    p = cfg.patch_size
     shift, scale = _mod(params, "modF", vec, 2, qcfg)
     x = layer_norm(x) * (1 + scale) + shift
     x = linear(x, params["final_linear.weight"], cfg=qcfg)
 
     x = x.reshape(B, h_tok, w_tok, C, p, p)
     return x.transpose(0, 1, 4, 2, 5, 3).reshape(B, Hh, Ww, C)
+
+
+def forward(params, cfg: AuraConfig, latent: jax.Array, cond: jax.Array,
+            timesteps: jax.Array,
+            qcfg: QuantConfig = DEFAULT_CONFIG) -> jax.Array:
+    """latent (B, H, W, C) NHWC; cond (B, L, cond_dim) T5 states."""
+    from .flux import block_subtree
+
+    c, x, vec, dims = _prelude(params, cfg, latent, cond, timesteps, qcfg)
+    for i in range(cfg.depth_double):
+        c, x = _double_layer(block_subtree(params, f"double_layers.{i}."),
+                             c, x, vec, cfg, qcfg)
+    cx = jnp.concatenate([c, x], axis=1)
+    for i in range(cfg.depth_single):
+        cx = _single_layer(block_subtree(params, f"single_layers.{i}."),
+                           cx, vec, cfg, qcfg)
+    return _head(params, cfg, cx[:, c.shape[1]:], vec, dims, qcfg)
+
+
+def stack_aura_params(params: dict, cfg: AuraConfig) -> dict:
+    """Flat GGUF-keyed params → {non-layer keys, "double_layers": stacked
+    subtree, "single_layers": stacked subtree} for the scanned forward
+    (AuraFlow layers are homogeneous within each kind)."""
+    from .flux import block_subtree
+
+    out = {k: v for k, v in params.items()
+           if not k.startswith(("double_layers.", "single_layers."))}
+    for kind, n in (("double_layers", cfg.depth_double),
+                    ("single_layers", cfg.depth_single)):
+        subs = [block_subtree(params, f"{kind}.{i}.") for i in range(n)]
+        keysets = {frozenset(s) for s in subs}
+        if len(keysets) > 1:
+            raise ValueError(f"non-homogeneous aura {kind}; use forward()")
+        out[kind] = (jax.tree.map(lambda *xs: jnp.stack(xs), *subs)
+                     if subs else {})
+    return out
+
+
+def forward_stacked(sparams: dict, cfg: AuraConfig, latent: jax.Array,
+                    cond: jax.Array, timesteps: jax.Array,
+                    qcfg: QuantConfig = DEFAULT_CONFIG) -> jax.Array:
+    """forward() over stack_aura_params() output — identical math, one
+    lax.scan per layer kind (zero-copy packed weights via IndexedQuant
+    scalar prefetch, flux.scan_blocks)."""
+    from .flux import scan_blocks
+
+    c, x, vec, dims = _prelude(sparams, cfg, latent, cond, timesteps, qcfg)
+
+    def dbody(carry, bp):
+        cc, xx = carry
+        return _double_layer(bp, cc, xx, vec, cfg, qcfg)
+
+    c, x = scan_blocks(sparams["double_layers"], dbody, (c, x),
+                       cfg.depth_double)
+    cx = jnp.concatenate([c, x], axis=1)
+
+    def sbody(cx, bp):
+        return _single_layer(bp, cx, vec, cfg, qcfg)
+
+    cx = scan_blocks(sparams["single_layers"], sbody, cx, cfg.depth_single)
+    return _head(sparams, cfg, cx[:, c.shape[1]:], vec, dims, qcfg)

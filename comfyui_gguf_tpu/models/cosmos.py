@@ -71,57 +71,56 @@ def _mod3(params, key, vec, qcfg):
     return jnp.split(out[:, None, :], 3, axis=-1)
 
 
-def _proj_heads(params, p, name, x, H, qcfg, norm=None):
-    h = linear(x, params[f"{p}.{name}.weight"],
-               params.get(f"{p}.{name}.bias"), cfg=qcfg)
+def _proj_heads(params, name, x, H, qcfg, norm=None):
+    h = linear(x, params[f"{name}.weight"],
+               params.get(f"{name}.bias"), cfg=qcfg)
     h = _heads(h, H)
-    if norm is not None and f"{p}.{norm}.weight" in params:
-        h = rms_norm(h, params[f"{p}.{norm}.weight"], eps=1e-6)
+    if norm is not None and f"{norm}.weight" in params:
+        h = rms_norm(h, params[f"{norm}.weight"], eps=1e-6)
     return h
 
 
-def _block(params, i, x, ctx, vec, pe, cfg: CosmosConfig, qcfg):
-    p = f"blocks.{i}"
+def _block(bp, x, ctx, vec, pe, cfg: CosmosConfig, qcfg):
+    """One Cosmos block over its UNPREFIXED param subtree ``bp``
+    (scan-compatible: runs under lax.scan with stacked params in
+    forward_stacked and in the python loop in forward)."""
     H = cfg.n_heads
 
-    sh, sc, g = _mod3(params, f"{p}.adaln_modulation_self_attn", vec, qcfg)
+    sh, sc, g = _mod3(bp, "adaln_modulation_self_attn", vec, qcfg)
     h = layer_norm(x, eps=1e-6) * (1 + sc) + sh
-    q = _proj_heads(params, p, "self_attn.q_proj", h, H, qcfg,
+    q = _proj_heads(bp, "self_attn.q_proj", h, H, qcfg,
                     "self_attn.q_norm")
-    k = _proj_heads(params, p, "self_attn.k_proj", h, H, qcfg,
+    k = _proj_heads(bp, "self_attn.k_proj", h, H, qcfg,
                     "self_attn.k_norm")
-    v = _proj_heads(params, p, "self_attn.v_proj", h, H, qcfg)
+    v = _proj_heads(bp, "self_attn.v_proj", h, H, qcfg)
     q = _apply_rope(q, pe)
     k = _apply_rope(k, pe)
-    a = linear(_attn(q, k, v), params[f"{p}.self_attn.output_proj.weight"],
-               params.get(f"{p}.self_attn.output_proj.bias"), cfg=qcfg)
+    a = linear(_attn(q, k, v), bp["self_attn.output_proj.weight"],
+               bp.get("self_attn.output_proj.bias"), cfg=qcfg)
     x = x + g * a
 
-    sh, sc, g = _mod3(params, f"{p}.adaln_modulation_cross_attn", vec, qcfg)
+    sh, sc, g = _mod3(bp, "adaln_modulation_cross_attn", vec, qcfg)
     h = layer_norm(x, eps=1e-6) * (1 + sc) + sh
-    q = _proj_heads(params, p, "cross_attn.q_proj", h, H, qcfg,
+    q = _proj_heads(bp, "cross_attn.q_proj", h, H, qcfg,
                     "cross_attn.q_norm")
-    k = _proj_heads(params, p, "cross_attn.k_proj", ctx, H, qcfg,
+    k = _proj_heads(bp, "cross_attn.k_proj", ctx, H, qcfg,
                     "cross_attn.k_norm")
-    v = _proj_heads(params, p, "cross_attn.v_proj", ctx, H, qcfg)
-    a = linear(_attn(q, k, v), params[f"{p}.cross_attn.output_proj.weight"],
-               params.get(f"{p}.cross_attn.output_proj.bias"), cfg=qcfg)
+    v = _proj_heads(bp, "cross_attn.v_proj", ctx, H, qcfg)
+    a = linear(_attn(q, k, v), bp["cross_attn.output_proj.weight"],
+               bp.get("cross_attn.output_proj.bias"), cfg=qcfg)
     x = x + g * a
 
-    sh, sc, g = _mod3(params, f"{p}.adaln_modulation_mlp", vec, qcfg)
+    sh, sc, g = _mod3(bp, "adaln_modulation_mlp", vec, qcfg)
     h = layer_norm(x, eps=1e-6) * (1 + sc) + sh
-    h = linear(h, params[f"{p}.mlp.layer1.weight"],
-               params.get(f"{p}.mlp.layer1.bias"), cfg=qcfg)
+    h = linear(h, bp["mlp.layer1.weight"],
+               bp.get("mlp.layer1.bias"), cfg=qcfg)
     h = jax.nn.gelu(h.astype(jnp.float32), approximate=True).astype(x.dtype)
-    h = linear(h, params[f"{p}.mlp.layer2.weight"],
-               params.get(f"{p}.mlp.layer2.bias"), cfg=qcfg)
+    h = linear(h, bp["mlp.layer2.weight"],
+               bp.get("mlp.layer2.bias"), cfg=qcfg)
     return x + g * h
 
 
-def forward(params, cfg: CosmosConfig, latent: jax.Array, context: jax.Array,
-            timesteps: jax.Array,
-            qcfg: QuantConfig = DEFAULT_CONFIG) -> jax.Array:
-    """latent (B, F, H, W, C) NDHWC; context (B, L, text_dim)."""
+def _prelude(params, cfg: CosmosConfig, latent, context, timesteps, qcfg):
     B, F, Hh, Ww, C = latent.shape
     pt, ph, pw = cfg.patch
     f, h_, w_ = F // pt, Hh // ph, Ww // pw
@@ -146,9 +145,14 @@ def forward(params, cfg: CosmosConfig, latent: jax.Array, context: jax.Array,
         vec = rms_norm(vec, params["t_embedding_norm.weight"], eps=1e-6)
 
     pe = rope_3d(f, h_, w_, cfg.axes_dim)
-    for i in range(cfg.n_layers):
-        x = _block(params, i, x, context, vec, pe, cfg, qcfg)
+    # ctx/vec ride the scan-body closure in forward_stacked; fix dtypes
+    return (x, context.astype(x.dtype), vec.astype(x.dtype), pe,
+            (B, F, Hh, Ww, C, f, h_, w_))
 
+
+def _head(params, cfg: CosmosConfig, x, vec, dims, qcfg):
+    B, F, Hh, Ww, C, f, h_, w_ = dims
+    pt, ph, pw = cfg.patch
     if "final_layer.adaln_modulation.1.weight" in params:
         v = jax.nn.silu(vec.astype(jnp.float32)).astype(x.dtype)
         mod = linear(v, params["final_layer.adaln_modulation.1.weight"],
@@ -164,3 +168,52 @@ def forward(params, cfg: CosmosConfig, latent: jax.Array, context: jax.Array,
     x = x.reshape(B, f, h_, w_, C, pt, ph, pw)
     x = x.transpose(0, 1, 5, 2, 6, 3, 7, 4)
     return x.reshape(B, F, Hh, Ww, C)
+
+
+def forward(params, cfg: CosmosConfig, latent: jax.Array, context: jax.Array,
+            timesteps: jax.Array,
+            qcfg: QuantConfig = DEFAULT_CONFIG) -> jax.Array:
+    """latent (B, F, H, W, C) NDHWC; context (B, L, text_dim)."""
+    from .flux import block_subtree
+
+    x, ctx, vec, pe, dims = _prelude(params, cfg, latent, context,
+                                     timesteps, qcfg)
+    for i in range(cfg.n_layers):
+        x = _block(block_subtree(params, f"blocks.{i}."), x, ctx, vec, pe,
+                   cfg, qcfg)
+    return _head(params, cfg, x, vec, dims, qcfg)
+
+
+def stack_cosmos_params(params: dict, cfg: CosmosConfig) -> dict:
+    """Flat GGUF-keyed params → {non-block keys, "blocks": stacked
+    subtree over the depth axis} for the scanned forward. Cosmos blocks
+    are fully homogeneous."""
+    from .flux import block_subtree
+
+    out = {k: v for k, v in params.items() if not k.startswith("blocks.")}
+    subs = [block_subtree(params, f"blocks.{i}.")
+            for i in range(cfg.n_layers)]
+    keysets = {frozenset(s) for s in subs}
+    if len(keysets) > 1:
+        raise ValueError("non-homogeneous cosmos blocks; use forward()")
+    out["blocks"] = (jax.tree.map(lambda *xs: jnp.stack(xs), *subs)
+                     if subs else {})
+    return out
+
+
+def forward_stacked(sparams: dict, cfg: CosmosConfig, latent: jax.Array,
+                    context: jax.Array, timesteps: jax.Array,
+                    qcfg: QuantConfig = DEFAULT_CONFIG) -> jax.Array:
+    """forward() over stack_cosmos_params() output — identical math, one
+    lax.scan over the stacked blocks (zero-copy packed weights via
+    IndexedQuant scalar prefetch, flux.scan_blocks)."""
+    from .flux import scan_blocks
+
+    x, ctx, vec, pe, dims = _prelude(sparams, cfg, latent, context,
+                                     timesteps, qcfg)
+
+    def body(x, bp):
+        return _block(bp, x, ctx, vec, pe, cfg, qcfg)
+
+    x = scan_blocks(sparams["blocks"], body, x, cfg.n_layers)
+    return _head(sparams, cfg, x, vec, dims, qcfg)

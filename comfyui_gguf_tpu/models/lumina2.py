@@ -86,13 +86,14 @@ def _apply_rope(x, pe):
     return jnp.stack([real, imag], axis=-1).reshape(B, H, L, D).astype(x.dtype)
 
 
-def _block(params, p, x, vec, pe, cfg: Lumina2Config, qcfg):
-    """One NextDiT block; ``vec=None`` → un-modulated (context refiner)."""
+def _block(p, x, vec, pe, cfg: Lumina2Config, qcfg):
+    """One NextDiT block over its UNPREFIXED param subtree ``p``
+    (scan-compatible); ``vec=None`` → un-modulated (context refiner)."""
     H = cfg.n_heads
-    if vec is not None and f"{p}.adaLN_modulation.1.weight" in params:
+    if vec is not None and "adaLN_modulation.1.weight" in p:
         v = jax.nn.silu(vec.astype(jnp.float32)).astype(vec.dtype)
-        mod = linear(v, params[f"{p}.adaLN_modulation.1.weight"],
-                     params.get(f"{p}.adaLN_modulation.1.bias"), cfg=qcfg)
+        mod = linear(v, p["adaLN_modulation.1.weight"],
+                     p.get("adaLN_modulation.1.bias"), cfg=qcfg)
         sc_msa, g_msa, sc_mlp, g_mlp = jnp.split(mod[:, None, :], 4, axis=-1)
         g_msa = jnp.tanh(g_msa.astype(jnp.float32)).astype(x.dtype)
         g_mlp = jnp.tanh(g_mlp.astype(jnp.float32)).astype(x.dtype)
@@ -100,17 +101,17 @@ def _block(params, p, x, vec, pe, cfg: Lumina2Config, qcfg):
         sc_msa = sc_mlp = jnp.zeros((1, 1, 1), x.dtype)
         g_msa = g_mlp = jnp.ones((1, 1, 1), x.dtype)
 
-    h = rms_norm(x, params.get(f"{p}.attention_norm1.weight")) * (1 + sc_msa)
-    qkv = linear(h, params[f"{p}.attention.qkv.weight"],
-                 params.get(f"{p}.attention.qkv.bias"), cfg=qcfg)
+    h = rms_norm(x, p.get("attention_norm1.weight")) * (1 + sc_msa)
+    qkv = linear(h, p["attention.qkv.weight"],
+                 p.get("attention.qkv.bias"), cfg=qcfg)
     B, L, _ = h.shape
     q, k, v_ = jnp.split(qkv, 3, axis=-1)
     hd = cfg.head_dim
     q = q.reshape(B, L, H, hd).transpose(0, 2, 1, 3)
     k = k.reshape(B, L, H, hd).transpose(0, 2, 1, 3)
     v_ = v_.reshape(B, L, H, hd).transpose(0, 2, 1, 3)
-    q = rms_norm(q, params[f"{p}.attention.q_norm.weight"], eps=1e-6)
-    k = rms_norm(k, params[f"{p}.attention.k_norm.weight"], eps=1e-6)
+    q = rms_norm(q, p["attention.q_norm.weight"], eps=1e-6)
+    k = rms_norm(k, p["attention.k_norm.weight"], eps=1e-6)
     if pe is not None:
         q = _apply_rope(q, pe)
         k = _apply_rope(k, pe)
@@ -118,22 +119,19 @@ def _block(params, p, x, vec, pe, cfg: Lumina2Config, qcfg):
 
     a = dot_product_attention(q, k, v_).transpose(0, 2, 1, 3).reshape(
         B, L, H * hd)
-    a = linear(a, params[f"{p}.attention.out.weight"],
-               params.get(f"{p}.attention.out.bias"), cfg=qcfg)
-    x = x + g_msa * rms_norm(a, params.get(f"{p}.attention_norm2.weight"))
+    a = linear(a, p["attention.out.weight"],
+               p.get("attention.out.bias"), cfg=qcfg)
+    x = x + g_msa * rms_norm(a, p.get("attention_norm2.weight"))
 
-    h = rms_norm(x, params.get(f"{p}.ffn_norm1.weight")) * (1 + sc_mlp)
-    w1 = linear(h, params[f"{p}.feed_forward.w1.weight"], cfg=qcfg)
-    w3 = linear(h, params[f"{p}.feed_forward.w3.weight"], cfg=qcfg)
+    h = rms_norm(x, p.get("ffn_norm1.weight")) * (1 + sc_mlp)
+    w1 = linear(h, p["feed_forward.w1.weight"], cfg=qcfg)
+    w3 = linear(h, p["feed_forward.w3.weight"], cfg=qcfg)
     ff = jax.nn.silu(w1.astype(jnp.float32)).astype(h.dtype) * w3
-    ff = linear(ff, params[f"{p}.feed_forward.w2.weight"], cfg=qcfg)
-    return x + g_mlp * rms_norm(ff, params.get(f"{p}.ffn_norm2.weight"))
+    ff = linear(ff, p["feed_forward.w2.weight"], cfg=qcfg)
+    return x + g_mlp * rms_norm(ff, p.get("ffn_norm2.weight"))
 
 
-def forward(params, cfg: Lumina2Config, latent: jax.Array, cap: jax.Array,
-            timesteps: jax.Array,
-            qcfg: QuantConfig = DEFAULT_CONFIG) -> jax.Array:
-    """latent (B, H, W, C) NHWC; cap (B, Lc, cap_dim) Gemma states."""
+def _prelude(params, cfg: Lumina2Config, latent, cap, timesteps, qcfg):
     B, Hh, Ww, C = latent.shape
     p = cfg.patch_size
     h_tok, w_tok = Hh // p, Ww // p
@@ -168,18 +166,25 @@ def forward(params, cfg: Lumina2Config, latent: jax.Array, cap: jax.Array,
                                                (B, h_tok * w_tok, 3))),
                    cfg.axes_dim)
 
+    from .flux import block_subtree
+
     for i in range(_count(params, "context_refiner")):
-        c = _block(params, f"context_refiner.{i}", c, None, pe_cap, cfg,
-                   qcfg)
+        c = _block(block_subtree(params, f"context_refiner.{i}."), c, None,
+                   pe_cap, cfg, qcfg)
     for i in range(cfg.n_refiner):
-        x = _block(params, f"noise_refiner.{i}", x, vec, pe_img, cfg, qcfg)
+        x = _block(block_subtree(params, f"noise_refiner.{i}."), x, vec,
+                   pe_img, cfg, qcfg)
 
     cx = jnp.concatenate([c, x], axis=1)
     pe = jnp.concatenate([pe_cap, pe_img], axis=1)
-    for i in range(cfg.n_layers):
-        cx = _block(params, f"layers.{i}", cx, vec, pe, cfg, qcfg)
-    x = cx[:, Lc:]
+    # cap/vec ride the scan-body closure in forward_stacked; fix dtypes
+    return (cx.astype(x.dtype), vec.astype(x.dtype), pe, Lc,
+            (B, Hh, Ww, C, h_tok, w_tok))
 
+
+def _head(params, cfg: Lumina2Config, x, vec, dims, qcfg):
+    B, Hh, Ww, C, h_tok, w_tok = dims
+    p = cfg.patch_size
     x = rms_norm(x, params.get("norm_final.weight"))
     v = jax.nn.silu(vec.astype(jnp.float32)).astype(x.dtype)
     mod = linear(v, params["final_layer.adaLN_modulation.1.weight"],
@@ -194,6 +199,55 @@ def forward(params, cfg: Lumina2Config, latent: jax.Array, cap: jax.Array,
                params.get("final_layer.linear.bias"), cfg=qcfg)
     x = x.reshape(B, h_tok, w_tok, p, p, C)
     return x.transpose(0, 1, 3, 2, 4, 5).reshape(B, Hh, Ww, C)
+
+
+def forward(params, cfg: Lumina2Config, latent: jax.Array, cap: jax.Array,
+            timesteps: jax.Array,
+            qcfg: QuantConfig = DEFAULT_CONFIG) -> jax.Array:
+    """latent (B, H, W, C) NHWC; cap (B, Lc, cap_dim) Gemma states."""
+    from .flux import block_subtree
+
+    cx, vec, pe, Lc, dims = _prelude(params, cfg, latent, cap, timesteps,
+                                     qcfg)
+    for i in range(cfg.n_layers):
+        cx = _block(block_subtree(params, f"layers.{i}."), cx, vec, pe,
+                    cfg, qcfg)
+    return _head(params, cfg, cx[:, Lc:], vec, dims, qcfg)
+
+
+def stack_lumina2_params(params: dict, cfg: Lumina2Config) -> dict:
+    """Flat GGUF-keyed params → {non-layer keys, "layers": stacked
+    subtree} for the scanned forward. The context/noise refiners (few
+    blocks) stay flat and run unrolled in the prelude."""
+    from .flux import block_subtree
+
+    out = {k: v for k, v in params.items() if not k.startswith("layers.")}
+    subs = [block_subtree(params, f"layers.{i}.")
+            for i in range(cfg.n_layers)]
+    keysets = {frozenset(s) for s in subs}
+    if len(keysets) > 1:
+        raise ValueError("non-homogeneous lumina2 layers; use forward()")
+    out["layers"] = (jax.tree.map(lambda *xs: jnp.stack(xs), *subs)
+                     if subs else {})
+    return out
+
+
+def forward_stacked(sparams: dict, cfg: Lumina2Config, latent: jax.Array,
+                    cap: jax.Array, timesteps: jax.Array,
+                    qcfg: QuantConfig = DEFAULT_CONFIG) -> jax.Array:
+    """forward() over stack_lumina2_params() output — identical math, one
+    lax.scan over the stacked main layers (zero-copy packed weights via
+    IndexedQuant scalar prefetch, flux.scan_blocks)."""
+    from .flux import scan_blocks
+
+    cx, vec, pe, Lc, dims = _prelude(sparams, cfg, latent, cap, timesteps,
+                                     qcfg)
+
+    def body(cx, bp):
+        return _block(bp, cx, vec, pe, cfg, qcfg)
+
+    cx = scan_blocks(sparams["layers"], body, cx, cfg.n_layers)
+    return _head(sparams, cfg, cx[:, Lc:], vec, dims, qcfg)
 
 
 def _count(params, section):

@@ -160,6 +160,24 @@ class DiffusionModel:
             return dataclasses.replace(
                 self, params=ltxv_model.stack_ltxv_params(self.params,
                                                           self.config))
+        if self.arch == "cosmos" and "blocks" not in self.params:
+            from .models import cosmos as cosmos_model
+
+            return dataclasses.replace(
+                self, params=cosmos_model.stack_cosmos_params(self.params,
+                                                              self.config))
+        if self.arch == "aura" and "double_layers" not in self.params:
+            from .models import aura as aura_model
+
+            return dataclasses.replace(
+                self, params=aura_model.stack_aura_params(self.params,
+                                                          self.config))
+        if self.arch == "lumina2" and "layers" not in self.params:
+            from .models import lumina2 as lumina2_model
+
+            return dataclasses.replace(
+                self, params=lumina2_model.stack_lumina2_params(self.params,
+                                                                self.config))
         return self
 
     def memory_report(self) -> dict:
@@ -665,6 +683,182 @@ def ltxv_engine(model: DiffusionModel, max_batch: int = 2,
                                  pipeline_depth=pipeline_depth)
 
 
+def unet_engine(model: DiffusionModel, max_batch: int = 4,
+                pipeline_depth: int = 1):
+    """Continuous-batching engine for a loaded SD1/SDXL eps-prediction
+    UNet: requests carry (H, W, C) sigma-scaled latents (x0 noise ×
+    sigmas[0]) + cond {"ctx", "nctx", "cfg_scale"} (+ "adm" pooled/size
+    vector for SDXL) and a k-diffusion sigma schedule (kd.normal_schedule
+    / karras_schedule); each tick runs one per-request-sigma Euler step
+    in the standard k-diffusion parameterization (denoised = x −
+    σ·eps(x·c_in, t(σ)), d = (x − denoised)/σ) with per-request CFG
+    mixing. Mixed-progress batches are exact because σ is per-lane."""
+    from .models import unet as unet_model
+    from .sampling import kdiffusion as kd
+    from .serving import ContinuousBatchEngine
+
+    table = jnp.asarray(kd.ddpm_sigmas())
+    needs_adm = model.config.adm_in_channels is not None
+
+    @jax.jit
+    def _step(params, x, s_cur, s_next, ctx, nctx, scale, *adm):
+        s = s_cur[:, None, None, None].astype(jnp.float32)
+        c_in = 1.0 / jnp.sqrt(1.0 + s ** 2)
+        t = kd.sigma_to_t(s_cur, table)
+        xs = (x.astype(jnp.float32) * c_in).astype(x.dtype)
+        y = adm[0] if adm else None
+        e_c = unet_model.forward(params, model.config, xs, t, ctx, y,
+                                 qcfg=model.qcfg).astype(jnp.float32)
+        e_u = unet_model.forward(params, model.config, xs, t, nctx, y,
+                                 qcfg=model.qcfg).astype(jnp.float32)
+        eps = e_u + scale[:, None, None, None] * (e_c - e_u)
+        # denoised = x − σ·eps;  d = (x − denoised)/σ = eps
+        step = (s_next - s_cur)[:, None, None, None] * eps
+        return (x.astype(jnp.float32) + step).astype(x.dtype)
+
+    def step_fn(x, s_cur, s_next, cond):
+        adm = ((jnp.asarray(cond["adm"], jnp.bfloat16),)
+               if needs_adm else ())
+        return _step(model.params, jnp.asarray(x, jnp.bfloat16),
+                     jnp.asarray(s_cur), jnp.asarray(s_next),
+                     jnp.asarray(cond["ctx"], jnp.bfloat16),
+                     jnp.asarray(cond["nctx"], jnp.bfloat16),
+                     jnp.asarray(cond["cfg_scale"], jnp.float32), *adm)
+
+    return ContinuousBatchEngine(step_fn, max_batch=max_batch,
+                                 pipeline_depth=pipeline_depth)
+
+
+def hidream_engine(model: DiffusionModel, max_batch: int = 2,
+                   pipeline_depth: int = 1):
+    """Continuous-batching engine for a loaded HiDream-I1 MoE model:
+    requests carry (H, W, C) spatial latents + cond {"t5", "llama",
+    "pooled"} (quad-encoder states, guidance-distilled — one forward per
+    tick). The MoE FFNs run in whatever dispatch mode the process has
+    configured (dense / capacity / ep)."""
+    from .models import hidream as hidream_model
+    from .serving import ContinuousBatchEngine
+
+    @jax.jit
+    def _step(params, x, s_cur, s_next, t5s, lls, pooled):
+        v = hidream_model.forward(params, model.config, x, t5s, lls,
+                                  pooled, s_cur, qcfg=model.qcfg)
+        step = (s_next - s_cur)[:, None, None, None] * v.astype(jnp.float32)
+        return (x.astype(jnp.float32) + step).astype(x.dtype)
+
+    def step_fn(x, s_cur, s_next, cond):
+        return _step(model.params, jnp.asarray(x, jnp.bfloat16),
+                     jnp.asarray(s_cur), jnp.asarray(s_next),
+                     jnp.asarray(cond["t5"], jnp.bfloat16),
+                     jnp.asarray(cond["llama"], jnp.bfloat16),
+                     jnp.asarray(cond["pooled"], jnp.bfloat16))
+
+    return ContinuousBatchEngine(step_fn, max_batch=max_batch,
+                                 pipeline_depth=pipeline_depth)
+
+
+def cosmos_engine(model: DiffusionModel, max_batch: int = 2,
+                  pipeline_depth: int = 1):
+    """Continuous-batching engine for a loaded Cosmos Predict2 model —
+    t2i/t2v serving: requests carry (F, H, W, C) NDHWC latents + cond
+    {"ctx", "nctx", "cfg_scale"} (T5 states); each tick runs the
+    conditional AND unconditional forwards and applies per-request CFG
+    mixing. Stacked param trees (DiffusionModel.stack) take the scanned
+    zero-copy forward."""
+    from .models import cosmos as cosmos_model
+    from .serving import ContinuousBatchEngine
+
+    fwd = (cosmos_model.forward_stacked
+           if "blocks" in model.params else cosmos_model.forward)
+
+    @jax.jit
+    def _step(params, x, s_cur, s_next, ctx, nctx, scale):
+        v_c = fwd(params, model.config, x, ctx, s_cur, qcfg=model.qcfg)
+        v_u = fwd(params, model.config, x, nctx, s_cur, qcfg=model.qcfg)
+        v = v_u + scale[:, None, None, None, None] * (
+            v_c.astype(jnp.float32) - v_u.astype(jnp.float32))
+        step = (s_next - s_cur)[:, None, None, None, None] * v
+        return (x.astype(jnp.float32) + step).astype(x.dtype)
+
+    def step_fn(x, s_cur, s_next, cond):
+        return _step(model.params, jnp.asarray(x, jnp.bfloat16),
+                     jnp.asarray(s_cur), jnp.asarray(s_next),
+                     jnp.asarray(cond["ctx"], jnp.bfloat16),
+                     jnp.asarray(cond["nctx"], jnp.bfloat16),
+                     jnp.asarray(cond["cfg_scale"], jnp.float32))
+
+    return ContinuousBatchEngine(step_fn, max_batch=max_batch,
+                                 pipeline_depth=pipeline_depth)
+
+
+def aura_engine(model: DiffusionModel, max_batch: int = 4,
+                pipeline_depth: int = 1):
+    """Continuous-batching engine for a loaded AuraFlow model: requests
+    carry (H, W, C) spatial latents + cond {"ctx", "nctx", "cfg_scale"}
+    (Pile-T5 states, padded to a fixed length per bucket); each tick runs
+    the conditional AND unconditional forwards and applies per-request
+    CFG mixing. Stacked param trees (DiffusionModel.stack) take the
+    scanned zero-copy forward."""
+    from .models import aura as aura_model
+    from .serving import ContinuousBatchEngine
+
+    fwd = (aura_model.forward_stacked
+           if "double_layers" in model.params else aura_model.forward)
+
+    @jax.jit
+    def _step(params, x, s_cur, s_next, ctx, nctx, scale):
+        v_c = fwd(params, model.config, x, ctx, s_cur, qcfg=model.qcfg)
+        v_u = fwd(params, model.config, x, nctx, s_cur, qcfg=model.qcfg)
+        v = v_u + scale[:, None, None, None] * (
+            v_c.astype(jnp.float32) - v_u.astype(jnp.float32))
+        step = (s_next - s_cur)[:, None, None, None] * v
+        return (x.astype(jnp.float32) + step).astype(x.dtype)
+
+    def step_fn(x, s_cur, s_next, cond):
+        return _step(model.params, jnp.asarray(x, jnp.bfloat16),
+                     jnp.asarray(s_cur), jnp.asarray(s_next),
+                     jnp.asarray(cond["ctx"], jnp.bfloat16),
+                     jnp.asarray(cond["nctx"], jnp.bfloat16),
+                     jnp.asarray(cond["cfg_scale"], jnp.float32))
+
+    return ContinuousBatchEngine(step_fn, max_batch=max_batch,
+                                 pipeline_depth=pipeline_depth)
+
+
+def lumina2_engine(model: DiffusionModel, max_batch: int = 4,
+                   pipeline_depth: int = 1):
+    """Continuous-batching engine for a loaded Lumina Image 2.0 model:
+    requests carry (H, W, C) spatial latents + cond {"cap", "ncap",
+    "cfg_scale"} (Gemma2 hidden states, padded to a fixed length per
+    bucket); each tick runs the conditional AND unconditional forwards
+    and applies per-request CFG mixing. Stacked param trees
+    (DiffusionModel.stack) take the scanned zero-copy forward."""
+    from .models import lumina2 as lumina2_model
+    from .serving import ContinuousBatchEngine
+
+    fwd = (lumina2_model.forward_stacked
+           if "layers" in model.params else lumina2_model.forward)
+
+    @jax.jit
+    def _step(params, x, s_cur, s_next, cap, ncap, scale):
+        v_c = fwd(params, model.config, x, cap, s_cur, qcfg=model.qcfg)
+        v_u = fwd(params, model.config, x, ncap, s_cur, qcfg=model.qcfg)
+        v = v_u + scale[:, None, None, None] * (
+            v_c.astype(jnp.float32) - v_u.astype(jnp.float32))
+        step = (s_next - s_cur)[:, None, None, None] * v
+        return (x.astype(jnp.float32) + step).astype(x.dtype)
+
+    def step_fn(x, s_cur, s_next, cond):
+        return _step(model.params, jnp.asarray(x, jnp.bfloat16),
+                     jnp.asarray(s_cur), jnp.asarray(s_next),
+                     jnp.asarray(cond["cap"], jnp.bfloat16),
+                     jnp.asarray(cond["ncap"], jnp.bfloat16),
+                     jnp.asarray(cond["cfg_scale"], jnp.float32))
+
+    return ContinuousBatchEngine(step_fn, max_batch=max_batch,
+                                 pipeline_depth=pipeline_depth)
+
+
 def sd3_engine(model: DiffusionModel, max_batch: int = 4,
                pipeline_depth: int = 1):
     """Continuous-batching engine for a loaded SD3/SD3.5 model.
@@ -1104,16 +1298,19 @@ class AuraPipeline:
         sigmas = shift_sigmas(linear_schedule(steps), self.shift)
         model = self.model
 
+        fwd = (aura_model.forward_stacked
+               if "double_layers" in model.params else aura_model.forward)
+
         @jax.jit
         def denoise(params, x0, ctx, *neg):
             def velocity(xc, sigma):
                 ts = jnp.full((xc.shape[0],), sigma, jnp.float32)
-                v_c = aura_model.forward(params, model.config, xc, ctx, ts,
-                                         qcfg=model.qcfg)
+                v_c = fwd(params, model.config, xc, ctx, ts,
+                          qcfg=model.qcfg)
                 if not neg:
                     return v_c
-                v_u = aura_model.forward(params, model.config, xc, neg[0],
-                                         ts, qcfg=model.qcfg)
+                v_u = fwd(params, model.config, xc, neg[0],
+                          ts, qcfg=model.qcfg)
                 return v_u + cfg_scale * (v_c - v_u)
             return sample_flow(velocity, x0, sigmas)
 
@@ -1203,16 +1400,19 @@ class Lumina2Pipeline:
         sigmas = shift_sigmas(linear_schedule(steps), self.shift)
         model = self.model
 
+        fwd = (lumina2_model.forward_stacked
+               if "layers" in model.params else lumina2_model.forward)
+
         @jax.jit
         def denoise(params, x0, cap, *neg):
             def velocity(xc, sigma):
                 ts = jnp.full((xc.shape[0],), sigma, jnp.float32)
-                v_c = lumina2_model.forward(params, model.config, xc, cap,
-                                            ts, qcfg=model.qcfg)
+                v_c = fwd(params, model.config, xc, cap,
+                          ts, qcfg=model.qcfg)
                 if not neg:
                     return v_c
-                v_u = lumina2_model.forward(params, model.config, xc,
-                                            neg[0], ts, qcfg=model.qcfg)
+                v_u = fwd(params, model.config, xc,
+                          neg[0], ts, qcfg=model.qcfg)
                 return v_u + cfg_scale * (v_c - v_u)
             return sample_flow(velocity, x0, sigmas)
 

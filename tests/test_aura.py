@@ -92,3 +92,72 @@ def test_aura_forward(aura_params):
     out = aura.forward(aura_params, cfg, lat, cond, t, qcfg=F32CFG)
     assert out.shape == (B, H, W, C)
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_aura_stacked_forward_matches_unrolled(aura_params):
+    cfg = aura.AuraConfig.from_state_dict(aura_params)
+    rng = np.random.default_rng(2)
+    B, H, W = 1, 8, 8
+    lat = jnp.asarray(rng.standard_normal((B, H, W, C)), jnp.float32)
+    cond = jnp.asarray(rng.standard_normal((B, 7, COND)), jnp.float32)
+    t = jnp.asarray([0.4], jnp.float32)
+
+    want = aura.forward(aura_params, cfg, lat, cond, t, qcfg=F32CFG)
+    sparams = aura.stack_aura_params(aura_params, cfg)
+    got = aura.forward_stacked(sparams, cfg, lat, cond, t, qcfg=F32CFG)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_aura_engine_cfg_serving(aura_params):
+    """Pooled requests with DIFFERENT cfg scales each match their direct
+    CFG euler integration; stacked params serve the same results."""
+    from comfyui_gguf_tpu import pipeline
+    from comfyui_gguf_tpu.sampling import euler_sample, linear_schedule
+
+    cfg = aura.AuraConfig.from_state_dict(aura_params)
+    H, W = 8, 8
+    sigmas = linear_schedule(3)
+
+    def mk_req(seed, scale):
+        r = np.random.default_rng(seed)
+        return (r.standard_normal((H, W, C)).astype(np.float32),
+                {"ctx": r.standard_normal((7, COND)).astype(np.float32),
+                 "nctx": r.standard_normal((7, COND)).astype(np.float32),
+                 "cfg_scale": np.float32(scale)})
+
+    x1, c1 = mk_req(10, 3.5)
+    x2, c2 = mk_req(11, 1.0)
+
+    base = pipeline.DiffusionModel(arch="aura", params=aura_params,
+                                   config=cfg, qcfg=F32CFG)
+    results = []
+    for stacked in (False, True):
+        mdl = base.stack() if stacked else base
+        eng = pipeline.aura_engine(mdl, max_batch=2)
+        r1 = eng.submit(x1.copy(), c1, sigmas)
+        r2 = eng.submit(x2.copy(), c2, sigmas)
+        eng.run_until_drained()
+        assert r1.finished and r2.finished
+        results.append((r1.result.astype(np.float32),
+                        r2.result.astype(np.float32)))
+
+    def direct(x0, cond):
+        ctx = jnp.asarray(cond["ctx"])[None].astype(jnp.bfloat16)
+        nctx = jnp.asarray(cond["nctx"])[None].astype(jnp.bfloat16)
+        s = float(cond["cfg_scale"])
+
+        def velocity(x, sig):
+            tt = jnp.full((1,), sig, jnp.float32)
+            v_c = aura.forward(aura_params, cfg, x, ctx, tt, qcfg=F32CFG)
+            v_u = aura.forward(aura_params, cfg, x, nctx, tt, qcfg=F32CFG)
+            return v_u + s * (v_c - v_u)
+
+        return np.asarray(euler_sample(
+            velocity, jnp.asarray(x0)[None].astype(jnp.bfloat16), sigmas
+        )[0], np.float32)
+
+    w1, w2 = direct(x1, c1), direct(x2, c2)
+    for got1, got2 in results:
+        np.testing.assert_allclose(got1, w1, rtol=0.05, atol=0.05)
+        np.testing.assert_allclose(got2, w2, rtol=0.05, atol=0.05)

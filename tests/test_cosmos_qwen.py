@@ -79,6 +79,78 @@ def test_cosmos(tmp_path):
     assert np.isfinite(np.asarray(out)).all()
 
 
+def test_cosmos_stacked_and_engine(tmp_path):
+    """Stacked scanned forward matches the unrolled graph; cosmos_engine
+    pooled requests with different cfg scales match direct CFG euler."""
+    from comfyui_gguf_tpu import pipeline
+    from comfyui_gguf_tpu.sampling import euler_sample, linear_schedule
+
+    sd = _tiny_cosmos(np.random.default_rng(0))
+    p = tmp_path / "c.gguf"
+    w = GGUFWriter("cosmos")
+    for k, v in sd.items():
+        w.add_tensor("model.diffusion_model." + k, v)
+    w.write_to_file(str(p))
+    params = to_jax_params(gguf_sd_loader(str(p)), F32CFG)
+    cfg = cosmos.CosmosConfig.from_state_dict(params)
+
+    rng = np.random.default_rng(2)
+    B, F, H, W = 1, 2, 8, 8
+    lat = jnp.asarray(rng.standard_normal((B, F, H, W, CC)), jnp.float32)
+    ctx = jnp.asarray(rng.standard_normal((B, 7, CCTX)), jnp.float32)
+    t = jnp.asarray([0.5], jnp.float32)
+    want = cosmos.forward(params, cfg, lat, ctx, t, qcfg=F32CFG)
+    sparams = cosmos.stack_cosmos_params(params, cfg)
+    got = cosmos.forward_stacked(sparams, cfg, lat, ctx, t, qcfg=F32CFG)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-4, atol=2e-4)
+
+    sigmas = linear_schedule(3)
+
+    def mk_req(seed, scale):
+        r = np.random.default_rng(seed)
+        return (r.standard_normal((F, H, W, CC)).astype(np.float32),
+                {"ctx": r.standard_normal((7, CCTX)).astype(np.float32),
+                 "nctx": r.standard_normal((7, CCTX)).astype(np.float32),
+                 "cfg_scale": np.float32(scale)})
+
+    x1, c1 = mk_req(10, 4.0)
+    x2, c2 = mk_req(11, 1.0)
+
+    base = pipeline.DiffusionModel(arch="cosmos", params=params,
+                                   config=cfg, qcfg=F32CFG)
+    results = []
+    for stacked in (False, True):
+        mdl = base.stack() if stacked else base
+        eng = pipeline.cosmos_engine(mdl, max_batch=2)
+        r1 = eng.submit(x1.copy(), c1, sigmas)
+        r2 = eng.submit(x2.copy(), c2, sigmas)
+        eng.run_until_drained()
+        assert r1.finished and r2.finished
+        results.append((r1.result.astype(np.float32),
+                        r2.result.astype(np.float32)))
+
+    def direct(x0, cond):
+        cc = jnp.asarray(cond["ctx"])[None].astype(jnp.bfloat16)
+        nc = jnp.asarray(cond["nctx"])[None].astype(jnp.bfloat16)
+        s = float(cond["cfg_scale"])
+
+        def velocity(x, sig):
+            tt = jnp.full((1,), sig, jnp.float32)
+            v_c = cosmos.forward(params, cfg, x, cc, tt, qcfg=F32CFG)
+            v_u = cosmos.forward(params, cfg, x, nc, tt, qcfg=F32CFG)
+            return v_u + s * (v_c - v_u)
+
+        return np.asarray(euler_sample(
+            velocity, jnp.asarray(x0)[None].astype(jnp.bfloat16), sigmas
+        )[0], np.float32)
+
+    w1, w2 = direct(x1, c1), direct(x2, c2)
+    for got1, got2 in results:
+        np.testing.assert_allclose(got1, w1, rtol=0.05, atol=0.05)
+        np.testing.assert_allclose(got2, w2, rtol=0.05, atol=0.05)
+
+
 # --------------------------------------------------------------------------
 # qwen_image
 # --------------------------------------------------------------------------

@@ -649,7 +649,8 @@ def test_aura_double_layer_golden():
     cfg = aura.AuraConfig(hidden=D, n_heads=Hn, depth_double=1,
                           depth_single=1)
     jp = {k2: jnp.asarray(v2) for k2, v2 in w.items()}
-    j_c, j_x = aura._double_layer(jp, 0, jnp.asarray(c0), jnp.asarray(x0),
+    j_c, j_x = aura._double_layer(flux.block_subtree(jp, "double_layers.0."),
+                                  jnp.asarray(c0), jnp.asarray(x0),
                                   jnp.asarray(vec), cfg, F32)
     np.testing.assert_allclose(np.asarray(j_c), ct.numpy(), rtol=3e-4,
                                atol=3e-4)
@@ -681,7 +682,8 @@ def test_aura_single_layer_golden():
     cfg = aura.AuraConfig(hidden=D, n_heads=Hn, depth_double=1,
                           depth_single=1)
     jp = {k2: jnp.asarray(v2) for k2, v2 in w.items()}
-    j = aura._single_layer(jp, 0, jnp.asarray(cx0), jnp.asarray(vec), cfg,
+    j = aura._single_layer(flux.block_subtree(jp, "single_layers.0."),
+                           jnp.asarray(cx0), jnp.asarray(vec), cfg,
                            F32)
     np.testing.assert_allclose(np.asarray(j), xt.numpy(), rtol=3e-4,
                                atol=3e-4)
@@ -763,8 +765,8 @@ def test_lumina2_layer_golden():
                                 n_heads=Hn, axes_dim=AX)
     jp = {k2: jnp.asarray(v2) for k2, v2 in w.items()}
     pe = lumina2._rope(jnp.asarray(ids), AX)
-    j = lumina2._block(jp, p, jnp.asarray(x0), jnp.asarray(vec), pe, cfg,
-                       F32)
+    j = lumina2._block(flux.block_subtree(jp, p + "."), jnp.asarray(x0),
+                       jnp.asarray(vec), pe, cfg, F32)
     np.testing.assert_allclose(np.asarray(j), xt.numpy(), rtol=3e-4,
                                atol=3e-4)
 
@@ -1417,7 +1419,7 @@ def test_cosmos_block_golden(adaln_lora):
     assert cfg.axes_dim == (hd - 4 * (hd // 6), 2 * (hd // 6), 2 * (hd // 6))
     jp = {k2: jnp.asarray(v2) for k2, v2 in w.items()}
     pe = wan.rope_3d(f, hh, ww, cfg.axes_dim)
-    j = cosmos._block(jp, 0, jnp.asarray(x0), jnp.asarray(ctx0),
-                      jnp.asarray(vec0), pe, cfg, F32)
+    j = cosmos._block(flux.block_subtree(jp, "blocks.0."), jnp.asarray(x0),
+                      jnp.asarray(ctx0), jnp.asarray(vec0), pe, cfg, F32)
     np.testing.assert_allclose(np.asarray(j), xt.numpy(), rtol=3e-4,
                                atol=3e-4)

@@ -185,3 +185,51 @@ def test_moe_ep_matches_dense(hid_params):
                            qcfg=F32CFG)
     np.testing.assert_allclose(np.asarray(got2), np.asarray(ref),
                                rtol=2e-4, atol=2e-4)
+
+
+def test_hidream_engine_serving(hid_params):
+    """hidream_engine pooled requests (guidance-distilled, one forward per
+    tick) match the direct flow-match Euler integration per request."""
+    from comfyui_gguf_tpu import pipeline
+    from comfyui_gguf_tpu.sampling import euler_sample, linear_schedule
+
+    cfg = hidream.HiDreamConfig.from_state_dict(hid_params)
+    H, W = 8, 8
+    sigmas = linear_schedule(3)
+
+    def mk_req(seed):
+        r = np.random.default_rng(seed)
+        return (r.standard_normal((H, W, C)).astype(np.float32),
+                {"t5": r.standard_normal((6, T5D)).astype(np.float32),
+                 "llama": r.standard_normal((5, LLD)).astype(np.float32),
+                 "pooled": r.standard_normal((POOL,)).astype(np.float32)})
+
+    x1, c1 = mk_req(30)
+    x2, c2 = mk_req(31)
+
+    mdl = pipeline.DiffusionModel(arch="hidream", params=hid_params,
+                                  config=cfg, qcfg=F32CFG)
+    eng = pipeline.hidream_engine(mdl, max_batch=2)
+    r1 = eng.submit(x1.copy(), c1, sigmas)
+    r2 = eng.submit(x2.copy(), c2, sigmas)
+    eng.run_until_drained()
+    assert r1.finished and r2.finished
+
+    def direct(x0, cond):
+        t5s = jnp.asarray(cond["t5"])[None].astype(jnp.bfloat16)
+        lls = jnp.asarray(cond["llama"])[None].astype(jnp.bfloat16)
+        pooled = jnp.asarray(cond["pooled"])[None].astype(jnp.bfloat16)
+
+        def velocity(x, sig):
+            tt = jnp.full((1,), sig, jnp.float32)
+            return hidream.forward(hid_params, cfg, x, t5s, lls, pooled,
+                                   tt, qcfg=F32CFG)
+
+        return np.asarray(euler_sample(
+            velocity, jnp.asarray(x0)[None].astype(jnp.bfloat16), sigmas
+        )[0], np.float32)
+
+    np.testing.assert_allclose(r1.result.astype(np.float32), direct(x1, c1),
+                               rtol=0.05, atol=0.05)
+    np.testing.assert_allclose(r2.result.astype(np.float32), direct(x2, c2),
+                               rtol=0.05, atol=0.05)

@@ -98,3 +98,72 @@ def test_lumina2_forward(lum_params):
     out = lumina2.forward(lum_params, cfg, lat, cap, t, qcfg=F32CFG)
     assert out.shape == (B, H, W, C)
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_lumina2_stacked_forward_matches_unrolled(lum_params):
+    cfg = lumina2.Lumina2Config.from_state_dict(lum_params)
+    rng = np.random.default_rng(2)
+    B, H, W = 1, 8, 8
+    lat = jnp.asarray(rng.standard_normal((B, H, W, C)), jnp.float32)
+    cap = jnp.asarray(rng.standard_normal((B, 7, CAP)), jnp.float32)
+    t = jnp.asarray([0.4], jnp.float32)
+
+    want = lumina2.forward(lum_params, cfg, lat, cap, t, qcfg=F32CFG)
+    sparams = lumina2.stack_lumina2_params(lum_params, cfg)
+    got = lumina2.forward_stacked(sparams, cfg, lat, cap, t, qcfg=F32CFG)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_lumina2_engine_cfg_serving(lum_params):
+    """Pooled requests with DIFFERENT cfg scales each match their direct
+    CFG euler integration; stacked params serve the same results."""
+    from comfyui_gguf_tpu import pipeline
+    from comfyui_gguf_tpu.sampling import euler_sample, linear_schedule
+
+    cfg = lumina2.Lumina2Config.from_state_dict(lum_params)
+    H, W = 8, 8
+    sigmas = linear_schedule(3)
+
+    def mk_req(seed, scale):
+        r = np.random.default_rng(seed)
+        return (r.standard_normal((H, W, C)).astype(np.float32),
+                {"cap": r.standard_normal((7, CAP)).astype(np.float32),
+                 "ncap": r.standard_normal((7, CAP)).astype(np.float32),
+                 "cfg_scale": np.float32(scale)})
+
+    x1, c1 = mk_req(10, 4.0)
+    x2, c2 = mk_req(11, 1.0)
+
+    base = pipeline.DiffusionModel(arch="lumina2", params=lum_params,
+                                   config=cfg, qcfg=F32CFG)
+    results = []
+    for stacked in (False, True):
+        mdl = base.stack() if stacked else base
+        eng = pipeline.lumina2_engine(mdl, max_batch=2)
+        r1 = eng.submit(x1.copy(), c1, sigmas)
+        r2 = eng.submit(x2.copy(), c2, sigmas)
+        eng.run_until_drained()
+        assert r1.finished and r2.finished
+        results.append((r1.result.astype(np.float32),
+                        r2.result.astype(np.float32)))
+
+    def direct(x0, cond):
+        cap = jnp.asarray(cond["cap"])[None].astype(jnp.bfloat16)
+        ncap = jnp.asarray(cond["ncap"])[None].astype(jnp.bfloat16)
+        s = float(cond["cfg_scale"])
+
+        def velocity(x, sig):
+            tt = jnp.full((1,), sig, jnp.float32)
+            v_c = lumina2.forward(lum_params, cfg, x, cap, tt, qcfg=F32CFG)
+            v_u = lumina2.forward(lum_params, cfg, x, ncap, tt, qcfg=F32CFG)
+            return v_u + s * (v_c - v_u)
+
+        return np.asarray(euler_sample(
+            velocity, jnp.asarray(x0)[None].astype(jnp.bfloat16), sigmas
+        )[0], np.float32)
+
+    w1, w2 = direct(x1, c1), direct(x2, c2)
+    for got1, got2 in results:
+        np.testing.assert_allclose(got1, w1, rtol=0.05, atol=0.05)
+        np.testing.assert_allclose(got2, w2, rtol=0.05, atol=0.05)

@@ -4,6 +4,8 @@ math."""
 import numpy as np
 import pytest
 
+import jax
+
 import jax.numpy as jnp
 
 from comfyui_gguf_tpu.models import unet
@@ -200,3 +202,77 @@ def test_euler_sigma_exact_linear():
     x = jnp.full((1, 2, 2, 1), float(sigmas[0]), jnp.float32)
     out = kd.euler_sample_sigma(lambda x, s: jnp.zeros_like(x), x, sigmas)
     np.testing.assert_allclose(np.asarray(out), 0.0, atol=1e-4)
+
+
+def test_unet_engine_cfg_serving(tiny_unet):
+    """unet_engine pooled requests, each with its own sigma position and
+    cfg scale, match the direct per-request k-diffusion CFG Euler
+    integration (eps parameterization, per-lane sigma exactness)."""
+    import dataclasses
+
+    from comfyui_gguf_tpu import pipeline
+
+    cfg = dataclasses.replace(unet.UNetConfig.from_state_dict(tiny_unet),
+                              head_dim=16)
+    table = kd.ddpm_sigmas()
+    sigmas = kd.normal_schedule(3, table)
+    H, W = 8, 8
+
+    def mk_req(seed, scale):
+        r = np.random.default_rng(seed)
+        x0 = (r.standard_normal((H, W, LAT)) * float(sigmas[0])
+              ).astype(np.float32)
+        return (x0, {"ctx": r.standard_normal((7, CTX)).astype(np.float32),
+                     "nctx": r.standard_normal((7, CTX)).astype(np.float32),
+                     "adm": r.standard_normal((ADM,)).astype(np.float32),
+                     "cfg_scale": np.float32(scale)})
+
+    x1, c1 = mk_req(20, 7.0)
+    x2, c2 = mk_req(21, 1.5)
+
+    from comfyui_gguf_tpu.nn.layers import QuantConfig
+    mdl = pipeline.DiffusionModel(arch="unet", params=tiny_unet, config=cfg,
+                                  qcfg=F32CFG)
+    eng = pipeline.unet_engine(mdl, max_batch=2)
+    r1 = eng.submit(x1.copy(), c1, sigmas)
+    r2 = eng.submit(x2.copy(), c2, sigmas)
+    eng.run_until_drained()
+    assert r1.finished and r2.finished
+
+    table_j = jnp.asarray(table)
+
+    @jax.jit
+    def _direct_step(x, s_cur, s_next, ctx, nctx, scale, adm):
+        """Per-request Euler in the engine's exact eps parameterization,
+        JITTED like the engine step: at cfg 7 and σ_max≈14.6 the CFG·Δσ
+        factor (~90×) amplifies even eager-vs-jit bf16 fusion-boundary
+        rounding (~2% per forward) beyond any usable tolerance, so the
+        reference must run under the same compilation semantics."""
+        s = s_cur[:, None, None, None].astype(jnp.float32)
+        c_in = 1.0 / jnp.sqrt(1.0 + s ** 2)
+        t = kd.sigma_to_t(s_cur, table_j)
+        xs = (x.astype(jnp.float32) * c_in).astype(x.dtype)
+        e_c = unet.forward(tiny_unet, cfg, xs, t, ctx, adm,
+                           qcfg=F32CFG).astype(jnp.float32)
+        e_u = unet.forward(tiny_unet, cfg, xs, t, nctx, adm,
+                           qcfg=F32CFG).astype(jnp.float32)
+        eps = e_u + scale[:, None, None, None] * (e_c - e_u)
+        step = (s_next - s_cur)[:, None, None, None] * eps
+        return (x.astype(jnp.float32) + step).astype(x.dtype)
+
+    def direct(x0, cond):
+        ctx = jnp.asarray(cond["ctx"])[None].astype(jnp.bfloat16)
+        nctx = jnp.asarray(cond["nctx"])[None].astype(jnp.bfloat16)
+        adm = jnp.asarray(cond["adm"])[None].astype(jnp.bfloat16)
+        scale = jnp.asarray([cond["cfg_scale"]], jnp.float32)
+        x = jnp.asarray(x0)[None].astype(jnp.bfloat16)
+        for i in range(len(sigmas) - 1):
+            x = _direct_step(x, jnp.asarray([sigmas[i]], jnp.float32),
+                             jnp.asarray([sigmas[i + 1]], jnp.float32),
+                             ctx, nctx, scale, adm)
+        return np.asarray(x[0], np.float32)
+
+    np.testing.assert_allclose(r1.result.astype(np.float32), direct(x1, c1),
+                               rtol=0.05, atol=0.05)
+    np.testing.assert_allclose(r2.result.astype(np.float32), direct(x2, c2),
+                               rtol=0.05, atol=0.05)
