@@ -1510,7 +1510,11 @@ class SD1Pipeline:
                 return e_u + cfg_scale * (e_c - e_u)
 
             den = kd.make_eps_denoiser(eps_cfg, table)
-            return kd.SAMPLERS[sampler](den, x0, sigmas)
+            # stochastic samplers (euler_ancestral/lcm/dpmpp_*sde) draw
+            # from a sampler-private stream decorrelated from the init
+            # noise; deterministic ones ignore the key
+            skey = jax.random.fold_in(jax.random.key(seed), 0x5A)
+            return kd.run_sampler(sampler, den, x0, sigmas, key=skey)
 
         args = (nctx,) if use_cfg else ()
         latent = sample(model.params, x, ctx, *args)
@@ -1597,7 +1601,11 @@ class SDXLPipeline:
                 return e_u + cfg_scale * (e_c - e_u)
 
             den = kd.make_eps_denoiser(eps_cfg, table)
-            return kd.SAMPLERS[sampler](den, x0, sigmas)
+            # stochastic samplers (euler_ancestral/lcm/dpmpp_*sde) draw
+            # from a sampler-private stream decorrelated from the init
+            # noise; deterministic ones ignore the key
+            skey = jax.random.fold_in(jax.random.key(seed), 0x5A)
+            return kd.run_sampler(sampler, den, x0, sigmas, key=skey)
 
         args = (nctx, ny) if use_cfg else ()
         latent = sample(model.params, x, ctx, y, *args)
@@ -1667,7 +1675,11 @@ class SDXLPipeline:
                 return e_u + cfg_scale * (e_c - e_u)
 
             den = kd.make_eps_denoiser(eps_cfg, table)
-            return kd.SAMPLERS[sampler](den, x0, sigmas)
+            # stochastic samplers (euler_ancestral/lcm/dpmpp_*sde) draw
+            # from a sampler-private stream decorrelated from the init
+            # noise; deterministic ones ignore the key
+            skey = jax.random.fold_in(jax.random.key(seed), 0x5A)
+            return kd.run_sampler(sampler, den, x0, sigmas, key=skey)
 
         args = (nctx, ny) if use_cfg else ()
         out = sample(refiner.params, x, ctx, y, *args)

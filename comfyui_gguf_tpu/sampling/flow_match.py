@@ -131,7 +131,60 @@ def multistep_sample(model_fn, x: jax.Array, sigmas) -> jax.Array:
     return x
 
 
-FLOW_SAMPLERS = {"euler": euler_sample, "multistep": multistep_sample}
+def make_flow_denoiser(model_fn):
+    """velocity model → σ-space denoiser: x₀̂ = x − σ·v(x, σ).
+
+    For rectified flow (x_σ = (1−σ)·x₀ + σ·ε, v = dx/dσ) the ODE in
+    x₀-prediction form is dx/dσ = (x − x₀̂)/σ — algebraically identical to
+    the k-diffusion form, and the exponential-integrator step
+    x' = (σ'/σ)·x + (1−σ'/σ)·x₀̂ is EXACT under locally-constant x₀̂
+    (the straight-path solution x = x₀ + σ·(ε−x₀) is affine in σ). So
+    every sampler in sampling/kdiffusion.py applies to flow DiTs directly
+    on the flow sigmas — the same unification the reference's host UI
+    uses (CONST model-sampling wraps flow models for its k-diffusion
+    samplers)."""
+    def denoiser(x, sigma):
+        v = model_fn(x, sigma)
+        return (x.astype(jnp.float32)
+                - jnp.asarray(sigma, jnp.float32) * v.astype(jnp.float32)
+                ).astype(x.dtype)
+
+    return denoiser
+
+
+def _sigma_space(kd_sampler, stochastic: bool = False):
+    """Wrap a kdiffusion σ-space sampler as a flow sampler."""
+    if stochastic:
+        def run(model_fn, x, sigmas, key, **kw):
+            return kd_sampler(make_flow_denoiser(model_fn), x, sigmas,
+                              key, **kw)
+    else:
+        def run(model_fn, x, sigmas):
+            return kd_sampler(make_flow_denoiser(model_fn), x, sigmas)
+    return run
+
+
+def _flow_kd_samplers():
+    from . import kdiffusion as kd
+
+    det = {name: _sigma_space(fn) for name, fn in kd.SAMPLERS.items()
+           if name != "euler"}  # flow euler is already exact + 1-call
+    return det
+
+
+FLOW_SAMPLERS = {"euler": euler_sample, "multistep": multistep_sample,
+                 **_flow_kd_samplers()}
+
+
+def _flow_stochastic_samplers():
+    from . import kdiffusion as kd
+
+    return {name: _sigma_space(fn, stochastic=True)
+            for name, fn in kd.STOCHASTIC_SAMPLERS.items()}
+
+
+# stochastic flow samplers take (model_fn, x, sigmas, key, **knobs)
+FLOW_STOCHASTIC_SAMPLERS = _flow_stochastic_samplers()
 
 
 # process-wide default for the flow pipelines (euler matches the

@@ -42,6 +42,24 @@ def normal_schedule(num_steps: int, sigma_table: np.ndarray) -> np.ndarray:
     return np.concatenate([sigma_table[idx], [0.0]]).astype(np.float32)
 
 
+def exponential_schedule(num_steps: int, sigma_min: float,
+                         sigma_max: float) -> np.ndarray:
+    """Log-linear sigma spacing (host 'exponential' scheduler) + σ=0."""
+    sigmas = np.exp(np.linspace(np.log(sigma_max), np.log(sigma_min),
+                                num_steps, dtype=np.float64))
+    return np.concatenate([sigmas, [0.0]]).astype(np.float32)
+
+
+def sgm_uniform_schedule(num_steps: int,
+                         sigma_table: np.ndarray) -> np.ndarray:
+    """Uniform timestep spacing EXCLUDING the final table entry before
+    appending σ=0 (host 'sgm_uniform' scheduler — the spacing SDXL was
+    trained/distilled against; 'normal' includes both endpoints)."""
+    idx = np.linspace(len(sigma_table) - 1, 0,
+                      num_steps + 1).round().astype(int)[:-1]
+    return np.concatenate([sigma_table[idx], [0.0]]).astype(np.float32)
+
+
 def sigma_to_t(sigma, sigma_table) -> jax.Array:
     """Continuous timestep by log-linear interpolation into the table."""
     log_s = jnp.log(jnp.maximum(sigma, 1e-10))
@@ -195,9 +213,180 @@ def dpmpp_2m_sample_sigma(denoiser, x: jax.Array, sigmas) -> jax.Array:
     return x
 
 
+def ddim_sample_sigma(denoiser, x: jax.Array, sigmas) -> jax.Array:
+    """Deterministic DDIM == DPM-Solver-1: the exponential integrator
+    x ← (σ'/σ)·x + (1 − σ'/σ)·denoised, exact under locally-constant
+    x₀-prediction (the host UI's 'ddim' sampler at eta=0)."""
+    sigmas = jnp.asarray(sigmas, jnp.float32)
+
+    def step(x, i):
+        s, s_next = sigmas[i], sigmas[i + 1]
+        denoised = denoiser(x, s).astype(jnp.float32)
+        ratio = s_next / jnp.maximum(s, 1e-12)
+        out = ratio * x.astype(jnp.float32) + (1.0 - ratio) * denoised
+        return out.astype(x.dtype), None
+
+    x, _ = jax.lax.scan(step, x, jnp.arange(sigmas.shape[0] - 1))
+    return x
+
+
+def lcm_sample_sigma(denoiser, x: jax.Array, sigmas, key) -> jax.Array:
+    """Latent Consistency Model sampling (k-diffusion sample_lcm): each
+    step jumps straight to the x₀-prediction, then re-noises to the next
+    sigma (except the final σ=0 step)."""
+    sigmas = jnp.asarray(sigmas, jnp.float32)
+
+    def step(carry, i):
+        x, key = carry
+        denoised = denoiser(x, sigmas[i]).astype(jnp.float32)
+        key, sub = jax.random.split(key)
+        noise = jax.random.normal(sub, x.shape, jnp.float32)
+        s_next = sigmas[i + 1]
+        out = jnp.where(s_next > 0, denoised + s_next * noise, denoised)
+        return (out.astype(x.dtype), key), None
+
+    (x, _), _ = jax.lax.scan(step, (x, key),
+                             jnp.arange(sigmas.shape[0] - 1))
+    return x
+
+
+def dpmpp_2m_sde_sample_sigma(denoiser, x: jax.Array, sigmas, key,
+                              eta: float = 1.0, s_noise: float = 1.0,
+                              solver: str = "midpoint") -> jax.Array:
+    """DPM-Solver++ (2M) SDE (k-diffusion sample_dpmpp_2m_sde): multistep
+    second order in log-σ with an SDE noise channel; one model call per
+    step. ``solver`` ∈ {"midpoint", "heun"}; eta=0 is deterministic.
+    Gaussian noise replaces k-diffusion's BrownianTree (same marginals,
+    different fixed-seed trajectories)."""
+    if solver not in ("midpoint", "heun"):
+        raise ValueError(f"solver must be midpoint|heun, got {solver!r}")
+    sigmas = jnp.asarray(sigmas, jnp.float32)
+    eps = 1e-12
+
+    def step(carry, i):
+        x, old_denoised, key = carry
+        s, s_next = sigmas[i], sigmas[i + 1]
+        denoised = denoiser(x, s).astype(jnp.float32)
+        xf = x.astype(jnp.float32)
+
+        # h = log(σ/σ') > 0 for a descending schedule
+        h = jnp.log(jnp.maximum(s, eps)) - jnp.log(jnp.maximum(s_next, eps))
+        eta_h = eta * h
+        ratio = s_next / jnp.maximum(s, eps)
+        decay = -jnp.expm1(-h - eta_h)  # 1 - e^{-(h+ηh)}
+        out = ratio * jnp.exp(-eta_h) * xf + decay * denoised
+
+        def multistep(o):
+            h_last = (jnp.log(jnp.maximum(sigmas[i - 1], eps))
+                      - jnp.log(jnp.maximum(s, eps)))
+            r = h / jnp.maximum(h_last, eps)
+            diff = denoised - old_denoised
+            if solver == "heun":
+                corr = (decay / (h + eta_h) - 1.0) * r * diff
+                corr = -corr  # (1 - decay/(h+ηh))·r·diff
+            else:
+                corr = 0.5 * decay * r * diff
+            return o + corr
+
+        out = jax.lax.cond(jnp.logical_and(i > 0, s_next > 0),
+                           multistep, lambda o: o, out)
+        key, sub = jax.random.split(key)
+        noise = jax.random.normal(sub, x.shape, jnp.float32)
+        sde_scale = s_next * jnp.sqrt(-jnp.expm1(-2.0 * eta_h)) * s_noise
+        out = jnp.where(s_next > 0, out + noise * sde_scale, denoised)
+        return (out.astype(x.dtype), denoised, key), None
+
+    (x, _, _), _ = jax.lax.scan(
+        step, (x, jnp.zeros_like(x, jnp.float32), key),
+        jnp.arange(sigmas.shape[0] - 1))
+    return x
+
+
+def dpmpp_sde_sample_sigma(denoiser, x: jax.Array, sigmas, key,
+                           eta: float = 1.0, s_noise: float = 1.0,
+                           r: float = 0.5) -> jax.Array:
+    """DPM-Solver++ (SDE) (k-diffusion sample_dpmpp_sde): single-step
+    second order — a midpoint model call at log-σ fraction ``r`` with
+    ancestral noise injection at both stages; two model calls per step.
+    Gaussian noise replaces k-diffusion's BrownianTree."""
+    sigmas = jnp.asarray(sigmas, jnp.float32)
+    eps = 1e-12
+
+    def t_of(s):
+        return -jnp.log(jnp.maximum(s, eps))
+
+    def sig_of(t):
+        return jnp.exp(-t)
+
+    def ancestral(s_from, s_to):
+        su2 = (eta ** 2 * s_to ** 2 * (s_from ** 2 - s_to ** 2)
+               / jnp.maximum(s_from ** 2, eps))
+        su = jnp.sqrt(jnp.maximum(su2, 0.0)) * s_noise
+        sd = jnp.sqrt(jnp.maximum(s_to ** 2 - su ** 2, 0.0))
+        return sd, su
+
+    def step(carry, i):
+        x, key = carry
+        s, s_next = sigmas[i], sigmas[i + 1]
+        denoised = denoiser(x, s).astype(jnp.float32)
+        xf = x.astype(jnp.float32)
+
+        # final σ=0 step: plain Euler to the denoised output
+        euler_out = xf + (s_next - s) * (xf - denoised) / jnp.maximum(s, eps)
+
+        t, t_next = t_of(s), t_of(s_next)
+        h = t_next - t
+        s_mid = sig_of(t + h * r)
+        fac = 1.0 / (2.0 * r)
+
+        # stage 1: ancestral sub-step to the midpoint sigma
+        sd1, su1 = ancestral(s, s_mid)
+        key, k1 = jax.random.split(key)
+        ratio1 = sd1 / jnp.maximum(s, eps)
+        x2 = ratio1 * xf + (1.0 - ratio1) * denoised
+        x2 = x2 + jax.random.normal(k1, x.shape, jnp.float32) * su1
+        denoised2 = denoiser(x2.astype(x.dtype), s_mid).astype(jnp.float32)
+
+        # stage 2: combined-slope ancestral step to σ'
+        sd2, su2_ = ancestral(s, s_next)
+        key, k2 = jax.random.split(key)
+        denoised_d = (1.0 - fac) * denoised + fac * denoised2
+        ratio2 = sd2 / jnp.maximum(s, eps)
+        out = ratio2 * xf + (1.0 - ratio2) * denoised_d
+        out = out + jax.random.normal(k2, x.shape, jnp.float32) * su2_
+
+        out = jnp.where(s_next > 0, out, euler_out)
+        return (out.astype(x.dtype), key), None
+
+    (x, _), _ = jax.lax.scan(step, (x, key),
+                             jnp.arange(sigmas.shape[0] - 1))
+    return x
+
+
 SAMPLERS = {
     "euler": euler_sample_sigma,
     "heun": heun_sample_sigma,
     "dpmpp_2m": dpmpp_2m_sample_sigma,
-    # euler_ancestral takes (denoiser, x, sigmas, key, eta)
+    "ddim": ddim_sample_sigma,
 }
+
+# stochastic samplers take (denoiser, x, sigmas, key, **knobs)
+STOCHASTIC_SAMPLERS = {
+    "euler_ancestral": euler_ancestral_sample_sigma,
+    "lcm": lcm_sample_sigma,
+    "dpmpp_2m_sde": dpmpp_2m_sde_sample_sigma,
+    "dpmpp_sde": dpmpp_sde_sample_sigma,
+}
+
+
+def run_sampler(name: str, denoiser, x, sigmas, key=None, **knobs):
+    """Dispatch by name across both tables; stochastic samplers require
+    ``key`` (jittable — key may be a traced value)."""
+    if name in SAMPLERS:
+        return SAMPLERS[name](denoiser, x, sigmas, **knobs)
+    if name in STOCHASTIC_SAMPLERS:
+        if key is None:
+            raise ValueError(f"sampler {name!r} is stochastic: pass key=")
+        return STOCHASTIC_SAMPLERS[name](denoiser, x, sigmas, key, **knobs)
+    raise ValueError(f"unknown sampler {name!r}; have "
+                     f"{sorted(SAMPLERS) + sorted(STOCHASTIC_SAMPLERS)}")

@@ -424,3 +424,68 @@ def test_sd3_pipeline_tiny_stacked_matches_unrolled():
     out2 = p2.generate_from_ids(ids, ids, width=64, height=64, steps=2,
                                 cfg_scale=1.0)
     np.testing.assert_allclose(out2, out, rtol=2e-2, atol=2e-2)
+
+
+def test_sd1_pipeline_sampler_menu():
+    """Every registered sampler (deterministic + stochastic) runs through
+    SD1Pipeline end-to-end; stochastic ones are seed-reproducible."""
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    from comfyui_gguf_tpu.models import unet as unet_model
+    from comfyui_gguf_tpu.nn.layers import QuantConfig
+    from comfyui_gguf_tpu.sampling import kdiffusion as kd
+    from tests.test_unet import _res, CTX as UCTX
+
+    F32 = QuantConfig(dequant_dtype=jnp.float32, compute_dtype=jnp.float32,
+                      prefer_pallas=False)
+    rng = np.random.default_rng(5)
+    MC, LAT = 32, 4
+    emb = 4 * MC
+
+    def conv(o, i, k=3):
+        return (rng.standard_normal((o, i, k, k)) * 0.05).astype(np.float32)
+
+    def lin(o, i):
+        return (rng.standard_normal((o, i)) * 0.05).astype(np.float32)
+
+    sd = {
+        "input_blocks.0.0.weight": conv(MC, LAT),
+        "input_blocks.0.0.bias": np.zeros(MC, np.float32),
+        "time_embed.0.weight": lin(emb, MC),
+        "time_embed.0.bias": np.zeros(emb, np.float32),
+        "time_embed.2.weight": lin(emb, emb),
+        "time_embed.2.bias": np.zeros(emb, np.float32),
+        "out.0.weight": np.ones(MC, np.float32),
+        "out.0.bias": np.zeros(MC, np.float32),
+        "out.2.weight": conv(LAT, MC),
+        "out.2.bias": np.zeros(LAT, np.float32),
+    }
+    sd.update(_res(rng, "input_blocks.1.0", MC, MC, emb))
+    sd.update(_res(rng, "middle_block.0", MC, MC, emb))
+    sd.update(_res(rng, "output_blocks.0.0", 2 * MC, MC, emb))
+    sd.update(_res(rng, "output_blocks.1.0", 2 * MC, MC, emb))
+    params = {k: jnp.asarray(v) for k, v in sd.items()}
+
+    cfg = dataclasses.replace(unet_model.UNetConfig.from_state_dict(params),
+                              head_dim=16, context_dim=UCTX)
+    model = pipeline.DiffusionModel(arch="sd1", params=params, config=cfg,
+                                    qcfg=F32)
+    pipe = pipeline.SD1Pipeline(model,
+                                clip_l=StubEncoder("clip_l", UCTX, 16))
+    ids = jnp.zeros((1, 7), jnp.int32)
+    names = sorted(kd.SAMPLERS) + sorted(kd.STOCHASTIC_SAMPLERS)
+    for name in names:
+        out = pipe.generate_from_ids(ids, width=32, height=32, steps=2,
+                                     cfg_scale=1.0, sampler=name, seed=3)
+        assert out.shape == (4, 4, 4), name
+        assert np.isfinite(out).all(), name
+    # seed reproducibility through the stochastic path
+    a = pipe.generate_from_ids(ids, width=32, height=32, steps=2,
+                               cfg_scale=1.0, sampler="dpmpp_2m_sde",
+                               seed=3)
+    b = pipe.generate_from_ids(ids, width=32, height=32, steps=2,
+                               cfg_scale=1.0, sampler="dpmpp_2m_sde",
+                               seed=3)
+    np.testing.assert_array_equal(a, b)

@@ -97,3 +97,139 @@ def test_flow_multistep_linear_exact():
     for fn in (fm.euler_sample, fm.multistep_sample):
         out = float(fn(v_fn, x0, sig)[0])
         np.testing.assert_allclose(out, -3.0, rtol=1e-6)
+
+
+def test_new_samplers_reach_clean_target():
+    """Perfect denoiser D(x, σ) = c: ddim/lcm/dpmpp-sde family all land
+    exactly on c."""
+    c = jnp.full((2, 8), 3.5, jnp.float32)
+    den = lambda x, s: jnp.broadcast_to(c, x.shape)
+    x0 = jnp.asarray(np.random.default_rng(0).standard_normal((2, 8)) * 10,
+                     jnp.float32)
+    sig = _sched(8)
+    out = kd.ddim_sample_sigma(den, x0, sig)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(c),
+                               rtol=1e-4, atol=1e-4)
+    for fn in (kd.lcm_sample_sigma, kd.dpmpp_2m_sde_sample_sigma,
+               kd.dpmpp_sde_sample_sigma):
+        out = fn(den, x0, sig, jax.random.key(0))
+        np.testing.assert_allclose(np.asarray(out), np.asarray(c),
+                                   rtol=1e-4, atol=1e-4)
+
+
+def test_ddim_exact_for_constant_denoised_any_grid():
+    """DDIM's exponential-integrator step telescopes: for constant
+    denoised c it gives (σ_end/σ_0)·x + (1−σ_end/σ_0)·c EXACTLY at any
+    step count — including a 2-step coarse grid NOT ending at 0."""
+    c = 3.5
+    den = lambda x, s: jnp.full_like(x, c)
+    x0 = jnp.full((4,), -7.0, jnp.float32)
+    for sig in (_sched(2, end_zero=False), _sched(9, end_zero=False)):
+        out = kd.ddim_sample_sigma(den, x0, sig)
+        ratio = float(sig[-1] / sig[0])
+        want = ratio * (-7.0) + (1 - ratio) * c
+        np.testing.assert_allclose(np.asarray(out), want, rtol=1e-5,
+                                   atol=1e-5)
+
+
+def test_dpmpp_2m_sde_eta0_matches_ddim_on_constant():
+    """With eta=0 the SDE channel vanishes; on a constant-denoised field
+    the multistep correction is 0 so 2M-SDE == DDIM exactly."""
+    den = lambda x, s: jnp.full_like(x, 2.0)
+    x0 = jnp.full((4,), 9.0, jnp.float32)
+    sig = _sched(6, end_zero=False)
+    a = kd.dpmpp_2m_sde_sample_sigma(den, x0, sig, jax.random.key(1),
+                                     eta=0.0)
+    b = kd.ddim_sample_sigma(den, x0, sig)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5,
+                               atol=1e-5)
+
+
+def test_dpmpp_sde_eta0_second_order():
+    """eta=0 dpmpp_sde is a deterministic 2nd-order method: on
+    D(x,σ)=x/2 it beats Euler on a coarse grid."""
+    den = lambda x, s: 0.5 * x
+    x0 = jnp.full((4,), 8.0, jnp.float32)
+    sig = _sched(6, end_zero=False)
+    exact = 8.0 * np.sqrt(float(sig[-1]) / float(sig[0]))
+    e_euler = abs(float(kd.euler_sample_sigma(den, x0, sig)[0]) - exact)
+    e_sde = abs(float(kd.dpmpp_sde_sample_sigma(
+        den, x0, sig, jax.random.key(0), eta=0.0)[0]) - exact)
+    assert e_sde < e_euler, (e_sde, e_euler)
+
+
+def test_2m_sde_solvers_agree_smooth_field():
+    """midpoint vs heun correction: both 2nd-order, small gap on a
+    smooth field, and both stochastic draws differ from eta=0."""
+    den = lambda x, s: 0.5 * x
+    x0 = jnp.full((4,), 8.0, jnp.float32)
+    sig = _sched(12, end_zero=False)
+    key = jax.random.key(2)
+    m = kd.dpmpp_2m_sde_sample_sigma(den, x0, sig, key, eta=0.0,
+                                     solver="midpoint")
+    h = kd.dpmpp_2m_sde_sample_sigma(den, x0, sig, key, eta=0.0,
+                                     solver="heun")
+    np.testing.assert_allclose(np.asarray(m), np.asarray(h), rtol=0.02)
+    s = kd.dpmpp_2m_sde_sample_sigma(den, x0, sig, key, eta=1.0)
+    assert not np.allclose(np.asarray(s), np.asarray(m))
+
+
+def test_lcm_final_step_is_denoised():
+    """1-step LCM: output IS the x₀-prediction (no re-noise at σ=0)."""
+    den = lambda x, s: jnp.full_like(x, 1.25)
+    x0 = jnp.full((3,), 50.0, jnp.float32)
+    sig = jnp.asarray([10.0, 0.0], jnp.float32)
+    out = kd.lcm_sample_sigma(den, x0, sig, jax.random.key(0))
+    np.testing.assert_allclose(np.asarray(out), 1.25, atol=1e-6)
+
+
+def test_flow_sigma_space_samplers_exact_constant_x0():
+    """Flow adapter: velocity v = (x − c)/σ (constant x₀-prediction c).
+    ddim/dpmpp_2m through make_flow_denoiser land exactly on c from any
+    start — the exponential integrator is exact for straight-path flow."""
+    from comfyui_gguf_tpu.sampling import flow_match as fm
+
+    c = 2.25
+    def vel(x, s):
+        return (x.astype(jnp.float32) - c) / jnp.maximum(
+            jnp.asarray(s, jnp.float32), 1e-12)
+
+    x0 = jnp.full((2, 4), -5.0, jnp.float32)
+    sig = jnp.asarray(np.linspace(1.0, 0.0, 4), jnp.float32)
+    for name in ("ddim", "dpmpp_2m", "heun"):
+        out = fm.FLOW_SAMPLERS[name](vel, x0, sig)
+        np.testing.assert_allclose(np.asarray(out), c, rtol=1e-4,
+                                   atol=1e-4, err_msg=name)
+    out = fm.FLOW_STOCHASTIC_SAMPLERS["dpmpp_2m_sde"](
+        vel, x0, sig, jax.random.key(0))
+    np.testing.assert_allclose(np.asarray(out), c, rtol=1e-4, atol=1e-4)
+
+
+def test_flow_euler_matches_ddim_converged():
+    """On a nonlinear flow field both integrators converge to the same
+    endpoint at high step count (probability-flow ODE uniqueness)."""
+    from comfyui_gguf_tpu.sampling import flow_match as fm
+
+    def vel(x, s):
+        return jnp.tanh(x) * (1.0 + jnp.asarray(s, jnp.float32))
+
+    x0 = jnp.full((2,), 0.7, jnp.float32)
+    sig = jnp.asarray(np.linspace(1.0, 0.0, 257), jnp.float32)
+    a = fm.FLOW_SAMPLERS["euler"](vel, x0, sig)
+    b = fm.FLOW_SAMPLERS["ddim"](vel, x0, sig)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-3,
+                               atol=1e-3)
+
+
+def test_new_schedules():
+    expo = kd.exponential_schedule(10, 0.03, 14.6)
+    assert len(expo) == 11 and expo[-1] == 0.0
+    assert np.allclose(np.diff(np.log(expo[:-1])),
+                       np.diff(np.log(expo[:-1]))[0])
+    table = kd.ddpm_sigmas()
+    sgm = kd.sgm_uniform_schedule(8, table)
+    norm = kd.normal_schedule(8, table)
+    assert len(sgm) == 9 and sgm[-1] == 0.0
+    # sgm_uniform excludes the σ_min table endpoint; normal includes it
+    assert sgm[-2] > norm[-2]
+    assert np.all(np.diff(sgm[:-1]) < 0)
