@@ -156,3 +156,178 @@ def encode(params, cfg: VAEConfig, img: jax.Array,
         std = jnp.exp(0.5 * jnp.clip(logvar, -30.0, 20.0))
         mean = mean + std * jax.random.normal(sample_key, mean.shape)
     return (mean - cfg.shift_factor) * cfg.scale_factor
+
+
+# -- tiled decode/encode ------------------------------------------------------
+#
+# Memory-bounded VAE for large resolutions (the host ecosystem's VAEDecodeTiled
+# / VAEEncodeTiled capability, reference-adjacent comfy.utils.tiled_scale).
+# TPU-shaped: a STATIC tile grid (python-level positions, last tile shifted to
+# fit) so jit compiles the tile function exactly once, scanned over the
+# position list with dynamic_slice / read-add-write dynamic_update_slice.
+# Overlapping tiles are blended with a separable linear feather ramp
+# ((t+1)/feather at every edge, matching the host's mask) and normalized by
+# the accumulated weight, so coverage is exact wherever a single tile writes
+# and a convex blend in overlaps.
+
+def _tile_positions(size: int, tile: int, stride: int) -> list[int]:
+    if size <= tile:
+        return [0]
+    pos = list(range(0, size - tile + 1, stride))
+    if pos[-1] != size - tile:
+        pos.append(size - tile)
+    return pos
+
+
+def _feather_mask(th: int, tw: int, feather: int) -> jnp.ndarray:
+    """(th, tw, 1) separable linear ramp mask; interior value 1."""
+    def ramp(n):
+        w = jnp.ones((n,), jnp.float32)
+        if feather > 0:
+            r = (jnp.arange(feather, dtype=jnp.float32) + 1.0) / feather
+            w = w.at[:feather].mul(r)
+            w = w.at[n - feather:].mul(r[::-1])
+        return w
+    return (ramp(th)[:, None] * ramp(tw)[None, :])[..., None]
+
+
+def tiled_apply(fn, x: jax.Array, tile: int, overlap: int, factor: int,
+                out_channels: int) -> jax.Array:
+    """Apply ``fn`` ((B, tile, tile, C) → (B, tile·factor, tile·factor,
+    out_channels)) over an overlapping tile grid of ``x`` and feather-blend.
+
+    ``factor`` is the spatial scale of fn (8 for VAE decode); for a
+    downscaling fn pass the INPUT-space tile/overlap and a fractional
+    factor is not supported — call with x in the larger space.
+    """
+    B, H, W, C = x.shape
+    if H <= tile and W <= tile:
+        return fn(x)
+    overlap = min(overlap, tile // 2)
+    stride = tile - overlap
+    pos = [(i, j) for i in _tile_positions(H, tile, stride)
+           for j in _tile_positions(W, tile, stride)]
+    pos_arr = jnp.asarray(pos, jnp.int32)
+
+    th = min(tile, H) * factor
+    tw = min(tile, W) * factor
+    mask = _feather_mask(th, tw, overlap * factor)
+    out = jnp.zeros((B, H * factor, W * factor, out_channels), jnp.float32)
+    wsum = jnp.zeros((1, H * factor, W * factor, 1), jnp.float32)
+
+    def body(carry, p):
+        out, wsum = carry
+        xt = jax.lax.dynamic_slice(
+            x, (0, p[0], p[1], 0), (B, min(tile, H), min(tile, W), C))
+        yt = fn(xt).astype(jnp.float32) * mask
+        oi, oj = p[0] * factor, p[1] * factor
+        cur = jax.lax.dynamic_slice(out, (0, oi, oj, 0), (B, th, tw,
+                                                          out_channels))
+        out = jax.lax.dynamic_update_slice(out, cur + yt, (0, oi, oj, 0))
+        curw = jax.lax.dynamic_slice(wsum, (0, oi, oj, 0), (1, th, tw, 1))
+        wsum = jax.lax.dynamic_update_slice(wsum, curw + mask[None],
+                                            (0, oi, oj, 0))
+        return (out, wsum), None
+
+    (out, wsum), _ = jax.lax.scan(body, (out, wsum), pos_arr)
+    return out / jnp.maximum(wsum, 1e-8)
+
+
+def spatial_factor(cfg: VAEConfig) -> int:
+    """Pixel/latent scale: one 2× resample per level transition."""
+    return 2 ** (len(cfg.ch_mult) - 1)
+
+
+def decode_tiled(params, cfg: VAEConfig, z: jax.Array, tile: int = 64,
+                 overlap: int = 16,
+                 qcfg: QuantConfig = DEFAULT_CONFIG) -> jax.Array:
+    """Tiled ``decode``: latent tiles of ``tile``² (512² pixels at the
+    default) with ``overlap`` latent pixels of feathered overlap. Peak
+    activation memory is bounded by one tile regardless of image size
+    (GroupNorm statistics become per-tile — the standard tiled-VAE
+    approximation the host UI ships)."""
+    return tiled_apply(lambda zt: decode(params, cfg, zt, qcfg=qcfg),
+                       z, tile, overlap, factor=spatial_factor(cfg),
+                       out_channels=3)
+
+
+def encode_tiled(params, cfg: VAEConfig, img: jax.Array, tile: int = 512,
+                 overlap: int = 128,
+                 qcfg: QuantConfig = DEFAULT_CONFIG) -> jax.Array:
+    """Tiled ``encode`` (deterministic mean): pixel tiles of ``tile``²
+    encoded independently; the downscale happens inside the tile fn so
+    blending runs in latent space (tile/overlap must be multiples of the
+    VAE's spatial factor)."""
+    f = spatial_factor(cfg)
+    if tile % f or overlap % f:
+        raise ValueError(f"tile/overlap must be multiples of {f}")
+    B, H, W, C = img.shape
+    if H <= tile and W <= tile:
+        return encode(params, cfg, img, qcfg=qcfg)
+
+    # run tiling in latent space: slice pixel tiles via a latent-space
+    # "input" of the same grid by wrapping encode to take latent coords
+    z_channels = cfg.z_channels
+    lt, lov = tile // f, overlap // f
+    lH, lW = H // f, W // f
+    overlap_l = min(lov, lt // 2)
+    stride = lt - overlap_l
+    pos = [(i, j) for i in _tile_positions(lH, lt, stride)
+           for j in _tile_positions(lW, lt, stride)]
+    pos_arr = jnp.asarray(pos, jnp.int32)
+    tl = min(lt, lH)
+    tw = min(lt, lW)
+    mask = _feather_mask(tl, tw, overlap_l)
+    out = jnp.zeros((B, lH, lW, z_channels), jnp.float32)
+    wsum = jnp.zeros((1, lH, lW, 1), jnp.float32)
+
+    def body(carry, p):
+        out, wsum = carry
+        xt = jax.lax.dynamic_slice(
+            img, (0, p[0] * f, p[1] * f, 0), (B, tl * f, tw * f, C))
+        yt = encode(params, cfg, xt, qcfg=qcfg).astype(jnp.float32) * mask
+        cur = jax.lax.dynamic_slice(out, (0, p[0], p[1], 0),
+                                    (B, tl, tw, z_channels))
+        out = jax.lax.dynamic_update_slice(out, cur + yt,
+                                           (0, p[0], p[1], 0))
+        curw = jax.lax.dynamic_slice(wsum, (0, p[0], p[1], 0),
+                                     (1, tl, tw, 1))
+        wsum = jax.lax.dynamic_update_slice(wsum, curw + mask[None],
+                                            (0, p[0], p[1], 0))
+        return (out, wsum), None
+
+    (out, wsum), _ = jax.lax.scan(body, (out, wsum), pos_arr)
+    return out / jnp.maximum(wsum, 1e-8)
+
+
+def _tile_env() -> int:
+    import os
+
+    v = os.environ.get("GGUF_TPU_VAE_TILE", "").strip()
+    return int(v) if v else 0
+
+
+def decode_auto(params, cfg: VAEConfig, z: jax.Array,
+                qcfg: QuantConfig = DEFAULT_CONFIG) -> jax.Array:
+    """``decode``, tiling automatically when ``GGUF_TPU_VAE_TILE=<latent
+    tile side>`` is set and the latent exceeds it (the host UI's
+    VAEDecodeTiled opt-in, env-shaped because jit needs static tile
+    geometry — there is no catch-OOM-and-retry on TPU)."""
+    t = _tile_env()
+    if t and (z.shape[1] > t or z.shape[2] > t):
+        return decode_tiled(params, cfg, z, tile=t,
+                            overlap=max(t // 4, 1), qcfg=qcfg)
+    return decode(params, cfg, z, qcfg=qcfg)
+
+
+def encode_auto(params, cfg: VAEConfig, img: jax.Array,
+                qcfg: QuantConfig = DEFAULT_CONFIG,
+                sample_key: jax.Array | None = None) -> jax.Array:
+    """``encode`` with the same opt-in tiling (threshold in latent units,
+    like decode). Tiled encode is deterministic (mean)."""
+    t = _tile_env()
+    f = spatial_factor(cfg)
+    if t and (img.shape[1] > t * f or img.shape[2] > t * f):
+        return encode_tiled(params, cfg, img, tile=t * f,
+                            overlap=max(t // 4, 1) * f, qcfg=qcfg)
+    return encode(params, cfg, img, qcfg=qcfg, sample_key=sample_key)

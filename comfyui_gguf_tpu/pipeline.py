@@ -442,7 +442,7 @@ class FluxPipeline:
             first = int(round((1.0 - denoise) * steps))
             sigmas = sigmas[first:]
             img01 = jnp.asarray(init_image, jnp.float32)[None] * 2 - 1
-            z0 = vae_model.encode(self.vae_params, self.vae_config, img01)
+            z0 = vae_model.encode_auto(self.vae_params, self.vae_config, img01)
             s0 = jnp.float32(sigmas[0])
             x = ((1 - s0) * z0.astype(jnp.float32)
                  + s0 * noise.astype(jnp.float32)).astype(jnp.bfloat16)
@@ -481,7 +481,7 @@ class FluxPipeline:
         latent = flux_model.unpatchify(out_tokens, h_lat, w_lat)
         if self.vae_params is None:
             return np.asarray(latent[0])
-        img = vae_model.decode(self.vae_params, self.vae_config, latent)
+        img = vae_model.decode_auto(self.vae_params, self.vae_config, latent)
         return np.asarray((jnp.clip(img[0], -1, 1) + 1) / 2)
 
 
@@ -1007,7 +1007,7 @@ class SD3Pipeline:
         latent = denoise(model.params, x, ctx, pooled, *args)
         if self.vae_params is None:
             return np.asarray(latent[0])
-        img = vae_model.decode(self.vae_params, self.vae_config, latent)
+        img = vae_model.decode_auto(self.vae_params, self.vae_config, latent)
         return np.asarray((jnp.clip(img[0], -1, 1) + 1) / 2)
 
 
@@ -1520,7 +1520,7 @@ class SD1Pipeline:
         latent = sample(model.params, x, ctx, *args)
         if self.vae_params is None:
             return np.asarray(latent[0])
-        img = vae_model.decode(self.vae_params, self.vae_config, latent)
+        img = vae_model.decode_auto(self.vae_params, self.vae_config, latent)
         return np.asarray((jnp.clip(img[0], -1, 1) + 1) / 2)
 
 
@@ -1579,7 +1579,7 @@ class SDXLPipeline:
             first = min(int(round((1.0 - denoise) * steps)), steps - 1)
             sigmas = sigmas[first:]
             img01 = jnp.asarray(init_image, jnp.float32)[None] * 2 - 1
-            z0 = vae_model.encode(self.vae_params, self.vae_config, img01)
+            z0 = vae_model.encode_auto(self.vae_params, self.vae_config, img01)
             noise = jax.random.normal(key, z0.shape, jnp.float32)
             x = (z0 + noise * float(sigmas[0])).astype(jnp.bfloat16)
         else:
@@ -1611,7 +1611,7 @@ class SDXLPipeline:
         latent = sample(model.params, x, ctx, y, *args)
         if self.vae_params is None:
             return np.asarray(latent[0])
-        img = vae_model.decode(self.vae_params, self.vae_config, latent)
+        img = vae_model.decode_auto(self.vae_params, self.vae_config, latent)
         return np.asarray((jnp.clip(img[0], -1, 1) + 1) / 2)
 
     def refine_from_ids(self, latent, clip_g_ids, neg_clip_g_ids=None, *,
@@ -1685,5 +1685,5 @@ class SDXLPipeline:
         out = sample(refiner.params, x, ctx, y, *args)
         if not decode or self.vae_params is None:
             return np.asarray(out[0])
-        img = vae_model.decode(self.vae_params, self.vae_config, out)
+        img = vae_model.decode_auto(self.vae_params, self.vae_config, out)
         return np.asarray((jnp.clip(img[0], -1, 1) + 1) / 2)

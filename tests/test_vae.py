@@ -159,3 +159,95 @@ def test_sd_style_quant_conv_branch(tiny_vae, cfg):
     lat = vae.encode(params, qcfg, im, qcfg=F32CFG)
     assert lat.shape == (1, 6, 6, ZC)
     assert np.isfinite(np.asarray(lat)).all()
+
+
+def test_tiled_apply_identity_exact():
+    """fn = identity, factor 1: the feathered blend must reproduce the
+    input EXACTLY (weights are a convex partition wherever tiles overlap)
+    — including the shifted last tile on a non-divisible size."""
+    rng = np.random.default_rng(7)
+    x = jnp.asarray(rng.standard_normal((2, 21, 13, 3)), jnp.float32)
+    out = vae.tiled_apply(lambda t: t, x, tile=8, overlap=4, factor=1,
+                          out_channels=3)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(x), rtol=1e-5,
+                               atol=1e-6)
+
+
+def test_tiled_apply_local_fn_exact():
+    """A translation-invariant LOCAL fn (2× nearest upsample) commutes
+    with tiling exactly — validates position/factor bookkeeping."""
+    rng = np.random.default_rng(8)
+    x = jnp.asarray(rng.standard_normal((1, 12, 18, 2)), jnp.float32)
+
+    def up2(t):
+        B, H, W, C = t.shape
+        return jax.image.resize(t, (B, 2 * H, 2 * W, C), method="nearest")
+
+    want = up2(x)
+    got = vae.tiled_apply(up2, x, tile=6, overlap=2, factor=2,
+                          out_channels=2)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_decode_tiled(tiny_vae, cfg):
+    """decode_tiled: correct shape, finite, and close to the global
+    decode away from the per-tile GroupNorm approximation (the standard
+    tiled-VAE tradeoff); small inputs fall through to direct decode."""
+    rng = np.random.default_rng(9)
+    z = jnp.asarray(rng.standard_normal((1, 24, 20, ZC)) * 0.5,
+                    jnp.float32)
+    f = vae.spatial_factor(cfg)
+    want = vae.decode(tiny_vae, cfg, z)
+    got = vae.decode_tiled(tiny_vae, cfg, z, tile=16, overlap=8)
+    assert got.shape == (1, 24 * f, 20 * f, 3)
+    assert np.isfinite(np.asarray(got)).all()
+    # per-tile GroupNorm stats differ from global; tolerance is loose by
+    # design but the images must agree to first order
+    err = np.abs(np.asarray(got) - np.asarray(want))
+    scale = np.abs(np.asarray(want)).max()
+    assert err.max() < 0.25 * scale + 0.05, (err.max(), scale)
+    # small input: exact (single tile short-circuits to direct decode)
+    small = vae.decode_tiled(tiny_vae, cfg, z[:, :8, :8], tile=16)
+    np.testing.assert_allclose(np.asarray(small),
+                               np.asarray(vae.decode(tiny_vae, cfg,
+                                                     z[:, :8, :8])),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_encode_tiled(tiny_vae, cfg):
+    rng = np.random.default_rng(10)
+    f = vae.spatial_factor(cfg)
+    img = jnp.asarray(np.tanh(rng.standard_normal((1, 40 * f, 24 * f, 3))),
+                      jnp.float32)
+    want = vae.encode(tiny_vae, cfg, img)
+    got = vae.encode_tiled(tiny_vae, cfg, img, tile=16 * f, overlap=8 * f)
+    assert got.shape == want.shape
+    assert np.isfinite(np.asarray(got)).all()
+    err = np.abs(np.asarray(got) - np.asarray(want))
+    scale = np.abs(np.asarray(want)).max()
+    assert err.max() < 0.25 * scale + 0.05, (err.max(), scale)
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="multiples"):
+        vae.encode_tiled(tiny_vae, cfg, img, tile=15, overlap=3)
+
+
+def test_auto_tiling_env(tiny_vae, cfg, monkeypatch):
+    """decode_auto/encode_auto: direct when unset, tiled when the latent
+    exceeds GGUF_TPU_VAE_TILE."""
+    rng = np.random.default_rng(11)
+    z = jnp.asarray(rng.standard_normal((1, 20, 20, ZC)) * 0.5, jnp.float32)
+    monkeypatch.delenv("GGUF_TPU_VAE_TILE", raising=False)
+    direct = vae.decode_auto(tiny_vae, cfg, z)
+    np.testing.assert_array_equal(np.asarray(direct),
+                                  np.asarray(vae.decode(tiny_vae, cfg, z)))
+    monkeypatch.setenv("GGUF_TPU_VAE_TILE", "16")
+    tiled = vae.decode_auto(tiny_vae, cfg, z)
+    want = vae.decode_tiled(tiny_vae, cfg, z, tile=16, overlap=4)
+    np.testing.assert_array_equal(np.asarray(tiled), np.asarray(want))
+    f = vae.spatial_factor(cfg)
+    img = jnp.asarray(np.tanh(rng.standard_normal((1, 20 * f, 20 * f, 3))),
+                      jnp.float32)
+    te = vae.encode_auto(tiny_vae, cfg, img)
+    we = vae.encode_tiled(tiny_vae, cfg, img, tile=16 * f, overlap=4 * f)
+    np.testing.assert_array_equal(np.asarray(te), np.asarray(we))
