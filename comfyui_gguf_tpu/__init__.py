@@ -16,6 +16,9 @@ __version__ = "0.1.0"
 _PUBLIC = {
     "GGUFReader": ".gguf.reader",
     "GGUFWriter": ".gguf.writer",
+    "LatentPreviewer": ".preview",
+    "fit_latent_preview": ".preview",
+    "previewer_for_vae": ".preview",
     "gguf_sd_loader": ".loader",
     "gguf_clip_loader": ".loader",
     "to_jax_params": ".loader",

@@ -111,8 +111,15 @@ class ContinuousBatchEngine:
 
     def __init__(self, step_fn: Callable, max_batch: int = 4,
                  batch_sizes: tuple[int, ...] | None = None,
-                 pipeline_depth: int = 1):
+                 pipeline_depth: int = 1,
+                 on_step: Callable | None = None):
         self.step_fn = step_fn
+        # on_step(requests) fires after every dispatched step with the
+        # requests it advanced. r.latent is a DEVICE FUTURE at that point
+        # (np.asarray(r.latent) forces a sync — previews should either
+        # accept that cost or run at pipeline_depth=1); exceptions are
+        # swallowed with a log so a preview bug can't kill serving.
+        self.on_step = on_step
         self.max_batch = max_batch
         # fixed buckets so jit sees a closed set of shapes
         self.batch_sizes = tuple(sorted(
@@ -251,6 +258,11 @@ class ContinuousBatchEngine:
             r.latent = x_next[i]  # device future; no transfer
             r.step += 1
             finishing |= r.finished
+        if self.on_step is not None:
+            try:
+                self.on_step(batch)
+            except Exception:
+                log.exception("on_step callback failed (ignored)")
         self._pending.append((x_next, batch))
         if finishing or len(self._pending) >= self.pipeline_depth:
             self._sync()
