@@ -363,11 +363,89 @@ def dpmpp_sde_sample_sigma(denoiser, x: jax.Array, sigmas, key,
     return x
 
 
+def uni_pc_sample_sigma(denoiser, x: jax.Array, sigmas,
+                        variant: str = "bh2") -> jax.Array:
+    """UniPC (order 2, data prediction): unified predictor-corrector in
+    λ = −log σ time, ONE model call per step — the corrector reuses the
+    model output evaluated at the predicted point, which then seeds the
+    next predictor (UniPC paper / the host UI's ``uni_pc`` sampler).
+
+    All updates are the σ-space data-prediction form (α≡1):
+        x_t' = (σ_t/σ_s)·x − expm1(−h)·m₀ − B(h)·Σρᵢ·D1ᵢ,  h = log(σ_s/σ_t)
+    with B(h) = −h (bh1) or expm1(−h) (bh2) and ρ solved from the
+    order-2 Vandermonde system in closed form. The final σ→0 step
+    returns the x₀-prediction exactly.
+    """
+    if variant not in ("bh1", "bh2"):
+        raise ValueError(f"variant must be bh1|bh2, got {variant!r}")
+    sigmas = jnp.asarray(sigmas, jnp.float32)
+    tiny = 1e-12
+
+    def lam(s):
+        return -jnp.log(jnp.maximum(s, tiny))
+
+    def bh_coeffs(h):
+        """(h_phi_1, B_h, b1, b2) for step size h>0 (hh = −h)."""
+        hh = -h
+        h_phi_1 = jnp.expm1(hh)
+        B_h = hh if variant == "bh1" else jnp.expm1(hh)
+        h_phi_k1 = h_phi_1 / hh - 1.0
+        b1 = h_phi_k1 / B_h
+        h_phi_k2 = h_phi_k1 / hh - 0.5
+        b2 = h_phi_k2 * 2.0 / B_h
+        return h_phi_1, B_h, b1, b2
+
+    def step(carry, i):
+        x_unc, x_prev, m_a, m_b = carry
+        s_pp, s_p = sigmas[jnp.maximum(i - 2, 0)], sigmas[jnp.maximum(i - 1, 0)]
+        s, s_next = sigmas[i], sigmas[i + 1]
+        m_t = denoiser(x_unc, s).astype(jnp.float32)
+        xf_unc = x_unc.astype(jnp.float32)
+
+        # ---- corrector for the point σ_i (uses m_t, free NFE) ----
+        h_c = lam(s) - lam(s_p)
+        h_phi_1c, B_hc, b1c, b2c = bh_coeffs(h_c)
+        x_t_c = (s / jnp.maximum(s_p, tiny)) * x_prev - h_phi_1c * m_a
+        D1_t = m_t - m_a
+        # order-1 corrector (used at i == 1): UniPC hardcodes ρ = 0.5
+        # here (this is where bh1/bh2 differ — B(h) does NOT cancel)
+        x_c1 = x_t_c - B_hc * (0.5 * D1_t)
+        # order-2 corrector (i >= 2): extra point σ_{i-2}
+        r1c = (lam(s_pp) - lam(s_p)) / h_c
+        D1_0c = (m_b - m_a) / jnp.where(r1c == 0, 1.0, r1c)
+        rho0 = (b2c - b1c) / jnp.where(r1c == 1.0, tiny, r1c - 1.0)
+        rho1 = b1c - rho0
+        x_c2 = x_t_c - B_hc * (rho0 * D1_0c + rho1 * D1_t)
+        x_cur = jnp.where(i == 0, xf_unc,
+                          jnp.where(i == 1, x_c1, x_c2))
+
+        # ---- predictor σ_i → σ_{i+1} ----
+        h = lam(s_next) - lam(s)
+        h_phi_1, B_h, b1, _ = bh_coeffs(h)
+        ratio = s_next / jnp.maximum(s, tiny)
+        x_t_ = ratio * x_cur - h_phi_1 * m_t
+        r1 = (lam(s_p) - lam(s)) / h
+        D1_0 = (m_a - m_t) / jnp.where(r1 == 0, 1.0, r1)
+        # order-2 predictor: UniPC hardcodes ρ = 0.5 (bh-variant-bearing)
+        x_p2 = x_t_ - B_h * (0.5 * D1_0)
+        x_next = jnp.where(i == 0, x_t_, x_p2)  # first step: order 1
+        x_next = jnp.where(s_next > 0, x_next, m_t)
+
+        return (x_next.astype(x.dtype), x_cur.astype(x.dtype),
+                m_t, m_a), None
+
+    z = jnp.zeros_like(x, jnp.float32)
+    (x_out, _, _, _), _ = jax.lax.scan(
+        step, (x, x, z, z), jnp.arange(sigmas.shape[0] - 1))
+    return x_out
+
+
 SAMPLERS = {
     "euler": euler_sample_sigma,
     "heun": heun_sample_sigma,
     "dpmpp_2m": dpmpp_2m_sample_sigma,
     "ddim": ddim_sample_sigma,
+    "uni_pc": uni_pc_sample_sigma,
 }
 
 # stochastic samplers take (denoiser, x, sigmas, key, **knobs)

@@ -233,3 +233,59 @@ def test_new_schedules():
     # sgm_uniform excludes the σ_min table endpoint; normal includes it
     assert sgm[-2] > norm[-2]
     assert np.all(np.diff(sgm[:-1]) < 0)
+
+
+def test_uni_pc_reaches_clean_target():
+    c = jnp.full((2, 8), 3.5, jnp.float32)
+    den = lambda x, s: jnp.broadcast_to(c, x.shape)
+    x0 = jnp.asarray(np.random.default_rng(0).standard_normal((2, 8)) * 10,
+                     jnp.float32)
+    for variant in ("bh1", "bh2"):
+        out = kd.uni_pc_sample_sigma(den, x0, _sched(8), variant=variant)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(c),
+                                   rtol=1e-4, atol=1e-4)
+
+
+def test_uni_pc_exact_constant_denoised_no_zero():
+    """Constant x₀-prediction: D1 terms vanish, so UniPC telescopes to
+    the exact exponential-integrator endpoint like DDIM."""
+    den = lambda x, s: jnp.full_like(x, 2.0)
+    x0 = jnp.full((4,), 9.0, jnp.float32)
+    sig = _sched(6, end_zero=False)
+    a = kd.uni_pc_sample_sigma(den, x0, sig)
+    b = kd.ddim_sample_sigma(den, x0, sig)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5,
+                               atol=1e-5)
+
+
+def test_uni_pc_second_order():
+    """On D(x,σ)=x/2 (exact: x0·√(σ_end/σ_0)) UniPC-bh2 must beat Euler
+    decisively at equal NFE and converge at 2nd order (halving h cuts
+    the error ≳3×, vs 2× for a 1st-order method)."""
+    den = lambda x, s: 0.5 * x
+    x0 = jnp.full((4,), 8.0, jnp.float32)
+
+    def err(n):
+        sig = _sched(n, end_zero=False)
+        exact = 8.0 * np.sqrt(float(sig[-1]) / float(sig[0]))
+        return abs(float(kd.uni_pc_sample_sigma(den, x0, sig)[0]) - exact)
+
+    sig6 = _sched(6, end_zero=False)
+    exact6 = 8.0 * np.sqrt(float(sig6[-1]) / float(sig6[0]))
+    e_euler = abs(float(kd.euler_sample_sigma(den, x0, sig6)[0]) - exact6)
+    assert err(6) < e_euler / 3, (err(6), e_euler)
+    assert err(11) < err(6) / 3, (err(11), err(6))
+
+
+def test_uni_pc_through_flow_adapter():
+    from comfyui_gguf_tpu.sampling import flow_match as fm
+
+    c = 2.25
+    def vel(x, s):
+        return (x.astype(jnp.float32) - c) / jnp.maximum(
+            jnp.asarray(s, jnp.float32), 1e-12)
+
+    x0 = jnp.full((2, 4), -5.0, jnp.float32)
+    sig = jnp.asarray(np.linspace(1.0, 0.0, 5), jnp.float32)
+    out = fm.FLOW_SAMPLERS["uni_pc"](vel, x0, sig)
+    np.testing.assert_allclose(np.asarray(out), c, rtol=1e-4, atol=1e-4)
