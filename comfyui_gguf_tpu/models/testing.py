@@ -462,3 +462,84 @@ def sd3_example_inputs(dims: TinySD3Dims, batch: int = 1, h_lat: int = 16,
     pooled = jnp.asarray(rng.standard_normal((batch, dims.pooled)), dtype)
     t = jnp.full((batch,), 0.7, jnp.float32)
     return latent, context, pooled, t
+
+
+def vae_random_params(z_channels: int = 4, base_ch: int = 16,
+                      ch_mult: tuple[int, ...] = (1, 1, 1, 1),
+                      num_res_blocks: int = 1, seed: int = 0,
+                      scale: float = 0.05):
+    """Random sgm-format AutoencoderKL params (decoder + encoder) for a
+    given geometry — the default 4-level ch_mult gives the 8× spatial
+    factor of SD/flux VAEs at tiny channel counts (img2img tests)."""
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(seed)
+
+    def conv(o, i, k=3):
+        return (rng.standard_normal((o, i, k, k)) * scale).astype(
+            np.float32)
+
+    def resnet(p, cin, cout):
+        sd = {
+            f"{p}.norm1.weight": np.ones(cin, np.float32),
+            f"{p}.norm1.bias": np.zeros(cin, np.float32),
+            f"{p}.conv1.weight": conv(cout, cin),
+            f"{p}.conv1.bias": np.zeros(cout, np.float32),
+            f"{p}.norm2.weight": np.ones(cout, np.float32),
+            f"{p}.norm2.bias": np.zeros(cout, np.float32),
+            f"{p}.conv2.weight": conv(cout, cout),
+            f"{p}.conv2.bias": np.zeros(cout, np.float32),
+        }
+        if cin != cout:
+            sd[f"{p}.nin_shortcut.weight"] = conv(cout, cin, 1)
+            sd[f"{p}.nin_shortcut.bias"] = np.zeros(cout, np.float32)
+        return sd
+
+    def attn(p, c):
+        sd = {f"{p}.norm.weight": np.ones(c, np.float32),
+              f"{p}.norm.bias": np.zeros(c, np.float32)}
+        for n in ("q", "k", "v", "proj_out"):
+            sd[f"{p}.{n}.weight"] = conv(c, c, 1)
+            sd[f"{p}.{n}.bias"] = np.zeros(c, np.float32)
+        return sd
+
+    chans = [base_ch * m for m in ch_mult]
+    top = chans[-1]
+    sd = {
+        "decoder.conv_in.weight": conv(top, z_channels),
+        "decoder.conv_in.bias": np.zeros(top, np.float32),
+        "decoder.norm_out.weight": np.ones(chans[0], np.float32),
+        "decoder.norm_out.bias": np.zeros(chans[0], np.float32),
+        "decoder.conv_out.weight": conv(3, chans[0]),
+        "decoder.conv_out.bias": np.zeros(3, np.float32),
+        "encoder.conv_in.weight": conv(chans[0], 3),
+        "encoder.conv_in.bias": np.zeros(chans[0], np.float32),
+        "encoder.norm_out.weight": np.ones(top, np.float32),
+        "encoder.norm_out.bias": np.zeros(top, np.float32),
+        "encoder.conv_out.weight": conv(2 * z_channels, top),
+        "encoder.conv_out.bias": np.zeros(2 * z_channels, np.float32),
+    }
+    for side in ("decoder.mid", "encoder.mid"):
+        sd.update(resnet(f"{side}.block_1", top, top))
+        sd.update(attn(f"{side}.attn_1", top))
+        sd.update(resnet(f"{side}.block_2", top, top))
+    n_levels = len(ch_mult)
+    cur = top
+    for i in reversed(range(n_levels)):
+        for j in range(num_res_blocks + 1):
+            sd.update(resnet(f"decoder.up.{i}.block.{j}", cur, chans[i]))
+            cur = chans[i]
+        if i > 0:
+            sd[f"decoder.up.{i}.upsample.conv.weight"] = conv(cur, cur)
+            sd[f"decoder.up.{i}.upsample.conv.bias"] = np.zeros(
+                cur, np.float32)
+    cur = chans[0]
+    for i in range(n_levels):
+        for j in range(num_res_blocks):
+            sd.update(resnet(f"encoder.down.{i}.block.{j}", cur, chans[i]))
+            cur = chans[i]
+        if i < n_levels - 1:
+            sd[f"encoder.down.{i}.downsample.conv.weight"] = conv(cur, cur)
+            sd[f"encoder.down.{i}.downsample.conv.bias"] = np.zeros(
+                cur, np.float32)
+    return {k: jnp.asarray(v) for k, v in sd.items()}

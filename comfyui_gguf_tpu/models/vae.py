@@ -37,12 +37,31 @@ class VAEConfig:
             v = sd[k]
             return v.shape if hasattr(v, "shape") else np.asarray(v).shape
 
-        z = shape("decoder.conv_in.weight")[1]
+        z = int(shape("decoder.conv_in.weight")[1])
         has_qc = "post_quant_conv.weight" in sd
+        # introspect geometry from the decoder keys (SD/SDXL/flux all use
+        # base 128 × (1,2,4,4), but tiny/test and exotic VAEs differ)
+        base = int(shape("decoder.conv_out.weight")[1])
+        levels = 0
+        while f"decoder.up.{levels}.block.0.conv1.weight" in sd:
+            levels += 1
+        nres = 0
+        while f"decoder.up.0.block.{nres}.conv1.weight" in sd:
+            nres += 1
+        if levels:
+            ch_mult = tuple(
+                int(shape(f"decoder.up.{i}.block.{nres - 1}.conv1.weight"
+                          )[0]) // base
+                for i in range(levels))
+            geo = dict(base_ch=base, ch_mult=ch_mult,
+                       num_res_blocks=max(nres - 1, 1))
+        else:
+            geo = {}
         if z == 4:
             return VAEConfig(z_channels=4, scale_factor=0.18215,
-                             shift_factor=0.0, has_quant_conv=has_qc)
-        return VAEConfig(z_channels=int(z), has_quant_conv=has_qc)
+                             shift_factor=0.0, has_quant_conv=has_qc,
+                             **geo)
+        return VAEConfig(z_channels=z, has_quant_conv=has_qc, **geo)
 
 
 def _resnet(params, prefix, x, qcfg):

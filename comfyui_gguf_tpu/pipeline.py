@@ -969,7 +969,15 @@ class SD3Pipeline:
                           neg_clip_l_ids=None, neg_clip_g_ids=None,
                           neg_t5_ids=None, width: int = 1024,
                           height: int = 1024, steps: int = 28,
-                          cfg_scale: float = 4.5, seed: int = 0):
+                          cfg_scale: float = 4.5, seed: int = 0,
+                          init_image: np.ndarray | None = None,
+                          denoise: float = 1.0,
+                          inpaint_mask: np.ndarray | None = None):
+        """txt2img; img2img when ``init_image`` (H, W, 3) in [0, 1] +
+        ``denoise`` < 1 (VAE-encode, forward-noise to the schedule point,
+        sample down — same host semantics as FluxPipeline); inpainting
+        when ``inpaint_mask`` (H_lat, W_lat or any resizable 2-D, 1 =
+        generate) is also given."""
         from .sampling import euler_sample, linear_schedule, shift_sigmas
 
         ctx, pooled = self._condition(clip_l_ids, clip_g_ids, t5_ids)
@@ -980,15 +988,34 @@ class SD3Pipeline:
 
         h_lat, w_lat = height // 8, width // 8
         key = jax.random.key(seed)
-        x = jax.random.normal(
+        noise = jax.random.normal(
             key, (1, h_lat, w_lat, self.model.config.in_channels),
             jnp.bfloat16)
         sigmas = shift_sigmas(linear_schedule(steps), self.shift)
+
+        x, z0, mask = noise, None, None
+        if init_image is not None:
+            if self.vae_params is None:
+                raise ValueError("img2img needs a VAE")
+            first = int(round((1.0 - denoise) * steps))
+            sigmas = sigmas[first:]
+            img01 = jnp.asarray(init_image, jnp.float32)[None] * 2 - 1
+            z0 = vae_model.encode_auto(self.vae_params, self.vae_config,
+                                       img01)
+            s0 = jnp.float32(sigmas[0])
+            x = ((1 - s0) * z0.astype(jnp.float32)
+                 + s0 * noise.astype(jnp.float32)).astype(jnp.bfloat16)
+            if inpaint_mask is not None:
+                m = jax.image.resize(jnp.asarray(inpaint_mask, jnp.float32),
+                                     (h_lat, w_lat), method="nearest")
+                mask = jnp.broadcast_to(m[None, :, :, None], z0.shape)
         model = self.model
 
         # stacked trees (DiffusionModel.stack) take the scanned forward
         fwd = (sd3_model.forward_stacked if "joint_blocks" in model.params
                else sd3_model.forward)
+
+        from .sampling import euler_sample_inpaint
 
         @jax.jit
         def denoise(params, x0, ctx, pooled, *neg):
@@ -1001,6 +1028,10 @@ class SD3Pipeline:
                 v_u = fwd(params, model.config, xc, neg[0],
                           neg[1], tt, qcfg=model.qcfg)
                 return v_u + cfg_scale * (v_c - v_u)
+            if mask is not None:
+                return euler_sample_inpaint(
+                    velocity, x0, sigmas, z0.astype(jnp.bfloat16), mask,
+                    jax.random.fold_in(key, 1))
             return sample_flow(velocity, x0, sigmas)
 
         args = (nctx, npooled) if use_cfg else ()
@@ -1479,7 +1510,9 @@ class SD1Pipeline:
     def generate_from_ids(self, clip_l_ids, neg_clip_l_ids=None,
                           width: int = 512, height: int = 512,
                           steps: int = 20, cfg_scale: float = 7.0,
-                          seed: int = 0, sampler: str = "euler"):
+                          seed: int = 0, sampler: str = "euler",
+                          init_image: np.ndarray | None = None,
+                          denoise: float = 1.0):
         from .models import unet as unet_model
         from .sampling import kdiffusion as kd
 
@@ -1492,8 +1525,19 @@ class SD1Pipeline:
         sigmas = kd.normal_schedule(steps, table)
         h_lat, w_lat = height // 8, width // 8
         key = jax.random.key(seed)
-        x = jax.random.normal(key, (1, h_lat, w_lat, 4),
-                              jnp.bfloat16) * float(sigmas[0])
+        if init_image is not None:
+            if self.vae_params is None:
+                raise ValueError("img2img needs a VAE")
+            first = min(int(round((1.0 - denoise) * steps)), steps - 1)
+            sigmas = sigmas[first:]
+            img01 = jnp.asarray(init_image, jnp.float32)[None] * 2 - 1
+            z0 = vae_model.encode_auto(self.vae_params, self.vae_config,
+                                       img01)
+            noise = jax.random.normal(key, z0.shape, jnp.float32)
+            x = (z0 + noise * float(sigmas[0])).astype(jnp.bfloat16)
+        else:
+            x = jax.random.normal(key, (1, h_lat, w_lat, 4),
+                                  jnp.bfloat16) * float(sigmas[0])
         model = self.model
 
         @jax.jit

@@ -489,3 +489,114 @@ def test_sd1_pipeline_sampler_menu():
                                cfg_scale=1.0, sampler="dpmpp_2m_sde",
                                seed=3)
     np.testing.assert_array_equal(a, b)
+
+
+def test_sd3_img2img_and_inpaint_tiny():
+    """SD3 img2img: init image VAE-encoded, forward-noised to the
+    truncated schedule, sampled down. Inpaint with an all-keep mask must
+    return the VAE round trip of the init image exactly (the kept region
+    is projected onto the source at every step; final σ=0 → z0)."""
+    import jax.numpy as jnp
+
+    from comfyui_gguf_tpu.models import testing, vae as vae_model
+    from comfyui_gguf_tpu.nn.layers import QuantConfig
+
+    dims = testing.TinySD3Dims(depth=2)
+    params = testing.sd3_random_quant_params(dims, seed=3)
+    vp = testing.vae_random_params(z_channels=dims.in_ch, base_ch=32,
+                                   seed=4)
+    vc = vae_model.VAEConfig.from_state_dict(vp)
+    assert vae_model.spatial_factor(vc) == 8
+    model = pipeline.DiffusionModel(arch="sd3", params=params,
+                                    config=dims.config(),
+                                    qcfg=QuantConfig())
+    pipe = pipeline.SD3Pipeline(model=model,
+                                clip_l=StubEncoder("clip_l", 16, 8),
+                                clip_g=StubEncoder("clip_g", 16, 8),
+                                vae_params=vp, vae_config=vc)
+    ids = jnp.ones((1, 4), jnp.int32)
+    rng = np.random.default_rng(0)
+    init = rng.uniform(0, 1, (64, 64, 3)).astype(np.float32)
+
+    out = pipe.generate_from_ids(ids, ids, width=64, height=64, steps=4,
+                                 cfg_scale=1.0, init_image=init,
+                                 denoise=0.5)
+    assert out.shape == (64, 64, 3)
+    assert np.isfinite(out).all()
+
+    # all-keep mask: output == VAE round trip of the source
+    keep_all = np.zeros((8, 8), np.float32)
+    out2 = pipe.generate_from_ids(ids, ids, width=64, height=64, steps=3,
+                                  cfg_scale=1.0, init_image=init,
+                                  denoise=1.0, inpaint_mask=keep_all)
+    img01 = jnp.asarray(init, jnp.float32)[None] * 2 - 1
+    z0 = vae_model.encode(vp, vc, img01)
+    rt = vae_model.decode(vp, vc, z0.astype(jnp.bfloat16))
+    want = np.asarray((jnp.clip(rt[0], -1, 1) + 1) / 2)
+    np.testing.assert_allclose(out2, want, atol=0.03)
+
+
+def test_sd1_img2img_tiny():
+    """SD1 img2img: denoise→0 returns (approximately) the VAE round trip
+    of the source (schedule truncated to the last low-sigma step)."""
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    from comfyui_gguf_tpu.models import testing, unet as unet_model
+    from comfyui_gguf_tpu.models import vae as vae_model2
+    from comfyui_gguf_tpu.nn.layers import QuantConfig
+    from tests.test_unet import _res, CTX as UCTX
+
+    F32 = QuantConfig(dequant_dtype=jnp.float32, compute_dtype=jnp.float32,
+                      prefer_pallas=False)
+    rng = np.random.default_rng(6)
+    MC, LAT = 32, 4
+    emb = 4 * MC
+
+    def conv(o, i, k=3):
+        return (rng.standard_normal((o, i, k, k)) * 0.05).astype(np.float32)
+
+    def lin(o, i):
+        return (rng.standard_normal((o, i)) * 0.05).astype(np.float32)
+
+    sd = {
+        "input_blocks.0.0.weight": conv(MC, LAT),
+        "input_blocks.0.0.bias": np.zeros(MC, np.float32),
+        "time_embed.0.weight": lin(emb, MC),
+        "time_embed.0.bias": np.zeros(emb, np.float32),
+        "time_embed.2.weight": lin(emb, emb),
+        "time_embed.2.bias": np.zeros(emb, np.float32),
+        "out.0.weight": np.ones(MC, np.float32),
+        "out.0.bias": np.zeros(MC, np.float32),
+        "out.2.weight": conv(LAT, MC),
+        "out.2.bias": np.zeros(LAT, np.float32),
+    }
+    sd.update(_res(rng, "input_blocks.1.0", MC, MC, emb))
+    sd.update(_res(rng, "middle_block.0", MC, MC, emb))
+    sd.update(_res(rng, "output_blocks.0.0", 2 * MC, MC, emb))
+    sd.update(_res(rng, "output_blocks.1.0", 2 * MC, MC, emb))
+    params = {k: jnp.asarray(v) for k, v in sd.items()}
+    cfg = dataclasses.replace(unet_model.UNetConfig.from_state_dict(params),
+                              head_dim=16, context_dim=UCTX)
+    vp = testing.vae_random_params(z_channels=4, base_ch=32, seed=8)
+    vc = vae_model2.VAEConfig.from_state_dict(vp)
+    model = pipeline.DiffusionModel(arch="sd1", params=params, config=cfg,
+                                    qcfg=F32)
+    pipe = pipeline.SD1Pipeline(model,
+                                clip_l=StubEncoder("clip_l", UCTX, 16),
+                                vae_params=vp, vae_config=vc)
+    ids = jnp.zeros((1, 7), jnp.int32)
+    init = np.random.default_rng(1).uniform(0, 1, (64, 64, 3)).astype(
+        np.float32)
+    out = pipe.generate_from_ids(ids, width=64, height=64, steps=8,
+                                 cfg_scale=1.0, init_image=init,
+                                 denoise=0.125, seed=2)
+    assert out.shape == (64, 64, 3)
+    img01 = jnp.asarray(init, jnp.float32)[None] * 2 - 1
+    z0 = vae_model2.encode(vp, vc, img01)
+    rt = np.asarray((jnp.clip(vae_model2.decode(
+        vp, vc, z0.astype(jnp.bfloat16))[0], -1, 1) + 1) / 2)
+    # denoise=1/8 truncates to the final low-sigma step: output stays
+    # near the source reconstruction
+    assert np.abs(out - rt).mean() < 0.15
