@@ -188,3 +188,13 @@ def encode(params, cfg: HyVidVAEConfig, x: jax.Array,
     if "quant_conv.conv.weight" in params or "quant_conv.weight" in params:
         h = _cconv(params, "quant_conv", h, cfg=qcfg)
     return h[..., : h.shape[-1] // 2]
+
+
+def decode_tiled(params, cfg: HyVidVAEConfig, z: jax.Array, tile: int = 32,
+                 overlap: int = 8,
+                 qcfg: QuantConfig = DEFAULT_CONFIG) -> jax.Array:
+    """Spatially-tiled ``decode`` — see vae.tiled_apply_video."""
+    from .vae import tiled_apply_video
+
+    return tiled_apply_video(
+        lambda zt: decode(params, cfg, zt, qcfg=qcfg), z, tile, overlap)

@@ -235,3 +235,14 @@ def decode(params, cfg: LTXVVAEConfig, z, *,
     x = _causal_conv3d(x, params["decoder.conv_out.conv.weight"],
                        params.get("decoder.conv_out.conv.bias"), cfg=qcfg)
     return _depth_to_space(x, cfg.patch_size)
+
+
+def decode_tiled(params, cfg: LTXVVAEConfig, z, tile: int = 16,
+                 overlap: int = 4, *,
+                 qcfg: QuantConfig = DEFAULT_CONFIG):
+    """Spatially-tiled ``decode`` (512² pixel tiles at the default 32×
+    pixel-shuffle factor) — see vae.tiled_apply_video."""
+    from .vae import tiled_apply_video
+
+    return tiled_apply_video(
+        lambda zt: decode(params, cfg, zt, qcfg=qcfg), z, tile, overlap)

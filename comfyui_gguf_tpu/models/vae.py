@@ -350,3 +350,50 @@ def encode_auto(params, cfg: VAEConfig, img: jax.Array,
         return encode_tiled(params, cfg, img, tile=t * f,
                             overlap=max(t // 4, 1) * f, qcfg=qcfg)
     return encode(params, cfg, img, qcfg=qcfg, sample_key=sample_key)
+
+
+def tiled_apply_video(fn, x: jax.Array, tile: int, overlap: int):
+    """Spatially-tiled application of a video-VAE decode:
+    fn (B, T, th, tw, C) → (B, T', th·f, tw·f, C'); T and the temporal
+    law stay whole (causal convs make temporal tiling stateful — spatial
+    tiling is the memory lever, H·W dominates video activation size).
+    Output tile geometry (f, T', C') is inferred via ``jax.eval_shape``,
+    so any pixel-shuffle factor (8× wan/hyvid, 32× LTXV) works."""
+    B, T, H, W, C = x.shape
+    if H <= tile and W <= tile:
+        return fn(x)
+    overlap = min(overlap, tile // 2)
+    stride = tile - overlap
+    th_in, tw_in = min(tile, H), min(tile, W)
+    probe = jax.eval_shape(
+        fn, jax.ShapeDtypeStruct((B, T, th_in, tw_in, C), x.dtype))
+    _, T_out, th, tw, C_out = probe.shape
+    f = th // th_in
+    if th != th_in * f or tw != tw_in * (tw // tw_in):
+        raise ValueError(f"non-integral spatial factor: {probe.shape}")
+
+    pos = [(i, j) for i in _tile_positions(H, tile, stride)
+           for j in _tile_positions(W, tile, stride)]
+    pos_arr = jnp.asarray(pos, jnp.int32)
+    mask = _feather_mask(th, tw, overlap * f)[None]  # (1, th, tw, 1)
+    out = jnp.zeros((B, T_out, H * f, W * f, C_out), jnp.float32)
+    wsum = jnp.zeros((1, 1, H * f, W * f, 1), jnp.float32)
+
+    def body(carry, p):
+        out, wsum = carry
+        xt = jax.lax.dynamic_slice(
+            x, (0, 0, p[0], p[1], 0), (B, T, th_in, tw_in, C))
+        yt = fn(xt).astype(jnp.float32) * mask
+        oi, oj = p[0] * f, p[1] * f
+        cur = jax.lax.dynamic_slice(
+            out, (0, 0, oi, oj, 0), (B, T_out, th, tw, C_out))
+        out = jax.lax.dynamic_update_slice(out, cur + yt,
+                                           (0, 0, oi, oj, 0))
+        curw = jax.lax.dynamic_slice(wsum, (0, 0, oi, oj, 0),
+                                     (1, 1, th, tw, 1))
+        wsum = jax.lax.dynamic_update_slice(wsum, curw + mask[None],
+                                            (0, 0, oi, oj, 0))
+        return (out, wsum), None
+
+    (out, wsum), _ = jax.lax.scan(body, (out, wsum), pos_arr)
+    return out / jnp.maximum(wsum, 1e-8)

@@ -228,3 +228,16 @@ def encode(params, cfg: WanVAEConfig, x: jax.Array,
         h = _causal_conv3d(h, params["conv1.weight"],
                            params.get("conv1.bias"), cfg=qcfg)
     return h[..., : h.shape[-1] // 2]  # mean half
+
+
+def decode_tiled(params, cfg: WanVAEConfig, z: jax.Array, tile: int = 32,
+                 overlap: int = 8,
+                 qcfg: QuantConfig = DEFAULT_CONFIG) -> jax.Array:
+    """Spatially-tiled ``decode`` (256² pixel tiles at the default):
+    peak activation memory bounded by one tile × full T. Temporal law
+    stays exact (causal convs see the whole clip); per-tile GroupNorm is
+    the standard tiled-VAE approximation."""
+    from .vae import tiled_apply_video
+
+    return tiled_apply_video(
+        lambda zt: decode(params, cfg, zt, qcfg=qcfg), z, tile, overlap)

@@ -152,3 +152,51 @@ def test_temporal_causality(tiny_vae):
     # frames before the last latent's receptive field are identical
     np.testing.assert_array_equal(o1[:, :3], o2[:, :3])
     assert np.abs(o1[:, -1] - o2[:, -1]).max() > 0
+
+
+def test_decode_tiled_matches_direct(tiny_vae):
+    """Spatially-tiled decode: same shape/temporal law as direct decode,
+    agreement to first order (per-tile GroupNorm approximation), exact
+    single-tile short circuit."""
+    params, cfg = tiny_vae
+    z = jnp.asarray(np.random.default_rng(5).standard_normal(
+        (1, 3, 12, 10, 4)) * 0.5, jnp.float32)
+    want = np.asarray(wan_vae.decode(params, cfg, z, qcfg=F32))
+    got = np.asarray(wan_vae.decode_tiled(params, cfg, z, tile=6,
+                                          overlap=2, qcfg=F32))
+    # shape + temporal law preserved; numeric agreement is NOT asserted:
+    # the mid-block attention and GroupNorms are global ops, and at
+    # RANDOM weights per-tile stats diverge arbitrarily (trained VAEs
+    # are what make the standard tiled approximation mild). The blend
+    # machinery itself is proven exact in test_tiled_video_machinery.
+    assert got.shape == want.shape
+    assert np.isfinite(got).all()
+    small = np.asarray(wan_vae.decode_tiled(params, cfg, z[:, :, :4, :4],
+                                            tile=8, qcfg=F32))
+    np.testing.assert_allclose(
+        small, np.asarray(wan_vae.decode(params, cfg, z[:, :, :4, :4],
+                                         qcfg=F32)), rtol=1e-5, atol=1e-5)
+
+
+def test_tiled_video_machinery():
+    """tiled_apply_video with an identity fn reproduces the input
+    exactly (convex feather partition); a local pixel-shuffle upsampler
+    (the LTXV/wan upsampling primitive, T doubling included) commutes
+    with spatial tiling exactly."""
+    from comfyui_gguf_tpu.models.vae import tiled_apply_video
+
+    rng = np.random.default_rng(7)
+    x = jnp.asarray(rng.standard_normal((2, 3, 13, 11, 4)), jnp.float32)
+    out = tiled_apply_video(lambda t: t, x, tile=6, overlap=2)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(x), rtol=1e-5,
+                               atol=1e-6)
+
+    def up(t):
+        B, T, H, W, C = t.shape
+        t2 = jnp.repeat(jnp.repeat(t, 2, axis=2), 2, axis=3)
+        return jnp.repeat(t2, 2, axis=1)[:, :2 * T - 1]
+
+    want = up(x)
+    got = tiled_apply_video(up, x, tile=5, overlap=2)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-6)
