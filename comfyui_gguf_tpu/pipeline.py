@@ -1297,6 +1297,81 @@ class QwenImagePipeline:
         lat = denoise(model.params, x, txt, *args)
         return np.asarray(lat[0])
 
+    def generate_edit(self, prompt: str, ref_latents,
+                      width: int = 1024, height: int = 1024,
+                      steps: int = 20, cfg_scale: float = 4.0,
+                      seed: int = 0, negative_prompt: str = " ",
+                      max_len: int = 256, txt_override=None,
+                      ntxt_override=None) -> np.ndarray:
+        """Qwen-Image-Edit: generation conditioned on reference image
+        latents. Each reference (H_lat, W_lat, C_lat spatial latent, e.g.
+        a Wan-VAE encode of the source image) is 2×2-patchified and
+        CONCATENATED to the image token stream with rope frame index
+        1, 2, … (generation tokens keep frame 0, same spatial grid —
+        kontext-style id convention); the velocity for the reference
+        span is discarded each step. ``txt_override``/``ntxt_override``
+        accept pre-computed conditioning states — e.g. from
+        ``qwen_vl_encode_with_image`` when the edit prompt embeds the
+        source image through the vision tower (mmproj)."""
+        from .models import qwen_image as qi_model
+
+        if not isinstance(ref_latents, (list, tuple)):
+            ref_latents = [ref_latents]
+
+        def cond(p):
+            ids_, mask = self.text.tokenizer.encode_batch([p],
+                                                          max_length=max_len)
+            out = self.text.encode(jnp.asarray(ids_), jnp.asarray(mask))
+            return out.get("last_hidden", out) if isinstance(out, dict) \
+                else out
+
+        txt = txt_override if txt_override is not None else cond(prompt)
+        use_cfg = cfg_scale != 1.0
+        if use_cfg:
+            ntxt = (ntxt_override if ntxt_override is not None
+                    else cond(negative_prompt))
+
+        h_tok, w_tok = height // 16, width // 16
+        L = h_tok * w_tok
+        ids = [np.asarray(flux_model.make_img_ids(h_tok, w_tok, 1))]
+        ref_tok = []
+        for ri, r in enumerate(ref_latents, start=1):
+            r = jnp.asarray(r, jnp.float32)[None]  # (1, H_lat, W_lat, C)
+            ref_tok.append(flux_model.patchify(r))
+            rid = np.array(flux_model.make_img_ids(
+                r.shape[1] // 2, r.shape[2] // 2, 1))
+            rid[:, :, 0] = ri
+            ids.append(rid)
+        img_ids = jnp.asarray(np.concatenate(ids, axis=1))
+        ref = jnp.concatenate(ref_tok, axis=1).astype(jnp.bfloat16)
+        txt_ids = jnp.zeros((1, txt.shape[1], 3), jnp.int32)
+        C = self.model.config.in_channels
+        key = jax.random.key(seed)
+        x = jax.random.normal(key, (1, L, C), jnp.bfloat16)
+        sigmas = shift_sigmas(linear_schedule(steps), self.shift)
+        model = self.model
+
+        fwd = (qi_model.forward_stacked
+               if "transformer_blocks" in model.params else qi_model.forward)
+
+        @jax.jit
+        def denoise(params, x0, ref, txt, *neg):
+            def velocity(xc, sigma):
+                ts = jnp.full((xc.shape[0],), sigma, jnp.float32)
+                xa = jnp.concatenate([xc, ref], axis=1)
+                v_c = fwd(params, model.config, xa, img_ids,
+                          txt, txt_ids, ts, qcfg=model.qcfg)[:, :L]
+                if not neg:
+                    return v_c
+                v_u = fwd(params, model.config, xa, img_ids,
+                          neg[0], txt_ids, ts, qcfg=model.qcfg)[:, :L]
+                return v_u + cfg_scale * (v_c - v_u)
+            return sample_flow(velocity, x0, sigmas)
+
+        args = (ntxt,) if use_cfg else ()
+        lat = denoise(model.params, x, ref, txt, *args)
+        return np.asarray(lat[0])
+
 
 @dataclasses.dataclass
 class AuraPipeline:

@@ -207,3 +207,41 @@ def test_ltxv_pipeline_pixels():
     assert out.shape == (1 + 8 * 1, 2 * 32, 2 * 32, 3)
     assert np.isfinite(out).all()
     assert out.min() >= 0.0 and out.max() <= 1.0
+
+
+def test_qwen_image_edit_pipeline():
+    """generate_edit: reference latents ride the image stream (frame-1+
+    rope ids), velocity sliced back to the generation span; the
+    references must INFLUENCE the output (joint attention sees them) and
+    identical refs must reproduce identical results."""
+    from tests.test_cosmos_qwen import _tiny_qwen
+    from comfyui_gguf_tpu.models import qwen_image
+
+    rng = np.random.default_rng(3)
+    params = {k: jnp.asarray(v) for k, v in _tiny_qwen(rng).items()}
+    cfg = qwen_image.QwenImageConfig.from_state_dict(params)
+    model = pipeline.DiffusionModel(arch="qwen_image", params=params,
+                                    config=cfg, qcfg=F32)
+    pipe = pipeline.QwenImagePipeline(model,
+                                      text=StubLLM("qwen", cfg.context_dim))
+    c_lat = cfg.in_channels // 4
+    ref_a = rng.standard_normal((8, 8, c_lat)).astype(np.float32)
+    ref_b = rng.standard_normal((8, 8, c_lat)).astype(np.float32)
+
+    out_a = pipe.generate_edit("make it red", ref_a, width=64, height=64,
+                               steps=2, cfg_scale=2.0, max_len=6, seed=1)
+    out_a2 = pipe.generate_edit("make it red", ref_a, width=64, height=64,
+                                steps=2, cfg_scale=2.0, max_len=6, seed=1)
+    out_b = pipe.generate_edit("make it red", ref_b, width=64, height=64,
+                               steps=2, cfg_scale=2.0, max_len=6, seed=1)
+    assert out_a.shape == (16, cfg.in_channels)
+    assert np.isfinite(out_a).all()
+    np.testing.assert_array_equal(out_a, out_a2)
+    assert not np.allclose(out_a, out_b)  # the reference conditions it
+
+    # two references: both spans concatenated, distinct frame indices
+    out_two = pipe.generate_edit("merge", [ref_a, ref_b], width=64,
+                                 height=64, steps=2, cfg_scale=1.0,
+                                 max_len=6, seed=1)
+    assert out_two.shape == (16, cfg.in_channels)
+    assert np.isfinite(out_two).all()
