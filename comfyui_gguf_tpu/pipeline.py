@@ -405,7 +405,8 @@ class FluxPipeline:
                  max_t5_len: int = 512, shift: bool = True,
                  init_image: np.ndarray | None = None,
                  denoise: float = 1.0,
-                 inpaint_mask: np.ndarray | None = None) -> np.ndarray:
+                 inpaint_mask: np.ndarray | None = None,
+                 ref_images=None, ref_latents=None) -> np.ndarray:
         """→ (H, W, 3) float image in [0, 1] (or latent if no VAE given).
 
         img2img: pass ``init_image`` (H, W, 3) in [0, 1] + ``denoise`` < 1 —
@@ -415,6 +416,13 @@ class FluxPipeline:
         inpainting: additionally pass ``inpaint_mask`` (H, W) in [0, 1]
         (1 = regenerate); the kept region is re-projected onto the noised
         source every step (sampling.euler_sample_inpaint).
+
+        Kontext editing (flux-kontext checkpoints load as plain flux —
+        reference arch allowlist): pass ``ref_images`` ((H, W, 3) in
+        [0, 1], VAE-encoded here) and/or ``ref_latents`` ((H_lat, W_lat,
+        C) spatial latents). References are patchified and appended to
+        the image token stream with rope frame index 1, 2, …; the
+        velocity over the reference span is discarded each step.
         """
         ids, mask = self.t5.tokenizer.encode_batch([prompt],
                                                    max_length=max_t5_len)
@@ -457,6 +465,29 @@ class FluxPipeline:
         img_tokens = flux_model.patchify(x)
         img_ids = jnp.asarray(
             flux_model.make_img_ids(h_lat // 2, w_lat // 2, 1))
+
+        ref_tok = None
+        if ref_images or ref_latents:
+            refs = [jnp.asarray(r, jnp.float32) for r in (ref_latents or [])]
+            for im in (ref_images or []):
+                if self.vae_params is None:
+                    raise ValueError("ref_images need a VAE; pass "
+                                     "ref_latents instead")
+                z = vae_model.encode_auto(
+                    self.vae_params, self.vae_config,
+                    jnp.asarray(im, jnp.float32)[None] * 2 - 1)
+                refs.append(z[0])
+            toks, rids = [], [np.asarray(img_ids)]
+            for ri, r in enumerate(refs, start=1):
+                r = r[None] if r.ndim == 3 else r
+                toks.append(flux_model.patchify(r).astype(jnp.bfloat16))
+                rid = np.array(flux_model.make_img_ids(
+                    r.shape[1] // 2, r.shape[2] // 2, 1))
+                rid[:, :, 0] = ri
+                rids.append(rid)
+            ref_tok = jnp.concatenate(toks, axis=1)
+            img_ids = jnp.asarray(np.concatenate(rids, axis=1))
+        L = img_tokens.shape[1]
         txt_ids = jnp.zeros((1, txt.shape[1], 3), jnp.int32)
         g = jnp.full((1,), guidance, jnp.float32)
 
@@ -465,19 +496,23 @@ class FluxPipeline:
         from .sampling import euler_sample_inpaint
 
         @jax.jit
-        def denoise(params, x0, txt, pooled):
+        def denoise(params, x0, txt, pooled, *refargs):
             def velocity(xc, sigma):
                 tt = jnp.full((xc.shape[0],), sigma, jnp.float32)
-                return flux_model.forward(
-                    params, model.config, xc, img_ids, txt, txt_ids, tt,
+                xa = (xc if not refargs
+                      else jnp.concatenate([xc, refargs[0]], axis=1))
+                out = flux_model.forward(
+                    params, model.config, xa, img_ids, txt, txt_ids, tt,
                     pooled, g, qcfg=model.qcfg)
+                return out if not refargs else out[:, :L]
             if mask_tokens is not None:
                 return euler_sample_inpaint(
                     velocity, x0, sigmas, z0_tokens, mask_tokens,
                     jax.random.fold_in(key, 1))
             return sample_flow(velocity, x0, sigmas)
 
-        out_tokens = denoise(model.params, img_tokens, txt, pooled)
+        rargs = (ref_tok,) if ref_tok is not None else ()
+        out_tokens = denoise(model.params, img_tokens, txt, pooled, *rargs)
         latent = flux_model.unpatchify(out_tokens, h_lat, w_lat)
         if self.vae_params is None:
             return np.asarray(latent[0])

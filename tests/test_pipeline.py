@@ -158,3 +158,31 @@ def test_img2img_requires_vae(flux_pipe):
                            max_t5_len=8,
                            init_image=np.zeros((64, 64, 3), np.float32),
                            denoise=0.5)
+
+
+def test_kontext_ref_latents(flux_pipe):
+    """Kontext editing: reference latents condition the output (joint
+    attention sees the appended span), results are seed-deterministic,
+    and txt2img behavior is unchanged when no refs are passed."""
+    rng = np.random.default_rng(11)
+    c_lat = flux_pipe.model.config.in_channels // 4
+    ref_a = rng.standard_normal((8, 8, c_lat)).astype(np.float32)
+    ref_b = rng.standard_normal((8, 8, c_lat)).astype(np.float32)
+
+    base = flux_pipe.generate("a cat", width=64, height=64, steps=2,
+                              seed=5, max_t5_len=8)
+    a1 = flux_pipe.generate("a cat", width=64, height=64, steps=2, seed=5,
+                            max_t5_len=8, ref_latents=[ref_a])
+    a2 = flux_pipe.generate("a cat", width=64, height=64, steps=2, seed=5,
+                            max_t5_len=8, ref_latents=[ref_a])
+    b = flux_pipe.generate("a cat", width=64, height=64, steps=2, seed=5,
+                           max_t5_len=8, ref_latents=[ref_b])
+    assert a1.shape == base.shape
+    np.testing.assert_array_equal(a1, a2)
+    assert not np.allclose(a1, base)
+    assert not np.allclose(a1, b)
+
+    with pytest.raises(ValueError, match="VAE"):
+        flux_pipe.generate("a cat", width=64, height=64, steps=2,
+                           max_t5_len=8,
+                           ref_images=[np.zeros((64, 64, 3), np.float32)])
