@@ -198,3 +198,15 @@ def decode_tiled(params, cfg: HyVidVAEConfig, z: jax.Array, tile: int = 32,
 
     return tiled_apply_video(
         lambda zt: decode(params, cfg, zt, qcfg=qcfg), z, tile, overlap)
+
+
+def decode_auto(params, cfg: HyVidVAEConfig, z: jax.Array,
+                qcfg: QuantConfig = DEFAULT_CONFIG) -> jax.Array:
+    """``decode`` with the GGUF_TPU_VAE_TILE opt-in spatial tiling."""
+    from .vae import _tile_env
+
+    t = _tile_env()
+    if t and (z.shape[2] > t or z.shape[3] > t):
+        return decode_tiled(params, cfg, z, tile=t,
+                            overlap=max(t // 4, 1), qcfg=qcfg)
+    return decode(params, cfg, z, qcfg=qcfg)

@@ -241,3 +241,16 @@ def decode_tiled(params, cfg: WanVAEConfig, z: jax.Array, tile: int = 32,
 
     return tiled_apply_video(
         lambda zt: decode(params, cfg, zt, qcfg=qcfg), z, tile, overlap)
+
+
+def decode_auto(params, cfg: WanVAEConfig, z: jax.Array,
+                qcfg: QuantConfig = DEFAULT_CONFIG) -> jax.Array:
+    """``decode``, spatially tiled when ``GGUF_TPU_VAE_TILE`` (latent
+    tile side) is set and exceeded — same opt-in as the image VAE."""
+    from .vae import _tile_env
+
+    t = _tile_env()
+    if t and (z.shape[2] > t or z.shape[3] > t):
+        return decode_tiled(params, cfg, z, tile=t,
+                            overlap=max(t // 4, 1), qcfg=qcfg)
+    return decode(params, cfg, z, qcfg=qcfg)

@@ -1150,7 +1150,7 @@ class WanPipeline:
             std = jnp.asarray(self.latents_std, jnp.float32)
             z = z * std + mean
         vcfg = wan_vae.WanVAEConfig.from_state_dict(self.vae_params)
-        vid = wan_vae.decode(self.vae_params, vcfg, z, qcfg=model.qcfg)
+        vid = wan_vae.decode_auto(self.vae_params, vcfg, z, qcfg=model.qcfg)
         return np.asarray((jnp.clip(vid[0], -1, 1) + 1) / 2)
 
 
@@ -1202,7 +1202,7 @@ class HyVidPipeline:
         from .models import hyvid_vae
 
         vcfg = hyvid_vae.HyVidVAEConfig.from_state_dict(self.vae_params)
-        vid = hyvid_vae.decode(self.vae_params, vcfg,
+        vid = hyvid_vae.decode_auto(self.vae_params, vcfg,
                                lat.astype(jnp.float32), qcfg=model.qcfg)
         return np.asarray((jnp.clip(vid[0], -1, 1) + 1) / 2)
 
@@ -1270,7 +1270,7 @@ class LTXVPipeline:
         from .models import ltxv_vae
 
         vcfg = ltxv_vae.LTXVVAEConfig.from_state_dict(self.vae_params)
-        vid = ltxv_vae.decode(self.vae_params, vcfg,
+        vid = ltxv_vae.decode_auto(self.vae_params, vcfg,
                               lat.astype(jnp.float32), qcfg=model.qcfg)
         return np.asarray((jnp.clip(vid[0], -1, 1) + 1) / 2)
 
