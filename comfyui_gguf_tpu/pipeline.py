@@ -1695,11 +1695,15 @@ class SDXLPipeline:
                           steps: int = 20, cfg_scale: float = 7.0,
                           seed: int = 0, sampler: str = "euler",
                           init_image: np.ndarray | None = None,
-                          denoise: float = 1.0):
+                          denoise: float = 1.0,
+                          inpaint_mask: np.ndarray | None = None):
         """txt2img, or img2img when ``init_image`` (H, W, 3) in [0, 1]
         and ``denoise`` < 1 are given: the VAE-encoded image is noised to
         the sigma at 1-denoise of the schedule and sampled down from
-        there (reference host semantics)."""
+        there (reference host semantics). ``inpaint_mask`` (any
+        resizable 2-D, 1 = regenerate) with an init_image switches to
+        masked Euler (kept region re-projected onto the noised source
+        every step); the ``sampler`` knob is ignored in that mode."""
         from .models import unet as unet_model
         from .sampling import kdiffusion as kd
 
@@ -1727,6 +1731,7 @@ class SDXLPipeline:
         sigmas = kd.normal_schedule(steps, table)
         h_lat, w_lat = height // 8, width // 8
         key = jax.random.key(seed)
+        z0 = mask = None
         if init_image is not None:
             if self.vae_params is None:
                 raise ValueError("img2img needs a VAE")
@@ -1736,6 +1741,12 @@ class SDXLPipeline:
             z0 = vae_model.encode_auto(self.vae_params, self.vae_config, img01)
             noise = jax.random.normal(key, z0.shape, jnp.float32)
             x = (z0 + noise * float(sigmas[0])).astype(jnp.bfloat16)
+            if inpaint_mask is not None:
+                m = jax.image.resize(jnp.asarray(inpaint_mask, jnp.float32),
+                                     (h_lat, w_lat), method="nearest")
+                mask = jnp.broadcast_to(m[None, :, :, None], z0.shape)
+        elif inpaint_mask is not None:
+            raise ValueError("inpaint_mask needs an init_image")
         else:
             x = jax.random.normal(key, (1, h_lat, w_lat, 4),
                                   jnp.bfloat16) * float(sigmas[0])
@@ -1759,6 +1770,10 @@ class SDXLPipeline:
             # from a sampler-private stream decorrelated from the init
             # noise; deterministic ones ignore the key
             skey = jax.random.fold_in(jax.random.key(seed), 0x5A)
+            if mask is not None:
+                return kd.euler_sample_sigma_inpaint(
+                    den, x0, sigmas, z0, mask,
+                    jax.random.fold_in(jax.random.key(seed), 1))
             return kd.run_sampler(sampler, den, x0, sigmas, key=skey)
 
         args = (nctx, ny) if use_cfg else ()

