@@ -378,3 +378,33 @@ def load_and_attach(params: dict, path: str, strength: float = 1.0,
     mapped = map_lora_to_model_keys(groups, params.keys())
     patches = build_patches(mapped, strength=strength, dtype=dtype)
     return attach_patches(params, patches)
+
+
+def load_and_attach_te(params: dict, path: str, strength: float = 1.0,
+                       dtype=jnp.bfloat16,
+                       prefixes: tuple[str, ...] = ("te", "te1")) -> dict:
+    """Attach the TEXT-ENCODER slice of a LoRA file to encoder params.
+
+    kohya files patch encoders under ``lora_te_…`` (SD1 single encoder)
+    / ``lora_te1_…``/``lora_te2_…`` (SDXL CLIP-L/CLIP-G) bases with the
+    same underscore-mangled HF names our encoder params use
+    (``text_model.encoder.layers.N.self_attn.q_proj``). The diffusion
+    slice (``lora_unet_…``) is ignored here; ``prefixes`` picks which
+    encoder slice this params tree receives. Returns the patched tree
+    (packed/dense leaves get the standard rank epilogue)."""
+    sd = load_lora_safetensors(path)
+    groups = group_lora_keys(sd)
+    sel = {}
+    for base, parts in groups.items():
+        for p in prefixes:
+            pfx = f"lora_{p}_"
+            if base.startswith(pfx):
+                sel[base[len(pfx):]] = parts
+                break
+    if not sel:
+        log.info("LoRA %s carries no lora_{%s}_ text-encoder keys", path,
+                 "|".join(prefixes))
+        return params
+    mapped = map_lora_to_model_keys(sel, params.keys())
+    patches = build_patches(mapped, strength=strength, dtype=dtype)
+    return attach_patches(params, patches)

@@ -220,6 +220,22 @@ class TextEncoder:
         return mod.encode(self.params, self.config, *args, qcfg=self.qcfg,
                           **kwargs)
 
+    def apply_lora(self, path: str, strength: float = 1.0):
+        """Attach this encoder's slice of a LoRA file (kohya ``lora_te_``
+        for SD1 CLIP, ``lora_te1_``/``lora_te2_`` for the SDXL pair; the
+        ``lora_unet_`` slice goes to DiffusionModel.apply_lora)."""
+        prefixes = {"clip_l": ("te1", "te"), "clip_g": ("te2",),
+                    "t5": ("te3", "te"), "llama": ("te", "llama")}[self.kind]
+        self.params = lora_mod.load_and_attach_te(
+            self.params, path, strength=strength,
+            dtype=self.qcfg.effective_patch_dtype or jnp.bfloat16,
+            prefixes=prefixes)
+        return self
+
+    def unapply_loras(self):
+        self.params = lora_mod.detach_patches(self.params)
+        return self
+
 
 def _load_safetensors_sd(path: str) -> dict:
     import torch

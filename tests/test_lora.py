@@ -438,3 +438,56 @@ def test_diff_patch_still_unfused_on_pallas_path():
     got = np.asarray(linear(x, pw, cfg=PALLAS_F32))
     want = np.asarray(x) @ (w_deq + 0.5 * diff).T
     np.testing.assert_allclose(got, want, rtol=5e-4, atol=5e-4)
+
+
+def test_text_encoder_lora_slice(tmp_path):
+    """lora_te1_-prefixed keys patch a CLIP encoder's params (kohya
+    underscore-mangled HF names), change its output, detach restores;
+    lora_unet_ keys in the same file are ignored by the te path."""
+    import safetensors.numpy as st
+
+    from comfyui_gguf_tpu import lora as lora_mod
+    from comfyui_gguf_tpu.nn.layers import linear, QuantConfig
+
+    rng = np.random.default_rng(0)
+    D, R = 16, 4
+    key = "text_model.encoder.layers.0.self_attn.q_proj.weight"
+    params = {key: jnp.asarray(rng.standard_normal((D, D)) * 0.1,
+                               jnp.float32)}
+    base = f"lora_te1_{key[:-len('.weight')].replace('.', '_')}"
+    sd = {
+        f"{base}.lora_up.weight": (rng.standard_normal((D, R)) * 0.3
+                                   ).astype(np.float32),
+        f"{base}.lora_down.weight": (rng.standard_normal((R, D)) * 0.3
+                                     ).astype(np.float32),
+        f"{base}.alpha": np.asarray(R, np.float32),
+        # diffusion slice must NOT leak into the encoder
+        "lora_unet_double_blocks_0_img_mod_lin.lora_up.weight":
+            np.zeros((D, R), np.float32),
+        "lora_unet_double_blocks_0_img_mod_lin.lora_down.weight":
+            np.zeros((R, D), np.float32),
+    }
+    p = tmp_path / "te.safetensors"
+    st.save_file(sd, str(p))
+
+    x = jnp.asarray(rng.standard_normal((2, D)), jnp.float32)
+    cfg = QuantConfig(dequant_dtype=jnp.float32,
+                      compute_dtype=jnp.float32, prefer_pallas=False)
+    before = linear(x, params[key], None, cfg=cfg)
+
+    patched = lora_mod.load_and_attach_te(params, str(p), strength=1.0,
+                                          prefixes=("te1", "te"))
+    after = linear(x, patched[key], None, cfg=cfg)
+    want = before + x @ (sd[f"{base}.lora_down.weight"].T
+                         @ sd[f"{base}.lora_up.weight"].T)
+    np.testing.assert_allclose(np.asarray(after), np.asarray(want),
+                               rtol=2e-3, atol=2e-3)
+
+    restored = lora_mod.detach_patches(patched)
+    np.testing.assert_allclose(
+        np.asarray(linear(x, restored[key], None, cfg=cfg)),
+        np.asarray(before), rtol=1e-6, atol=1e-6)
+
+    # clip_g slice absent -> unchanged tree
+    same = lora_mod.load_and_attach_te(params, str(p), prefixes=("te2",))
+    assert same is params
