@@ -422,7 +422,8 @@ class FluxPipeline:
                  init_image: np.ndarray | None = None,
                  denoise: float = 1.0,
                  inpaint_mask: np.ndarray | None = None,
-                 ref_images=None, ref_latents=None) -> np.ndarray:
+                 ref_images=None, ref_latents=None,
+                 sampler: str | None = None) -> np.ndarray:
         """→ (H, W, 3) float image in [0, 1] (or latent if no VAE given).
 
         img2img: pass ``init_image`` (H, W, 3) in [0, 1] + ``denoise`` < 1 —
@@ -525,7 +526,7 @@ class FluxPipeline:
                 return euler_sample_inpaint(
                     velocity, x0, sigmas, z0_tokens, mask_tokens,
                     jax.random.fold_in(key, 1))
-            return sample_flow(velocity, x0, sigmas)
+            return sample_flow(velocity, x0, sigmas, sampler=sampler)
 
         rargs = (ref_tok,) if ref_tok is not None else ()
         out_tokens = denoise(model.params, img_tokens, txt, pooled, *rargs)
@@ -1023,7 +1024,8 @@ class SD3Pipeline:
                           cfg_scale: float = 4.5, seed: int = 0,
                           init_image: np.ndarray | None = None,
                           denoise: float = 1.0,
-                          inpaint_mask: np.ndarray | None = None):
+                          inpaint_mask: np.ndarray | None = None,
+                          sampler: str | None = None):
         """txt2img; img2img when ``init_image`` (H, W, 3) in [0, 1] +
         ``denoise`` < 1 (VAE-encode, forward-noise to the schedule point,
         sample down — same host semantics as FluxPipeline); inpainting
@@ -1083,7 +1085,7 @@ class SD3Pipeline:
                 return euler_sample_inpaint(
                     velocity, x0, sigmas, z0.astype(jnp.bfloat16), mask,
                     jax.random.fold_in(key, 1))
-            return sample_flow(velocity, x0, sigmas)
+            return sample_flow(velocity, x0, sigmas, sampler=sampler)
 
         args = (nctx, npooled) if use_cfg else ()
         latent = denoise(model.params, x, ctx, pooled, *args)

@@ -201,6 +201,11 @@ def set_flow_sampler(name: str) -> None:
     DEFAULT_FLOW_SAMPLER = name
 
 
-def sample_flow(model_fn, x, sigmas):
-    """Integrate with the process-default flow sampler."""
-    return FLOW_SAMPLERS[DEFAULT_FLOW_SAMPLER](model_fn, x, sigmas)
+def sample_flow(model_fn, x, sigmas, sampler: str | None = None):
+    """Integrate with ``sampler`` (deterministic FLOW_SAMPLERS name) or
+    the process-default flow sampler."""
+    name = sampler or DEFAULT_FLOW_SAMPLER
+    if name not in FLOW_SAMPLERS:
+        raise ValueError(f"unknown flow sampler {name!r}; "
+                         f"have {sorted(FLOW_SAMPLERS)}")
+    return FLOW_SAMPLERS[name](model_fn, x, sigmas)

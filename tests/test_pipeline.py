@@ -186,3 +186,17 @@ def test_kontext_ref_latents(flux_pipe):
         flux_pipe.generate("a cat", width=64, height=64, steps=2,
                            max_t5_len=8,
                            ref_images=[np.zeros((64, 64, 3), np.float32)])
+
+
+def test_flux_per_call_sampler(flux_pipe):
+    """Per-call flow sampler selection: different integrators give
+    different (finite) endpoints at 2 steps; unknown names raise."""
+    base = flux_pipe.generate("a cat", width=64, height=64, steps=2,
+                              seed=3, max_t5_len=8)
+    upc = flux_pipe.generate("a cat", width=64, height=64, steps=2,
+                             seed=3, max_t5_len=8, sampler="uni_pc")
+    assert np.isfinite(upc).all()
+    assert not np.allclose(base, upc)
+    with pytest.raises(ValueError, match="unknown flow sampler"):
+        flux_pipe.generate("a cat", width=64, height=64, steps=2,
+                           max_t5_len=8, sampler="nope")
