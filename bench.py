@@ -31,6 +31,13 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
 def main():
+    # persistent XLA compile cache: the ~8-min full-depth compile becomes
+    # a disk read on any warm re-run of this bench (same code + shapes)
+    os.environ.setdefault("GGUF_TPU_COMPILE_CACHE",
+                          "/tmp/gguf_tpu_compile_cache")
+    from comfyui_gguf_tpu import compile_cache
+    compile_cache.enable(os.environ["GGUF_TPU_COMPILE_CACHE"])
+
     import jax
     import jax.numpy as jnp
 
