@@ -590,10 +590,23 @@ COMPONENT_EXTRACTORS = {
     Q.IQ4_XS: components_IQ4_XS,
 }
 
+_SCALAR_VIEWS = {Q.I8: "<i1", Q.I16: "<i2", Q.I32: "<i4",
+                 Q.I64: "<i8", Q.F64: "<f8"}
+
+
+def decode_Q8_1(blocks: np.ndarray) -> np.ndarray:
+    """36-byte block: d (f16), s (f16, = d·Σq, dot-product cache only),
+    32 int8 quants; dequant is d·q (llama.cpp block_q8_1)."""
+    d = blocks[:, :2].copy().view("<f2").astype(np.float32)
+    qs = blocks[:, 4:].copy().view(np.int8).astype(np.float32)
+    return d * qs
+
+
 DECODERS = {
     Q.F32: decode_F32,
     Q.F16: decode_F16,
     Q.BF16: decode_BF16,
+    Q.Q8_1: decode_Q8_1,
     Q.Q8_0: decode_Q8_0,
     Q.Q4_0: decode_Q4_0,
     Q.Q4_1: decode_Q4_1,
@@ -642,6 +655,10 @@ def dequantize(data: np.ndarray, qtype: GGMLQuantizationType,
         return (
             np.ascontiguousarray(data).view("<f2").reshape(shape).astype(np.float32)
         )
+    if qtype in _SCALAR_VIEWS:  # exotic GGUF scalar payloads (token maps
+        # etc.) the reference covers via its gguf-pkg fallback
+        return (np.ascontiguousarray(data).view(_SCALAR_VIEWS[qtype])
+                .reshape(shape).astype(np.float32))
     block, type_size = GGML_QUANT_SIZES[qtype]
     if use_native:
         from .. import native

@@ -114,3 +114,28 @@ def test_zero_blocks_decode_to_zero():
 def test_quantize_rejects_partial_block():
     with pytest.raises(ValueError):
         codecs.quantize(np.zeros(33, dtype=np.float32), Q.Q8_0)
+
+
+def test_scalar_and_q8_1_decode():
+    """Exotic GGUF payload types the reference reaches via its gguf-pkg
+    fallback: integer/f64 scalars view-decode; Q8_1 dequants as d·q."""
+    from comfyui_gguf_tpu.quant import codecs
+
+    rng = np.random.default_rng(0)
+    for qt, dt in ((Q.I8, np.int8), (Q.I16, np.int16), (Q.I32, np.int32),
+                   (Q.I64, np.int64), (Q.F64, np.float64)):
+        vals = rng.integers(-100, 100, 16).astype(dt)
+        out = codecs.dequantize(vals.view(np.uint8), qt, (4, 4))
+        np.testing.assert_array_equal(out, vals.reshape(4, 4)
+                                      .astype(np.float32))
+
+    # Q8_1: hand-build two blocks
+    d = np.asarray([0.5, -1.25], "<f2")
+    qs = rng.integers(-127, 127, (2, 32)).astype(np.int8)
+    s = np.asarray(d.astype(np.float32) * qs.sum(1), "<f2")  # unused cache
+    raw = np.concatenate([
+        d.view(np.uint8).reshape(2, 2), s.view(np.uint8).reshape(2, 2),
+        qs.view(np.uint8)], axis=1)
+    out = codecs.dequantize(raw.reshape(-1), Q.Q8_1, (2, 32))
+    want = d.astype(np.float32)[:, None] * qs.astype(np.float32)
+    np.testing.assert_allclose(out, want, rtol=1e-3)
