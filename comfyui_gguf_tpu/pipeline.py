@@ -539,8 +539,14 @@ class FluxPipeline:
 
 def flux_engine(model: DiffusionModel, h_lat: int, w_lat: int,
                 txt_len: int, max_batch: int = 4,
-                pipeline_depth: int = 1, mesh=None):
+                pipeline_depth: int = 1, mesh=None,
+                sampler: str = "euler"):
     """Continuous-batching engine for a loaded flux model.
+
+    ``sampler="dpmpp_2m"`` runs 2nd-order multistep per LANE (each
+    pooled request carries its own denoised history + previous sigma in
+    device-resident aux state) — same one model call per lane per tick
+    as Euler, so ~30-40% fewer steps at equal quality for free.
 
     Requests carry latent tokens + cond {"txt", "y", "guidance"}; one
     engine tick advances the whole in-flight pool by one Euler step
@@ -573,25 +579,56 @@ def flux_engine(model: DiffusionModel, h_lat: int, w_lat: int,
         fwd = (flux_model.forward_stacked
                if "double_blocks" in model.params else flux_model.forward)
 
-    @jax.jit
-    def _step(params, x, s_cur, s_next, txt, y, guidance):
+    def _velocity(params, x, s_cur, txt, y, guidance):
         B = x.shape[0]
         ids_i = jnp.broadcast_to(img_ids[None], (B, *img_ids.shape))
         ids_t = jnp.broadcast_to(txt_ids[None], (B, *txt_ids.shape))
-        v = fwd(params, model.config, x, ids_i, txt, ids_t,
-                s_cur, y, guidance, qcfg=model.qcfg)
-        step = (s_next - s_cur)[:, None, None] * v.astype(jnp.float32)
-        return (x.astype(jnp.float32) + step).astype(x.dtype)
+        return fwd(params, model.config, x, ids_i, txt, ids_t,
+                   s_cur, y, guidance, qcfg=model.qcfg)
 
-    def step_fn(x, s_cur, s_next, cond):
-        return _step(model.params, jnp.asarray(x, jnp.bfloat16),
-                     jnp.asarray(s_cur), jnp.asarray(s_next),
-                     jnp.asarray(cond["txt"], jnp.bfloat16),
-                     jnp.asarray(cond["y"], jnp.bfloat16),
-                     jnp.asarray(cond["guidance"], jnp.float32))
+    if sampler == "euler":
+        @jax.jit
+        def _step(params, x, s_cur, s_next, txt, y, guidance):
+            v = _velocity(params, x, s_cur, txt, y, guidance)
+            step = (s_next - s_cur)[:, None, None] * v.astype(jnp.float32)
+            return (x.astype(jnp.float32) + step).astype(x.dtype)
 
-    return ContinuousBatchEngine(step_fn, max_batch=max_batch,
-                                 pipeline_depth=pipeline_depth)
+        def step_fn(x, s_cur, s_next, cond):
+            return _step(model.params, jnp.asarray(x, jnp.bfloat16),
+                         jnp.asarray(s_cur), jnp.asarray(s_next),
+                         jnp.asarray(cond["txt"], jnp.bfloat16),
+                         jnp.asarray(cond["y"], jnp.bfloat16),
+                         jnp.asarray(cond["guidance"], jnp.float32))
+
+        return ContinuousBatchEngine(step_fn, max_batch=max_batch,
+                                     pipeline_depth=pipeline_depth)
+
+    if sampler != "dpmpp_2m":
+        raise ValueError(f"flux_engine sampler must be euler|dpmpp_2m, "
+                         f"got {sampler!r}")
+
+    from .serving import flow_multistep_aux_init, lane_dpmpp_2m_update
+
+    @jax.jit
+    def _step2m(params, x, s_cur, s_next, txt, y, guidance, old_den,
+                s_prev, valid):
+        v = _velocity(params, x, s_cur, txt, y, guidance)
+        denoised = (x.astype(jnp.float32)
+                    - s_cur[:, None, None] * v.astype(jnp.float32))
+        return lane_dpmpp_2m_update(x, denoised, s_cur, s_next,
+                                    (old_den, s_prev, valid))
+
+    def step_fn2m(x, s_cur, s_next, cond, aux):
+        return _step2m(model.params, jnp.asarray(x, jnp.bfloat16),
+                       jnp.asarray(s_cur, jnp.float32),
+                       jnp.asarray(s_next, jnp.float32),
+                       jnp.asarray(cond["txt"], jnp.bfloat16),
+                       jnp.asarray(cond["y"], jnp.bfloat16),
+                       jnp.asarray(cond["guidance"], jnp.float32), *aux)
+
+    return ContinuousBatchEngine(step_fn2m, max_batch=max_batch,
+                                 pipeline_depth=pipeline_depth,
+                                 aux_init=flow_multistep_aux_init)
 
 
 def qwen_image_engine(model: DiffusionModel, h_tok: int, w_tok: int,

@@ -46,6 +46,7 @@ class GenRequest:
     error: Exception | None = None
     cancelled: bool = False
     completed_at: float | None = None  # monotonic; for latency percentiles
+    aux: Any = None  # per-request sampler state (multistep engines)
 
     @property
     def latency_s(self) -> float | None:
@@ -112,8 +113,15 @@ class ContinuousBatchEngine:
     def __init__(self, step_fn: Callable, max_batch: int = 4,
                  batch_sizes: tuple[int, ...] | None = None,
                  pipeline_depth: int = 1,
-                 on_step: Callable | None = None):
+                 on_step: Callable | None = None,
+                 aux_init: Callable | None = None):
         self.step_fn = step_fn
+        # aux_init(latent) -> per-request sampler-state pytree. When set,
+        # step_fn takes (x, s_cur, s_next, cond, aux) and returns
+        # (x_next, aux_next) — aux is stacked/unstacked along axis 0 like
+        # the latents and stays device-resident (multistep samplers keep
+        # per-LANE history, so mixed-progress pools stay exact).
+        self.aux_init = aux_init
         # on_step(requests) fires after every dispatched step with the
         # requests it advanced. r.latent is a DEVICE FUTURE at that point
         # (np.asarray(r.latent) forces a sync — previews should either
@@ -234,11 +242,22 @@ class ContinuousBatchEngine:
 
         if self._window_t0 is None:
             self._window_t0 = time.monotonic()
+        if self.aux_init is not None:
+            for r in batch:
+                if r.aux is None:
+                    r.aux = self.aux_init(r.latent)
+            aux = jax.tree.map(
+                lambda *xs: jnp.stack(xs),
+                *([r.aux for r in batch] + [batch[-1].aux] * pad))
+
         try:
             # NO host sync here: x may contain futures from the previous
             # tick; the runtime chains device work. Trace/shape errors
             # still raise synchronously.
-            x_next = self.step_fn(x, s_cur, s_next, cond)
+            if self.aux_init is not None:
+                x_next, aux_next = self.step_fn(x, s_cur, s_next, cond, aux)
+            else:
+                x_next = self.step_fn(x, s_cur, s_next, cond)
         except Exception as e:  # fail the batch, keep the engine alive
             log.exception("denoise step failed; failing %d request(s)", n)
             for r in batch:
@@ -256,6 +275,8 @@ class ContinuousBatchEngine:
         finishing = False
         for i, r in enumerate(batch):
             r.latent = x_next[i]  # device future; no transfer
+            if self.aux_init is not None:
+                r.aux = jax.tree.map(lambda a, i=i: a[i], aux_next)
             r.step += 1
             finishing |= r.finished
         if self.on_step is not None:
@@ -368,3 +389,53 @@ class EngineGroup:
     @property
     def stats(self) -> dict:
         return {shape: e.stats for shape, e in self._engines.items()}
+
+
+def lane_dpmpp_2m_update(x, denoised, s_cur, s_next, aux):
+    """Per-LANE DPM-Solver++(2M) update for pooled serving (data
+    prediction in λ = −log σ): each batch lane carries its own multistep
+    history (old denoised, previous sigma, validity), so mixed-progress
+    continuous batches integrate their own schedules at 2nd order — one
+    model call per lane per tick, same cost as Euler serving.
+
+    aux = (old_denoised f32 like x, s_prev (B,), valid (B,) bool).
+    Returns (x_next, aux_next). First step per lane (valid=False) and
+    the final σ→0 step fall back to the order-1 exponential step (which
+    lands exactly on the denoised output at σ'=0), matching
+    sampling.kdiffusion.dpmpp_2m_sample_sigma.
+    """
+    import jax.numpy as jnp
+
+    old_den, s_prev, valid = aux
+    bshape = (x.shape[0],) + (1,) * (x.ndim - 1)
+    eps = 1e-12
+    s = jnp.asarray(s_cur, jnp.float32).reshape(bshape)
+    sn = jnp.asarray(s_next, jnp.float32).reshape(bshape)
+    sp = jnp.asarray(s_prev, jnp.float32).reshape(bshape)
+    xf = x.astype(jnp.float32)
+    den = denoised.astype(jnp.float32)
+
+    h = jnp.log(jnp.maximum(s, eps)) - jnp.log(jnp.maximum(sn, eps))
+    ratio = sn / jnp.maximum(s, eps)
+    expm = jnp.expm1(-h)
+    base = ratio * xf - expm * den
+
+    h_last = jnp.log(jnp.maximum(sp, eps)) - jnp.log(jnp.maximum(s, eps))
+    r = jnp.where(valid.reshape(bshape), h_last / h, 1.0)
+    dd = (1 + 1 / (2 * r)) * den - (1 / (2 * r)) * old_den.astype(
+        jnp.float32)
+    ms = ratio * xf - expm * dd
+    use_ms = jnp.logical_and(valid.reshape(bshape), sn > 0)
+    out = jnp.where(use_ms, ms, base)
+
+    aux_next = (den, jnp.asarray(s_cur, jnp.float32),
+                jnp.ones_like(valid, bool))
+    return out.astype(x.dtype), aux_next
+
+
+def flow_multistep_aux_init(latent):
+    """aux_init for lane_dpmpp_2m_update-based engines."""
+    import jax.numpy as jnp
+
+    return (jnp.zeros(np.asarray(latent).shape, jnp.float32),
+            jnp.float32(0.0), jnp.asarray(False))

@@ -76,3 +76,61 @@ def test_engine_matches_direct_euler(model):
         rtol=0.05, atol=0.05)
     assert eng.stats.completed == 2
     assert eng.stats.mean_batch_occupancy > 0.5
+
+
+def test_engine_dpmpp_2m_matches_direct(model):
+    """sampler="dpmpp_2m": pooled mixed-progress requests each match a
+    per-request jitted DPM-Solver++(2M) integration through the flow
+    x₀-adapter — per-lane multistep history (aux state) is exact."""
+    from comfyui_gguf_tpu.models.flux import make_img_ids, patchify
+    from comfyui_gguf_tpu.sampling import flow_match as fm
+    from comfyui_gguf_tpu.sampling import kdiffusion as kd
+
+    mdl, dims = model
+    L = (H_LAT // 2) * (W_LAT // 2)
+    C = dims.in_ch  # token channels (latents pre-patchified in dims)
+    eng = pipeline.flux_engine(mdl, H_LAT, W_LAT, TXT_LEN, max_batch=2,
+                               sampler="dpmpp_2m")
+
+    def mk(seed, steps):
+        rng = np.random.default_rng(seed)
+        x0 = rng.standard_normal((L, C)).astype(np.float32)
+        return x0, _cond(dims, seed), linear_schedule(steps)
+
+    x1, c1, s1 = mk(40, 4)
+    x2, c2, s2 = mk(41, 3)
+    r1 = eng.submit(x1.copy(), c1, s1)
+    r2 = eng.submit(x2.copy(), c2, s2)
+    eng.run_until_drained()
+    assert r1.finished and r2.finished and r1.error is None
+
+    img_ids = jnp.asarray(make_img_ids(H_LAT // 2, W_LAT // 2, 1))
+    txt_ids = jnp.zeros((1, TXT_LEN, 3), jnp.int32)
+
+    def direct(x0, cond, sigmas):
+        txt = jnp.asarray(cond["txt"])[None].astype(jnp.bfloat16)
+        y = jnp.asarray(cond["y"])[None].astype(jnp.bfloat16)
+        g = jnp.asarray([cond["guidance"]], jnp.float32)
+
+        @jax.jit
+        def run(params, x):
+            def vel(xc, sigma):
+                ts = jnp.full((1,), sigma, jnp.float32)
+                return flux.forward(params, mdl.config, xc, img_ids, txt,
+                                    txt_ids, ts, y, g, qcfg=F32)
+
+            den = fm.make_flow_denoiser(
+                lambda xc, s: vel(xc, s))
+            return kd.dpmpp_2m_sample_sigma(den, x, jnp.asarray(sigmas))
+
+        return np.asarray(run(
+            mdl.params, jnp.asarray(x0)[None].astype(jnp.bfloat16))[0],
+            np.float32)
+
+    np.testing.assert_allclose(r1.result.astype(np.float32),
+                               direct(x1, c1, s1), rtol=0.05, atol=0.05)
+    np.testing.assert_allclose(r2.result.astype(np.float32),
+                               direct(x2, c2, s2), rtol=0.05, atol=0.05)
+
+    with pytest.raises(ValueError, match="euler|dpmpp_2m"):
+        pipeline.flux_engine(mdl, H_LAT, W_LAT, TXT_LEN, sampler="bogus")
