@@ -949,7 +949,7 @@ def lumina2_engine(model: DiffusionModel, max_batch: int = 4,
 
 
 def sd3_engine(model: DiffusionModel, max_batch: int = 4,
-               pipeline_depth: int = 1):
+               pipeline_depth: int = 1, sampler: str = "euler"):
     """Continuous-batching engine for a loaded SD3/SD3.5 model.
 
     Requests carry spatial latents (h_lat, w_lat, C) + cond
@@ -957,27 +957,57 @@ def sd3_engine(model: DiffusionModel, max_batch: int = 4,
     step. Stacked param trees (DiffusionModel.stack) take the scanned
     forward; EngineGroup handles mixed resolutions (one jit bucket per
     latent shape). Same pipeline_depth dispatch-window semantics as
-    flux_engine."""
+    flux_engine; ``sampler="dpmpp_2m"`` runs per-lane 2nd-order
+    multistep (see flux_engine)."""
     from .serving import ContinuousBatchEngine
 
     fwd = (sd3_model.forward_stacked if "joint_blocks" in model.params
            else sd3_model.forward)
 
+    if sampler == "euler":
+        @jax.jit
+        def _step(params, x, s_cur, s_next, ctx, pooled):
+            v = fwd(params, model.config, x, ctx, pooled, s_cur,
+                    qcfg=model.qcfg)
+            step = (s_next - s_cur)[:, None, None, None] * v.astype(
+                jnp.float32)
+            return (x.astype(jnp.float32) + step).astype(x.dtype)
+
+        def step_fn(x, s_cur, s_next, cond):
+            return _step(model.params, jnp.asarray(x, jnp.bfloat16),
+                         jnp.asarray(s_cur), jnp.asarray(s_next),
+                         jnp.asarray(cond["ctx"], jnp.bfloat16),
+                         jnp.asarray(cond["pooled"], jnp.bfloat16))
+
+        return ContinuousBatchEngine(step_fn, max_batch=max_batch,
+                                     pipeline_depth=pipeline_depth)
+
+    if sampler != "dpmpp_2m":
+        raise ValueError(f"sd3_engine sampler must be euler|dpmpp_2m, "
+                         f"got {sampler!r}")
+
+    from .serving import flow_multistep_aux_init, lane_dpmpp_2m_update
+
     @jax.jit
-    def _step(params, x, s_cur, s_next, ctx, pooled):
+    def _step2m(params, x, s_cur, s_next, ctx, pooled, old_den, s_prev,
+                valid):
         v = fwd(params, model.config, x, ctx, pooled, s_cur,
                 qcfg=model.qcfg)
-        step = (s_next - s_cur)[:, None, None, None] * v.astype(jnp.float32)
-        return (x.astype(jnp.float32) + step).astype(x.dtype)
+        denoised = (x.astype(jnp.float32)
+                    - s_cur[:, None, None, None] * v.astype(jnp.float32))
+        return lane_dpmpp_2m_update(x, denoised, s_cur, s_next,
+                                    (old_den, s_prev, valid))
 
-    def step_fn(x, s_cur, s_next, cond):
-        return _step(model.params, jnp.asarray(x, jnp.bfloat16),
-                     jnp.asarray(s_cur), jnp.asarray(s_next),
-                     jnp.asarray(cond["ctx"], jnp.bfloat16),
-                     jnp.asarray(cond["pooled"], jnp.bfloat16))
+    def step_fn2m(x, s_cur, s_next, cond, aux):
+        return _step2m(model.params, jnp.asarray(x, jnp.bfloat16),
+                       jnp.asarray(s_cur, jnp.float32),
+                       jnp.asarray(s_next, jnp.float32),
+                       jnp.asarray(cond["ctx"], jnp.bfloat16),
+                       jnp.asarray(cond["pooled"], jnp.bfloat16), *aux)
 
-    return ContinuousBatchEngine(step_fn, max_batch=max_batch,
-                                 pipeline_depth=pipeline_depth)
+    return ContinuousBatchEngine(step_fn2m, max_batch=max_batch,
+                                 pipeline_depth=pipeline_depth,
+                                 aux_init=flow_multistep_aux_init)
 
 
 @dataclasses.dataclass

@@ -81,3 +81,50 @@ def test_sd3_engine_stacked_serves_same(model):
         eng.run_until_drained()
         outs.append(req.result.astype(np.float32))
     np.testing.assert_allclose(outs[1], outs[0], rtol=0.05, atol=0.05)
+
+
+def test_sd3_engine_dpmpp_2m_matches_direct(model):
+    """sampler="dpmpp_2m": pooled requests match per-request jitted
+    DPM-Solver++(2M) through the flow x₀-adapter."""
+    import jax
+
+    from comfyui_gguf_tpu.sampling import flow_match as fm
+    from comfyui_gguf_tpu.sampling import kdiffusion as kd
+
+    mdl, dims = model
+    eng = pipeline.sd3_engine(mdl, max_batch=2, sampler="dpmpp_2m")
+
+    def mk(seed, steps):
+        rng = np.random.default_rng(seed)
+        return (rng.standard_normal((H_LAT, W_LAT, dims.in_ch)).astype(
+            np.float32), _cond(dims, seed), linear_schedule(steps))
+
+    x1, c1, s1 = mk(50, 4)
+    x2, c2, s2 = mk(51, 3)
+    r1 = eng.submit(x1.copy(), c1, s1)
+    r2 = eng.submit(x2.copy(), c2, s2)
+    eng.run_until_drained()
+    assert r1.finished and r2.finished and r1.error is None
+
+    def direct(x0, cond, sigmas):
+        ctx = jnp.asarray(cond["ctx"])[None].astype(jnp.bfloat16)
+        pooled = jnp.asarray(cond["pooled"])[None].astype(jnp.bfloat16)
+
+        @jax.jit
+        def run(params, x):
+            def vel(xc, sigma):
+                ts = jnp.full((1,), sigma, jnp.float32)
+                return sd3.forward(params, mdl.config, xc, ctx, pooled,
+                                   ts, qcfg=QCFG)
+
+            den = fm.make_flow_denoiser(vel)
+            return kd.dpmpp_2m_sample_sigma(den, x, jnp.asarray(sigmas))
+
+        return np.asarray(run(
+            mdl.params, jnp.asarray(x0)[None].astype(jnp.bfloat16))[0],
+            np.float32)
+
+    np.testing.assert_allclose(r1.result.astype(np.float32),
+                               direct(x1, c1, s1), rtol=0.05, atol=0.05)
+    np.testing.assert_allclose(r2.result.astype(np.float32),
+                               direct(x2, c2, s2), rtol=0.05, atol=0.05)
