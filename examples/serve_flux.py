@@ -23,6 +23,13 @@ def main():
     ap.add_argument("--steps", type=int, default=20)
     ap.add_argument("--guidance", type=float, default=3.5)
     ap.add_argument("--max-batch", type=int, default=4)
+    ap.add_argument("--sampler", default="euler",
+                    choices=("euler", "dpmpp_2m"),
+                    help="per-lane integrator (dpmpp_2m = 2nd-order "
+                         "multistep at the same cost)")
+    ap.add_argument("--vae", help="ae.safetensors for --preview-every")
+    ap.add_argument("--preview-every", type=int, default=0,
+                    help="write a latent->RGB preview .npy every N steps")
     ap.add_argument("--t5-len", type=int, default=512)
     args = ap.parse_args()
 
@@ -44,8 +51,34 @@ def main():
     lat_c = pipe.model.config.in_channels // 4
     L_img = (h_lat // 2) * (w_lat // 2)
 
+    previewer = on_step = None
+    if args.preview_every:
+        # VAE-calibrated latent->RGB sketch, written every N engine ticks
+        from comfyui_gguf_tpu.preview import previewer_for_vae
+
+        if args.vae:
+            from comfyui_gguf_tpu.pipeline import _load_safetensors_sd
+            from comfyui_gguf_tpu.models import vae as vae_model
+
+            import jax.numpy as jnp
+            vp = {k: jnp.asarray(v)
+                  for k, v in _load_safetensors_sd(args.vae).items()}
+            vc = vae_model.VAEConfig.from_state_dict(vp)
+            previewer = previewer_for_vae(vp, vc)
+
+            def on_step(requests):
+                for r in requests:
+                    if r.step % args.preview_every:
+                        continue
+                    lat = flux_model.unpatchify(
+                        np.asarray(r.latent)[None], h_lat, w_lat)
+                    rgb = previewer(np.asarray(lat[0]))
+                    np.save(f"preview_{r.request_id:03d}_{r.step:03d}.npy",
+                            rgb)
+
     eng = flux_engine(model, h_lat, w_lat, args.t5_len,
-                      max_batch=args.max_batch)
+                      max_batch=args.max_batch, sampler=args.sampler)
+    eng.on_step = on_step
     eng.start()
 
     prompts = [ln.strip() for ln in open(args.prompts) if ln.strip()]
