@@ -537,6 +537,69 @@ class FluxPipeline:
         return np.asarray((jnp.clip(img[0], -1, 1) + 1) / 2)
 
 
+def _sig_expand(s, x):
+    """(B,) sigma → broadcastable over x's trailing dims."""
+    return jnp.asarray(s, jnp.float32).reshape(
+        (x.shape[0],) + (1,) * (x.ndim - 1))
+
+
+def make_flow_engine(model: DiffusionModel, velocity, cond_spec: dict, *,
+                     max_batch: int = 4, pipeline_depth: int = 1,
+                     sampler: str = "euler"):
+    """Generic rectified-flow continuous-batching engine.
+
+    ``velocity(params, x, s_cur, cond) -> v`` — the per-arch forward
+    (CFG mixing, guidance embeds, rope ids all live in the closure);
+    ``cond_spec`` maps each stacked cond key to its device dtype. Works
+    for any latent rank (sigma broadcast follows ``x.ndim``).
+
+    ``sampler``: "euler" (1st order) or "dpmpp_2m" — per-LANE 2nd-order
+    multistep: each pooled request carries its own denoised history and
+    previous sigma in device-resident aux state
+    (serving.lane_dpmpp_2m_update), so mixed-progress/mixed-schedule
+    batches integrate exactly at the same one-model-call-per-lane cost.
+    """
+    from .serving import (ContinuousBatchEngine, flow_multistep_aux_init,
+                          lane_dpmpp_2m_update)
+
+    def _cast(cond):
+        return {k: jnp.asarray(cond[k], dt) for k, dt in cond_spec.items()}
+
+    if sampler == "euler":
+        @jax.jit
+        def _step(params, x, s_cur, s_next, cond):
+            v = velocity(params, x, s_cur, cond)
+            step = _sig_expand(s_next - s_cur, x) * v.astype(jnp.float32)
+            return (x.astype(jnp.float32) + step).astype(x.dtype)
+
+        def step_fn(x, s_cur, s_next, cond):
+            return _step(model.params, jnp.asarray(x, jnp.bfloat16),
+                         jnp.asarray(s_cur, jnp.float32),
+                         jnp.asarray(s_next, jnp.float32), _cast(cond))
+
+        return ContinuousBatchEngine(step_fn, max_batch=max_batch,
+                                     pipeline_depth=pipeline_depth)
+
+    if sampler != "dpmpp_2m":
+        raise ValueError(f"sampler must be euler|dpmpp_2m, got {sampler!r}")
+
+    @jax.jit
+    def _step2m(params, x, s_cur, s_next, cond, aux):
+        v = velocity(params, x, s_cur, cond)
+        denoised = (x.astype(jnp.float32)
+                    - _sig_expand(s_cur, x) * v.astype(jnp.float32))
+        return lane_dpmpp_2m_update(x, denoised, s_cur, s_next, aux)
+
+    def step_fn2m(x, s_cur, s_next, cond, aux):
+        return _step2m(model.params, jnp.asarray(x, jnp.bfloat16),
+                       jnp.asarray(s_cur, jnp.float32),
+                       jnp.asarray(s_next, jnp.float32), _cast(cond), aux)
+
+    return ContinuousBatchEngine(step_fn2m, max_batch=max_batch,
+                                 pipeline_depth=pipeline_depth,
+                                 aux_init=flow_multistep_aux_init)
+
+
 def flux_engine(model: DiffusionModel, h_lat: int, w_lat: int,
                 txt_len: int, max_batch: int = 4,
                 pipeline_depth: int = 1, mesh=None,
@@ -579,61 +642,23 @@ def flux_engine(model: DiffusionModel, h_lat: int, w_lat: int,
         fwd = (flux_model.forward_stacked
                if "double_blocks" in model.params else flux_model.forward)
 
-    def _velocity(params, x, s_cur, txt, y, guidance):
+    def velocity(params, x, s_cur, cond):
         B = x.shape[0]
         ids_i = jnp.broadcast_to(img_ids[None], (B, *img_ids.shape))
         ids_t = jnp.broadcast_to(txt_ids[None], (B, *txt_ids.shape))
-        return fwd(params, model.config, x, ids_i, txt, ids_t,
-                   s_cur, y, guidance, qcfg=model.qcfg)
+        return fwd(params, model.config, x, ids_i, cond["txt"], ids_t,
+                   s_cur, cond["y"], cond["guidance"], qcfg=model.qcfg)
 
-    if sampler == "euler":
-        @jax.jit
-        def _step(params, x, s_cur, s_next, txt, y, guidance):
-            v = _velocity(params, x, s_cur, txt, y, guidance)
-            step = (s_next - s_cur)[:, None, None] * v.astype(jnp.float32)
-            return (x.astype(jnp.float32) + step).astype(x.dtype)
-
-        def step_fn(x, s_cur, s_next, cond):
-            return _step(model.params, jnp.asarray(x, jnp.bfloat16),
-                         jnp.asarray(s_cur), jnp.asarray(s_next),
-                         jnp.asarray(cond["txt"], jnp.bfloat16),
-                         jnp.asarray(cond["y"], jnp.bfloat16),
-                         jnp.asarray(cond["guidance"], jnp.float32))
-
-        return ContinuousBatchEngine(step_fn, max_batch=max_batch,
-                                     pipeline_depth=pipeline_depth)
-
-    if sampler != "dpmpp_2m":
-        raise ValueError(f"flux_engine sampler must be euler|dpmpp_2m, "
-                         f"got {sampler!r}")
-
-    from .serving import flow_multistep_aux_init, lane_dpmpp_2m_update
-
-    @jax.jit
-    def _step2m(params, x, s_cur, s_next, txt, y, guidance, old_den,
-                s_prev, valid):
-        v = _velocity(params, x, s_cur, txt, y, guidance)
-        denoised = (x.astype(jnp.float32)
-                    - s_cur[:, None, None] * v.astype(jnp.float32))
-        return lane_dpmpp_2m_update(x, denoised, s_cur, s_next,
-                                    (old_den, s_prev, valid))
-
-    def step_fn2m(x, s_cur, s_next, cond, aux):
-        return _step2m(model.params, jnp.asarray(x, jnp.bfloat16),
-                       jnp.asarray(s_cur, jnp.float32),
-                       jnp.asarray(s_next, jnp.float32),
-                       jnp.asarray(cond["txt"], jnp.bfloat16),
-                       jnp.asarray(cond["y"], jnp.bfloat16),
-                       jnp.asarray(cond["guidance"], jnp.float32), *aux)
-
-    return ContinuousBatchEngine(step_fn2m, max_batch=max_batch,
-                                 pipeline_depth=pipeline_depth,
-                                 aux_init=flow_multistep_aux_init)
+    return make_flow_engine(
+        model, velocity,
+        {"txt": jnp.bfloat16, "y": jnp.bfloat16, "guidance": jnp.float32},
+        max_batch=max_batch, pipeline_depth=pipeline_depth,
+        sampler=sampler)
 
 
 def qwen_image_engine(model: DiffusionModel, h_tok: int, w_tok: int,
                       txt_len: int, max_batch: int = 4,
-                      pipeline_depth: int = 1):
+                      pipeline_depth: int = 1, sampler: str = "euler"):
     """Continuous-batching engine for a loaded Qwen-Image model.
 
     Requests carry patchified latent tokens (L_img, in_channels) + cond
@@ -649,27 +674,20 @@ def qwen_image_engine(model: DiffusionModel, h_tok: int, w_tok: int,
     fwd = (qi_model.forward_stacked
            if "transformer_blocks" in model.params else qi_model.forward)
 
-    @jax.jit
-    def _step(params, x, s_cur, s_next, txt):
+    def velocity(params, x, s_cur, cond):
         B = x.shape[0]
         ids_i = jnp.broadcast_to(img_ids[None], (B, *img_ids.shape))
         ids_t = jnp.broadcast_to(txt_ids[None], (B, *txt_ids.shape))
-        v = fwd(params, model.config, x, ids_i, txt, ids_t,
-                s_cur, qcfg=model.qcfg)
-        step = (s_next - s_cur)[:, None, None] * v.astype(jnp.float32)
-        return (x.astype(jnp.float32) + step).astype(x.dtype)
+        return fwd(params, model.config, x, ids_i, cond["txt"], ids_t,
+                   s_cur, qcfg=model.qcfg)
 
-    def step_fn(x, s_cur, s_next, cond):
-        return _step(model.params, jnp.asarray(x, jnp.bfloat16),
-                     jnp.asarray(s_cur), jnp.asarray(s_next),
-                     jnp.asarray(cond["txt"], jnp.bfloat16))
-
-    return ContinuousBatchEngine(step_fn, max_batch=max_batch,
-                                 pipeline_depth=pipeline_depth)
+    return make_flow_engine(
+        model, velocity, {"txt": jnp.bfloat16}, max_batch=max_batch,
+        pipeline_depth=pipeline_depth, sampler=sampler)
 
 
 def wan_engine(model: DiffusionModel, max_batch: int = 2,
-               pipeline_depth: int = 1):
+               pipeline_depth: int = 1, sampler: str = "euler"):
     """Continuous-batching engine for a loaded Wan 2.1 t2v model — video
     serving: requests carry (F, H, W, C) latent video + cond {"ctx",
     "nctx", "cfg_scale"}; each tick runs the conditional AND
@@ -684,28 +702,24 @@ def wan_engine(model: DiffusionModel, max_batch: int = 2,
     fwd = (wan_model.forward_stacked if "blocks" in model.params
            else wan_model.forward)
 
-    @jax.jit
-    def _step(params, x, s_cur, s_next, ctx, nctx, scale):
-        v_c = fwd(params, model.config, x, ctx, s_cur, qcfg=model.qcfg)
-        v_u = fwd(params, model.config, x, nctx, s_cur, qcfg=model.qcfg)
-        v = v_u + scale[:, None, None, None, None] * (
-            v_c.astype(jnp.float32) - v_u.astype(jnp.float32))
-        step = (s_next - s_cur)[:, None, None, None, None] * v
-        return (x.astype(jnp.float32) + step).astype(x.dtype)
+    def velocity(params, x, s_cur, cond):
+        v_c = fwd(params, model.config, x, cond["ctx"], s_cur,
+                  qcfg=model.qcfg)
+        v_u = fwd(params, model.config, x, cond["nctx"], s_cur,
+                  qcfg=model.qcfg)
+        return v_u.astype(jnp.float32) + _sig_expand(
+            cond["cfg_scale"], x) * (v_c.astype(jnp.float32)
+                                     - v_u.astype(jnp.float32))
 
-    def step_fn(x, s_cur, s_next, cond):
-        return _step(model.params, jnp.asarray(x, jnp.bfloat16),
-                     jnp.asarray(s_cur), jnp.asarray(s_next),
-                     jnp.asarray(cond["ctx"], jnp.bfloat16),
-                     jnp.asarray(cond["nctx"], jnp.bfloat16),
-                     jnp.asarray(cond["cfg_scale"], jnp.float32))
-
-    return ContinuousBatchEngine(step_fn, max_batch=max_batch,
-                                 pipeline_depth=pipeline_depth)
+    return make_flow_engine(
+        model, velocity, {"ctx": jnp.bfloat16, "nctx": jnp.bfloat16,
+                          "cfg_scale": jnp.float32},
+        max_batch=max_batch, pipeline_depth=pipeline_depth,
+        sampler=sampler)
 
 
 def hyvid_engine(model: DiffusionModel, max_batch: int = 2,
-                 pipeline_depth: int = 1):
+                 pipeline_depth: int = 1, sampler: str = "euler"):
     """Continuous-batching engine for a loaded HunyuanVideo model —
     guidance-distilled video serving: requests carry (F, H, W, C) latent
     video + cond {"txt", "guidance"}; one conditional forward per tick
@@ -718,26 +732,18 @@ def hyvid_engine(model: DiffusionModel, max_batch: int = 2,
     fwd = (hyvid_model.forward_stacked
            if "double_blocks" in model.params else hyvid_model.forward)
 
-    @jax.jit
-    def _step(params, x, s_cur, s_next, txt, guidance):
-        v = fwd(params, model.config, x, txt, s_cur,
-                guidance * 1000.0, qcfg=model.qcfg)
-        step = (s_next - s_cur)[:, None, None, None, None] * v.astype(
-            jnp.float32)
-        return (x.astype(jnp.float32) + step).astype(x.dtype)
+    def velocity(params, x, s_cur, cond):
+        return fwd(params, model.config, x, cond["txt"], s_cur,
+                   cond["guidance"] * 1000.0, qcfg=model.qcfg)
 
-    def step_fn(x, s_cur, s_next, cond):
-        return _step(model.params, jnp.asarray(x, jnp.bfloat16),
-                     jnp.asarray(s_cur), jnp.asarray(s_next),
-                     jnp.asarray(cond["txt"], jnp.bfloat16),
-                     jnp.asarray(cond["guidance"], jnp.float32))
-
-    return ContinuousBatchEngine(step_fn, max_batch=max_batch,
-                                 pipeline_depth=pipeline_depth)
+    return make_flow_engine(
+        model, velocity, {"txt": jnp.bfloat16, "guidance": jnp.float32},
+        max_batch=max_batch, pipeline_depth=pipeline_depth,
+        sampler=sampler)
 
 
 def ltxv_engine(model: DiffusionModel, max_batch: int = 2,
-                pipeline_depth: int = 1):
+                pipeline_depth: int = 1, sampler: str = "euler"):
     """Continuous-batching engine for a loaded LTX-Video model — token
     video serving: requests carry (L, in_channels) latent voxels + cond
     {"ids" (L, 3) voxel positions, "ctx", "nctx", "cfg_scale"}; each tick
@@ -751,25 +757,20 @@ def ltxv_engine(model: DiffusionModel, max_batch: int = 2,
     fwd = (ltxv_model.forward_stacked
            if "transformer_blocks" in model.params else ltxv_model.forward)
 
-    @jax.jit
-    def _step(params, x, s_cur, s_next, ids, ctx, nctx, scale):
-        v_c = fwd(params, model.config, x, ids, ctx, s_cur, qcfg=model.qcfg)
-        v_u = fwd(params, model.config, x, ids, nctx, s_cur, qcfg=model.qcfg)
-        v = v_u + scale[:, None, None] * (
-            v_c.astype(jnp.float32) - v_u.astype(jnp.float32))
-        step = (s_next - s_cur)[:, None, None] * v
-        return (x.astype(jnp.float32) + step).astype(x.dtype)
+    def velocity(params, x, s_cur, cond):
+        v_c = fwd(params, model.config, x, cond["ids"], cond["ctx"],
+                  s_cur, qcfg=model.qcfg)
+        v_u = fwd(params, model.config, x, cond["ids"], cond["nctx"],
+                  s_cur, qcfg=model.qcfg)
+        return v_u.astype(jnp.float32) + _sig_expand(
+            cond["cfg_scale"], x) * (v_c.astype(jnp.float32)
+                                     - v_u.astype(jnp.float32))
 
-    def step_fn(x, s_cur, s_next, cond):
-        return _step(model.params, jnp.asarray(x, jnp.bfloat16),
-                     jnp.asarray(s_cur), jnp.asarray(s_next),
-                     jnp.asarray(cond["ids"], jnp.int32),
-                     jnp.asarray(cond["ctx"], jnp.bfloat16),
-                     jnp.asarray(cond["nctx"], jnp.bfloat16),
-                     jnp.asarray(cond["cfg_scale"], jnp.float32))
-
-    return ContinuousBatchEngine(step_fn, max_batch=max_batch,
-                                 pipeline_depth=pipeline_depth)
+    return make_flow_engine(
+        model, velocity, {"ids": jnp.int32, "ctx": jnp.bfloat16,
+                          "nctx": jnp.bfloat16, "cfg_scale": jnp.float32},
+        max_batch=max_batch, pipeline_depth=pipeline_depth,
+        sampler=sampler)
 
 
 def unet_engine(model: DiffusionModel, max_batch: int = 4,
@@ -819,7 +820,7 @@ def unet_engine(model: DiffusionModel, max_batch: int = 4,
 
 
 def hidream_engine(model: DiffusionModel, max_batch: int = 2,
-                   pipeline_depth: int = 1):
+                   pipeline_depth: int = 1, sampler: str = "euler"):
     """Continuous-batching engine for a loaded HiDream-I1 MoE model:
     requests carry (H, W, C) spatial latents + cond {"t5", "llama",
     "pooled"} (quad-encoder states, guidance-distilled — one forward per
@@ -828,26 +829,20 @@ def hidream_engine(model: DiffusionModel, max_batch: int = 2,
     from .models import hidream as hidream_model
     from .serving import ContinuousBatchEngine
 
-    @jax.jit
-    def _step(params, x, s_cur, s_next, t5s, lls, pooled):
-        v = hidream_model.forward(params, model.config, x, t5s, lls,
-                                  pooled, s_cur, qcfg=model.qcfg)
-        step = (s_next - s_cur)[:, None, None, None] * v.astype(jnp.float32)
-        return (x.astype(jnp.float32) + step).astype(x.dtype)
+    def velocity(params, x, s_cur, cond):
+        return hidream_model.forward(params, model.config, x, cond["t5"],
+                                     cond["llama"], cond["pooled"], s_cur,
+                                     qcfg=model.qcfg)
 
-    def step_fn(x, s_cur, s_next, cond):
-        return _step(model.params, jnp.asarray(x, jnp.bfloat16),
-                     jnp.asarray(s_cur), jnp.asarray(s_next),
-                     jnp.asarray(cond["t5"], jnp.bfloat16),
-                     jnp.asarray(cond["llama"], jnp.bfloat16),
-                     jnp.asarray(cond["pooled"], jnp.bfloat16))
-
-    return ContinuousBatchEngine(step_fn, max_batch=max_batch,
-                                 pipeline_depth=pipeline_depth)
+    return make_flow_engine(
+        model, velocity, {"t5": jnp.bfloat16, "llama": jnp.bfloat16,
+                          "pooled": jnp.bfloat16},
+        max_batch=max_batch, pipeline_depth=pipeline_depth,
+        sampler=sampler)
 
 
 def cosmos_engine(model: DiffusionModel, max_batch: int = 2,
-                  pipeline_depth: int = 1):
+                  pipeline_depth: int = 1, sampler: str = "euler"):
     """Continuous-batching engine for a loaded Cosmos Predict2 model —
     t2i/t2v serving: requests carry (F, H, W, C) NDHWC latents + cond
     {"ctx", "nctx", "cfg_scale"} (T5 states); each tick runs the
@@ -860,28 +855,24 @@ def cosmos_engine(model: DiffusionModel, max_batch: int = 2,
     fwd = (cosmos_model.forward_stacked
            if "blocks" in model.params else cosmos_model.forward)
 
-    @jax.jit
-    def _step(params, x, s_cur, s_next, ctx, nctx, scale):
-        v_c = fwd(params, model.config, x, ctx, s_cur, qcfg=model.qcfg)
-        v_u = fwd(params, model.config, x, nctx, s_cur, qcfg=model.qcfg)
-        v = v_u + scale[:, None, None, None, None] * (
-            v_c.astype(jnp.float32) - v_u.astype(jnp.float32))
-        step = (s_next - s_cur)[:, None, None, None, None] * v
-        return (x.astype(jnp.float32) + step).astype(x.dtype)
+    def velocity(params, x, s_cur, cond):
+        v_c = fwd(params, model.config, x, cond["ctx"], s_cur,
+                  qcfg=model.qcfg)
+        v_u = fwd(params, model.config, x, cond["nctx"], s_cur,
+                  qcfg=model.qcfg)
+        return v_u.astype(jnp.float32) + _sig_expand(
+            cond["cfg_scale"], x) * (v_c.astype(jnp.float32)
+                                     - v_u.astype(jnp.float32))
 
-    def step_fn(x, s_cur, s_next, cond):
-        return _step(model.params, jnp.asarray(x, jnp.bfloat16),
-                     jnp.asarray(s_cur), jnp.asarray(s_next),
-                     jnp.asarray(cond["ctx"], jnp.bfloat16),
-                     jnp.asarray(cond["nctx"], jnp.bfloat16),
-                     jnp.asarray(cond["cfg_scale"], jnp.float32))
-
-    return ContinuousBatchEngine(step_fn, max_batch=max_batch,
-                                 pipeline_depth=pipeline_depth)
+    return make_flow_engine(
+        model, velocity, {"ctx": jnp.bfloat16, "nctx": jnp.bfloat16,
+                          "cfg_scale": jnp.float32},
+        max_batch=max_batch, pipeline_depth=pipeline_depth,
+        sampler=sampler)
 
 
 def aura_engine(model: DiffusionModel, max_batch: int = 4,
-                pipeline_depth: int = 1):
+                pipeline_depth: int = 1, sampler: str = "euler"):
     """Continuous-batching engine for a loaded AuraFlow model: requests
     carry (H, W, C) spatial latents + cond {"ctx", "nctx", "cfg_scale"}
     (Pile-T5 states, padded to a fixed length per bucket); each tick runs
@@ -894,28 +885,24 @@ def aura_engine(model: DiffusionModel, max_batch: int = 4,
     fwd = (aura_model.forward_stacked
            if "double_layers" in model.params else aura_model.forward)
 
-    @jax.jit
-    def _step(params, x, s_cur, s_next, ctx, nctx, scale):
-        v_c = fwd(params, model.config, x, ctx, s_cur, qcfg=model.qcfg)
-        v_u = fwd(params, model.config, x, nctx, s_cur, qcfg=model.qcfg)
-        v = v_u + scale[:, None, None, None] * (
-            v_c.astype(jnp.float32) - v_u.astype(jnp.float32))
-        step = (s_next - s_cur)[:, None, None, None] * v
-        return (x.astype(jnp.float32) + step).astype(x.dtype)
+    def velocity(params, x, s_cur, cond):
+        v_c = fwd(params, model.config, x, cond["ctx"], s_cur,
+                  qcfg=model.qcfg)
+        v_u = fwd(params, model.config, x, cond["nctx"], s_cur,
+                  qcfg=model.qcfg)
+        return v_u.astype(jnp.float32) + _sig_expand(
+            cond["cfg_scale"], x) * (v_c.astype(jnp.float32)
+                                     - v_u.astype(jnp.float32))
 
-    def step_fn(x, s_cur, s_next, cond):
-        return _step(model.params, jnp.asarray(x, jnp.bfloat16),
-                     jnp.asarray(s_cur), jnp.asarray(s_next),
-                     jnp.asarray(cond["ctx"], jnp.bfloat16),
-                     jnp.asarray(cond["nctx"], jnp.bfloat16),
-                     jnp.asarray(cond["cfg_scale"], jnp.float32))
-
-    return ContinuousBatchEngine(step_fn, max_batch=max_batch,
-                                 pipeline_depth=pipeline_depth)
+    return make_flow_engine(
+        model, velocity, {"ctx": jnp.bfloat16, "nctx": jnp.bfloat16,
+                          "cfg_scale": jnp.float32},
+        max_batch=max_batch, pipeline_depth=pipeline_depth,
+        sampler=sampler)
 
 
 def lumina2_engine(model: DiffusionModel, max_batch: int = 4,
-                   pipeline_depth: int = 1):
+                   pipeline_depth: int = 1, sampler: str = "euler"):
     """Continuous-batching engine for a loaded Lumina Image 2.0 model:
     requests carry (H, W, C) spatial latents + cond {"cap", "ncap",
     "cfg_scale"} (Gemma2 hidden states, padded to a fixed length per
@@ -928,24 +915,20 @@ def lumina2_engine(model: DiffusionModel, max_batch: int = 4,
     fwd = (lumina2_model.forward_stacked
            if "layers" in model.params else lumina2_model.forward)
 
-    @jax.jit
-    def _step(params, x, s_cur, s_next, cap, ncap, scale):
-        v_c = fwd(params, model.config, x, cap, s_cur, qcfg=model.qcfg)
-        v_u = fwd(params, model.config, x, ncap, s_cur, qcfg=model.qcfg)
-        v = v_u + scale[:, None, None, None] * (
-            v_c.astype(jnp.float32) - v_u.astype(jnp.float32))
-        step = (s_next - s_cur)[:, None, None, None] * v
-        return (x.astype(jnp.float32) + step).astype(x.dtype)
+    def velocity(params, x, s_cur, cond):
+        v_c = fwd(params, model.config, x, cond["cap"], s_cur,
+                  qcfg=model.qcfg)
+        v_u = fwd(params, model.config, x, cond["ncap"], s_cur,
+                  qcfg=model.qcfg)
+        return v_u.astype(jnp.float32) + _sig_expand(
+            cond["cfg_scale"], x) * (v_c.astype(jnp.float32)
+                                     - v_u.astype(jnp.float32))
 
-    def step_fn(x, s_cur, s_next, cond):
-        return _step(model.params, jnp.asarray(x, jnp.bfloat16),
-                     jnp.asarray(s_cur), jnp.asarray(s_next),
-                     jnp.asarray(cond["cap"], jnp.bfloat16),
-                     jnp.asarray(cond["ncap"], jnp.bfloat16),
-                     jnp.asarray(cond["cfg_scale"], jnp.float32))
-
-    return ContinuousBatchEngine(step_fn, max_batch=max_batch,
-                                 pipeline_depth=pipeline_depth)
+    return make_flow_engine(
+        model, velocity, {"cap": jnp.bfloat16, "ncap": jnp.bfloat16,
+                          "cfg_scale": jnp.float32},
+        max_batch=max_batch, pipeline_depth=pipeline_depth,
+        sampler=sampler)
 
 
 def sd3_engine(model: DiffusionModel, max_batch: int = 4,
@@ -964,50 +947,14 @@ def sd3_engine(model: DiffusionModel, max_batch: int = 4,
     fwd = (sd3_model.forward_stacked if "joint_blocks" in model.params
            else sd3_model.forward)
 
-    if sampler == "euler":
-        @jax.jit
-        def _step(params, x, s_cur, s_next, ctx, pooled):
-            v = fwd(params, model.config, x, ctx, pooled, s_cur,
-                    qcfg=model.qcfg)
-            step = (s_next - s_cur)[:, None, None, None] * v.astype(
-                jnp.float32)
-            return (x.astype(jnp.float32) + step).astype(x.dtype)
+    def velocity(params, x, s_cur, cond):
+        return fwd(params, model.config, x, cond["ctx"], cond["pooled"],
+                   s_cur, qcfg=model.qcfg)
 
-        def step_fn(x, s_cur, s_next, cond):
-            return _step(model.params, jnp.asarray(x, jnp.bfloat16),
-                         jnp.asarray(s_cur), jnp.asarray(s_next),
-                         jnp.asarray(cond["ctx"], jnp.bfloat16),
-                         jnp.asarray(cond["pooled"], jnp.bfloat16))
-
-        return ContinuousBatchEngine(step_fn, max_batch=max_batch,
-                                     pipeline_depth=pipeline_depth)
-
-    if sampler != "dpmpp_2m":
-        raise ValueError(f"sd3_engine sampler must be euler|dpmpp_2m, "
-                         f"got {sampler!r}")
-
-    from .serving import flow_multistep_aux_init, lane_dpmpp_2m_update
-
-    @jax.jit
-    def _step2m(params, x, s_cur, s_next, ctx, pooled, old_den, s_prev,
-                valid):
-        v = fwd(params, model.config, x, ctx, pooled, s_cur,
-                qcfg=model.qcfg)
-        denoised = (x.astype(jnp.float32)
-                    - s_cur[:, None, None, None] * v.astype(jnp.float32))
-        return lane_dpmpp_2m_update(x, denoised, s_cur, s_next,
-                                    (old_den, s_prev, valid))
-
-    def step_fn2m(x, s_cur, s_next, cond, aux):
-        return _step2m(model.params, jnp.asarray(x, jnp.bfloat16),
-                       jnp.asarray(s_cur, jnp.float32),
-                       jnp.asarray(s_next, jnp.float32),
-                       jnp.asarray(cond["ctx"], jnp.bfloat16),
-                       jnp.asarray(cond["pooled"], jnp.bfloat16), *aux)
-
-    return ContinuousBatchEngine(step_fn2m, max_batch=max_batch,
-                                 pipeline_depth=pipeline_depth,
-                                 aux_init=flow_multistep_aux_init)
+    return make_flow_engine(
+        model, velocity, {"ctx": jnp.bfloat16, "pooled": jnp.bfloat16},
+        max_batch=max_batch, pipeline_depth=pipeline_depth,
+        sampler=sampler)
 
 
 @dataclasses.dataclass

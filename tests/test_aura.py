@@ -161,3 +161,60 @@ def test_aura_engine_cfg_serving(aura_params):
     for got1, got2 in results:
         np.testing.assert_allclose(got1, w1, rtol=0.05, atol=0.05)
         np.testing.assert_allclose(got2, w2, rtol=0.05, atol=0.05)
+
+
+def test_aura_engine_dpmpp_2m_cfg(aura_params):
+    """sampler="dpmpp_2m" on a CFG-mixing engine: pooled requests match
+    per-request jitted 2M over the CFG-mixed velocity."""
+    import jax
+
+    from comfyui_gguf_tpu import pipeline
+    from comfyui_gguf_tpu.sampling import flow_match as fm
+    from comfyui_gguf_tpu.sampling import kdiffusion as kd
+    from comfyui_gguf_tpu.sampling import linear_schedule
+
+    cfg = aura.AuraConfig.from_state_dict(aura_params)
+    H, W = 8, 8
+    sigmas = linear_schedule(3)
+
+    def mk_req(seed, scale):
+        r = np.random.default_rng(seed)
+        return (r.standard_normal((H, W, C)).astype(np.float32),
+                {"ctx": r.standard_normal((7, COND)).astype(np.float32),
+                 "nctx": r.standard_normal((7, COND)).astype(np.float32),
+                 "cfg_scale": np.float32(scale)})
+
+    x1, c1 = mk_req(60, 2.5)
+    x2, c2 = mk_req(61, 1.0)
+    base = pipeline.DiffusionModel(arch="aura", params=aura_params,
+                                   config=cfg, qcfg=F32CFG)
+    eng = pipeline.aura_engine(base, max_batch=2, sampler="dpmpp_2m")
+    r1 = eng.submit(x1.copy(), c1, sigmas)
+    r2 = eng.submit(x2.copy(), c2, sigmas)
+    eng.run_until_drained()
+    assert r1.finished and r2.finished and r1.error is None
+
+    def direct(x0, cond):
+        ctx = jnp.asarray(cond["ctx"])[None].astype(jnp.bfloat16)
+        nctx = jnp.asarray(cond["nctx"])[None].astype(jnp.bfloat16)
+        s = float(cond["cfg_scale"])
+
+        @jax.jit
+        def run(params, x):
+            def vel(xc, sig):
+                tt = jnp.full((1,), sig, jnp.float32)
+                v_c = aura.forward(params, cfg, xc, ctx, tt, qcfg=F32CFG)
+                v_u = aura.forward(params, cfg, xc, nctx, tt, qcfg=F32CFG)
+                return v_u + s * (v_c - v_u)
+
+            den = fm.make_flow_denoiser(vel)
+            return kd.dpmpp_2m_sample_sigma(den, x, jnp.asarray(sigmas))
+
+        return np.asarray(run(
+            aura_params, jnp.asarray(x0)[None].astype(jnp.bfloat16))[0],
+            np.float32)
+
+    np.testing.assert_allclose(r1.result.astype(np.float32),
+                               direct(x1, c1), rtol=0.05, atol=0.05)
+    np.testing.assert_allclose(r2.result.astype(np.float32),
+                               direct(x2, c2), rtol=0.05, atol=0.05)
