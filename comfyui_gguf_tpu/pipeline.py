@@ -774,24 +774,30 @@ def ltxv_engine(model: DiffusionModel, max_batch: int = 2,
 
 
 def unet_engine(model: DiffusionModel, max_batch: int = 4,
-                pipeline_depth: int = 1):
+                pipeline_depth: int = 1, sampler: str = "euler"):
     """Continuous-batching engine for a loaded SD1/SDXL eps-prediction
     UNet: requests carry (H, W, C) sigma-scaled latents (x0 noise ×
     sigmas[0]) + cond {"ctx", "nctx", "cfg_scale"} (+ "adm" pooled/size
     vector for SDXL) and a k-diffusion sigma schedule (kd.normal_schedule
-    / karras_schedule); each tick runs one per-request-sigma Euler step
-    in the standard k-diffusion parameterization (denoised = x −
-    σ·eps(x·c_in, t(σ)), d = (x − denoised)/σ) with per-request CFG
-    mixing. Mixed-progress batches are exact because σ is per-lane."""
+    / karras_schedule); each tick runs one per-request-sigma step in the
+    standard k-diffusion parameterization (denoised = x − σ·eps(x·c_in,
+    t(σ))) with per-request CFG mixing. ``sampler="dpmpp_2m"`` runs
+    per-lane 2nd-order multistep on the denoised prediction
+    (lane_dpmpp_2m_update is parameterization-agnostic). Mixed-progress
+    batches are exact because σ and the multistep history are
+    per-lane."""
     from .models import unet as unet_model
     from .sampling import kdiffusion as kd
-    from .serving import ContinuousBatchEngine
+    from .serving import (ContinuousBatchEngine, flow_multistep_aux_init,
+                          lane_dpmpp_2m_update)
 
+    if sampler not in ("euler", "dpmpp_2m"):
+        raise ValueError(f"sampler must be euler|dpmpp_2m, got {sampler!r}")
     table = jnp.asarray(kd.ddpm_sigmas())
     needs_adm = model.config.adm_in_channels is not None
+    use_2m = sampler == "dpmpp_2m"
 
-    @jax.jit
-    def _step(params, x, s_cur, s_next, ctx, nctx, scale, *adm):
+    def _eps_cfg(params, x, s_cur, ctx, nctx, scale, adm):
         s = s_cur[:, None, None, None].astype(jnp.float32)
         c_in = 1.0 / jnp.sqrt(1.0 + s ** 2)
         t = kd.sigma_to_t(s_cur, table)
@@ -801,22 +807,38 @@ def unet_engine(model: DiffusionModel, max_batch: int = 4,
                                  qcfg=model.qcfg).astype(jnp.float32)
         e_u = unet_model.forward(params, model.config, xs, t, nctx, y,
                                  qcfg=model.qcfg).astype(jnp.float32)
-        eps = e_u + scale[:, None, None, None] * (e_c - e_u)
+        return e_u + scale[:, None, None, None] * (e_c - e_u)
+
+    @jax.jit
+    def _step(params, x, s_cur, s_next, ctx, nctx, scale, *adm):
+        eps = _eps_cfg(params, x, s_cur, ctx, nctx, scale, adm)
         # denoised = x − σ·eps;  d = (x − denoised)/σ = eps
         step = (s_next - s_cur)[:, None, None, None] * eps
         return (x.astype(jnp.float32) + step).astype(x.dtype)
 
-    def step_fn(x, s_cur, s_next, cond):
+    @jax.jit
+    def _step2m(params, x, s_cur, s_next, ctx, nctx, scale, aux, *adm):
+        eps = _eps_cfg(params, x, s_cur, ctx, nctx, scale, adm)
+        denoised = (x.astype(jnp.float32)
+                    - s_cur[:, None, None, None] * eps)
+        return lane_dpmpp_2m_update(x, denoised, s_cur, s_next, aux)
+
+    def step_fn(x, s_cur, s_next, cond, *aux):
         adm = ((jnp.asarray(cond["adm"], jnp.bfloat16),)
                if needs_adm else ())
-        return _step(model.params, jnp.asarray(x, jnp.bfloat16),
-                     jnp.asarray(s_cur), jnp.asarray(s_next),
-                     jnp.asarray(cond["ctx"], jnp.bfloat16),
-                     jnp.asarray(cond["nctx"], jnp.bfloat16),
-                     jnp.asarray(cond["cfg_scale"], jnp.float32), *adm)
+        args = (model.params, jnp.asarray(x, jnp.bfloat16),
+                jnp.asarray(s_cur, jnp.float32),
+                jnp.asarray(s_next, jnp.float32),
+                jnp.asarray(cond["ctx"], jnp.bfloat16),
+                jnp.asarray(cond["nctx"], jnp.bfloat16),
+                jnp.asarray(cond["cfg_scale"], jnp.float32))
+        if use_2m:
+            return _step2m(*args, aux[0], *adm)
+        return _step(*args, *adm)
 
-    return ContinuousBatchEngine(step_fn, max_batch=max_batch,
-                                 pipeline_depth=pipeline_depth)
+    return ContinuousBatchEngine(
+        step_fn, max_batch=max_batch, pipeline_depth=pipeline_depth,
+        aux_init=flow_multistep_aux_init if use_2m else None)
 
 
 def hidream_engine(model: DiffusionModel, max_batch: int = 2,

@@ -276,3 +276,61 @@ def test_unet_engine_cfg_serving(tiny_unet):
                                rtol=0.05, atol=0.05)
     np.testing.assert_allclose(r2.result.astype(np.float32), direct(x2, c2),
                                rtol=0.05, atol=0.05)
+
+
+def test_unet_engine_dpmpp_2m(tiny_unet):
+    """unet_engine(sampler="dpmpp_2m"): a POOLED mixed-cfg batch equals
+    the same requests run one-at-a-time through a max_batch=1 engine
+    (per-lane multistep aux state is exact under pooling/padding). The
+    lane update's 2M math itself is validated against
+    kd.dpmpp_2m_sample_sigma in the flux/sd3/aura engine tests — at eps
+    scales (cfg·σ≈45×) two differently-jitted programs cannot agree
+    tighter than bf16 fusion noise, so the reference here is the same
+    engine program at batch 1."""
+    import dataclasses
+
+    from comfyui_gguf_tpu import pipeline
+
+    cfg = dataclasses.replace(unet.UNetConfig.from_state_dict(tiny_unet),
+                              head_dim=16)
+    table = kd.ddpm_sigmas()
+    sigmas = kd.normal_schedule(4, table)
+    H, W = 8, 8
+
+    def mk_req(seed, scale):
+        r = np.random.default_rng(seed)
+        x0 = (r.standard_normal((H, W, LAT)) * float(sigmas[0])
+              ).astype(np.float32)
+        return (x0, {"ctx": r.standard_normal((7, CTX)).astype(np.float32),
+                     "nctx": r.standard_normal((7, CTX)).astype(np.float32),
+                     "adm": r.standard_normal((ADM,)).astype(np.float32),
+                     "cfg_scale": np.float32(scale)})
+
+    x1, c1 = mk_req(70, 3.0)
+    x2, c2 = mk_req(71, 1.5)
+    mdl = pipeline.DiffusionModel(arch="unet", params=tiny_unet, config=cfg,
+                                  qcfg=F32CFG)
+    eng = pipeline.unet_engine(mdl, max_batch=2, sampler="dpmpp_2m")
+    r1 = eng.submit(x1.copy(), c1, sigmas)
+    r2 = eng.submit(x2.copy(), c2, sigmas)
+    eng.run_until_drained()
+    assert r1.finished and r2.finished and r1.error is None
+
+    # same requests, strictly one lane at a time (bucket size 1)
+    solo = pipeline.unet_engine(mdl, max_batch=1, sampler="dpmpp_2m")
+    s1 = solo.submit(x1.copy(), c1, sigmas)
+    solo.run_until_drained()
+    s2 = solo.submit(x2.copy(), c2, sigmas)
+    solo.run_until_drained()
+
+    np.testing.assert_allclose(r1.result.astype(np.float32),
+                               s1.result.astype(np.float32),
+                               rtol=0.02, atol=0.02)
+    np.testing.assert_allclose(r2.result.astype(np.float32),
+                               s2.result.astype(np.float32),
+                               rtol=0.02, atol=0.02)
+    # 2M actually differs from euler serving (the history is used)
+    eng_e = pipeline.unet_engine(mdl, max_batch=2)
+    e1 = eng_e.submit(x1.copy(), c1, sigmas)
+    eng_e.run_until_drained()
+    assert not np.allclose(r1.result, e1.result)
