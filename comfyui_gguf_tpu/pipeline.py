@@ -545,7 +545,7 @@ def _sig_expand(s, x):
 
 def make_flow_engine(model: DiffusionModel, velocity, cond_spec: dict, *,
                      max_batch: int = 4, pipeline_depth: int = 1,
-                     sampler: str = "euler"):
+                     sampler: str = "euler", dp_mesh=None):
     """Generic rectified-flow continuous-batching engine.
 
     ``velocity(params, x, s_cur, cond) -> v`` — the per-arch forward
@@ -558,12 +558,44 @@ def make_flow_engine(model: DiffusionModel, velocity, cond_spec: dict, *,
     previous sigma in device-resident aux state
     (serving.lane_dpmpp_2m_update), so mixed-progress/mixed-schedule
     batches integrate exactly at the same one-model-call-per-lane cost.
+
+    ``dp_mesh``: a ``jax.sharding.Mesh`` with a ``"dp"`` axis runs every
+    tick DATA-PARALLEL — params are replicated across the axis once and
+    the pooled batch/cond/aux are sharded along axis 0, so GSPMD splits
+    each step across devices with zero collectives in the forward (the
+    step is embarrassingly parallel over lanes). Batch buckets snap to
+    multiples of the dp size so every shard stays shape-static.
     """
     from .serving import (ContinuousBatchEngine, flow_multistep_aux_init,
                           lane_dpmpp_2m_update)
 
+    batch_sizes = None
+    shard_in = None
+    if dp_mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        dp = dp_mesh.shape["dp"]
+        if max_batch % dp:
+            raise ValueError(f"max_batch {max_batch} not divisible by "
+                             f"dp={dp}")
+        batch_sizes = tuple(dp * m for m in (1, 2, 4, 8, 16)
+                            if dp * m <= max_batch)
+        batched = NamedSharding(dp_mesh, P("dp"))
+        replicated = NamedSharding(dp_mesh, P())
+        # replicate the (packed) weights across the dp axis once
+        model = dataclasses.replace(
+            model, params=jax.device_put(model.params, replicated))
+
+        def shard_in(tree):
+            return jax.tree.map(
+                lambda a: jax.device_put(a, batched), tree)
+
     def _cast(cond):
-        return {k: jnp.asarray(cond[k], dt) for k, dt in cond_spec.items()}
+        cond = {k: jnp.asarray(cond[k], dt) for k, dt in cond_spec.items()}
+        return shard_in(cond) if shard_in is not None else cond
+
+    def _place(x):
+        return shard_in(x) if shard_in is not None else x
 
     if sampler == "euler":
         @jax.jit
@@ -573,11 +605,13 @@ def make_flow_engine(model: DiffusionModel, velocity, cond_spec: dict, *,
             return (x.astype(jnp.float32) + step).astype(x.dtype)
 
         def step_fn(x, s_cur, s_next, cond):
-            return _step(model.params, jnp.asarray(x, jnp.bfloat16),
+            return _step(model.params,
+                         _place(jnp.asarray(x, jnp.bfloat16)),
                          jnp.asarray(s_cur, jnp.float32),
                          jnp.asarray(s_next, jnp.float32), _cast(cond))
 
         return ContinuousBatchEngine(step_fn, max_batch=max_batch,
+                                     batch_sizes=batch_sizes,
                                      pipeline_depth=pipeline_depth)
 
     if sampler != "dpmpp_2m":
@@ -591,11 +625,14 @@ def make_flow_engine(model: DiffusionModel, velocity, cond_spec: dict, *,
         return lane_dpmpp_2m_update(x, denoised, s_cur, s_next, aux)
 
     def step_fn2m(x, s_cur, s_next, cond, aux):
-        return _step2m(model.params, jnp.asarray(x, jnp.bfloat16),
+        return _step2m(model.params,
+                       _place(jnp.asarray(x, jnp.bfloat16)),
                        jnp.asarray(s_cur, jnp.float32),
-                       jnp.asarray(s_next, jnp.float32), _cast(cond), aux)
+                       jnp.asarray(s_next, jnp.float32), _cast(cond),
+                       _place(aux) if dp_mesh is not None else aux)
 
     return ContinuousBatchEngine(step_fn2m, max_batch=max_batch,
+                                 batch_sizes=batch_sizes,
                                  pipeline_depth=pipeline_depth,
                                  aux_init=flow_multistep_aux_init)
 
@@ -954,7 +991,8 @@ def lumina2_engine(model: DiffusionModel, max_batch: int = 4,
 
 
 def sd3_engine(model: DiffusionModel, max_batch: int = 4,
-               pipeline_depth: int = 1, sampler: str = "euler"):
+               pipeline_depth: int = 1, sampler: str = "euler",
+               dp_mesh=None):
     """Continuous-batching engine for a loaded SD3/SD3.5 model.
 
     Requests carry spatial latents (h_lat, w_lat, C) + cond
@@ -976,7 +1014,7 @@ def sd3_engine(model: DiffusionModel, max_batch: int = 4,
     return make_flow_engine(
         model, velocity, {"ctx": jnp.bfloat16, "pooled": jnp.bfloat16},
         max_batch=max_batch, pipeline_depth=pipeline_depth,
-        sampler=sampler)
+        sampler=sampler, dp_mesh=dp_mesh)
 
 
 @dataclasses.dataclass

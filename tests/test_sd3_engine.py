@@ -128,3 +128,41 @@ def test_sd3_engine_dpmpp_2m_matches_direct(model):
                                direct(x1, c1, s1), rtol=0.05, atol=0.05)
     np.testing.assert_allclose(r2.result.astype(np.float32),
                                direct(x2, c2, s2), rtol=0.05, atol=0.05)
+
+
+def test_sd3_engine_dp_mesh_matches_unsharded(model):
+    """dp_mesh: params replicated once, pooled batch GSPMD-sharded along
+    lanes — results equal the unsharded engine; buckets snap to dp
+    multiples so shards stay shape-static."""
+    import jax
+    from jax.sharding import Mesh
+
+    mdl, dims = model
+    mesh = Mesh(np.array(jax.devices()[:2]), ("dp",))
+
+    def mk(seed, steps):
+        rng = np.random.default_rng(seed)
+        return (rng.standard_normal((H_LAT, W_LAT, dims.in_ch)).astype(
+            np.float32), _cond(dims, seed), linear_schedule(steps))
+
+    x1, c1, s1 = mk(80, 3)
+    x2, c2, s2 = mk(81, 3)
+
+    results = []
+    for dp in (None, mesh):
+        eng = pipeline.sd3_engine(mdl, max_batch=2, dp_mesh=dp)
+        if dp is not None:
+            assert eng.batch_sizes == (2,)  # snapped to dp multiples
+        r1 = eng.submit(x1.copy(), c1, s1)
+        r2 = eng.submit(x2.copy(), c2, s2)
+        eng.run_until_drained()
+        assert r1.finished and r2.finished and r1.error is None
+        results.append((r1.result.astype(np.float32),
+                        r2.result.astype(np.float32)))
+
+    (a1, a2), (b1, b2) = results
+    np.testing.assert_allclose(b1, a1, rtol=2e-2, atol=2e-2)
+    np.testing.assert_allclose(b2, a2, rtol=2e-2, atol=2e-2)
+
+    with pytest.raises(ValueError, match="divisible"):
+        pipeline.sd3_engine(mdl, max_batch=3, dp_mesh=mesh)
