@@ -199,13 +199,16 @@ def _tile_positions(size: int, tile: int, stride: int) -> list[int]:
 
 
 def _feather_mask(th: int, tw: int, feather: int) -> jnp.ndarray:
-    """(th, tw, 1) separable linear ramp mask; interior value 1."""
+    """(th, tw, 1) separable linear ramp mask; interior value 1. The
+    feather clamps to half the side per axis so degenerate tiles (one
+    dimension smaller than the overlap — panorama strips) stay legal."""
     def ramp(n):
         w = jnp.ones((n,), jnp.float32)
-        if feather > 0:
-            r = (jnp.arange(feather, dtype=jnp.float32) + 1.0) / feather
-            w = w.at[:feather].mul(r)
-            w = w.at[n - feather:].mul(r[::-1])
+        f = min(feather, n // 2)
+        if f > 0:
+            r = (jnp.arange(f, dtype=jnp.float32) + 1.0) / f
+            w = w.at[:f].mul(r)
+            w = w.at[n - f:].mul(r[::-1])
         return w
     return (ramp(th)[:, None] * ramp(tw)[None, :])[..., None]
 
@@ -369,8 +372,9 @@ def tiled_apply_video(fn, x: jax.Array, tile: int, overlap: int):
         fn, jax.ShapeDtypeStruct((B, T, th_in, tw_in, C), x.dtype))
     _, T_out, th, tw, C_out = probe.shape
     f = th // th_in
-    if th != th_in * f or tw != tw_in * (tw // tw_in):
-        raise ValueError(f"non-integral spatial factor: {probe.shape}")
+    if th != th_in * f or tw != tw_in * f:
+        raise ValueError(f"non-integral or asymmetric spatial factor: "
+                         f"in ({th_in}, {tw_in}) -> out {probe.shape}")
 
     pos = [(i, j) for i in _tile_positions(H, tile, stride)
            for j in _tile_positions(W, tile, stride)]

@@ -483,10 +483,16 @@ class FluxPipeline:
         img_ids = jnp.asarray(
             flux_model.make_img_ids(h_lat // 2, w_lat // 2, 1))
 
+        def _as_list(v):
+            if v is None:
+                return []
+            return [v] if not isinstance(v, (list, tuple)) else list(v)
+
+        ref_images, ref_latents = _as_list(ref_images), _as_list(ref_latents)
         ref_tok = None
         if ref_images or ref_latents:
-            refs = [jnp.asarray(r, jnp.float32) for r in (ref_latents or [])]
-            for im in (ref_images or []):
+            refs = [jnp.asarray(r, jnp.float32) for r in ref_latents]
+            for im in ref_images:
                 if self.vae_params is None:
                     raise ValueError("ref_images need a VAE; pass "
                                      "ref_latents instead")
@@ -543,6 +549,20 @@ def _sig_expand(s, x):
         (x.shape[0],) + (1,) * (x.ndim - 1))
 
 
+def _cfg_mix_velocity(fwd, model, ckey: str = "ctx", nkey: str = "nctx"):
+    """Velocity closure for CFG-mixing engines: conditional +
+    unconditional forwards, per-request scale mixed in f32."""
+    def velocity(params, x, s_cur, cond):
+        v_c = fwd(params, model.config, x, cond[ckey], s_cur,
+                  qcfg=model.qcfg)
+        v_u = fwd(params, model.config, x, cond[nkey], s_cur,
+                  qcfg=model.qcfg)
+        return v_u.astype(jnp.float32) + _sig_expand(
+            cond["cfg_scale"], x) * (v_c.astype(jnp.float32)
+                                     - v_u.astype(jnp.float32))
+    return velocity
+
+
 def make_flow_engine(model: DiffusionModel, velocity, cond_spec: dict, *,
                      max_batch: int = 4, pipeline_depth: int = 1,
                      sampler: str = "euler", dp_mesh=None):
@@ -578,8 +598,9 @@ def make_flow_engine(model: DiffusionModel, velocity, cond_spec: dict, *,
         if max_batch % dp:
             raise ValueError(f"max_batch {max_batch} not divisible by "
                              f"dp={dp}")
-        batch_sizes = tuple(dp * m for m in (1, 2, 4, 8, 16)
-                            if dp * m <= max_batch)
+        batch_sizes = tuple(sorted(
+            {dp * m for m in (1, 2, 4, 8, 16) if dp * m <= max_batch}
+            | {max_batch}))  # max_batch itself is always a bucket
         batched = NamedSharding(dp_mesh, P("dp"))
         replicated = NamedSharding(dp_mesh, P())
         # replicate the (packed) weights across the dp axis once
@@ -739,14 +760,7 @@ def wan_engine(model: DiffusionModel, max_batch: int = 2,
     fwd = (wan_model.forward_stacked if "blocks" in model.params
            else wan_model.forward)
 
-    def velocity(params, x, s_cur, cond):
-        v_c = fwd(params, model.config, x, cond["ctx"], s_cur,
-                  qcfg=model.qcfg)
-        v_u = fwd(params, model.config, x, cond["nctx"], s_cur,
-                  qcfg=model.qcfg)
-        return v_u.astype(jnp.float32) + _sig_expand(
-            cond["cfg_scale"], x) * (v_c.astype(jnp.float32)
-                                     - v_u.astype(jnp.float32))
+    velocity = _cfg_mix_velocity(fwd, model)
 
     return make_flow_engine(
         model, velocity, {"ctx": jnp.bfloat16, "nctx": jnp.bfloat16,
@@ -914,14 +928,7 @@ def cosmos_engine(model: DiffusionModel, max_batch: int = 2,
     fwd = (cosmos_model.forward_stacked
            if "blocks" in model.params else cosmos_model.forward)
 
-    def velocity(params, x, s_cur, cond):
-        v_c = fwd(params, model.config, x, cond["ctx"], s_cur,
-                  qcfg=model.qcfg)
-        v_u = fwd(params, model.config, x, cond["nctx"], s_cur,
-                  qcfg=model.qcfg)
-        return v_u.astype(jnp.float32) + _sig_expand(
-            cond["cfg_scale"], x) * (v_c.astype(jnp.float32)
-                                     - v_u.astype(jnp.float32))
+    velocity = _cfg_mix_velocity(fwd, model)
 
     return make_flow_engine(
         model, velocity, {"ctx": jnp.bfloat16, "nctx": jnp.bfloat16,
@@ -944,14 +951,7 @@ def aura_engine(model: DiffusionModel, max_batch: int = 4,
     fwd = (aura_model.forward_stacked
            if "double_layers" in model.params else aura_model.forward)
 
-    def velocity(params, x, s_cur, cond):
-        v_c = fwd(params, model.config, x, cond["ctx"], s_cur,
-                  qcfg=model.qcfg)
-        v_u = fwd(params, model.config, x, cond["nctx"], s_cur,
-                  qcfg=model.qcfg)
-        return v_u.astype(jnp.float32) + _sig_expand(
-            cond["cfg_scale"], x) * (v_c.astype(jnp.float32)
-                                     - v_u.astype(jnp.float32))
+    velocity = _cfg_mix_velocity(fwd, model)
 
     return make_flow_engine(
         model, velocity, {"ctx": jnp.bfloat16, "nctx": jnp.bfloat16,
@@ -974,14 +974,7 @@ def lumina2_engine(model: DiffusionModel, max_batch: int = 4,
     fwd = (lumina2_model.forward_stacked
            if "layers" in model.params else lumina2_model.forward)
 
-    def velocity(params, x, s_cur, cond):
-        v_c = fwd(params, model.config, x, cond["cap"], s_cur,
-                  qcfg=model.qcfg)
-        v_u = fwd(params, model.config, x, cond["ncap"], s_cur,
-                  qcfg=model.qcfg)
-        return v_u.astype(jnp.float32) + _sig_expand(
-            cond["cfg_scale"], x) * (v_c.astype(jnp.float32)
-                                     - v_u.astype(jnp.float32))
+    velocity = _cfg_mix_velocity(fwd, model, ckey="cap", nkey="ncap")
 
     return make_flow_engine(
         model, velocity, {"cap": jnp.bfloat16, "ncap": jnp.bfloat16,
@@ -1136,6 +1129,8 @@ class SD3Pipeline:
                 m = jax.image.resize(jnp.asarray(inpaint_mask, jnp.float32),
                                      (h_lat, w_lat), method="nearest")
                 mask = jnp.broadcast_to(m[None, :, :, None], z0.shape)
+        elif inpaint_mask is not None:
+            raise ValueError("inpaint_mask needs an init_image")
         model = self.model
 
         # stacked trees (DiffusionModel.stack) take the scanned forward

@@ -158,7 +158,9 @@ def euler_ancestral_sample_sigma(denoiser, x: jax.Array, sigmas,
         s, s_next = sigmas[i], sigmas[i + 1]
         su2 = (eta ** 2 * s_next ** 2 * (s ** 2 - s_next ** 2)
                / jnp.maximum(s ** 2, 1e-12))
-        su = jnp.sqrt(jnp.maximum(su2, 0.0))
+        # k-diffusion clamps sigma_up to sigma_to (matters for eta > 1:
+        # without it sd collapses to 0 and x is discarded entirely)
+        su = jnp.minimum(jnp.sqrt(jnp.maximum(su2, 0.0)), s_next)
         sd = jnp.sqrt(jnp.maximum(s_next ** 2 - su ** 2, 0.0))
         xf = x.astype(jnp.float32)
         d = (xf - denoiser(x, s).astype(jnp.float32)) / s
@@ -321,7 +323,8 @@ def dpmpp_sde_sample_sigma(denoiser, x: jax.Array, sigmas, key,
     def ancestral(s_from, s_to):
         su2 = (eta ** 2 * s_to ** 2 * (s_from ** 2 - s_to ** 2)
                / jnp.maximum(s_from ** 2, eps))
-        su = jnp.sqrt(jnp.maximum(su2, 0.0)) * s_noise
+        # clamp sigma_up to sigma_to like k-diffusion get_ancestral_step
+        su = jnp.minimum(jnp.sqrt(jnp.maximum(su2, 0.0)), s_to) * s_noise
         sd = jnp.sqrt(jnp.maximum(s_to ** 2 - su ** 2, 0.0))
         return sd, su
 

@@ -52,6 +52,9 @@ def main():
     L_img = (h_lat // 2) * (w_lat // 2)
 
     previewer = on_step = None
+    if args.preview_every and not args.vae:
+        print("warning: --preview-every needs --vae to calibrate the "
+              "latent->RGB projection; previews disabled", file=sys.stderr)
     if args.preview_every:
         # VAE-calibrated latent->RGB sketch, written every N engine ticks
         from comfyui_gguf_tpu.preview import previewer_for_vae

@@ -171,8 +171,9 @@ def test_kontext_ref_latents(flux_pipe):
 
     base = flux_pipe.generate("a cat", width=64, height=64, steps=2,
                               seed=5, max_t5_len=8)
+    # bare ndarray (not a list): must normalize, not hit numpy truthiness
     a1 = flux_pipe.generate("a cat", width=64, height=64, steps=2, seed=5,
-                            max_t5_len=8, ref_latents=[ref_a])
+                            max_t5_len=8, ref_latents=ref_a)
     a2 = flux_pipe.generate("a cat", width=64, height=64, steps=2, seed=5,
                             max_t5_len=8, ref_latents=[ref_a])
     b = flux_pipe.generate("a cat", width=64, height=64, steps=2, seed=5,

@@ -645,3 +645,23 @@ def test_sdxl_inpaint_mask_requires_init():
     with _pytest.raises((ValueError, AttributeError)):
         pipe.generate_from_ids(ids, ids, width=64, height=64, steps=2,
                                inpaint_mask=np.ones((8, 8), np.float32))
+
+
+def test_sd3_inpaint_mask_requires_init_image():
+    from comfyui_gguf_tpu.models import testing
+    from comfyui_gguf_tpu.nn.layers import QuantConfig
+
+    dims = testing.TinySD3Dims(depth=2)
+    params = testing.sd3_random_quant_params(dims, seed=3)
+    model = pipeline.DiffusionModel(arch="sd3", params=params,
+                                    config=dims.config(),
+                                    qcfg=QuantConfig(prefer_pallas=False))
+    pipe = pipeline.SD3Pipeline(model=model,
+                                clip_l=StubEncoder("clip_l", 16, 8),
+                                clip_g=StubEncoder("clip_g", 16, 8))
+    import jax.numpy as jnp
+    ids = jnp.ones((1, 4), jnp.int32)
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="init_image"):
+        pipe.generate_from_ids(ids, ids, width=64, height=64, steps=2,
+                               inpaint_mask=np.ones((8, 8), np.float32))

@@ -289,3 +289,21 @@ def test_uni_pc_through_flow_adapter():
     sig = jnp.asarray(np.linspace(1.0, 0.0, 5), jnp.float32)
     out = fm.FLOW_SAMPLERS["uni_pc"](vel, x0, sig)
     np.testing.assert_allclose(np.asarray(out), c, rtol=1e-4, atol=1e-4)
+
+
+def test_ancestral_eta2_clamped_still_converges():
+    """eta > 1: sigma_up clamps to sigma_to (k-diffusion), so the
+    trajectory retains the deterministic component and a perfect
+    denoiser still lands exactly on its target."""
+    c = jnp.full((2, 8), 3.5, jnp.float32)
+    den = lambda x, s: jnp.broadcast_to(c, x.shape)
+    x0 = jnp.full((2, 8), -20.0, jnp.float32)
+    sig = _sched(8)
+    out = kd.euler_ancestral_sample_sigma(den, x0, sig, jax.random.key(0),
+                                          eta=2.0)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(c), rtol=1e-4,
+                               atol=1e-4)
+    out2 = kd.dpmpp_sde_sample_sigma(den, x0, sig, jax.random.key(0),
+                                     eta=2.0)
+    np.testing.assert_allclose(np.asarray(out2), np.asarray(c), rtol=1e-4,
+                               atol=1e-4)

@@ -166,3 +166,7 @@ def test_sd3_engine_dp_mesh_matches_unsharded(model):
 
     with pytest.raises(ValueError, match="divisible"):
         pipeline.sd3_engine(mdl, max_batch=3, dp_mesh=mesh)
+    # non-power-of-two max_batch: max_batch itself must stay a bucket so
+    # pad never goes negative (6 % 2 == 0, but 6 is not dp*2^k)
+    eng6 = pipeline.sd3_engine(mdl, max_batch=6, dp_mesh=mesh)
+    assert eng6.batch_sizes[-1] == 6

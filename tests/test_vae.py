@@ -251,3 +251,14 @@ def test_auto_tiling_env(tiny_vae, cfg, monkeypatch):
     te = vae.encode_auto(tiny_vae, cfg, img)
     we = vae.encode_tiled(tiny_vae, cfg, img, tile=16 * f, overlap=4 * f)
     np.testing.assert_array_equal(np.asarray(te), np.asarray(we))
+
+
+def test_tiled_apply_strip_feather_clamp():
+    """Degenerate strip tiles (one side smaller than the overlap) must
+    stay legal: the feather clamps per axis and identity still holds."""
+    rng = np.random.default_rng(12)
+    x = jnp.asarray(rng.standard_normal((1, 4, 40, 3)), jnp.float32)
+    out = vae.tiled_apply(lambda t: t, x, tile=8, overlap=4, factor=1,
+                          out_channels=3)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(x), rtol=1e-5,
+                               atol=1e-6)
