@@ -661,7 +661,8 @@ def make_flow_engine(model: DiffusionModel, velocity, cond_spec: dict, *,
 def flux_engine(model: DiffusionModel, h_lat: int, w_lat: int,
                 txt_len: int, max_batch: int = 4,
                 pipeline_depth: int = 1, mesh=None,
-                sampler: str = "euler"):
+                sampler: str = "euler",
+                dp_mesh=None):
     """Continuous-batching engine for a loaded flux model.
 
     ``sampler="dpmpp_2m"`` runs 2nd-order multistep per LANE (each
@@ -711,12 +712,13 @@ def flux_engine(model: DiffusionModel, h_lat: int, w_lat: int,
         model, velocity,
         {"txt": jnp.bfloat16, "y": jnp.bfloat16, "guidance": jnp.float32},
         max_batch=max_batch, pipeline_depth=pipeline_depth,
-        sampler=sampler)
+        sampler=sampler, dp_mesh=dp_mesh)
 
 
 def qwen_image_engine(model: DiffusionModel, h_tok: int, w_tok: int,
                       txt_len: int, max_batch: int = 4,
-                      pipeline_depth: int = 1, sampler: str = "euler"):
+                      pipeline_depth: int = 1, sampler: str = "euler",
+                      dp_mesh=None):
     """Continuous-batching engine for a loaded Qwen-Image model.
 
     Requests carry patchified latent tokens (L_img, in_channels) + cond
@@ -745,7 +747,8 @@ def qwen_image_engine(model: DiffusionModel, h_tok: int, w_tok: int,
 
 
 def wan_engine(model: DiffusionModel, max_batch: int = 2,
-               pipeline_depth: int = 1, sampler: str = "euler"):
+               pipeline_depth: int = 1, sampler: str = "euler",
+               dp_mesh=None):
     """Continuous-batching engine for a loaded Wan 2.1 t2v model — video
     serving: requests carry (F, H, W, C) latent video + cond {"ctx",
     "nctx", "cfg_scale"}; each tick runs the conditional AND
@@ -766,11 +769,12 @@ def wan_engine(model: DiffusionModel, max_batch: int = 2,
         model, velocity, {"ctx": jnp.bfloat16, "nctx": jnp.bfloat16,
                           "cfg_scale": jnp.float32},
         max_batch=max_batch, pipeline_depth=pipeline_depth,
-        sampler=sampler)
+        sampler=sampler, dp_mesh=dp_mesh)
 
 
 def hyvid_engine(model: DiffusionModel, max_batch: int = 2,
-                 pipeline_depth: int = 1, sampler: str = "euler"):
+                 pipeline_depth: int = 1, sampler: str = "euler",
+                 dp_mesh=None):
     """Continuous-batching engine for a loaded HunyuanVideo model —
     guidance-distilled video serving: requests carry (F, H, W, C) latent
     video + cond {"txt", "guidance"}; one conditional forward per tick
@@ -790,11 +794,12 @@ def hyvid_engine(model: DiffusionModel, max_batch: int = 2,
     return make_flow_engine(
         model, velocity, {"txt": jnp.bfloat16, "guidance": jnp.float32},
         max_batch=max_batch, pipeline_depth=pipeline_depth,
-        sampler=sampler)
+        sampler=sampler, dp_mesh=dp_mesh)
 
 
 def ltxv_engine(model: DiffusionModel, max_batch: int = 2,
-                pipeline_depth: int = 1, sampler: str = "euler"):
+                pipeline_depth: int = 1, sampler: str = "euler",
+                dp_mesh=None):
     """Continuous-batching engine for a loaded LTX-Video model — token
     video serving: requests carry (L, in_channels) latent voxels + cond
     {"ids" (L, 3) voxel positions, "ctx", "nctx", "cfg_scale"}; each tick
@@ -821,7 +826,7 @@ def ltxv_engine(model: DiffusionModel, max_batch: int = 2,
         model, velocity, {"ids": jnp.int32, "ctx": jnp.bfloat16,
                           "nctx": jnp.bfloat16, "cfg_scale": jnp.float32},
         max_batch=max_batch, pipeline_depth=pipeline_depth,
-        sampler=sampler)
+        sampler=sampler, dp_mesh=dp_mesh)
 
 
 def unet_engine(model: DiffusionModel, max_batch: int = 4,
@@ -893,7 +898,8 @@ def unet_engine(model: DiffusionModel, max_batch: int = 4,
 
 
 def hidream_engine(model: DiffusionModel, max_batch: int = 2,
-                   pipeline_depth: int = 1, sampler: str = "euler"):
+                   pipeline_depth: int = 1, sampler: str = "euler",
+                   dp_mesh=None):
     """Continuous-batching engine for a loaded HiDream-I1 MoE model:
     requests carry (H, W, C) spatial latents + cond {"t5", "llama",
     "pooled"} (quad-encoder states, guidance-distilled — one forward per
@@ -911,11 +917,12 @@ def hidream_engine(model: DiffusionModel, max_batch: int = 2,
         model, velocity, {"t5": jnp.bfloat16, "llama": jnp.bfloat16,
                           "pooled": jnp.bfloat16},
         max_batch=max_batch, pipeline_depth=pipeline_depth,
-        sampler=sampler)
+        sampler=sampler, dp_mesh=dp_mesh)
 
 
 def cosmos_engine(model: DiffusionModel, max_batch: int = 2,
-                  pipeline_depth: int = 1, sampler: str = "euler"):
+                  pipeline_depth: int = 1, sampler: str = "euler",
+                  dp_mesh=None):
     """Continuous-batching engine for a loaded Cosmos Predict2 model —
     t2i/t2v serving: requests carry (F, H, W, C) NDHWC latents + cond
     {"ctx", "nctx", "cfg_scale"} (T5 states); each tick runs the
@@ -934,11 +941,12 @@ def cosmos_engine(model: DiffusionModel, max_batch: int = 2,
         model, velocity, {"ctx": jnp.bfloat16, "nctx": jnp.bfloat16,
                           "cfg_scale": jnp.float32},
         max_batch=max_batch, pipeline_depth=pipeline_depth,
-        sampler=sampler)
+        sampler=sampler, dp_mesh=dp_mesh)
 
 
 def aura_engine(model: DiffusionModel, max_batch: int = 4,
-                pipeline_depth: int = 1, sampler: str = "euler"):
+                pipeline_depth: int = 1, sampler: str = "euler",
+                dp_mesh=None):
     """Continuous-batching engine for a loaded AuraFlow model: requests
     carry (H, W, C) spatial latents + cond {"ctx", "nctx", "cfg_scale"}
     (Pile-T5 states, padded to a fixed length per bucket); each tick runs
@@ -957,11 +965,12 @@ def aura_engine(model: DiffusionModel, max_batch: int = 4,
         model, velocity, {"ctx": jnp.bfloat16, "nctx": jnp.bfloat16,
                           "cfg_scale": jnp.float32},
         max_batch=max_batch, pipeline_depth=pipeline_depth,
-        sampler=sampler)
+        sampler=sampler, dp_mesh=dp_mesh)
 
 
 def lumina2_engine(model: DiffusionModel, max_batch: int = 4,
-                   pipeline_depth: int = 1, sampler: str = "euler"):
+                   pipeline_depth: int = 1, sampler: str = "euler",
+                   dp_mesh=None):
     """Continuous-batching engine for a loaded Lumina Image 2.0 model:
     requests carry (H, W, C) spatial latents + cond {"cap", "ncap",
     "cfg_scale"} (Gemma2 hidden states, padded to a fixed length per
@@ -980,7 +989,7 @@ def lumina2_engine(model: DiffusionModel, max_batch: int = 4,
         model, velocity, {"cap": jnp.bfloat16, "ncap": jnp.bfloat16,
                           "cfg_scale": jnp.float32},
         max_batch=max_batch, pipeline_depth=pipeline_depth,
-        sampler=sampler)
+        sampler=sampler, dp_mesh=dp_mesh)
 
 
 def sd3_engine(model: DiffusionModel, max_batch: int = 4,
