@@ -743,7 +743,7 @@ def qwen_image_engine(model: DiffusionModel, h_tok: int, w_tok: int,
 
     return make_flow_engine(
         model, velocity, {"txt": jnp.bfloat16}, max_batch=max_batch,
-        pipeline_depth=pipeline_depth, sampler=sampler)
+        pipeline_depth=pipeline_depth, sampler=sampler, dp_mesh=dp_mesh)
 
 
 def wan_engine(model: DiffusionModel, max_batch: int = 2,
