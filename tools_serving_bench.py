@@ -40,6 +40,7 @@ def main():
     max_batch = int(sys.argv[3]) if len(sys.argv) > 3 else 2
     depths = [int(d) for d in
               (sys.argv[4] if len(sys.argv) > 4 else "1,4").split(",")]
+    sampler = sys.argv[5] if len(sys.argv) > 5 else "euler"
 
     on_tpu = any(d.platform == "tpu" for d in jax.devices())
     if on_tpu:
@@ -60,7 +61,7 @@ def main():
                                     config=dims.config(),
                                     qcfg=QuantConfig())
     eng = pipeline.flux_engine(model, h_lat, w_lat, txt_len,
-                               max_batch=max_batch)
+                               max_batch=max_batch, sampler=sampler)
 
     rng = np.random.default_rng(0)
     L = (h_lat // 2) * (w_lat // 2)
@@ -105,7 +106,7 @@ def main():
         out = {
             "config": f"flux-dev-dims Q4_K 1024² serving, {n_req} req × "
                       f"{steps} steps, max_batch {max_batch}, "
-                      f"pipeline_depth {depth}"
+                      f"pipeline_depth {depth}, sampler {sampler}"
                       + ("" if on_tpu else " (cpu-smoke)"),
             "wall_s": round(wall, 2),
             "steps_per_second": snap["steps_per_second"],
