@@ -98,15 +98,19 @@ def _attention(params, p, xq, xkv, n_heads, qcfg, pe=None):
     # over the full inner dim, weight (dim,)) before the head split;
     # dispatch on the stored weight's length so a per-head (head_dim,)
     # variant also works
+    normed = False
     if f"{p}.q_norm.weight" in params:
         qn, kn = params[f"{p}.q_norm.weight"], params[f"{p}.k_norm.weight"]
         qn_len = int(np.prod(getattr(qn, "shape", np.shape(qn))))
         if qn_len == q.shape[-1]:  # across heads, pre-split
             q = rms_norm(q, qn, eps=1e-6)
             k = rms_norm(k, kn, eps=1e-6)
+            normed = True
     q, k, v = _heads(q, n_heads), _heads(k, n_heads), _heads(v, n_heads)
-    if (f"{p}.q_norm.weight" in params
+    if (f"{p}.q_norm.weight" in params and not normed
             and qn_len == q.shape[-1]):  # per-head, post-split
+        # `normed` keeps n_heads == 1 (dim == head_dim: both layouts
+        # coincide) from applying the weight twice
         q = rms_norm(q, params[f"{p}.q_norm.weight"], eps=1e-6)
         k = rms_norm(k, params[f"{p}.k_norm.weight"], eps=1e-6)
     if pe is not None:

@@ -323,10 +323,13 @@ def dpmpp_sde_sample_sigma(denoiser, x: jax.Array, sigmas, key,
     def ancestral(s_from, s_to):
         su2 = (eta ** 2 * s_to ** 2 * (s_from ** 2 - s_to ** 2)
                / jnp.maximum(s_from ** 2, eps))
-        # clamp sigma_up to sigma_to like k-diffusion get_ancestral_step
-        su = jnp.minimum(jnp.sqrt(jnp.maximum(su2, 0.0)), s_to) * s_noise
+        # clamp sigma_up to sigma_to like k-diffusion get_ancestral_step;
+        # sigma_down derives from the UNscaled sigma_up — s_noise scales
+        # only the injected noise (k-diffusion applies it at the noise
+        # add, not inside the variance split)
+        su = jnp.minimum(jnp.sqrt(jnp.maximum(su2, 0.0)), s_to)
         sd = jnp.sqrt(jnp.maximum(s_to ** 2 - su ** 2, 0.0))
-        return sd, su
+        return sd, su * s_noise
 
     def step(carry, i):
         x, key = carry

@@ -177,10 +177,18 @@ class ContinuousBatchEngine:
         self._thread = threading.Thread(target=self._loop, daemon=True)
         self._thread.start()
 
-    def stop(self):
+    def stop(self, timeout_s: float = 600.0):
         self._stop.set()
         if self._thread:
-            self._thread.join(timeout=30)
+            # first tick can be a multi-minute jit compile; joining past
+            # it matters — running _sync() while the engine thread is
+            # still inside tick() would race on _pending/active
+            self._thread.join(timeout=timeout_s)
+            if self._thread.is_alive():
+                log.warning("engine thread still running after %.0fs; "
+                            "skipping final sync (call stop() again "
+                            "after it settles)", timeout_s)
+                return
         self._sync()  # flush any in-flight window (engine thread is dead)
 
     def _loop(self):
