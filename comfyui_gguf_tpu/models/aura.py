@@ -229,19 +229,12 @@ def stack_aura_params(params: dict, cfg: AuraConfig) -> dict:
     """Flat GGUF-keyed params → {non-layer keys, "double_layers": stacked
     subtree, "single_layers": stacked subtree} for the scanned forward
     (AuraFlow layers are homogeneous within each kind)."""
-    from .flux import block_subtree
+    from .flux import stack_block_groups
 
-    out = {k: v for k, v in params.items()
-           if not k.startswith(("double_layers.", "single_layers."))}
-    for kind, n in (("double_layers", cfg.depth_double),
-                    ("single_layers", cfg.depth_single)):
-        subs = [block_subtree(params, f"{kind}.{i}.") for i in range(n)]
-        keysets = {frozenset(s) for s in subs}
-        if len(keysets) > 1:
-            raise ValueError(f"non-homogeneous aura {kind}; use forward()")
-        out[kind] = (jax.tree.map(lambda *xs: jnp.stack(xs), *subs)
-                     if subs else {})
-    return out
+    return stack_block_groups(params,
+                              [("double_layers", cfg.depth_double),
+                               ("single_layers", cfg.depth_single)],
+                              arch="aura")
 
 
 def forward_stacked(sparams: dict, cfg: AuraConfig, latent: jax.Array,

@@ -188,17 +188,10 @@ def stack_cosmos_params(params: dict, cfg: CosmosConfig) -> dict:
     """Flat GGUF-keyed params → {non-block keys, "blocks": stacked
     subtree over the depth axis} for the scanned forward. Cosmos blocks
     are fully homogeneous."""
-    from .flux import block_subtree
+    from .flux import stack_block_groups
 
-    out = {k: v for k, v in params.items() if not k.startswith("blocks.")}
-    subs = [block_subtree(params, f"blocks.{i}.")
-            for i in range(cfg.n_layers)]
-    keysets = {frozenset(s) for s in subs}
-    if len(keysets) > 1:
-        raise ValueError("non-homogeneous cosmos blocks; use forward()")
-    out["blocks"] = (jax.tree.map(lambda *xs: jnp.stack(xs), *subs)
-                     if subs else {})
-    return out
+    return stack_block_groups(params, [("blocks", cfg.n_layers)],
+                              arch="cosmos")
 
 
 def forward_stacked(sparams: dict, cfg: CosmosConfig, latent: jax.Array,

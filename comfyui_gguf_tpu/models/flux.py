@@ -166,6 +166,27 @@ def block_subtree(params, prefix: str) -> dict:
     return {k[n:]: v for k, v in params.items() if k.startswith(prefix)}
 
 
+def stack_block_groups(params: dict, groups, arch: str = "") -> dict:
+    """Flat GGUF-keyed params → {non-block keys, out_key: depth-stacked
+    subtree per group} for the scanned forwards.
+
+    ``groups``: iterable of ``(out_key, n)`` — blocks live under
+    ``{out_key}.{i}.``. Every block in a group must expose the same key
+    set (a heterogeneous stack can't run under one lax.scan); callers
+    with tails/special blocks (flux guidance, sd3's pre-only last block)
+    handle those around this helper."""
+    prefixes = tuple(f"{g[0]}." for g in groups)
+    out = {k: v for k, v in params.items() if not k.startswith(prefixes)}
+    for out_key, n in groups:
+        subs = [block_subtree(params, f"{out_key}.{i}.") for i in range(n)]
+        if len({frozenset(s) for s in subs}) > 1:
+            raise ValueError(f"non-homogeneous {arch or out_key} blocks; "
+                             "use forward()")
+        out[out_key] = (jax.tree.map(lambda *xs: jnp.stack(xs), *subs)
+                        if subs else {})
+    return out
+
+
 def _double_block(p: dict, img, txt, vec, pe, cfg: FluxConfig, qcfg):
     """One double-stream block over its UNPREFIXED param subtree ``p``
     (scan-compatible: the same function runs under lax.scan with stacked

@@ -287,19 +287,12 @@ def stack_hyvid_params(params: dict, cfg: HyVidConfig) -> dict:
     subtree, "single_blocks": stacked subtree} for the scanned forward
     (same layout as flux.stack_flux_params — HYV blocks are homogeneous
     within each kind)."""
-    from .flux import block_subtree
+    from .flux import stack_block_groups
 
-    out = {k: v for k, v in params.items()
-           if not k.startswith(("double_blocks.", "single_blocks."))}
-    for kind, n in (("double_blocks", cfg.depth_double),
-                    ("single_blocks", cfg.depth_single)):
-        subs = [block_subtree(params, f"{kind}.{i}.") for i in range(n)]
-        keysets = {frozenset(s) for s in subs}
-        if len(keysets) > 1:
-            raise ValueError(f"non-homogeneous hyvid {kind}; use forward()")
-        out[kind] = (jax.tree.map(lambda *xs: jnp.stack(xs), *subs)
-                     if subs else {})
-    return out
+    return stack_block_groups(params,
+                              [("double_blocks", cfg.depth_double),
+                               ("single_blocks", cfg.depth_single)],
+                              arch="hyvid")
 
 
 def forward_stacked(sparams: dict, cfg: HyVidConfig, latent: jax.Array,

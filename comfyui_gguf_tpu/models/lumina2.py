@@ -219,17 +219,10 @@ def stack_lumina2_params(params: dict, cfg: Lumina2Config) -> dict:
     """Flat GGUF-keyed params → {non-layer keys, "layers": stacked
     subtree} for the scanned forward. The context/noise refiners (few
     blocks) stay flat and run unrolled in the prelude."""
-    from .flux import block_subtree
+    from .flux import stack_block_groups
 
-    out = {k: v for k, v in params.items() if not k.startswith("layers.")}
-    subs = [block_subtree(params, f"layers.{i}.")
-            for i in range(cfg.n_layers)]
-    keysets = {frozenset(s) for s in subs}
-    if len(keysets) > 1:
-        raise ValueError("non-homogeneous lumina2 layers; use forward()")
-    out["layers"] = (jax.tree.map(lambda *xs: jnp.stack(xs), *subs)
-                     if subs else {})
-    return out
+    return stack_block_groups(params, [("layers", cfg.n_layers)],
+                              arch="lumina2")
 
 
 def forward_stacked(sparams: dict, cfg: Lumina2Config, latent: jax.Array,

@@ -185,18 +185,10 @@ def stack_qwen_params(params: dict, cfg: QwenImageConfig) -> dict:
     """Flat GGUF-keyed params → {non-block keys, "transformer_blocks":
     stacked subtree over the depth axis} for the scanned forward.
     Qwen-Image blocks are fully homogeneous (no pre-only tail)."""
-    from .flux import block_subtree
+    from .flux import stack_block_groups
 
-    out = {k: v for k, v in params.items()
-           if not k.startswith("transformer_blocks.")}
-    subs = [block_subtree(params, f"transformer_blocks.{i}.")
-            for i in range(cfg.n_layers)]
-    keysets = {frozenset(s) for s in subs}
-    if len(keysets) > 1:
-        raise ValueError("non-homogeneous transformer blocks; use forward()")
-    out["transformer_blocks"] = (
-        jax.tree.map(lambda *xs: jnp.stack(xs), *subs) if subs else {})
-    return out
+    return stack_block_groups(
+        params, [("transformer_blocks", cfg.n_layers)], arch="qwen-image")
 
 
 def forward_stacked(sparams: dict, cfg: QwenImageConfig, img: jax.Array,

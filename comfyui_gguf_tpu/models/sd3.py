@@ -259,20 +259,15 @@ def stack_sd3_params(params: dict, cfg: SD3Config) -> dict:
     Requires a homogeneous prefix: dual-attention layers (sd3.5-medium)
     have extra ``attn2`` keys and cannot be depth-stacked — use the
     unrolled forward() for those checkpoints."""
-    from .flux import block_subtree
+    from .flux import block_subtree, stack_block_groups
 
     if cfg.dual_attn_layers:
         raise ValueError("dual-attention layers break block homogeneity; "
                          "use forward() for sd3.5-medium checkpoints")
-    out = {k: v for k, v in params.items()
-           if not k.startswith("joint_blocks.")}
-    subs = [block_subtree(params, f"joint_blocks.{i}.")
-            for i in range(cfg.depth - 1)]
-    keysets = {frozenset(s) for s in subs}
-    if len(keysets) > 1:
-        raise ValueError("non-homogeneous joint blocks; use forward()")
-    out["joint_blocks"] = (jax.tree.map(lambda *xs: jnp.stack(xs), *subs)
-                           if subs else {})
+    out = stack_block_groups(
+        {k: v for k, v in params.items()
+         if not k.startswith(f"joint_blocks.{cfg.depth - 1}.")},
+        [("joint_blocks", cfg.depth - 1)], arch="sd3")
     out["joint_blocks_last"] = block_subtree(params,
                                              f"joint_blocks.{cfg.depth - 1}.")
     return out
