@@ -215,8 +215,7 @@ def _attn_joint(params, p, img_mod, txt_mod, H, qcfg):
     return a.transpose(0, 2, 1, 3).reshape(B, L, Hn * D)
 
 
-def _double_block(params, i, img, txt, vec, cfg: HiDreamConfig, qcfg):
-    p = f"double_stream_blocks.{i}.block"
+def _double_block(params, p, img, txt, vec, cfg: HiDreamConfig, qcfg):
     H = cfg.n_heads
     chunks = _adaln(params, p, vec, qcfg, cfg.hidden)
     (i_sh1, i_sc1, i_g1, i_sh2, i_sc2, i_g2,
@@ -241,8 +240,7 @@ def _double_block(params, i, img, txt, vec, cfg: HiDreamConfig, qcfg):
     return img, txt
 
 
-def _single_block(params, i, x, vec, cfg: HiDreamConfig, qcfg):
-    p = f"single_stream_blocks.{i}.block"
+def _single_block(params, p, x, vec, cfg: HiDreamConfig, qcfg):
     H = cfg.n_heads
     sh1, sc1, g1, sh2, sc2, g2 = _adaln(params, p, vec, qcfg, cfg.hidden)[:6]
     h = layer_norm(x, eps=1e-6) * (1 + sc1) + sh1
@@ -254,12 +252,8 @@ def _single_block(params, i, x, vec, cfg: HiDreamConfig, qcfg):
                             cfg.top_k, qcfg)
 
 
-def forward(params, cfg: HiDreamConfig, latent: jax.Array,
-            t5_states: jax.Array, llama_states: jax.Array,
-            pooled: jax.Array, timesteps: jax.Array,
-            qcfg: QuantConfig = DEFAULT_CONFIG) -> jax.Array:
-    """latent (B, H, W, C) NHWC; t5/llama states (B, L, D_enc);
-    pooled (B, D_pool)."""
+def _prelude(params, cfg: HiDreamConfig, latent, t5_states, llama_states,
+             pooled, timesteps, qcfg):
     B, Hh, Ww, C = latent.shape
     p = cfg.patch_size
     h_tok, w_tok = Hh // p, Ww // p
@@ -293,14 +287,12 @@ def forward(params, cfg: HiDreamConfig, latent: jax.Array,
             params.get(f"caption_projection.{i}.linear.bias"), cfg=qcfg))
         i += 1
     txt = jnp.concatenate(parts, axis=1)
+    return img, txt, vec, (B, Hh, Ww, C, h_tok, w_tok)
 
-    for i in range(cfg.depth_double):
-        img, txt = _double_block(params, i, img, txt, vec, cfg, qcfg)
-    x = jnp.concatenate([img, txt], axis=1)
-    for i in range(cfg.depth_single):
-        x = _single_block(params, i, x, vec, cfg, qcfg)
-    img = x[:, : img.shape[1]]
 
+def _finale(params, cfg: HiDreamConfig, img, vec, dims, qcfg):
+    B, Hh, Ww, C, h_tok, w_tok = dims
+    p = cfg.patch_size
     v = jax.nn.silu(vec.astype(jnp.float32)).astype(img.dtype)
     mod = linear(v, params["final_layer.adaLN_modulation.1.weight"],
                  params.get("final_layer.adaLN_modulation.1.bias"), cfg=qcfg)
@@ -310,3 +302,71 @@ def forward(params, cfg: HiDreamConfig, latent: jax.Array,
                  params.get("final_layer.linear.bias"), cfg=qcfg)
     img = img.reshape(B, h_tok, w_tok, p, p, C)
     return img.transpose(0, 1, 3, 2, 4, 5).reshape(B, Hh, Ww, C)
+
+
+def forward(params, cfg: HiDreamConfig, latent: jax.Array,
+            t5_states: jax.Array, llama_states: jax.Array,
+            pooled: jax.Array, timesteps: jax.Array,
+            qcfg: QuantConfig = DEFAULT_CONFIG) -> jax.Array:
+    """latent (B, H, W, C) NHWC; t5/llama states (B, L, D_enc);
+    pooled (B, D_pool)."""
+    img, txt, vec, dims = _prelude(params, cfg, latent, t5_states,
+                                   llama_states, pooled, timesteps, qcfg)
+    L_img = img.shape[1]
+    for i in range(cfg.depth_double):
+        img, txt = _double_block(params,
+                                 f"double_stream_blocks.{i}.block",
+                                 img, txt, vec, cfg, qcfg)
+    x = jnp.concatenate([img, txt], axis=1)
+    for i in range(cfg.depth_single):
+        x = _single_block(params, f"single_stream_blocks.{i}.block",
+                          x, vec, cfg, qcfg)
+    return _finale(params, cfg, x[:, :L_img], vec, dims, qcfg)
+
+
+def stack_hidream_params(params: dict, cfg: HiDreamConfig) -> dict:
+    """Flat GGUF-keyed params → {non-block keys, "double_stream_blocks":
+    stacked subtree, "single_stream_blocks": stacked subtree} for the
+    scanned forward. Per-expert MoE weights are leaf-stacked first
+    (stack_moe_experts), so under the depth stack each experts_stacked
+    leaf carries (depth, E, …) and the dense dispatch slices experts
+    statically inside the scan."""
+    from .flux import stack_block_groups
+
+    if any(".experts." in k for k in params):
+        params = stack_moe_experts(params, cfg.n_experts)
+    return stack_block_groups(params,
+                              [("double_stream_blocks", cfg.depth_double),
+                               ("single_stream_blocks", cfg.depth_single)],
+                              arch="hidream")
+
+
+def forward_stacked(sparams: dict, cfg: HiDreamConfig, latent: jax.Array,
+                    t5_states: jax.Array, llama_states: jax.Array,
+                    pooled: jax.Array, timesteps: jax.Array,
+                    qcfg: QuantConfig = DEFAULT_CONFIG) -> jax.Array:
+    """forward() over stack_hidream_params() output — identical math,
+    one lax.scan per block kind (zero-copy packed weights via
+    IndexedQuant scalar prefetch, flux.scan_blocks). MoE runs the
+    dense/capacity dispatch; MOE_DISPATCH="ep" (shard_map inside scan)
+    should use the unrolled forward."""
+    from .flux import scan_blocks
+
+    img, txt, vec, dims = _prelude(sparams, cfg, latent, t5_states,
+                                   llama_states, pooled, timesteps, qcfg)
+    L_img = img.shape[1]
+
+    def dbody(carry, bp):
+        i, t = carry
+        return _double_block(bp, "block", i, t, vec, cfg, qcfg)
+
+    img, txt = scan_blocks(sparams["double_stream_blocks"], dbody,
+                           (img, txt), cfg.depth_double)
+    x = jnp.concatenate([img, txt], axis=1)
+
+    def sbody(x, bp):
+        return _single_block(bp, "block", x, vec, cfg, qcfg)
+
+    x = scan_blocks(sparams["single_stream_blocks"], sbody, x,
+                    cfg.depth_single)
+    return _finale(sparams, cfg, x[:, :L_img], vec, dims, qcfg)

@@ -178,6 +178,13 @@ class DiffusionModel:
             return dataclasses.replace(
                 self, params=lumina2_model.stack_lumina2_params(self.params,
                                                                 self.config))
+        if (self.arch == "hidream"
+                and "double_stream_blocks" not in self.params):
+            from .models import hidream as hidream_model
+
+            return dataclasses.replace(
+                self, params=hidream_model.stack_hidream_params(
+                    self.params, self.config))
         return self
 
     def memory_report(self) -> dict:
@@ -908,10 +915,13 @@ def hidream_engine(model: DiffusionModel, max_batch: int = 2,
     from .models import hidream as hidream_model
     from .serving import ContinuousBatchEngine
 
+    fwd = (hidream_model.forward_stacked
+           if "double_stream_blocks" in model.params
+           else hidream_model.forward)
+
     def velocity(params, x, s_cur, cond):
-        return hidream_model.forward(params, model.config, x, cond["t5"],
-                                     cond["llama"], cond["pooled"], s_cur,
-                                     qcfg=model.qcfg)
+        return fwd(params, model.config, x, cond["t5"],
+                   cond["llama"], cond["pooled"], s_cur, qcfg=model.qcfg)
 
     return make_flow_engine(
         model, velocity, {"t5": jnp.bfloat16, "llama": jnp.bfloat16,
@@ -1690,13 +1700,16 @@ class HiDreamPipeline:
         sigmas = shift_sigmas(linear_schedule(steps), self.shift)
         model = self.model
 
+        fwd = (hidream_model.forward_stacked
+               if "double_stream_blocks" in model.params
+               else hidream_model.forward)
+
         @jax.jit
         def denoise(params, x0, t5s, lls, pooled):
             def velocity(xc, sigma):
                 ts = jnp.full((xc.shape[0],), sigma, jnp.float32)
-                return hidream_model.forward(params, model.config, xc, t5s,
-                                             lls, pooled, ts,
-                                             qcfg=model.qcfg)
+                return fwd(params, model.config, xc, t5s,
+                           lls, pooled, ts, qcfg=model.qcfg)
             return sample_flow(velocity, x0, sigmas)
 
         return np.asarray(denoise(model.params, x, t5s, lls, pooled)[0])

@@ -233,3 +233,52 @@ def test_hidream_engine_serving(hid_params):
                                rtol=0.05, atol=0.05)
     np.testing.assert_allclose(r2.result.astype(np.float32), direct(x2, c2),
                                rtol=0.05, atol=0.05)
+
+
+def test_hidream_stacked_forward_matches_unrolled(hid_params):
+    """stack_hidream_params + forward_stacked (lax.scan per block kind,
+    MoE experts leaf-stacked) == unrolled forward."""
+    cfg = hidream.HiDreamConfig.from_state_dict(hid_params)
+    rng = np.random.default_rng(4)
+    B, H, W = 1, 8, 8
+    lat = jnp.asarray(rng.standard_normal((B, H, W, C)), jnp.float32)
+    t5s = jnp.asarray(rng.standard_normal((B, 6, T5D)), jnp.float32)
+    lls = jnp.asarray(rng.standard_normal((B, 5, LLD)), jnp.float32)
+    pooled = jnp.asarray(rng.standard_normal((B, POOL)), jnp.float32)
+    t = jnp.asarray([0.6], jnp.float32)
+
+    want = hidream.forward(hid_params, cfg, lat, t5s, lls, pooled, t,
+                           qcfg=F32CFG)
+    sparams = hidream.stack_hidream_params(hid_params, cfg)
+    assert "double_stream_blocks" in sparams
+    got = hidream.forward_stacked(sparams, cfg, lat, t5s, lls, pooled, t,
+                                  qcfg=F32CFG)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_hidream_engine_stacked_serves_same(hid_params):
+    """DiffusionModel.stack() reroutes the engine through the scanned
+    forward; results match the unstacked engine."""
+    from comfyui_gguf_tpu import pipeline
+    from comfyui_gguf_tpu.sampling import linear_schedule
+
+    cfg = hidream.HiDreamConfig.from_state_dict(hid_params)
+    sigmas = linear_schedule(2)
+    r = np.random.default_rng(33)
+    x0 = r.standard_normal((8, 8, C)).astype(np.float32)
+    cond = {"t5": r.standard_normal((6, T5D)).astype(np.float32),
+            "llama": r.standard_normal((5, LLD)).astype(np.float32),
+            "pooled": r.standard_normal((POOL,)).astype(np.float32)}
+
+    base = pipeline.DiffusionModel(arch="hidream", params=hid_params,
+                                   config=cfg, qcfg=F32CFG)
+    results = []
+    for mdl in (base, base.stack()):
+        eng = pipeline.hidream_engine(mdl, max_batch=1)
+        req = eng.submit(x0.copy(), cond, sigmas)
+        eng.run_until_drained()
+        assert req.finished and req.error is None
+        results.append(req.result.astype(np.float32))
+    np.testing.assert_allclose(results[1], results[0], rtol=2e-2,
+                               atol=2e-2)
