@@ -340,14 +340,10 @@ def stack_flux_params(params: dict, cfg: FluxConfig) -> dict:
 
     Stacking concatenates the per-block HBM buffers once at load time.
     """
-    out = {k: v for k, v in params.items()
-           if not k.startswith(("double_blocks.", "single_blocks."))}
-    for kind, n in (("double_blocks", cfg.depth_double),
-                    ("single_blocks", cfg.depth_single)):
-        subs = [block_subtree(params, f"{kind}.{i}.") for i in range(n)]
-        out[kind] = (jax.tree.map(lambda *xs: jnp.stack(xs), *subs)
-                     if subs else {})
-    return out
+    return stack_block_groups(params,
+                              [("double_blocks", cfg.depth_double),
+                               ("single_blocks", cfg.depth_single)],
+                              arch="flux")
 
 
 def scan_blocks(block_tree: dict, body, carry, length: int):
