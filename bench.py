@@ -41,6 +41,12 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    # the environment's sitecustomize pre-imports jax and overwrites
+    # jax.config.jax_platforms (see tests/conftest.py) — honor an
+    # explicit JAX_PLATFORMS=cpu request here too
+    if os.environ.get("JAX_PLATFORMS") == "cpu":
+        jax.config.update("jax_platforms", "cpu")
+
     from comfyui_gguf_tpu.gguf.constants import GGMLQuantizationType as Q
     from comfyui_gguf_tpu.models import flux, testing
     from comfyui_gguf_tpu.nn.layers import QuantConfig

@@ -543,3 +543,137 @@ def vae_random_params(z_channels: int = 4, base_ch: int = 16,
             sd[f"encoder.down.{i}.downsample.conv.bias"] = np.zeros(
                 cur, np.float32)
     return {k: jnp.asarray(v) for k, v in sd.items()}
+
+
+@dataclasses.dataclass(frozen=True)
+class TinyHiDreamDims:
+    """HiDream-I1-like geometry knobs (defaults = tiny test size)."""
+    hidden: int = 128
+    heads: int = 2
+    depth_double: int = 2
+    depth_single: int = 2
+    ffn: int = 256
+    n_experts: int = 2
+    top_k: int = 1
+    t5_dim: int = 64
+    llama_dim: int = 96
+    pooled: int = 48
+    in_ch: int = 16
+    patch: int = 2
+
+    def config(self):
+        from .hidream import HiDreamConfig
+
+        return HiDreamConfig(
+            hidden=self.hidden, n_heads=self.heads,
+            depth_double=self.depth_double, depth_single=self.depth_single,
+            in_channels=self.in_ch, patch_size=self.patch,
+            n_experts=self.n_experts, top_k=self.top_k)
+
+
+# published HiDream-I1 scale: 2560 hidden / 20 heads / 16+32 blocks /
+# 4 routed experts (top-2) + shared expert — ~17B params
+HIDREAM_I1_DIMS = TinyHiDreamDims(
+    hidden=2560, heads=20, depth_double=16, depth_single=32, ffn=6912,
+    n_experts=4, top_k=2, t5_dim=4096, llama_dim=4096, pooled=2048)
+
+
+def hidream_random_stacked_params(dims: TinyHiDreamDims, qtype=Q.Q4_K,
+                                  seed: int = 0, device=None) -> dict:
+    """Full-depth HiDream params directly in stack_hidream_params layout
+    (depth-stacked block subtrees, MoE experts leaf-stacked as
+    (depth, E, …)) with random packed weights — same no-transient-2×-HBM
+    strategy as flux_random_stacked_params."""
+    import jax
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(seed)
+    H, FFN, E = dims.hidden, dims.ffn, dims.n_experts
+    hd = H // dims.heads
+    C4 = dims.in_ch * dims.patch ** 2
+
+    def dense(*shape):
+        dt = jnp.float32 if len(shape) <= 1 else jnp.bfloat16
+        return jnp.asarray(
+            (rng.standard_normal(shape) * 0.02).astype(np.float32), dtype=dt)
+
+    def packed(n, r, k):
+        return random_planar(qtype, (r, k), rng, device=device, stack=n)
+
+    def packed_experts(n, r, k):
+        """(depth, E, …) leaves: one (n·E)-stack reshaped."""
+        leaf = random_planar(qtype, (r, k), rng, device=device, stack=n * E)
+        return jax.tree_util.tree_map(
+            lambda a: a.reshape(n, E, *a.shape[1:]), leaf)
+
+    params = {
+        "x_embedder.proj.weight": random_planar(qtype, (H, C4), rng,
+                                                 device=device),
+        "x_embedder.proj.bias": dense(H),
+        "t_embedder.mlp.0.weight": random_planar(qtype, (H, 256), rng,
+                                                 device=device),
+        "t_embedder.mlp.0.bias": dense(H),
+        "t_embedder.mlp.2.weight": random_planar(qtype, (H, H), rng,
+                                                 device=device),
+        "t_embedder.mlp.2.bias": dense(H),
+        "p_embedder.mlp.0.weight": random_planar(qtype, (H, dims.pooled),
+                                                 rng, device=device),
+        "p_embedder.mlp.0.bias": dense(H),
+        "p_embedder.mlp.2.weight": random_planar(qtype, (H, H), rng,
+                                                 device=device),
+        "p_embedder.mlp.2.bias": dense(H),
+        "caption_projection.0.linear.weight": random_planar(
+            qtype, (H, dims.t5_dim), rng, device=device),
+        "caption_projection.1.linear.weight": random_planar(
+            qtype, (H, dims.llama_dim), rng, device=device),
+        "final_layer.linear.weight": random_planar(qtype, (C4, H), rng,
+                                                   device=device),
+        "final_layer.linear.bias": dense(C4),
+        "final_layer.adaLN_modulation.1.weight": random_planar(
+            qtype, (2 * H, H), rng, device=device),
+        "final_layer.adaLN_modulation.1.bias": dense(2 * H),
+    }
+
+    def moe(n):
+        sub = {
+            "gate.weight": dense(n, E, H),
+            "shared_experts.w1.weight": packed(n, FFN, H),
+            "shared_experts.w2.weight": packed(n, H, FFN),
+            "shared_experts.w3.weight": packed(n, FFN, H),
+            "experts_stacked": {
+                "w1": packed_experts(n, FFN, H),
+                "w2": packed_experts(n, H, FFN),
+                "w3": packed_experts(n, FFN, H),
+            },
+        }
+        return sub
+
+    nd, ns = dims.depth_double, dims.depth_single
+    double = {
+        "block.adaLN_modulation.1.weight": packed(nd, 12 * H, H),
+        "block.adaLN_modulation.1.bias": dense(nd, 12 * H),
+    }
+    for suf in ("", "_t"):
+        for nme in ("to_q", "to_k", "to_v", "to_out"):
+            double[f"block.attn1.{nme}{suf}.weight"] = packed(nd, H, H)
+        double[f"block.attn1.q_rms_norm{suf}.weight"] = dense(nd, hd)
+        double[f"block.attn1.k_rms_norm{suf}.weight"] = dense(nd, hd)
+    for k, v in moe(nd).items():
+        double[f"block.ff_i.{k}"] = v
+    double["block.ff_t.w1.weight"] = packed(nd, FFN, H)
+    double["block.ff_t.w2.weight"] = packed(nd, H, FFN)
+    double["block.ff_t.w3.weight"] = packed(nd, FFN, H)
+    params["double_stream_blocks"] = double
+
+    single = {
+        "block.adaLN_modulation.1.weight": packed(ns, 6 * H, H),
+        "block.adaLN_modulation.1.bias": dense(ns, 6 * H),
+    }
+    for nme in ("to_q", "to_k", "to_v", "to_out"):
+        single[f"block.attn1.{nme}.weight"] = packed(ns, H, H)
+    single["block.attn1.q_rms_norm.weight"] = dense(ns, hd)
+    single["block.attn1.k_rms_norm.weight"] = dense(ns, hd)
+    for k, v in moe(ns).items():
+        single[f"block.ff_i.{k}"] = v
+    params["single_stream_blocks"] = single
+    return params

@@ -1,0 +1,116 @@
+"""Full-depth HiDream-I1 MEASURED bench — the third model family run for
+real (after flux, sd3.5-large): 16 double + 32 single MoE blocks at
+hidden 2560 (~17B params), Q4_K packed planar weights, 1024² latents,
+an actual N-step Euler denoise as one jitted lax.scan through the
+scanned stacked forward (models/hidream.py forward_stacked, dense MoE
+dispatch — every expert computed, mask-weighted; the exact mode).
+
+Usage: python tools_hidream_bench.py [steps=20] [reps=3]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import statistics
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main():
+    os.environ.setdefault("GGUF_TPU_COMPILE_CACHE",
+                          "/tmp/gguf_tpu_compile_cache")
+    from comfyui_gguf_tpu import compile_cache
+    compile_cache.enable(os.environ["GGUF_TPU_COMPILE_CACHE"])
+
+    import jax
+    import jax.numpy as jnp
+
+    # the environment's sitecustomize pre-imports jax and overwrites
+    # jax.config.jax_platforms (see tests/conftest.py) — honor an
+    # explicit JAX_PLATFORMS=cpu request here too
+    if os.environ.get("JAX_PLATFORMS") == "cpu":
+        jax.config.update("jax_platforms", "cpu")
+
+    from comfyui_gguf_tpu.gguf.constants import GGMLQuantizationType as Q
+    from comfyui_gguf_tpu.models import hidream, testing
+    from comfyui_gguf_tpu.nn.layers import QuantConfig
+
+    steps = int(sys.argv[1]) if len(sys.argv) > 1 else 20
+    reps = int(sys.argv[2]) if len(sys.argv) > 2 else 3
+
+    def log(m):
+        print(m, file=sys.stderr, flush=True)
+
+    on_tpu = any(d.platform == "tpu" for d in jax.devices())
+    if on_tpu:
+        dims = testing.HIDREAM_I1_DIMS
+        h_lat = w_lat = 128  # 1024² pixels
+        t5_len, ll_len = 128, 128
+    else:  # cpu smoke
+        dims = testing.TinyHiDreamDims()
+        h_lat = w_lat = 8
+        t5_len, ll_len = 6, 5
+        steps, reps = 2, 1
+
+    t0 = time.perf_counter()
+    sparams = testing.hidream_random_stacked_params(dims, qtype=Q.Q4_K,
+                                                    seed=0)
+    jax.block_until_ready(sparams)
+    log(f"params in {time.perf_counter()-t0:.1f}s "
+        f"({dims.depth_double}+{dims.depth_single} blocks, "
+        f"{dims.n_experts}-expert MoE)")
+
+    cfg = dims.config()
+    qcfg = QuantConfig()
+    rng = jax.random.key(0)
+    lat = jax.random.normal(rng, (1, h_lat, w_lat, dims.in_ch),
+                            jnp.bfloat16)
+    t5 = jax.random.normal(jax.random.fold_in(rng, 1),
+                           (1, t5_len, dims.t5_dim), jnp.bfloat16)
+    ll = jax.random.normal(jax.random.fold_in(rng, 2),
+                           (1, ll_len, dims.llama_dim), jnp.bfloat16)
+    pool = jax.random.normal(jax.random.fold_in(rng, 3),
+                             (1, dims.pooled), jnp.bfloat16)
+    sigmas = jnp.linspace(1.0, 0.0, steps + 1)
+
+    @jax.jit
+    def denoise(params, x0):
+        def step(x, i):
+            s, sn = sigmas[i], sigmas[i + 1]
+            ts = jnp.full((1,), s, jnp.float32)
+            v = hidream.forward_stacked(params, cfg, x, t5, ll, pool, ts,
+                                        qcfg=qcfg)
+            return (x.astype(jnp.float32)
+                    + (sn - s) * v.astype(jnp.float32)).astype(x.dtype), None
+
+        x, _ = jax.lax.scan(step, x0, jnp.arange(steps))
+        return x
+
+    tc = time.perf_counter()
+    out = jax.block_until_ready(denoise(sparams, lat))
+    log(f"compile+first-run {time.perf_counter()-tc:.1f}s")
+
+    times = []
+    for _ in range(reps):
+        t1 = time.perf_counter()
+        jax.block_until_ready(denoise(sparams, lat))
+        times.append(time.perf_counter() - t1)
+    sec = statistics.median(times)
+    log(f"{steps}-step denoise: {sec:.3f}s ({sec/steps*1e3:.1f} ms/step; "
+        f"runs {[round(t, 3) for t in times]})")
+
+    print(json.dumps({
+        "metric": ("sec/image MEASURED full-depth denoise (hidream-I1 "
+                   "dims Q4_K dense-MoE, 1024², "
+                   f"{steps} steps{'' if on_tpu else ', cpu-smoke'})"),
+        "value": round(sec, 3),
+        "unit": "s",
+        "ms_per_step": round(sec / steps * 1e3, 1),
+    }))
+
+
+if __name__ == "__main__":
+    sys.exit(main())
