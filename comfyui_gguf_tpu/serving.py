@@ -129,11 +129,14 @@ class ContinuousBatchEngine:
         # swallowed with a log so a preview bug can't kill serving.
         self.on_step = on_step
         self.max_batch = max_batch
-        # fixed buckets so jit sees a closed set of shapes
+        # fixed buckets so jit sees a closed set of shapes; max_batch is
+        # always a bucket — otherwise a non-power-of-two max_batch (e.g.
+        # 3) would bucket a full pool at 2, pad = -1, and silently break
+        # the replica padding
         self.batch_sizes = tuple(sorted(
-            batch_sizes or
-            tuple(itertools.takewhile(lambda b: b <= max_batch,
-                                      (1, 2, 4, 8, 16, 32)))
+            set(batch_sizes) if batch_sizes else
+            {b for b in (1, 2, 4, 8, 16, 32) if b <= max_batch}
+            | {max_batch}
         ))
         # pipeline_depth > 1: dispatch up to D steps WITHOUT a host sync
         # between them. JAX async dispatch chains device work on futures

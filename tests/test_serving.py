@@ -202,3 +202,16 @@ def test_engine_group_multi_resolution():
     np.testing.assert_allclose(r1.result, 0.25 * np.ones((8, 8, 4)),
                                rtol=1e-6)
     assert len(g.stats) == 2
+
+
+def test_non_pow2_max_batch_bucket():
+    """max_batch=3: the full pool must bucket at 3 (never pad=-1)."""
+    eng = ContinuousBatchEngine(_linear_step, max_batch=3)
+    assert eng.batch_sizes == (1, 2, 3)
+    reqs = [eng.submit(np.zeros((2, 2, 1), np.float32),
+                       {"c": np.float32(i + 1)}, linear_schedule(3))
+            for i in range(3)]
+    eng.run_until_drained()
+    for i, r in enumerate(reqs):
+        np.testing.assert_allclose(r.result, -(i + 1), atol=1e-6)
+    assert eng.stats.total_padding_lanes >= 0
