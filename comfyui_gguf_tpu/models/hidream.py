@@ -137,25 +137,26 @@ def moe_ffn(params, p, x, n_experts, top_k, qcfg):
     probs, k = _routing_probs(params, p, x, n_experts, top_k, qcfg)
 
     stacked = params.get(f"{p}.experts_stacked")
-    if stacked is not None:
-        if MOE_DISPATCH == "ep" and EP_MESH is not None:
-            # one expert per device, psum combine — exact vs dense
-            # (masked probs are zero off the top-k)
-            from ..parallel.ep import ep_moe_inline
+    if (stacked is not None and MOE_DISPATCH == "ep"
+            and EP_MESH is not None):
+        # one expert per device, psum combine — exact vs dense
+        # (masked probs are zero off the top-k)
+        from ..parallel.ep import ep_moe_inline
 
-            return out + ep_moe_inline(
-                lambda w, xx: _swiglu_w(w, xx, qcfg), stacked, x, probs,
-                EP_MESH, EP_AXIS)
-        # stacked-but-unsharded: dense loop over expert slices
-        for e in range(n_experts):
+        return out + ep_moe_inline(
+            lambda w, xx: _swiglu_w(w, xx, qcfg), stacked, x, probs,
+            EP_MESH, EP_AXIS)
+
+    def expert(e, xx):
+        """Expert e's FFN — stacked-leaf slice or flat per-expert keys."""
+        if stacked is not None:
             we = jax.tree_util.tree_map(lambda a: a[e], stacked)
-            out = out + probs[..., e: e + 1] * _swiglu_w(we, x, qcfg)
-        return out
+            return _swiglu_w(we, xx, qcfg)
+        return _swiglu(params, f"{p}.experts.{e}", xx, qcfg)
 
     if MOE_DISPATCH != "capacity":
         for e in range(n_experts):
-            out = out + probs[..., e: e + 1] * _swiglu(
-                params, f"{p}.experts.{e}", x, qcfg)
+            out = out + probs[..., e: e + 1] * expert(e, x)
         return out
 
     B, L, D = x.shape
@@ -170,7 +171,7 @@ def moe_ffn(params, p, x, n_experts, top_k, qcfg):
         # routed tokens first (stable order), truncated at capacity
         idx = jnp.argsort(~routed, stable=True)[:C]
         xe = x2[idx]
-        ye = _swiglu(params, f"{p}.experts.{e}", xe, qcfg)
+        ye = expert(e, xe)
         w = (p2[idx, e] * routed[idx].astype(p2.dtype))[:, None]
         acc = acc.at[idx].add((ye * w).astype(jnp.float32))
     return out + acc.reshape(B, L, D).astype(out.dtype)

@@ -282,3 +282,29 @@ def test_hidream_engine_stacked_serves_same(hid_params):
         results.append(req.result.astype(np.float32))
     np.testing.assert_allclose(results[1], results[0], rtol=2e-2,
                                atol=2e-2)
+
+
+def test_hidream_stacked_capacity_dispatch(hid_params):
+    """MOE_DISPATCH='capacity' under the scanned forward == dense (no
+    expert overflows at tiny token counts) — the serving-economics mode
+    works through lax.scan."""
+    cfg = hidream.HiDreamConfig.from_state_dict(hid_params)
+    rng = np.random.default_rng(8)
+    B, H, W = 1, 8, 8
+    lat = jnp.asarray(rng.standard_normal((B, H, W, C)), jnp.float32)
+    t5s = jnp.asarray(rng.standard_normal((B, 6, T5D)), jnp.float32)
+    lls = jnp.asarray(rng.standard_normal((B, 5, LLD)), jnp.float32)
+    pooled = jnp.asarray(rng.standard_normal((B, POOL)), jnp.float32)
+    t = jnp.asarray([0.3], jnp.float32)
+
+    sparams = hidream.stack_hidream_params(hid_params, cfg)
+    dense = np.asarray(hidream.forward_stacked(sparams, cfg, lat, t5s,
+                                               lls, pooled, t, qcfg=F32CFG))
+    hidream.MOE_DISPATCH = "capacity"
+    try:
+        cap = np.asarray(hidream.forward_stacked(sparams, cfg, lat, t5s,
+                                                 lls, pooled, t,
+                                                 qcfg=F32CFG))
+    finally:
+        hidream.MOE_DISPATCH = "dense"
+    np.testing.assert_allclose(cap, dense, rtol=2e-4, atol=2e-4)
