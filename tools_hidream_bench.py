@@ -76,7 +76,6 @@ def main():
                              (1, dims.pooled), jnp.bfloat16)
     sigmas = jnp.linspace(1.0, 0.0, steps + 1)
 
-    @jax.jit
     def denoise(params, x0):
         def step(x, i):
             s, sn = sigmas[i], sigmas[i + 1]
@@ -89,26 +88,37 @@ def main():
         x, _ = jax.lax.scan(step, x0, jnp.arange(steps))
         return x
 
-    tc = time.perf_counter()
-    out = jax.block_until_ready(denoise(sparams, lat))
-    log(f"compile+first-run {time.perf_counter()-tc:.1f}s")
-
-    times = []
-    for _ in range(reps):
-        t1 = time.perf_counter()
-        jax.block_until_ready(denoise(sparams, lat))
-        times.append(time.perf_counter() - t1)
-    sec = statistics.median(times)
-    log(f"{steps}-step denoise: {sec:.3f}s ({sec/steps*1e3:.1f} ms/step; "
-        f"runs {[round(t, 3) for t in times]})")
+    results = {}
+    for mode in ("dense", "capacity"):
+        hidream.MOE_DISPATCH = mode
+        # MOE_DISPATCH is read at trace time; a fresh jit per mode
+        # forces a retrace
+        dn = jax.jit(denoise)
+        tc = time.perf_counter()
+        out = jax.block_until_ready(dn(sparams, lat))
+        log(f"[{mode}] compile+first-run {time.perf_counter()-tc:.1f}s")
+        times = []
+        for _ in range(reps):
+            t1 = time.perf_counter()
+            jax.block_until_ready(dn(sparams, lat))
+            times.append(time.perf_counter() - t1)
+        sec = statistics.median(times)
+        log(f"[{mode}] {steps}-step denoise: {sec:.3f}s "
+            f"({sec/steps*1e3:.1f} ms/step; "
+            f"runs {[round(t, 3) for t in times]})")
+        results[mode] = sec
+    hidream.MOE_DISPATCH = "dense"
 
     print(json.dumps({
         "metric": ("sec/image MEASURED full-depth denoise (hidream-I1 "
-                   "dims Q4_K dense-MoE, 1024², "
+                   "dims Q4_K, 1024², "
                    f"{steps} steps{'' if on_tpu else ', cpu-smoke'})"),
-        "value": round(sec, 3),
+        "dense_s": round(results["dense"], 3),
+        "capacity_s": round(results["capacity"], 3),
         "unit": "s",
-        "ms_per_step": round(sec / steps * 1e3, 1),
+        "dense_ms_per_step": round(results["dense"] / steps * 1e3, 1),
+        "capacity_ms_per_step": round(results["capacity"] / steps * 1e3,
+                                      1),
     }))
 
 
