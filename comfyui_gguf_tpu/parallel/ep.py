@@ -22,14 +22,23 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
 def ep_moe_local(expert_fn, expert_params, x, probs, axis_name: str):
-    """Inside shard_map. expert_params: (1, ...) slice of the stacked
-    expert weights; probs: (..., E) routing weights (replicated);
-    x: (..., D) tokens (replicated). → Σ_e probs_e · expert_e(x)."""
-    e = jax.lax.axis_index(axis_name)
-    mine = jax.tree_util.tree_map(lambda a: a[0], expert_params)
-    y = expert_fn(mine, x)
-    w = jax.lax.dynamic_index_in_dim(probs, e, axis=-1, keepdims=True)
-    return jax.lax.psum(y * w.astype(y.dtype), axis_name)
+    """Inside shard_map. expert_params: (E/devices, ...) LOCAL slice of
+    the stacked expert weights; probs: (..., E) routing weights
+    (replicated); x: (..., D) tokens (replicated). Each device computes
+    ALL of its local experts (usually 1) — previously only slice [0] ran,
+    silently dropping experts whenever devices < E — and the weighted
+    outputs reduce with one psum: Σ_e probs_e · expert_e(x)."""
+    local_e = jax.tree_util.tree_leaves(expert_params)[0].shape[0]
+    base = jax.lax.axis_index(axis_name) * local_e
+    y = None
+    for j in range(local_e):
+        mine = jax.tree_util.tree_map(lambda a, j=j: a[j], expert_params)
+        w = jax.lax.dynamic_index_in_dim(probs, base + j, axis=-1,
+                                         keepdims=True)
+        yj = expert_fn(mine, x)
+        yj = yj * w.astype(yj.dtype)
+        y = yj if y is None else y + yj
+    return jax.lax.psum(y, axis_name)
 
 
 @functools.partial(jax.jit, static_argnames=("expert_fn", "mesh", "axis"))
@@ -49,7 +58,12 @@ def ep_moe_inline(expert_fn, expert_params, x, probs, mesh: Mesh,
     """shard_map-only variant for use INSIDE an existing jit (e.g. the
     HiDream forward, models/hidream.py moe_ffn "ep" mode): no nested jit,
     no device_put — the caller owns placement of the stacked (E, ...)
-    expert tree."""
+    expert tree. E must divide evenly over the axis (each device then
+    computes E/devices local experts)."""
+    E = jax.tree_util.tree_leaves(expert_params)[0].shape[0]
+    if E % mesh.shape[axis]:
+        raise ValueError(f"{E} experts not divisible by {axis} axis size "
+                         f"{mesh.shape[axis]}")
     fn = jax.shard_map(
         functools.partial(ep_moe_local, expert_fn, axis_name=axis),
         mesh=mesh,
@@ -66,8 +80,8 @@ def ep_moe(expert_fn, expert_params, x, probs, mesh: Mesh,
     """Top-level: stacked expert params (E, ...) sharded over ``axis``
     (E must equal the axis size), tokens + routing probs replicated."""
     E = jax.tree_util.tree_leaves(expert_params)[0].shape[0]
-    if E != mesh.shape[axis]:
-        raise ValueError(f"{E} experts != {axis} axis size "
+    if E % mesh.shape[axis]:
+        raise ValueError(f"{E} experts not divisible by {axis} axis size "
                          f"{mesh.shape[axis]}")
     expert_params = jax.tree_util.tree_map(
         lambda a: jax.device_put(a, NamedSharding(mesh, P(axis))),

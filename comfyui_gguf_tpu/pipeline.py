@@ -89,17 +89,44 @@ class DiffusionModel:
     qcfg: QuantConfig
     base_params: dict | None = None  # pre-LoRA snapshot
 
+    # depth-stacked tree marker per arch (DiffusionModel.stack layout)
+    _STACK_MARKERS = {
+        "flux": "double_blocks", "sd3": "joint_blocks",
+        "qwen_image": "transformer_blocks", "wan": "blocks",
+        "hyvid": "double_blocks", "ltxv": "transformer_blocks",
+        "cosmos": "blocks", "aura": "double_layers", "lumina2": "layers",
+        "hidream": "double_stream_blocks",
+    }
+
+    @property
+    def is_stacked(self) -> bool:
+        m = self._STACK_MARKERS.get(self.arch)
+        return m is not None and m in self.params
+
     def forward(self, *args, **kwargs):
         mod = _arch_module(self.arch)
         if mod is None:
             raise NotImplementedError(
                 f"forward graph for arch {self.arch!r} not implemented yet"
             )
-        return mod.forward(self.params, self.config, *args,
-                           qcfg=self.qcfg, **kwargs)
+        # stacked trees (stack()) route to the scanned forward — the flat
+        # forward would KeyError on the restacked layout
+        fn = (mod.forward_stacked
+              if self.is_stacked and hasattr(mod, "forward_stacked")
+              else mod.forward)
+        return fn(self.params, self.config, *args,
+                  qcfg=self.qcfg, **kwargs)
 
     def apply_lora(self, path: str, strength: float = 1.0):
-        """Attach a LoRA; packed weights stay packed (patch-on-output)."""
+        """Attach a LoRA; packed weights stay packed (patch-on-output).
+
+        Attach BEFORE ``stack()``: the kohya key mapping targets the flat
+        per-block names; attached rank patches then ride the depth stack
+        (the LoRA-over-scan path)."""
+        if self.is_stacked:
+            raise ValueError(
+                "apply_lora on a depth-stacked tree matches no keys; "
+                "attach LoRAs before DiffusionModel.stack()")
         if self.base_params is None:
             self.base_params = self.params
         self.params = lora_mod.load_and_attach(

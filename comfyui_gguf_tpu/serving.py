@@ -153,8 +153,10 @@ class ContinuousBatchEngine:
         self._stop = threading.Event()
         self._thread: threading.Thread | None = None
         # in-flight (x_next future, [requests advanced by it]) since the
-        # last host sync, oldest first
+        # last host sync, oldest first; _window_lanes mirrors it with
+        # (live, pad) per dispatch so stats roll back on window failure
         self._pending: list[tuple[Any, list[GenRequest]]] = []
+        self._window_lanes: list[tuple[int, int]] = []
         self._window_t0: float | None = None
 
     # -- client API ---------------------------------------------------------
@@ -282,6 +284,7 @@ class ContinuousBatchEngine:
         self.stats.batches_executed += 1
         self.stats.steps_executed += n
         self.stats.total_padding_lanes += pad
+        self._window_lanes.append((n, pad))
 
         finishing = False
         for i, r in enumerate(batch):
@@ -307,15 +310,29 @@ class ContinuousBatchEngine:
         import jax
 
         window = self._pending
+        lanes = self._window_lanes
         self._pending = []
+        self._window_lanes = []
         try:
             jax.block_until_ready(window[-1][0])
         except Exception as e:
             log.exception("async denoise failure; failing window of %d "
                           "dispatch(es)", len(window))
+            # the dispatched steps never completed: roll the dispatch-time
+            # counters back so steps_per_second/occupancy stay honest
+            for n, pad in lanes:
+                self.stats.steps_executed -= n
+                self.stats.batches_executed -= 1
+                self.stats.total_padding_lanes -= pad
             failed = {}
             for _, batch in window:
                 for r in batch:
+                    # skip requests already retired (cancelled mid-window
+                    # or failed synchronously) — re-failing them would
+                    # double-count stats and re-fire done_event after the
+                    # caller observed a final state
+                    if r.done_event.is_set():
+                        continue
                     failed.setdefault(id(r), r)
             for r in failed.values():
                 r.error = e

@@ -42,3 +42,37 @@ def test_ep_rejects_mismatch(mesh):
     params = {"w1": jnp.zeros((4, 8, 8)), "w2": jnp.zeros((4, 8, 8))}
     with pytest.raises(ValueError):
         ep_moe(_ffn, params, jnp.zeros((2, 8)), jnp.zeros((2, 4)), mesh)
+
+
+def test_ep_multi_expert_per_device_matches_dense():
+    """devices < experts (2 devices, 4 experts): every expert must still
+    contribute — regression for the slice-[0]-only bug that silently
+    dropped half the experts."""
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import Mesh
+
+    from comfyui_gguf_tpu.parallel.ep import ep_moe
+
+    rng = np.random.default_rng(3)
+    E, D, F, T = 4, 16, 32, 8
+    ws = {
+        "w1": jnp.asarray(rng.standard_normal((E, F, D)) * 0.1, jnp.float32),
+        "w2": jnp.asarray(rng.standard_normal((E, D, F)) * 0.1, jnp.float32),
+    }
+    x = jnp.asarray(rng.standard_normal((1, T, D)), jnp.float32)
+    probs = jax.nn.softmax(
+        jnp.asarray(rng.standard_normal((1, T, E)), jnp.float32), axis=-1)
+
+    def expert(w, xx):
+        h = jnp.tanh(xx @ w["w1"].T)
+        return h @ w["w2"].T
+
+    dense = sum(probs[..., e: e + 1] * expert(
+        jax.tree_util.tree_map(lambda a, e=e: a[e], ws), x)
+        for e in range(E))
+
+    mesh = Mesh(np.array(jax.devices()[:2]), ("ep",))
+    got = ep_moe(expert, ws, x, probs, mesh)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(dense),
+                               rtol=1e-5, atol=1e-5)

@@ -201,3 +201,36 @@ def test_flux_per_call_sampler(flux_pipe):
     with pytest.raises(ValueError, match="unknown flow sampler"):
         flux_pipe.generate("a cat", width=64, height=64, steps=2,
                            max_t5_len=8, sampler="nope")
+
+
+def test_stacked_model_forward_and_lora_guard(flux_pipe, tmp_path):
+    """DiffusionModel.forward on a stacked tree routes to the scanned
+    forward (previously KeyError); apply_lora on a stacked tree raises
+    with guidance instead of silently attaching nothing."""
+    import jax.numpy as jnp
+
+    from comfyui_gguf_tpu.models.flux import make_img_ids
+
+    mdl = flux_pipe.model
+    stacked = mdl.stack()
+    assert stacked.is_stacked and not mdl.is_stacked
+
+    rng = np.random.default_rng(0)
+    L, C = 16, mdl.config.in_channels
+    img = jnp.asarray(rng.standard_normal((1, L, C)), jnp.float32)
+    ids = jnp.asarray(make_img_ids(4, 4, 1))
+    txt = jnp.asarray(rng.standard_normal((1, 8, mdl.config.context_dim)),
+                      jnp.float32)
+    tids = jnp.zeros((1, 8, 3), jnp.int32)
+    t = jnp.asarray([0.5], jnp.float32)
+    y = jnp.asarray(rng.standard_normal((1, mdl.config.vec_dim)),
+                    jnp.float32)
+    g = jnp.asarray([4.0], jnp.float32)
+
+    a = mdl.forward(img, ids, txt, tids, t, y, g)
+    b = stacked.forward(img, ids, txt, tids, t, y, g)
+    np.testing.assert_allclose(np.asarray(b), np.asarray(a), rtol=2e-2,
+                               atol=2e-2)
+
+    with pytest.raises(ValueError, match="before"):
+        stacked.apply_lora(str(tmp_path / "nope.safetensors"))
