@@ -92,10 +92,7 @@ def _qk_norm(x):
 
     eps matches torch's nn.LayerNorm default (1e-5) — the published
     implementation constructs it with default eps."""
-    xf = x.astype(jnp.float32)
-    mu = jnp.mean(xf, axis=-1, keepdims=True)
-    var = jnp.var(xf, axis=-1, keepdims=True)
-    return ((xf - mu) * jax.lax.rsqrt(var + 1e-5)).astype(x.dtype)
+    return layer_norm(x, eps=1e-5)
 
 
 def _attn_joint(q, k, v):

@@ -189,13 +189,12 @@ def linear_gelu(x: jax.Array, weight, bias=None, *, tail_from: int = 0,
                 xk, base, dequant_dtype=cfg.dequant_dtype,
                 out_dtype=x.dtype, prefer_pallas=cfg.prefer_pallas,
                 bias=bias, act_from_col=tail_from, lora_h=lh, lora_up=lu)
-    out = linear(x, weight, bias, cfg=cfg)
-    act = lambda t: jax.nn.gelu(t.astype(jnp.float32),
-                                approximate=True).astype(t.dtype)
-    if tail_from == 0:
-        return act(out)
-    return jnp.concatenate([out[..., :tail_from], act(out[..., tail_from:])],
-                           axis=-1)
+    # dense/unfused path: same epilogue the kernel fallback uses (one
+    # definition of the GELU-from-column semantics)
+    from ..ops.qmatmul import _host_epilogue
+
+    out = linear(x, weight, None, cfg=cfg)
+    return _host_epilogue(out, bias, tail_from)
 
 
 def embedding(ids: jax.Array, table, *,

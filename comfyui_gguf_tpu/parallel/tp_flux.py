@@ -40,7 +40,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..models.flux import (FluxConfig, _attention, _final, _prelude,
                            _qknorm, timestep_embedding)
-from ..nn.layers import QuantConfig, DEFAULT_CONFIG, layer_norm, linear
+from ..nn.layers import QuantConfig, DEFAULT_CONFIG, layer_norm, linear, linear_gelu
 from ..quant import codecs
 from ..quant.planar import PlanarQuant, planarize_shards
 
@@ -207,16 +207,19 @@ def _tp_double_block(p, img, txt, vec, pe, cfg: FluxConfig, qcfg, tp: int):
     img = img + i_g1 * _psum_linear(img_attn, p["img_attn.proj.weight"],
                                     p.get("img_attn.proj.bias"), qcfg)
     h = layer_norm(img, eps=1e-6) * (1 + i_sc2) + i_sh2
-    h = linear(h, p["img_mlp.0.weight"], p.get("img_mlp.0.bias"), cfg=qcfg)
-    h = jax.nn.gelu(h.astype(jnp.float32), approximate=True).astype(h.dtype)
+    # bias+GELU fused into the per-shard kernel epilogue (elementwise, so
+    # per-shard fusion is exact) — the unfused form pays the (M, MLP/tp)
+    # HBM round trip the single-device path already eliminated
+    h = linear_gelu(h, p["img_mlp.0.weight"], p.get("img_mlp.0.bias"),
+                    cfg=qcfg)
     img = img + i_g2 * _psum_linear(h, p["img_mlp.2.weight"],
                                     p.get("img_mlp.2.bias"), qcfg)
 
     txt = txt + t_g1 * _psum_linear(txt_attn, p["txt_attn.proj.weight"],
                                     p.get("txt_attn.proj.bias"), qcfg)
     h = layer_norm(txt, eps=1e-6) * (1 + t_sc2) + t_sh2
-    h = linear(h, p["txt_mlp.0.weight"], p.get("txt_mlp.0.bias"), cfg=qcfg)
-    h = jax.nn.gelu(h.astype(jnp.float32), approximate=True).astype(h.dtype)
+    h = linear_gelu(h, p["txt_mlp.0.weight"], p.get("txt_mlp.0.bias"),
+                    cfg=qcfg)
     txt = txt + t_g2 * _psum_linear(h, p["txt_mlp.2.weight"],
                                     p.get("txt_mlp.2.bias"), qcfg)
     return img, txt
@@ -228,13 +231,14 @@ def _tp_single_block(p, x, vec, pe, cfg: FluxConfig, qcfg, tp: int):
     shift, scale, gate = _gathered_modulation(p, "modulation", vec, 3, qcfg)
     x_mod = layer_norm(x, eps=1e-6) * (1 + scale) + shift
 
-    hid = linear(x_mod, p["linear1.weight"], p.get("linear1.bias"), cfg=qcfg)
-    qkv, mlp = hid[..., : 3 * h_loc], hid[..., 3 * h_loc:]
+    # fused linear1: GELU applied in the kernel epilogue from the local
+    # mlp tail (columns >= 3·h_loc — per-shard columns are r-tile aligned)
+    hid = linear_gelu(x_mod, p["linear1.weight"], p.get("linear1.bias"),
+                      tail_from=3 * h_loc, cfg=qcfg)
+    qkv, act = hid[..., : 3 * h_loc], hid[..., 3 * h_loc:]
     q, k, v = _split_heads_local(qkv, Hl)
     q, k = _qknorm(p, "norm", q, k)
     attn = _attention(q, k, v, pe)
-    act = jax.nn.gelu(mlp.astype(jnp.float32), approximate=True).astype(
-        mlp.dtype)
     out = _psum_linear(jnp.concatenate([attn, act], axis=-1),
                        p["linear2.weight"], p.get("linear2.bias"), qcfg)
     return x + gate * out

@@ -1350,6 +1350,7 @@ class LTXVPipeline:
     t5: TextEncoder
     shift: float = 3.0
     vae_params: dict | None = None
+    vae_config: object | None = None  # derived lazily, cached
 
     def generate(self, prompt: str, latent_frames: int = 9,
                  latent_height: int = 32, latent_width: int = 32,
@@ -1402,8 +1403,10 @@ class LTXVPipeline:
             return np.asarray(lat[0])
         from .models import ltxv_vae
 
-        vcfg = ltxv_vae.LTXVVAEConfig.from_state_dict(self.vae_params)
-        vid = ltxv_vae.decode_auto(self.vae_params, vcfg,
+        if self.vae_config is None:  # cache the key introspection
+            self.vae_config = ltxv_vae.LTXVVAEConfig.from_state_dict(
+                self.vae_params)
+        vid = ltxv_vae.decode_auto(self.vae_params, self.vae_config,
                               lat.astype(jnp.float32), qcfg=model.qcfg)
         return np.asarray((jnp.clip(vid[0], -1, 1) + 1) / 2)
 
