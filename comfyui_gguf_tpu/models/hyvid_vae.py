@@ -92,7 +92,9 @@ def _mid_attn(params, p, x, qcfg):
                params.get(f"{p}.to_k.bias"), cfg=qcfg)
     v = linear(h2, params[f"{p}.to_v.weight"],
                params.get(f"{p}.to_v.bias"), cfg=qcfg)
-    o = dot_product_attention(q[:, :, None], k[:, :, None], v[:, :, None]
+    # heads-major (B·T, 1, H·W, C): one head over all spatial positions
+    # ([:, :, None] would make H·W length-1 heads = identity attention)
+    o = dot_product_attention(q[:, None], k[:, None], v[:, None]
                               ).reshape(B * T, H * W, C)
     o = linear(o, params[f"{p}.to_out.0.weight"],
                params.get(f"{p}.to_out.0.bias"), cfg=qcfg)

@@ -100,7 +100,10 @@ def _attention_block(params, p, x, qcfg):
         N, H, W, C = hf.shape
         qkv = conv2d(hf, params[f"{p}.to_qkv.weight"],
                      params.get(f"{p}.to_qkv.bias"), cfg=qcfg)
-        q, k, v = jnp.split(qkv.reshape(N, H * W, 1, 3 * C), 3, axis=-1)
+        # heads-major (B, H=1, L=H*W, D): ONE head over all spatial
+        # positions — (N, H*W, 1, C) would be H*W heads of length-1
+        # sequences, i.e. an identity "attention" with no mixing
+        q, k, v = jnp.split(qkv.reshape(N, 1, H * W, 3 * C), 3, axis=-1)
         o = dot_product_attention(q, k, v).reshape(N, H, W, C)
         return conv2d(o, params[f"{p}.proj.weight"],
                       params.get(f"{p}.proj.bias"), cfg=qcfg)

@@ -306,10 +306,24 @@ def load_vae(path: str):
         return ("ltxv", params,
                 ltxv_vae.LTXVVAEConfig.from_state_dict(params))
     if any(k.startswith("decoder.mid_block.") for k in params):
-        from .models import hyvid_vae
+        # "decoder.mid_block." is the generic diffusers prefix — ordinary
+        # diffusers-format IMAGE VAEs carry it too. HyVid's causal convs
+        # are 5-D (O, I, kt, kh, kw); a 4-D conv means an image VAE in
+        # diffusers naming, which the sgm-format decoder can't load
+        w = next((v for k, v in params.items()
+                  if k.startswith("decoder.mid_block.")
+                  and k.endswith("conv.weight")
+                  or k.startswith("decoder.conv_in")), None)
+        ndim = len(getattr(w, "shape", ())) if w is not None else 0
+        if ndim == 5:
+            from .models import hyvid_vae
 
-        return ("hyvid", params,
-                hyvid_vae.HyVidVAEConfig.from_state_dict(params))
+            return ("hyvid", params,
+                    hyvid_vae.HyVidVAEConfig.from_state_dict(params))
+        raise ValueError(
+            "diffusers-format image VAE (4-D convs under "
+            "decoder.mid_block.*) — convert to the sgm key format "
+            "(first_stage_model decoder.mid.*) or load the sgm export")
     return "image", params, vae_model.VAEConfig.from_state_dict(params)
 
 

@@ -24,9 +24,13 @@ import numpy as np
 
 from .bpe import bytes_to_unicode
 
+# letters are [^\W\d_] (NOT [^\s\d\W], which includes underscore):
+# the OpenAI CLIP pattern splits on _ — "long_hair" must tokenize as
+# "long" "_" "hair" or the merges table (built for the split form)
+# produces different ids than the model was trained with
 _PAT = re.compile(
     r"<\|startoftext\|>|<\|endoftext\|>|'s|'t|'re|'ve|'m|'ll|'d"
-    r"|[^\s\d\W]+|\d|[^\s\w]+",
+    r"|[^\W\d_]+|\d|[^\s\w]+|_+",
     re.IGNORECASE,
 )
 
@@ -91,7 +95,16 @@ class CLIPBPETokenizer:
             for piece in self._bpe(word):
                 tid = self.vocab.get(piece)
                 if tid is None:  # unmergeable symbol: per-char fallback
-                    ids.extend(self.vocab.get(c, 0) for c in piece)
+                    # strip the end-of-word marker first — iterating it
+                    # would emit ids for the literal "<", "/", "w", ">"
+                    chars = (piece[: -len("</w>")]
+                             if piece.endswith("</w>") else piece)
+                    if chars:
+                        last = self.vocab.get(chars[-1] + "</w>",
+                                              self.vocab.get(chars[-1], 0))
+                        ids.extend(self.vocab.get(c, 0)
+                                   for c in chars[:-1])
+                        ids.append(last)
                 else:
                     ids.append(tid)
         if add_special:

@@ -69,9 +69,11 @@ def summarize(path: str, top_n: int = 20) -> list[dict]:
             continue
         meta = {m.id: m.name for m in plane.event_metadata.values()}
         for line in plane.lines:
-            if line.name not in ("XLA Ops", "XLA TraceMe", "Steps"):
-                if "XLA Ops" not in line.name:
-                    continue
+            # ONLY the "XLA Ops" line(s): "Steps"/"XLA TraceMe" are
+            # container events spanning every op beneath them —
+            # aggregating them doubled TOTAL and diluted every share
+            if "XLA Ops" not in line.name:
+                continue
             agg: dict[str, list] = defaultdict(lambda: [0, 0, ""])
             for ev in line.events:
                 nm = meta.get(ev.metadata_id, "?")

@@ -133,3 +133,30 @@ def test_decode_causality(tiny):
     d_first = np.abs(o1[:, 0] - o2[:, 0]).max()
     d_last = np.abs(o1[:, -1] - o2[:, -1]).max()
     assert d_last > 10 * max(d_first, 1e-6)
+
+
+def test_mid_attn_mixes_spatially():
+    """Heads-major layout regression (identity-attention bug): the mid
+    attention must match a hand-rolled single-head softmax over H·W."""
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(11)
+    C = 32
+    p = "mid"
+    sd = {k: jnp.asarray(v) for k, v in _attn(rng, p, C).items()}
+    x = jnp.asarray(rng.standard_normal((1, 1, 3, 3, C)), jnp.float32)
+    got = np.asarray(hyvid_vae._mid_attn(sd, p, x, F32))
+
+    h = np.asarray(hyvid_vae._gn3d(x, sd[f"{p}.group_norm.weight"],
+                                   sd[f"{p}.group_norm.bias"]))[0, 0]
+    h2 = h.reshape(9, C)
+    q = h2 @ np.asarray(sd[f"{p}.to_q.weight"]).T
+    k = h2 @ np.asarray(sd[f"{p}.to_k.weight"]).T
+    v = h2 @ np.asarray(sd[f"{p}.to_v.weight"]).T
+    logits = (q @ k.T) * (C ** -0.5)
+    probs = np.exp(logits - logits.max(1, keepdims=True))
+    probs /= probs.sum(1, keepdims=True)
+    o = (probs @ v) @ np.asarray(sd[f"{p}.to_out.0.weight"]).T
+    want = np.asarray(x)[0, 0].reshape(9, C) + o
+    np.testing.assert_allclose(got[0, 0].reshape(9, C), want, rtol=2e-3,
+                               atol=2e-3)

@@ -185,6 +185,16 @@ def test_load_vae_detects_families(tmp_path):
     assert kind == "hyvid" and cfg.z_channels == 5
     assert "decoder.conv_in.conv.weight" in params  # prefix stripped
 
+    # diffusers-format IMAGE VAE also carries decoder.mid_block.* but has
+    # 4-D convs — must be rejected with guidance, not decoded as hyvid
+    img = {"decoder.mid_block.resnets.0.norm1.weight": torch.zeros(4),
+           "decoder.conv_in.weight": torch.zeros(8, 4, 3, 3)}
+    f3 = str(tmp_path / "img_diffusers.safetensors")
+    save_file(img, f3)
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="diffusers-format"):
+        load_vae(f3)
+
 
 def test_ltxv_pipeline_pixels():
     """LTXVPipeline emits PIXELS when a VAE is attached (VERDICT r1

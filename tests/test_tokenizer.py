@@ -183,3 +183,42 @@ def test_gpt2_with_merges_still_uses_bpe():
                          scores=None, token_types=[1, 1, 1],
                          merges=["a b"], bos_id=None, eos_id=None)
     assert isinstance(build_tokenizer(spec), BPETokenizer)
+
+
+def test_clip_bpe_underscore_splits_and_marker_fallback(tmp_path):
+    """Regression: the word pattern must EXCLUDE underscore ("long_hair"
+    → "long" "_" "hair", matching the OpenAI CLIP regex the merges were
+    built for), and the unmergeable-piece fallback must not emit ids for
+    the literal </w> marker characters."""
+    import json
+
+    from comfyui_gguf_tpu.tokenizer.clip_bpe import CLIPBPETokenizer
+
+    toks = ["c", "a", "t", "x", "_", "c</w>", "a</w>", "t</w>", "x</w>",
+            "_</w>", "at</w>", "cat</w>", "<", "/", "w", ">",
+            "<|startoftext|>", "<|endoftext|>"]
+    vocab = {t: i for i, t in enumerate(toks)}
+    vp = tmp_path / "vocab.json"
+    mp = tmp_path / "merges.txt"
+    vp.write_text(json.dumps(vocab))
+    mp.write_text("#version: 0.2\n" + "a t</w>\nc at</w>")
+    tok = CLIPBPETokenizer.from_files(str(vp), str(mp))
+
+    # underscore separates words (it used to glue "cat_cat" into one
+    # unmergeable token)
+    ids = tok.encode("cat_cat")
+    assert ids == [tok.bos_id, vocab["cat</w>"], vocab["_</w>"],
+                   vocab["cat</w>"], tok.eos_id]
+
+    # "xx" has no merges: pieces are ["x", "x</w>"]; both exist here, but
+    # "tx" → pieces ["t", "x</w>"] fine; force the missing-piece path
+    # with a char whose marked form is absent: drop "x</w>" from vocab
+    vocab2 = {k: v for k, v in vocab.items() if k != "x</w>"}
+    vp2 = tmp_path / "v2.json"
+    vp2.write_text(json.dumps(vocab2))
+    tok2 = CLIPBPETokenizer.from_files(str(vp2), str(mp))
+    ids2 = tok2.encode("tx")
+    # marker chars "<", "/", "w", ">" must NOT appear
+    for bad in ("<", "/", "w", ">"):
+        assert vocab2[bad] not in ids2[1:-1], (bad, ids2)
+    assert vocab2["t"] in ids2 and vocab2["x"] in ids2

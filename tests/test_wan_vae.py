@@ -200,3 +200,33 @@ def test_tiled_video_machinery():
     got = tiled_apply_video(up, x, tile=5, overlap=2)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=1e-5, atol=1e-6)
+
+
+def test_attention_block_mixes_spatially():
+    """The mid attention must MIX spatial positions — heads-major layout
+    regression: (N, H*W, 1, C) silently made it identity. Reference: a
+    hand-rolled single-head softmax over the H*W positions."""
+    rng = np.random.default_rng(9)
+    C = 8
+    p = "blk"
+    params = {
+        f"{p}.norm.gamma": jnp.ones(C, jnp.float32),
+        f"{p}.to_qkv.weight": jnp.asarray(
+            rng.standard_normal((3 * C, C, 1, 1)) * 0.3, jnp.float32),
+        f"{p}.proj.weight": jnp.asarray(
+            np.eye(C, dtype=np.float32)[:, :, None, None]),
+    }
+    x = jnp.asarray(rng.standard_normal((1, 1, 3, 3, C)), jnp.float32)
+    got = np.asarray(wan_vae._attention_block(params, p, x, F32))
+
+    # hand-rolled reference over the same normed input
+    h = np.asarray(wan_vae._rms(x, params[f"{p}.norm.gamma"]))[0, 0]
+    w3 = np.asarray(params[f"{p}.to_qkv.weight"])[:, :, 0, 0]
+    qkv = h.reshape(9, C) @ w3.T
+    q, k, v = np.split(qkv, 3, axis=-1)
+    logits = (q @ k.T) * (C ** -0.5)
+    probs = np.exp(logits - logits.max(1, keepdims=True))
+    probs /= probs.sum(1, keepdims=True)
+    want = np.asarray(x)[0, 0].reshape(9, C) + probs @ v
+    np.testing.assert_allclose(got[0, 0].reshape(9, C), want, rtol=2e-3,
+                               atol=2e-3)
