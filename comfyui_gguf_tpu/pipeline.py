@@ -591,6 +591,29 @@ class FluxPipeline:
         return np.asarray((jnp.clip(img[0], -1, 1) + 1) / 2)
 
 
+def _jit_cfg_denoise(fwd, sigmas, cfg_scale, sampler=None):
+    """Shared rectified-flow denoise scaffold for the CFG pipelines.
+
+    ``fwd(params, xc, ts, cond)`` — the per-arch forward over ONE
+    conditioning pytree. Returns a jitted ``denoise(params, x0, cond,
+    *neg)``: with a negative cond it runs both forwards and mixes
+    ``v_u + cfg_scale·(v_c − v_u)``; without, the plain conditional
+    velocity. One definition of the CFG semantics instead of a copy per
+    pipeline (the engines' analogue is _cfg_mix_velocity)."""
+    @jax.jit
+    def denoise(params, x0, cond, *neg):
+        def velocity(xc, sigma):
+            ts = jnp.full((xc.shape[0],), sigma, jnp.float32)
+            v_c = fwd(params, xc, ts, cond)
+            if not neg:
+                return v_c
+            v_u = fwd(params, xc, ts, neg[0])
+            return v_u + cfg_scale * (v_c - v_u)
+        return sample_flow(velocity, x0, sigmas, sampler=sampler)
+
+    return denoise
+
+
 def _sig_expand(s, x):
     """(B,) sigma → broadcastable over x's trailing dims."""
     return jnp.asarray(s, jnp.float32).reshape(
@@ -1272,18 +1295,9 @@ class WanPipeline:
         fwd = (wan_model.forward_stacked if "blocks" in model.params
                else wan_model.forward)
 
-        @jax.jit
-        def denoise(params, x0, ctx, *neg):
-            def velocity(xc, sigma):
-                tt = jnp.full((xc.shape[0],), sigma, jnp.float32)
-                v_c = fwd(params, model.config, xc, ctx, tt,
-                          qcfg=model.qcfg)
-                if not neg:
-                    return v_c
-                v_u = fwd(params, model.config, xc, neg[0],
-                          tt, qcfg=model.qcfg)
-                return v_u + cfg_scale * (v_c - v_u)
-            return sample_flow(velocity, x0, sigmas)
+        denoise = _jit_cfg_denoise(
+            lambda p, xc, ts, c: fwd(p, model.config, xc, c, ts,
+                                     qcfg=model.qcfg), sigmas, cfg_scale)
 
         args = (nctx,) if use_cfg else ()
         lat = denoise(model.params, x, ctx, *args)
@@ -1335,13 +1349,9 @@ class HyVidPipeline:
         fwd = (hyvid_model.forward_stacked
                if "double_blocks" in model.params else hyvid_model.forward)
 
-        @jax.jit
-        def denoise(params, x0, txt):
-            def velocity(xc, sigma):
-                tt = jnp.full((xc.shape[0],), sigma, jnp.float32)
-                return fwd(params, model.config, xc, txt,
-                           tt, g, qcfg=model.qcfg)
-            return sample_flow(velocity, x0, sigmas)
+        denoise = _jit_cfg_denoise(
+            lambda p, xc, ts, c: fwd(p, model.config, xc, c, ts, g,
+                                     qcfg=model.qcfg), sigmas, 1.0)
 
         lat = denoise(model.params, x, txt)
         if self.vae_params is None:
@@ -1397,18 +1407,9 @@ class LTXVPipeline:
                if "transformer_blocks" in model.params
                else ltxv_model.forward)
 
-        @jax.jit
-        def denoise(params, x0, ctx, *neg):
-            def velocity(xc, sigma):
-                ts = jnp.full((xc.shape[0],), sigma, jnp.float32)
-                v_c = fwd(params, model.config, xc, pos,
-                          ctx, ts, qcfg=model.qcfg)
-                if not neg:
-                    return v_c
-                v_u = fwd(params, model.config, xc, pos,
-                          neg[0], ts, qcfg=model.qcfg)
-                return v_u + cfg_scale * (v_c - v_u)
-            return sample_flow(velocity, x0, sigmas)
+        denoise = _jit_cfg_denoise(
+            lambda p, xc, ts, c: fwd(p, model.config, xc, pos, c, ts,
+                                     qcfg=model.qcfg), sigmas, cfg_scale)
 
         args = (nctx,) if use_cfg else ()
         lat = denoise(model.params, x, ctx, *args)
@@ -1465,18 +1466,10 @@ class QwenImagePipeline:
         fwd = (qi_model.forward_stacked
                if "transformer_blocks" in model.params else qi_model.forward)
 
-        @jax.jit
-        def denoise(params, x0, txt, *neg):
-            def velocity(xc, sigma):
-                ts = jnp.full((xc.shape[0],), sigma, jnp.float32)
-                v_c = fwd(params, model.config, xc, img_ids,
-                          txt, txt_ids, ts, qcfg=model.qcfg)
-                if not neg:
-                    return v_c
-                v_u = fwd(params, model.config, xc, img_ids,
-                          neg[0], txt_ids, ts, qcfg=model.qcfg)
-                return v_u + cfg_scale * (v_c - v_u)
-            return sample_flow(velocity, x0, sigmas)
+        denoise = _jit_cfg_denoise(
+            lambda p, xc, ts, c: fwd(p, model.config, xc, img_ids, c,
+                                     txt_ids, ts, qcfg=model.qcfg),
+            sigmas, cfg_scale)
 
         args = (ntxt,) if use_cfg else ()
         lat = denoise(model.params, x, txt, *args)
@@ -1539,22 +1532,15 @@ class QwenImagePipeline:
         fwd = (qi_model.forward_stacked
                if "transformer_blocks" in model.params else qi_model.forward)
 
-        @jax.jit
-        def denoise(params, x0, ref, txt, *neg):
-            def velocity(xc, sigma):
-                ts = jnp.full((xc.shape[0],), sigma, jnp.float32)
-                xa = jnp.concatenate([xc, ref], axis=1)
-                v_c = fwd(params, model.config, xa, img_ids,
-                          txt, txt_ids, ts, qcfg=model.qcfg)[:, :L]
-                if not neg:
-                    return v_c
-                v_u = fwd(params, model.config, xa, img_ids,
-                          neg[0], txt_ids, ts, qcfg=model.qcfg)[:, :L]
-                return v_u + cfg_scale * (v_c - v_u)
-            return sample_flow(velocity, x0, sigmas)
+        def _edit_fwd(p, xc, ts, c):
+            xa = jnp.concatenate([xc, ref], axis=1)
+            return fwd(p, model.config, xa, img_ids, c, txt_ids, ts,
+                       qcfg=model.qcfg)[:, :L]
+
+        denoise = _jit_cfg_denoise(_edit_fwd, sigmas, cfg_scale)
 
         args = (ntxt,) if use_cfg else ()
-        lat = denoise(model.params, x, ref, txt, *args)
+        lat = denoise(model.params, x, txt, *args)
         return np.asarray(lat[0])
 
 
@@ -1592,18 +1578,9 @@ class AuraPipeline:
         fwd = (aura_model.forward_stacked
                if "double_layers" in model.params else aura_model.forward)
 
-        @jax.jit
-        def denoise(params, x0, ctx, *neg):
-            def velocity(xc, sigma):
-                ts = jnp.full((xc.shape[0],), sigma, jnp.float32)
-                v_c = fwd(params, model.config, xc, ctx, ts,
-                          qcfg=model.qcfg)
-                if not neg:
-                    return v_c
-                v_u = fwd(params, model.config, xc, neg[0],
-                          ts, qcfg=model.qcfg)
-                return v_u + cfg_scale * (v_c - v_u)
-            return sample_flow(velocity, x0, sigmas)
+        denoise = _jit_cfg_denoise(
+            lambda p, xc, ts, c: fwd(p, model.config, xc, c, ts,
+                                     qcfg=model.qcfg), sigmas, cfg_scale)
 
         args = (nctx,) if use_cfg else ()
         return np.asarray(denoise(model.params, x, ctx, *args)[0])
@@ -1643,18 +1620,11 @@ class CosmosPipeline:
         sigmas = shift_sigmas(linear_schedule(steps), self.shift)
         model = self.model
 
-        @jax.jit
-        def denoise(params, x0, ctx, *neg):
-            def velocity(xc, sigma):
-                ts = jnp.full((xc.shape[0],), sigma, jnp.float32)
-                v_c = cosmos_model.forward(params, model.config, xc, ctx,
-                                           ts, qcfg=model.qcfg)
-                if not neg:
-                    return v_c
-                v_u = cosmos_model.forward(params, model.config, xc, neg[0],
-                                           ts, qcfg=model.qcfg)
-                return v_u + cfg_scale * (v_c - v_u)
-            return sample_flow(velocity, x0, sigmas)
+        fwd = (cosmos_model.forward_stacked
+               if "blocks" in model.params else cosmos_model.forward)
+        denoise = _jit_cfg_denoise(
+            lambda p, xc, ts, c: fwd(p, model.config, xc, c, ts,
+                                     qcfg=model.qcfg), sigmas, cfg_scale)
 
         args = (nctx,) if use_cfg else ()
         return np.asarray(denoise(model.params, x, ctx, *args)[0])
@@ -1694,18 +1664,9 @@ class Lumina2Pipeline:
         fwd = (lumina2_model.forward_stacked
                if "layers" in model.params else lumina2_model.forward)
 
-        @jax.jit
-        def denoise(params, x0, cap, *neg):
-            def velocity(xc, sigma):
-                ts = jnp.full((xc.shape[0],), sigma, jnp.float32)
-                v_c = fwd(params, model.config, xc, cap,
-                          ts, qcfg=model.qcfg)
-                if not neg:
-                    return v_c
-                v_u = fwd(params, model.config, xc,
-                          neg[0], ts, qcfg=model.qcfg)
-                return v_u + cfg_scale * (v_c - v_u)
-            return sample_flow(velocity, x0, sigmas)
+        denoise = _jit_cfg_denoise(
+            lambda p, xc, ts, c: fwd(p, model.config, xc, c, ts,
+                                     qcfg=model.qcfg), sigmas, cfg_scale)
 
         args = (ncap,) if use_cfg else ()
         return np.asarray(denoise(model.params, x, cap, *args)[0])
@@ -1748,15 +1709,13 @@ class HiDreamPipeline:
                if "double_stream_blocks" in model.params
                else hidream_model.forward)
 
-        @jax.jit
-        def denoise(params, x0, t5s, lls, pooled):
-            def velocity(xc, sigma):
-                ts = jnp.full((xc.shape[0],), sigma, jnp.float32)
-                return fwd(params, model.config, xc, t5s,
-                           lls, pooled, ts, qcfg=model.qcfg)
-            return sample_flow(velocity, x0, sigmas)
+        denoise = _jit_cfg_denoise(
+            lambda p, xc, ts, c: fwd(p, model.config, xc, c[0], c[1],
+                                     c[2], ts, qcfg=model.qcfg),
+            sigmas, 1.0)
 
-        return np.asarray(denoise(model.params, x, t5s, lls, pooled)[0])
+        return np.asarray(denoise(model.params, x,
+                                  (t5s, lls, pooled))[0])
 
 
 @dataclasses.dataclass

@@ -555,9 +555,9 @@ def test_hidream_double_block_golden():
     cfg = hidream.HiDreamConfig(hidden=D, n_heads=Hn, depth_double=1,
                                 depth_single=0, n_experts=NE, top_k=2)
     jp = {k2: jnp.asarray(v2) for k2, v2 in w.items()}
-    j_img, j_txt = hidream._double_block(jp, 0, jnp.asarray(img),
-                                         jnp.asarray(txt),
-                                         jnp.asarray(vec), cfg, F32)
+    j_img, j_txt = hidream._double_block(
+        jp, "double_stream_blocks.0.block", jnp.asarray(img),
+        jnp.asarray(txt), jnp.asarray(vec), cfg, F32)
     np.testing.assert_allclose(np.asarray(j_img), it.numpy(), rtol=3e-4,
                                atol=3e-4)
     np.testing.assert_allclose(np.asarray(j_txt), tt_.numpy(), rtol=3e-4,
