@@ -69,10 +69,14 @@ def apply_patch_prologue(x: jax.Array, patches: tuple[LoRAPatch, ...],
     scale·W@a2@a1 term of the glora delta (x·(W a2 a1)ᵀ =
     ((x a1ᵀ) a2ᵀ)·Wᵀ) at O(r·K) instead of a dense weight rewrite."""
     dt = patch_dtype or x.dtype
+    x0 = x  # every patch rewrites the ORIGINAL input: stacked GLoRAs
+    # must sum independent deltas (W + Σ sᵢ·W·Aᵢ), not compound
+    # sequentially (which adds sᵢ·sⱼ cross-terms the folded
+    # materialize() path does not have)
     for p in patches:
         if p.a1 is None:
             continue
-        h = jnp.dot(x.astype(dt), p.a1.astype(dt).T,
+        h = jnp.dot(x0.astype(dt), p.a1.astype(dt).T,
                     preferred_element_type=jnp.float32).astype(dt)
         h = jnp.dot(h, p.a2.astype(dt).T,
                     preferred_element_type=jnp.float32)
@@ -310,8 +314,20 @@ def build_patches(mapped: dict, strength: float = 1.0,
             patch = LoRAPatch(up=None, down=None, mid=None,
                               diff=jnp.asarray(delta, dtype), scale=scale)
         elif "glora_a1" in parts:
-            # GLoRA: ΔW = s·(b2@b1 + W@a2@a1); a-branch rides the input
-            # prologue, b-branch the standard rank epilogue
+            # GLoRA, OLD layout: ΔW = s·(b2@b1 + W@a2@a1) with a1:(r,K),
+            # a2:(K,r), b1:(r,K), b2:(R,r). The NEW layout transposes
+            # every factor (a1:(K,r) …) and swaps the roles
+            # (ΔW = s·(b1@b2 + W@a1@a2)) — detected by a1's orientation
+            # (rank < K; a square a1 is ambiguous and treated as old,
+            # matching the reference's shape-based detection) and
+            # normalized to the old form by swapping the pairs.
+            a1 = np.asarray(parts["glora_a1"], np.float32)
+            if a1.shape[0] > a1.shape[1]:  # (K, r): new layout
+                parts = dict(parts,
+                             glora_a1=parts["glora_a2"],
+                             glora_a2=parts["glora_a1"],
+                             glora_b1=parts["glora_b2"],
+                             glora_b2=parts["glora_b1"])
             b1 = np.asarray(parts["glora_b1"], np.float32)
             rank = b1.shape[0]
             alpha = float(np.asarray(parts.get("alpha", rank)))

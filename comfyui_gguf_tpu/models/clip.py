@@ -165,8 +165,12 @@ def encode(params, cfg: CLIPTextConfig, ids: jax.Array,
                       eps=cfg.eps)
 
     if cfg.eos_token_id is not None:
-        eot = jnp.argmax((ids == cfg.eos_token_id).astype(jnp.int32),
+        has_eos = ids == cfg.eos_token_id
+        eot = jnp.argmax(has_eos.astype(jnp.int32),
                          axis=-1)  # first EOS position
+        # no EOS at all (truncated prompt from a tokenizer that dropped
+        # it): pool the LAST position, not argmax's 0 (= BOS state)
+        eot = jnp.where(has_eos.any(axis=-1), eot, ids.shape[-1] - 1)
     else:
         eot = jnp.argmax(ids, axis=-1)  # EOT has the highest token id
     pooled = last[jnp.arange(B), eot]

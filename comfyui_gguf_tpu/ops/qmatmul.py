@@ -24,6 +24,7 @@ Two implementations with identical semantics:
 from __future__ import annotations
 
 import functools
+import logging
 import os
 
 import jax
@@ -236,6 +237,8 @@ def _pick_kt(k_rows: int, gs: int) -> int | None:
 
 
 # overridable for autotuning (see tests/bench sweeps)
+log = logging.getLogger(__name__)
+
 TILE_OVERRIDES: dict = {}
 
 # per-shape tuned tiles: {(m_bucket, k_rows, rp, layout): (mt, kt, rt)}.
@@ -270,8 +273,19 @@ def _pick_tiles(m: int, k_rows: int, rp: int, gs: int,
     fit VMEM (~16 MB with double buffering).
     """
     if TILE_OVERRIDES:
-        return (TILE_OVERRIDES.get("mt"), TILE_OVERRIDES.get("kt"),
-                TILE_OVERRIDES.get("rt"))
+        mt = TILE_OVERRIDES.get("mt")
+        kt = TILE_OVERRIDES.get("kt")
+        rt = TILE_OVERRIDES.get("rt")
+        # overrides are process-global and hit EVERY quantized matmul:
+        # an indivisible tile would leave grid-tail rows/columns
+        # unwritten (silent garbage), so fall back to the heuristics for
+        # shapes the override doesn't divide
+        if ((kt is None or k_rows % kt == 0)
+                and (rt is None or rp % rt == 0)):
+            return (mt, kt, rt)
+        log.warning("TILE_OVERRIDES %s indivisible for shape "
+                    "(k_rows=%d, rp=%d); using heuristics",
+                    TILE_OVERRIDES, k_rows, rp)
     tuned = SHAPE_TILES.get(shape_key(m, k_rows, rp, layout))
     if tuned is not None:
         return tuple(tuned)

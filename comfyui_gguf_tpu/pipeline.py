@@ -59,23 +59,22 @@ def _resolve_qcfg(dequant_dtype="default", patch_dtype="default",
 def _arch_module(arch: str):
     import importlib
 
-    mod_name = {
-        "flux": "flux", "sd3": "sd3", "sd1": "unet", "sdxl": "unet",
-        "aura": "aura", "hidream": "hidream", "cosmos": "cosmos",
-        "ltxv": "ltxv", "hyvid": "hyvid", "wan": "wan",
-        "lumina2": "lumina2", "qwen_image": "qwen_image",
-    }.get(arch)
-    if mod_name is None:
+    entry = _ARCH_TABLE.get(arch)
+    if entry is None:
         return None
-    return importlib.import_module(f".models.{mod_name}", __package__)
+    return importlib.import_module(f".models.{entry[0]}", __package__)
 
 
-_ARCH_CONFIG_CLS = {
-    "flux": "FluxConfig", "sd3": "SD3Config", "sd1": "UNetConfig",
-    "sdxl": "UNetConfig", "aura": "AuraConfig", "hidream": "HiDreamConfig",
-    "cosmos": "CosmosConfig", "ltxv": "LTXVConfig", "hyvid": "HyVidConfig",
-    "wan": "WanConfig", "lumina2": "Lumina2Config",
-    "qwen_image": "QwenImageConfig",
+# ONE table per arch: (module name, config class) — split dicts drifted
+_ARCH_TABLE = {
+    "flux": ("flux", "FluxConfig"), "sd3": ("sd3", "SD3Config"),
+    "sd1": ("unet", "UNetConfig"), "sdxl": ("unet", "UNetConfig"),
+    "aura": ("aura", "AuraConfig"),
+    "hidream": ("hidream", "HiDreamConfig"),
+    "cosmos": ("cosmos", "CosmosConfig"), "ltxv": ("ltxv", "LTXVConfig"),
+    "hyvid": ("hyvid", "HyVidConfig"), "wan": ("wan", "WanConfig"),
+    "lumina2": ("lumina2", "Lumina2Config"),
+    "qwen_image": ("qwen_image", "QwenImageConfig"),
 }
 
 
@@ -235,7 +234,7 @@ def load_diffusion_model(path: str, dequant_dtype="default",
     mod = _arch_module(arch)
     config = None
     if mod is not None:
-        cls = getattr(mod, _ARCH_CONFIG_CLS[arch])
+        cls = getattr(mod, _ARCH_TABLE[arch][1])
         config = cls.from_state_dict(params)
     return DiffusionModel(arch=arch, params=params, config=config, qcfg=qcfg)
 
@@ -1276,14 +1275,19 @@ class WanPipeline:
                  max_t5_len: int = 512) -> np.ndarray:
         from .models import wan as wan_model
 
-        ids, mask = self.t5.tokenizer.encode_batch([prompt],
-                                                   max_length=max_t5_len)
-        ctx = self.t5.encode(jnp.asarray(ids), jnp.asarray(mask))
+        def cond(text):
+            ids, mask = self.t5.tokenizer.encode_batch(
+                [text], max_length=max_t5_len)
+            c = self.t5.encode(jnp.asarray(ids), jnp.asarray(mask))
+            # Wan reference zeroes the padded positions (zero_out_masked):
+            # the UMT5 encoder emits nonzero states there, and the DiT's
+            # cross-attention has no mask — pad garbage must be zeros
+            return c * jnp.asarray(mask)[..., None].astype(c.dtype)
+
+        ctx = cond(prompt)
         use_cfg = cfg_scale != 1.0
         if use_cfg:
-            nids, nmask = self.t5.tokenizer.encode_batch(
-                [negative_prompt], max_length=max_t5_len)
-            nctx = self.t5.encode(jnp.asarray(nids), jnp.asarray(nmask))
+            nctx = cond(negative_prompt)
 
         C = self.model.config.in_channels
         key = jax.random.key(seed)

@@ -123,7 +123,11 @@ class BPETokenizer:
         ids = np.full((len(enc), L), self.pad_id, dtype=np.int32)
         mask = np.zeros((len(enc), L), dtype=np.int32)
         for i, e in enumerate(enc):
-            e = e[:L]
+            if len(e) > L:
+                # keep the final special (eos) when truncating — CLIP
+                # pooling reads the first-eos position and SD prompts
+                # longer than the context window would otherwise lose it
+                e = e[: L - 1] + [e[-1]]
             ids[i, : len(e)] = e
             mask[i, : len(e)] = 1
         return ids, mask

@@ -46,6 +46,11 @@ def main():
     from comfyui_gguf_tpu.sampling import flux_schedule
 
     pipe = FluxPipeline.load(args.unet, args.t5, args.clip_l)
+    if pipe.t5.tokenizer is None or pipe.clip_l.tokenizer is None:
+        print("error: encoder lacks an embedded tokenizer (safetensors "
+              "CLIP ships no vocab) — use GGUF encoders with tokenizer "
+              "metadata for this example", file=sys.stderr)
+        return 1
     model = pipe.model.stack()  # depth-stacked: scanned zero-copy forward
     h_lat, w_lat = args.height // 8, args.width // 8
     lat_c = pipe.model.config.in_channels // 4

@@ -491,3 +491,67 @@ def test_text_encoder_lora_slice(tmp_path):
     # clip_g slice absent -> unchanged tree
     same = lora_mod.load_and_attach_te(params, str(p), prefixes=("te2",))
     assert same is params
+
+
+def test_glora_new_layout_matches_old():
+    """New-layout GLoRA (transposed factors, ΔW = b1@b2 + W@a1@a2) must
+    produce the same delta as the equivalent old-layout file."""
+    from comfyui_gguf_tpu import lora as lora_mod
+    from comfyui_gguf_tpu.nn.layers import linear, QuantConfig
+
+    rng = np.random.default_rng(4)
+    R, K, r = 24, 16, 4
+    w = jnp.asarray(rng.standard_normal((R, K)) * 0.1, jnp.float32)
+    a1o = rng.standard_normal((r, K)).astype(np.float32) * 0.3  # old (r,K)
+    a2o = rng.standard_normal((K, r)).astype(np.float32) * 0.3  # old (K,r)
+    b1o = rng.standard_normal((r, K)).astype(np.float32) * 0.3  # old (r,K)
+    b2o = rng.standard_normal((R, r)).astype(np.float32) * 0.3  # old (R,r)
+    alpha = np.asarray(r, np.float32)
+
+    old_parts = {"glora_a1": a1o, "glora_a2": a2o, "glora_b1": b1o,
+                 "glora_b2": b2o, "alpha": alpha}
+    # new layout: every factor transposed, roles swapped
+    new_parts = {"glora_a1": a2o, "glora_a2": a1o,
+                 "glora_b1": b2o, "glora_b2": b1o, "alpha": alpha}
+    cfg = QuantConfig(dequant_dtype=jnp.float32, compute_dtype=jnp.float32,
+                      prefer_pallas=False)
+    x = jnp.asarray(np.random.default_rng(7).standard_normal((3, K)),
+                    jnp.float32)
+    po = lora_mod.attach_patches(
+        {"w": w}, lora_mod.build_patches({"w": old_parts}, 1.0,
+                                         jnp.float32))["w"]
+    pn = lora_mod.attach_patches(
+        {"w": w}, lora_mod.build_patches({"w": new_parts}, 1.0,
+                                         jnp.float32))["w"]
+    np.testing.assert_allclose(np.asarray(linear(x, pn, None, cfg=cfg)),
+                               np.asarray(linear(x, po, None, cfg=cfg)),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_multi_glora_matches_folded():
+    """Two GLoRA patches on one weight: the runtime prologue must equal
+    the folded materialize() (independent deltas, no s1*s2 cross-term)."""
+    from comfyui_gguf_tpu import lora as lora_mod
+    from comfyui_gguf_tpu.nn.layers import linear, materialize, QuantConfig
+
+    rng = np.random.default_rng(5)
+    R, K, r = 16, 16, 4
+    w = jnp.asarray(rng.standard_normal((R, K)) * 0.1, jnp.float32)
+
+    def mk():
+        return {"glora_a1": rng.standard_normal((r, K)).astype(np.float32),
+                "glora_a2": rng.standard_normal((K, r)).astype(np.float32),
+                "glora_b1": rng.standard_normal((r, K)).astype(np.float32),
+                "glora_b2": rng.standard_normal((R, r)).astype(np.float32),
+                "alpha": np.asarray(r, np.float32)}
+
+    p1 = lora_mod.build_patches({"w": mk()}, 0.7, jnp.float32)["w"]
+    p2 = lora_mod.build_patches({"w": mk()}, 0.4, jnp.float32)["w"]
+    pw = lora_mod.attach_patches({"w": w}, {"w": p1 + p2})["w"]
+
+    cfg = QuantConfig(dequant_dtype=jnp.float32, compute_dtype=jnp.float32,
+                      prefer_pallas=False)
+    x = jnp.asarray(rng.standard_normal((3, K)), jnp.float32)
+    runtime = np.asarray(linear(x, pw, None, cfg=cfg))
+    folded = np.asarray(x @ materialize(pw, jnp.float32).T)
+    np.testing.assert_allclose(runtime, folded, rtol=2e-3, atol=2e-3)
