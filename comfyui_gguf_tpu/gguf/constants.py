@@ -191,3 +191,9 @@ def nbytes_for(n_elements: int, qtype: GGMLQuantizationType) -> int:
 def bits_per_weight(qtype: GGMLQuantizationType) -> float:
     block, type_size = GGML_QUANT_SIZES[qtype]
     return type_size * 8.0 / block
+
+
+def align_up(x: int, a: int) -> int:
+    """Round ``x`` up to a multiple of ``a`` (GGUF data-section
+    alignment; shared by reader and writer)."""
+    return (x + a - 1) // a * a

@@ -20,6 +20,7 @@ from .constants import (
     GGUF_MAGIC,
     GGMLQuantizationType,
     GGUFValueType,
+    align_up,
 )
 
 _SCALAR_FMT: dict[GGUFValueType, str] = {
@@ -99,8 +100,16 @@ class GGUFTensorInfo:
 
     @property
     def n_bytes(self) -> int:
-        block, type_size = GGML_QUANT_SIZES[self.qtype]
-        return self.n_elements // block * type_size
+        # blocks_for raises on non-block-divisible element counts — a
+        # silent floor here would map a truncated payload and surface as
+        # an opaque reshape error deep inside dequantize
+        from .constants import blocks_for
+
+        _, type_size = GGML_QUANT_SIZES[self.qtype]
+        try:
+            return blocks_for(self.n_elements, self.qtype) * type_size
+        except ValueError as e:
+            raise BadGGUFError(f"tensor {self.name!r}: {e}") from None
 
 
 class BadGGUFError(ValueError):
@@ -160,7 +169,7 @@ class GGUFReader:
                 )
             )
 
-        data_start = _align_up(pos, self.alignment)
+        data_start = align_up(pos, self.alignment)
         self.data_offset = data_start
 
         for t in self.tensors:
@@ -279,6 +288,3 @@ class GGUFReader:
             val = bool(val)
         return GGUFValue(vtype, val), pos
 
-
-def _align_up(x: int, a: int) -> int:
-    return (x + a - 1) // a * a

@@ -19,6 +19,7 @@ from .constants import (
     GGMLQuantizationType,
     GGUFValueType,
     LlamaFileType,
+    align_up,
 )
 
 _SCALAR_FMT = {
@@ -169,9 +170,9 @@ class GGUFWriter:
                 fh.write(struct.pack(f"<{len(dims)}Q", *dims))
                 fh.write(struct.pack("<I", int(qtype)))
                 fh.write(struct.pack("<Q", offset))
-                offset = _align_up(offset + len(payload), self.alignment)
+                offset = align_up(offset + len(payload), self.alignment)
 
-            pad = _align_up(fh.tell(), self.alignment) - fh.tell()
+            pad = align_up(fh.tell(), self.alignment) - fh.tell()
             fh.write(b"\x00" * pad)
             data_start = fh.tell()
             for (name, dims, qtype, payload), off in zip(self._tensors, offsets):
@@ -193,6 +194,3 @@ class GGUFWriter:
             return b"".join(out)
         return struct.pack(_SCALAR_FMT[vtype], value)
 
-
-def _align_up(x: int, a: int) -> int:
-    return (x + a - 1) // a * a

@@ -99,6 +99,7 @@ def gguf_sd_loader(
     handle_prefix: str | None = "model.diffusion_model.",
     return_arch: bool = False,
     is_text_model: bool = False,
+    reader: "GGUFReader | None" = None,
 ):
     """GGUF file → ``{key: QTensor}`` (reference loader.py:51-141).
 
@@ -107,7 +108,7 @@ def gguf_sd_loader(
     ``comfy.gguf.orig_shape`` metadata, eagerly decodes 1-D BF16 tensors, and
     marks the largest quantized tensor for memory accounting.
     """
-    reader = GGUFReader(path)
+    reader = reader or GGUFReader(path)
 
     # prefix filter/strip
     has_prefix = False
@@ -237,9 +238,19 @@ def gguf_tokenizer_spec(reader: GGUFReader) -> TokenizerSpec | None:
         remove_extra_whitespaces=bool(
             g.get_bool("tokenizer.ggml.remove_extra_whitespaces") or False
         ),
-        add_bos=bool(g.get_bool("tokenizer.ggml.add_bos_token") or False),
-        add_eos=bool(g.get_bool("tokenizer.ggml.add_eos_token") in (None, True)),
+        # when the converter wrote no add_* keys, default per tokenizer
+        # model like llama.cpp: SPM/llama → BOS yes / EOS no; T5 (unigram
+        # here is t5-style) → BOS no / EOS yes; BPE → neither
+        add_bos=_tok_flag(g, "tokenizer.ggml.add_bos_token",
+                          default=(model == "llama")),
+        add_eos=_tok_flag(g, "tokenizer.ggml.add_eos_token",
+                          default=(model in ("t5", "unigram"))),
     )
+
+
+def _tok_flag(reader, key: str, default: bool) -> bool:
+    v = reader.get_bool(key)
+    return default if v is None else bool(v)
 
 
 # ---------------------------------------------------------------------------
@@ -330,8 +341,12 @@ def gguf_clip_loader(path: str):
 
     Returns ``(state_dict, arch, TokenizerSpec | None)``.
     """
-    sd, arch = gguf_sd_loader(path, return_arch=True, is_text_model=True)
-    tok = gguf_tokenizer_spec(GGUFReader(path))
+    # ONE metadata parse: big-vocab tokenizer KV decode (32k-256k
+    # python-loop string entries) is the expensive part of reading
+    reader = GGUFReader(path)
+    sd, arch = gguf_sd_loader(path, return_arch=True, is_text_model=True,
+                              reader=reader)
+    tok = gguf_tokenizer_spec(reader)
     temb_key = "token_embd.weight"
 
     if arch in ("t5", "t5encoder"):

@@ -272,23 +272,30 @@ def _pick_tiles(m: int, k_rows: int, rp: int, gs: int,
     Budget: acc (mt, rt) f32 + unpacked w (2·kt, rt) bf16 + x tiles must
     fit VMEM (~16 MB with double buffering).
     """
+    ov_mt = ov_kt = ov_rt = None
     if TILE_OVERRIDES:
-        mt = TILE_OVERRIDES.get("mt")
-        kt = TILE_OVERRIDES.get("kt")
-        rt = TILE_OVERRIDES.get("rt")
         # overrides are process-global and hit EVERY quantized matmul:
         # an indivisible tile would leave grid-tail rows/columns
-        # unwritten (silent garbage), so fall back to the heuristics for
-        # shapes the override doesn't divide
-        if ((kt is None or k_rows % kt == 0)
-                and (rt is None or rp % rt == 0)):
-            return (mt, kt, rt)
-        log.warning("TILE_OVERRIDES %s indivisible for shape "
-                    "(k_rows=%d, rp=%d); using heuristics",
-                    TILE_OVERRIDES, k_rows, rp)
+        # unwritten (silent garbage), and a PARTIAL override dict must
+        # not surface None tiles — merge per-key over the heuristics
+        ov_mt = TILE_OVERRIDES.get("mt")
+        ov_kt = TILE_OVERRIDES.get("kt")
+        ov_rt = TILE_OVERRIDES.get("rt")
+        if ov_kt is not None and k_rows % ov_kt:
+            log.warning("TILE_OVERRIDES kt=%d indivisible for k_rows=%d; "
+                        "using heuristic kt", ov_kt, k_rows)
+            ov_kt = None
+        if ov_rt is not None and rp % ov_rt:
+            log.warning("TILE_OVERRIDES rt=%d indivisible for rp=%d; "
+                        "using heuristic rt", ov_rt, rp)
+            ov_rt = None
+
+    def _merge(mt, kt, rt):
+        return (ov_mt or mt, ov_kt or kt, ov_rt or rt)
+
     tuned = SHAPE_TILES.get(shape_key(m, k_rows, rp, layout))
     if tuned is not None:
-        return tuple(tuned)
+        return _merge(*tuned)
     # DEEP k-tiles win at MODEL level (round-2 A/B ladder on v5e,
     # flux-dev full depth: kt256→512 687→658 ms; kt→1536 everywhere
     # 658→589 ms — whole-K single-pass for hidden-3072 shapes kills the
@@ -330,7 +337,7 @@ def _pick_tiles(m: int, k_rows: int, rp: int, gs: int,
             mt //= 2
         else:
             break
-    return mt, kt, rt
+    return _merge(mt, kt, rt)
 
 
 def _prep_lora(lora_h, lora_up, mp: int, rp: int, dt):

@@ -368,10 +368,19 @@ def encode_F16(x: np.ndarray) -> np.ndarray:
 
 
 def encode_BF16(x: np.ndarray) -> np.ndarray:
-    # round-to-nearest-even f32 -> bf16
+    # round-to-nearest-even f32 -> bf16; exp==0xFF (NaN/Inf) must NOT go
+    # through the integer rounding trick: a low-mantissa NaN would round
+    # to +Inf and 0xFFFFFFFF would wrap the uint32 add to +0.0 — truncate
+    # those instead (preserves NaN payload high bits and infinities)
     u = x.astype("<f4").view(np.uint32)
-    rounded = (u + 0x7FFF + ((u >> 16) & 1)) >> 16
-    return rounded.astype("<u2").view(np.uint8)
+    rounded = ((u + 0x7FFF + ((u >> 16) & 1)) >> 16).astype(np.uint32)
+    exp_ones = (u & 0x7F800000) == 0x7F800000
+    is_nan = exp_ones & ((u & 0x007FFFFF) != 0)
+    # NaN: set the quiet bit so low-payload NaNs don't truncate to Inf;
+    # Inf: plain truncation
+    special = np.where(is_nan, (u >> 16) | 0x0040, u >> 16)
+    out = np.where(exp_ones, special, rounded)
+    return out.astype("<u2").view(np.uint8)
 
 
 def encode_Q8_0(x: np.ndarray) -> np.ndarray:

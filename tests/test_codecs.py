@@ -139,3 +139,20 @@ def test_scalar_and_q8_1_decode():
     out = codecs.dequantize(raw.reshape(-1), Q.Q8_1, (2, 32))
     want = d.astype(np.float32)[:, None] * qs.astype(np.float32)
     np.testing.assert_allclose(out, want, rtol=1e-3)
+
+
+def test_bf16_encode_preserves_specials():
+    """NaN (incl. low-payload sNaN and 0xFFFFFFFF) must stay NaN — the
+    RNE integer trick rounded them to +Inf / wrapped to +0.0; Inf stays
+    Inf and normal values still round-to-nearest-even."""
+    from comfyui_gguf_tpu.quant import codecs
+
+    bits = np.array([0x7F800001, 0xFFFFFFFF, 0x7FC00000, 0x3F800000,
+                     0x7F800000, 0xFF800000, 0x3F800001], np.uint32)
+    x = bits.view(np.float32)
+    enc = codecs.encode_BF16(x)
+    dec = codecs.decode_BF16(enc.reshape(1, -1)).reshape(-1)
+    assert np.isnan(dec[0]) and np.isnan(dec[1]) and np.isnan(dec[2])
+    assert dec[3] == 1.0
+    assert np.isposinf(dec[4]) and np.isneginf(dec[5])
+    assert dec[6] == 1.0  # RNE on a normal value
