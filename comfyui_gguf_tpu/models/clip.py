@@ -53,7 +53,14 @@ class CLIPTextConfig:
             hidden=int(hidden), n_layers=n, n_heads=int(hidden) // 64,
             intermediate=int(inter), vocab_size=int(vocab),
             max_positions=int(maxpos),
-            act="gelu" if int(hidden) >= 1280 else "quick_gelu",
+            # OpenAI towers (CLIP-L 768, and the original 1024 ViT-H
+            # did not ship a text tower) use quick-gelu; open_clip towers
+            # (bigG 1280, SD2's ViT-H 1024) use plain gelu. Hidden size
+            # alone misclassifies open_clip ViT-H — remap_open_clip
+            # callers should pass act="gelu" explicitly (see
+            # config_for_open_clip); the size heuristic covers the two
+            # common GGUF cases (CLIP-L / CLIP-G)
+            act="gelu" if int(hidden) >= 1024 else "quick_gelu",
             eos_token_id=49407 if int(vocab) == 49408 else None,
         )
 
@@ -73,6 +80,14 @@ OPEN_CLIP_SD_MAP = {
     ".attn.out_proj.": ".self_attn.out_proj.",
     "ln_final.": "text_model.final_layer_norm.",
 }
+
+
+def config_for_open_clip(sd: dict) -> "CLIPTextConfig":
+    """Config for an open_clip-provenance tower: plain GELU regardless
+    of hidden size (open_clip never uses quick-gelu)."""
+    import dataclasses as _dc
+
+    return _dc.replace(CLIPTextConfig.from_state_dict(sd), act="gelu")
 
 
 def remap_open_clip(sd: dict) -> dict:

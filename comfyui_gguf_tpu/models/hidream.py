@@ -111,14 +111,26 @@ def _swiglu_w(w: dict, x, qcfg):
     return linear(h, w["w2"], cfg=qcfg)
 
 
+# HiDream's MoEGate (DeepSeek lineage) keeps the GLOBAL softmax scores
+# of the top-k experts UN-renormalized (norm_topk_prob=False): weights
+# for 4-expert top-2 routing sum to < 1. Renormalizing (softmax over the
+# masked logits) scaled every routed-FFN output by 1/Σtopk and
+# compounded across all 48 blocks. Flip for models that renormalize.
+MOE_RENORM_PROBS = False
+
+
 def _routing_probs(params, p, x, n_experts, top_k, qcfg):
     logits = linear(x, params[f"{p}.gate.weight"], cfg=qcfg)
     logits = logits.astype(jnp.float32)
     k = min(top_k, n_experts)
     top_vals, _ = jax.lax.top_k(logits, k)
     thresh = top_vals[..., -1:]
-    masked = jnp.where(logits >= thresh, logits, -jnp.inf)
-    return jax.nn.softmax(masked, axis=-1).astype(x.dtype), k
+    if MOE_RENORM_PROBS:
+        masked = jnp.where(logits >= thresh, logits, -jnp.inf)
+        return jax.nn.softmax(masked, axis=-1).astype(x.dtype), k
+    probs = jax.nn.softmax(logits, axis=-1)
+    probs = jnp.where(logits >= thresh, probs, 0.0)
+    return probs.astype(x.dtype), k
 
 
 def moe_ffn(params, p, x, n_experts, top_k, qcfg):

@@ -22,6 +22,7 @@ from ..nn.layers import (
     conv3d,
     layer_norm,
     linear,
+    linear_gelu,
     rms_norm,
 )
 from .flux import timestep_embedding
@@ -179,18 +180,19 @@ def _double_block(p, img, txt, vec, pe, cfg: HyVidConfig, qcfg):
     img = img + i_g1 * linear(img_a, p["img_attn_proj.weight"],
                               p.get("img_attn_proj.bias"), cfg=qcfg)
     h = layer_norm(img, eps=1e-6) * (1 + i_sc2) + i_sh2
-    h = linear(h, p["img_mlp.fc1.weight"],
-               p.get("img_mlp.fc1.bias"), cfg=qcfg)
-    h = jax.nn.gelu(h.astype(jnp.float32), approximate=True).astype(h.dtype)
+    # bias+GELU fused into the kernel epilogue (custom calls are XLA
+    # fusion barriers; the unfused form pays the widest-activation HBM
+    # round trip per block — same fix flux/tp_flux carry)
+    h = linear_gelu(h, p["img_mlp.fc1.weight"],
+                    p.get("img_mlp.fc1.bias"), cfg=qcfg)
     img = img + i_g2 * linear(h, p["img_mlp.fc2.weight"],
                               p.get("img_mlp.fc2.bias"), cfg=qcfg)
 
     txt = txt + t_g1 * linear(txt_a, p["txt_attn_proj.weight"],
                               p.get("txt_attn_proj.bias"), cfg=qcfg)
     h = layer_norm(txt, eps=1e-6) * (1 + t_sc2) + t_sh2
-    h = linear(h, p["txt_mlp.fc1.weight"],
-               p.get("txt_mlp.fc1.bias"), cfg=qcfg)
-    h = jax.nn.gelu(h.astype(jnp.float32), approximate=True).astype(h.dtype)
+    h = linear_gelu(h, p["txt_mlp.fc1.weight"],
+                    p.get("txt_mlp.fc1.bias"), cfg=qcfg)
     txt = txt + t_g2 * linear(h, p["txt_mlp.fc2.weight"],
                               p.get("txt_mlp.fc2.bias"), cfg=qcfg)
     return img, txt
@@ -203,9 +205,11 @@ def _single_block(p, x, vec, pe, L_img, cfg: HyVidConfig, qcfg):
     mlp = int(hid * cfg.mlp_ratio)
     shift, scale, gate = _mod(p, "modulation", vec, 3, qcfg)
     x_mod = layer_norm(x, eps=1e-6) * (1 + scale) + shift
-    h = linear(x_mod, p["linear1.weight"],
-               p.get("linear1.bias"), cfg=qcfg)
-    qkv, mlp_h = h[..., : 3 * hid], h[..., 3 * hid:]
+    # fused linear1: GELU applied in the kernel epilogue from the mlp
+    # tail columns (>= 3*hid)
+    h = linear_gelu(x_mod, p["linear1.weight"],
+                    p.get("linear1.bias"), tail_from=3 * hid, cfg=qcfg)
+    qkv, act = h[..., : 3 * hid], h[..., 3 * hid:]
     q, k, v = (_heads(a, H) for a in jnp.split(qkv, 3, -1))
     q = rms_norm(q, p["q_norm.weight"], eps=1e-6)
     k = rms_norm(k, p["k_norm.weight"], eps=1e-6)
@@ -215,8 +219,6 @@ def _single_block(p, x, vec, pe, L_img, cfg: HyVidConfig, qcfg):
     k = jnp.concatenate([_apply_rope(k[:, :, :L_img], pe),
                          k[:, :, L_img:]], axis=2)
     a = _attn(q, k, v)
-    act = jax.nn.gelu(mlp_h.astype(jnp.float32), approximate=True).astype(
-        mlp_h.dtype)
     out = linear(jnp.concatenate([a, act], axis=-1),
                  p["linear2.weight"],
                  p.get("linear2.bias"), cfg=qcfg)

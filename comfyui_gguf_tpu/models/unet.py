@@ -164,9 +164,12 @@ def _apply_numbered_block(params, prefix, x, emb, context, cfg, qcfg):
     while True:
         p = f"{prefix}.{j}"
         if f"{p}.op.weight" in params:  # downsample
-            x = jnp.pad(x, ((0, 0), (0, 1), (0, 1), (0, 0)))
+            # LDM/SGM UNet Downsample is a SYMMETRIC padding=1 stride-2
+            # conv (openaimodel Downsample) — the asymmetric (0,1) pad
+            # belongs to the VAE encoder, not the UNet; using it here
+            # shifted every downsample's windows off the trained grid
             x = conv2d(x, params[f"{p}.op.weight"], params[f"{p}.op.bias"],
-                       stride=2, padding=0, cfg=qcfg)
+                       stride=2, padding=1, cfg=qcfg)
         elif f"{p}.in_layers.0.weight" in params:  # resblock
             x = _resblock(params, p, x, emb, qcfg)
         elif f"{p}.norm.weight" in params and f"{p}.proj_in.weight" in params:

@@ -480,7 +480,7 @@ def test_hidream_double_block_golden():
     from comfyui_gguf_tpu.models import hidream
 
     rng = np.random.default_rng(47)
-    D, Hn, F, NE = 64, 2, 128, 2
+    D, Hn, F, NE = 64, 2, 128, 4
     p = "double_stream_blocks.0.block"
 
     w = {}
@@ -539,12 +539,14 @@ def test_hidream_double_block_golden():
     tt_ = tt_ + m[8] * lin("to_out_t", ta)
 
     h = _ln(it) * (1 + m[4]) + m[3]
-    # MoE: shared expert + softmax over top-k gate logits
+    # MoE: shared expert + GLOBAL-softmax top-k gate, weights kept
+    # UN-renormalized (HiDream MoEGate norm_topk_prob=False): with 4
+    # experts top-2 the selected weights sum to < 1 — this fixture is
+    # load-bearing for the convention (2-of-2 would hide it)
     logits = h @ _t(w[f"{p}.ff_i.gate.weight"]).T
     top = torch.topk(logits, 2, dim=-1).values[..., -1:]
-    probs = torch.softmax(
-        torch.where(logits >= top, logits,
-                    torch.tensor(float("-inf"))), dim=-1)
+    probs = torch.softmax(logits, dim=-1)
+    probs = torch.where(logits >= top, probs, torch.zeros(()))
     moe = swiglu(f"{p}.ff_i.shared_experts", h)
     for e in range(NE):
         moe = moe + probs[..., e:e + 1] * swiglu(f"{p}.ff_i.experts.{e}", h)
@@ -1423,3 +1425,28 @@ def test_cosmos_block_golden(adaln_lora):
                       jnp.asarray(ctx0), jnp.asarray(vec0), pe, cfg, F32)
     np.testing.assert_allclose(np.asarray(j), xt.numpy(), rtol=3e-4,
                                atol=3e-4)
+
+
+def test_unet_downsample_golden():
+    """UNet Downsample == torch conv2d(stride=2, padding=1) — SYMMETRIC
+    padding (openaimodel Downsample), not the VAE's asymmetric (0,1)."""
+    import torch
+
+    from comfyui_gguf_tpu.models import unet
+
+    rng = np.random.default_rng(0)
+    C = 8
+    x = rng.standard_normal((1, 8, 8, C)).astype(np.float32)
+    w = rng.standard_normal((C, C, 3, 3)).astype(np.float32) * 0.1
+    b = rng.standard_normal(C).astype(np.float32)
+
+    want = torch.nn.functional.conv2d(
+        torch.from_numpy(x).permute(0, 3, 1, 2), torch.from_numpy(w),
+        torch.from_numpy(b), stride=2, padding=1
+    ).permute(0, 2, 3, 1).numpy()
+
+    params = {"blk.0.op.weight": jnp.asarray(w),
+              "blk.0.op.bias": jnp.asarray(b)}
+    got = unet._apply_numbered_block(params, "blk", jnp.asarray(x), None,
+                                     None, None, F32)
+    np.testing.assert_allclose(np.asarray(got), want, rtol=2e-4, atol=2e-4)
