@@ -83,7 +83,7 @@ def timestep_embedding(t: jax.Array, dim: int, max_period: float = 10_000.0,
     return jnp.concatenate([jnp.cos(args), jnp.sin(args)], axis=-1)
 
 
-def rope_freqs(ids: jax.Array, axes_dim, theta: int) -> jax.Array:
+def rope_freqs(ids: jax.Array, axes_dim, theta: float = 10_000.0) -> jax.Array:
     """Position ids (B, L, n_axes) → rotation (B, L, D/2, 2) as (cos, sin)."""
     parts = []
     for i, d in enumerate(axes_dim):

@@ -38,6 +38,10 @@ class HiDreamConfig:
     top_k: int = 2
     patch_size: int = 2
     in_channels: int = 16
+    # flux-style 3-axis rope over (frame, row, col) ids; HiDream-I1 uses
+    # head_dim 128 split (64, 32, 32), theta 10000 (pe_embedder EmbedND)
+    axes_dim: tuple = (64, 32, 32)
+    theta: int = 10_000
 
     @staticmethod
     def from_state_dict(sd) -> "HiDreamConfig":
@@ -57,9 +61,12 @@ class HiDreamConfig:
         base = "double_stream_blocks.0.block.ff_i.experts"
         while f"{base}.{ne}.w1.weight" in sd:
             ne += 1
+        hd = int(qn)
         return HiDreamConfig(
-            hidden=int(hidden), n_heads=int(hidden) // int(qn),
+            hidden=int(hidden), n_heads=int(hidden) // hd,
             depth_double=nd, depth_single=ns, n_experts=ne,
+            # (hd/2, hd/4, hd/4) — HiDream-I1's (64, 32, 32) at hd=128
+            axes_dim=(hd // 2, hd // 4, hd // 4),
         )
 
 
@@ -197,7 +204,7 @@ def _adaln(params, p, vec, qcfg, dim):
     return jnp.split(mod[:, None, :], n, axis=-1)
 
 
-def _attn_joint(params, p, img_mod, txt_mod, H, qcfg):
+def _attn_joint(params, p, img_mod, txt_mod, H, qcfg, pe=None):
     hd_split = lambda z: _heads(z, H)
     iq = hd_split(linear(img_mod, params[f"{p}.attn1.to_q.weight"],
                          params.get(f"{p}.attn1.to_q.bias"), cfg=qcfg))
@@ -221,6 +228,11 @@ def _attn_joint(params, p, img_mod, txt_mod, H, qcfg):
         v = jnp.concatenate([iv, tv], axis=2)
     else:
         q, k, v = iq, ik, iv
+    if pe is not None:
+        from .flux import apply_rope
+
+        q = apply_rope(q, pe)
+        k = apply_rope(k, pe)
     from ..nn.attention import dot_product_attention
 
     a = dot_product_attention(q, k, v)
@@ -228,7 +240,8 @@ def _attn_joint(params, p, img_mod, txt_mod, H, qcfg):
     return a.transpose(0, 2, 1, 3).reshape(B, L, Hn * D)
 
 
-def _double_block(params, p, img, txt, vec, cfg: HiDreamConfig, qcfg):
+def _double_block(params, p, img, txt, vec, cfg: HiDreamConfig, qcfg,
+                  pe=None):
     H = cfg.n_heads
     chunks = _adaln(params, p, vec, qcfg, cfg.hidden)
     (i_sh1, i_sc1, i_g1, i_sh2, i_sc2, i_g2,
@@ -236,7 +249,7 @@ def _double_block(params, p, img, txt, vec, cfg: HiDreamConfig, qcfg):
 
     img_mod = layer_norm(img, eps=1e-6) * (1 + i_sc1) + i_sh1
     txt_mod = layer_norm(txt, eps=1e-6) * (1 + t_sc1) + t_sh1
-    a = _attn_joint(params, p, img_mod, txt_mod, H, qcfg)
+    a = _attn_joint(params, p, img_mod, txt_mod, H, qcfg, pe=pe)
     L_img = img.shape[1]
     img_a, txt_a = a[:, :L_img], a[:, L_img:]
     img = img + i_g1 * linear(img_a, params[f"{p}.attn1.to_out.weight"],
@@ -253,11 +266,11 @@ def _double_block(params, p, img, txt, vec, cfg: HiDreamConfig, qcfg):
     return img, txt
 
 
-def _single_block(params, p, x, vec, cfg: HiDreamConfig, qcfg):
+def _single_block(params, p, x, vec, cfg: HiDreamConfig, qcfg, pe=None):
     H = cfg.n_heads
     sh1, sc1, g1, sh2, sc2, g2 = _adaln(params, p, vec, qcfg, cfg.hidden)[:6]
     h = layer_norm(x, eps=1e-6) * (1 + sc1) + sh1
-    a = _attn_joint(params, p, h, None, H, qcfg)
+    a = _attn_joint(params, p, h, None, H, qcfg, pe=pe)
     x = x + g1 * linear(a, params[f"{p}.attn1.to_out.weight"],
                         params.get(f"{p}.attn1.to_out.bias"), cfg=qcfg)
     h = layer_norm(x, eps=1e-6) * (1 + sc2) + sh2
@@ -289,18 +302,33 @@ def _prelude(params, cfg: HiDreamConfig, latent, t5_states, llama_states,
     vec = vec + linear(pv, params["p_embedder.mlp.2.weight"],
                        params.get("p_embedder.mlp.2.bias"), cfg=qcfg)
 
-    # caption projections: 0 → t5 states, 1.. → llama layer taps
-    t5p = linear(t5_states, params["caption_projection.0.linear.weight"],
-                 params.get("caption_projection.0.linear.bias"), cfg=qcfg)
-    parts = [t5p]
-    i = 1
-    while f"caption_projection.{i}.linear.weight" in params:
+    # caption projections, published HiDream-I1 ordering: projections
+    # 0..N-2 take the llama layer taps, the LAST projection takes the T5
+    # states, concatenated [llama taps…, t5] (the earlier 0→t5 layout
+    # crossed the trained weights between streams)
+    n_proj = 0
+    while f"caption_projection.{n_proj}.linear.weight" in params:
+        n_proj += 1
+    parts = []
+    for i in range(n_proj - 1):
         parts.append(linear(
             llama_states, params[f"caption_projection.{i}.linear.weight"],
             params.get(f"caption_projection.{i}.linear.bias"), cfg=qcfg))
-        i += 1
+    last = n_proj - 1
+    parts.append(linear(
+        t5_states, params[f"caption_projection.{last}.linear.weight"],
+        params.get(f"caption_projection.{last}.linear.bias"), cfg=qcfg))
     txt = jnp.concatenate(parts, axis=1)
-    return img, txt, vec, (B, Hh, Ww, C, h_tok, w_tok)
+
+    # flux-style rope ids over the [img, txt] sequence: image tokens get
+    # (0, row, col), text tokens all-zero ids (identity rotation)
+    from .flux import rope_freqs
+
+    ids = np.zeros((1, h_tok * w_tok + txt.shape[1], 3), np.int32)
+    ids[0, : h_tok * w_tok, 1] = np.repeat(np.arange(h_tok), w_tok)
+    ids[0, : h_tok * w_tok, 2] = np.tile(np.arange(w_tok), h_tok)
+    pe = rope_freqs(jnp.asarray(ids), cfg.axes_dim, cfg.theta)
+    return img, txt, vec, pe, (B, Hh, Ww, C, h_tok, w_tok)
 
 
 def _finale(params, cfg: HiDreamConfig, img, vec, dims, qcfg):
@@ -323,17 +351,18 @@ def forward(params, cfg: HiDreamConfig, latent: jax.Array,
             qcfg: QuantConfig = DEFAULT_CONFIG) -> jax.Array:
     """latent (B, H, W, C) NHWC; t5/llama states (B, L, D_enc);
     pooled (B, D_pool)."""
-    img, txt, vec, dims = _prelude(params, cfg, latent, t5_states,
-                                   llama_states, pooled, timesteps, qcfg)
+    img, txt, vec, pe, dims = _prelude(params, cfg, latent, t5_states,
+                                       llama_states, pooled, timesteps,
+                                       qcfg)
     L_img = img.shape[1]
     for i in range(cfg.depth_double):
         img, txt = _double_block(params,
                                  f"double_stream_blocks.{i}.block",
-                                 img, txt, vec, cfg, qcfg)
+                                 img, txt, vec, cfg, qcfg, pe=pe)
     x = jnp.concatenate([img, txt], axis=1)
     for i in range(cfg.depth_single):
         x = _single_block(params, f"single_stream_blocks.{i}.block",
-                          x, vec, cfg, qcfg)
+                          x, vec, cfg, qcfg, pe=pe)
     return _finale(params, cfg, x[:, :L_img], vec, dims, qcfg)
 
 
@@ -365,20 +394,21 @@ def forward_stacked(sparams: dict, cfg: HiDreamConfig, latent: jax.Array,
     should use the unrolled forward."""
     from .flux import scan_blocks
 
-    img, txt, vec, dims = _prelude(sparams, cfg, latent, t5_states,
-                                   llama_states, pooled, timesteps, qcfg)
+    img, txt, vec, pe, dims = _prelude(sparams, cfg, latent, t5_states,
+                                       llama_states, pooled, timesteps,
+                                       qcfg)
     L_img = img.shape[1]
 
     def dbody(carry, bp):
         i, t = carry
-        return _double_block(bp, "block", i, t, vec, cfg, qcfg)
+        return _double_block(bp, "block", i, t, vec, cfg, qcfg, pe=pe)
 
     img, txt = scan_blocks(sparams["double_stream_blocks"], dbody,
                            (img, txt), cfg.depth_double)
     x = jnp.concatenate([img, txt], axis=1)
 
     def sbody(x, bp):
-        return _single_block(bp, "block", x, vec, cfg, qcfg)
+        return _single_block(bp, "block", x, vec, cfg, qcfg, pe=pe)
 
     x = scan_blocks(sparams["single_stream_blocks"], sbody, x,
                     cfg.depth_single)

@@ -66,24 +66,8 @@ class Lumina2Config:
         )
 
 
-def _rope(ids, axes_dim, theta=10_000.0):
-    parts = []
-    for i, d in enumerate(axes_dim):
-        pos = ids[..., i].astype(jnp.float32)
-        omega = 1.0 / (theta ** (jnp.arange(0, d, 2, dtype=jnp.float32) / d))
-        ang = pos[..., None] * omega
-        parts.append(jnp.stack([jnp.cos(ang), jnp.sin(ang)], axis=-1))
-    return jnp.concatenate(parts, axis=2)  # (B, L, hd/2, 2)
-
-
-def _apply_rope(x, pe):
-    B, H, L, D = x.shape
-    xf = x.astype(jnp.float32).reshape(B, H, L, D // 2, 2)
-    cos = pe[:, None, :, :, 0]
-    sin = pe[:, None, :, :, 1]
-    real = xf[..., 0] * cos - xf[..., 1] * sin
-    imag = xf[..., 0] * sin + xf[..., 1] * cos
-    return jnp.stack([real, imag], axis=-1).reshape(B, H, L, D).astype(x.dtype)
+# rope table/rotation shared with flux (verbatim-identical math)
+from .flux import apply_rope as _apply_rope, rope_freqs as _rope  # noqa: E402
 
 
 def _block(p, x, vec, pe, cfg: Lumina2Config, qcfg):

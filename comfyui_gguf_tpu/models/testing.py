@@ -564,11 +564,13 @@ class TinyHiDreamDims:
     def config(self):
         from .hidream import HiDreamConfig
 
+        hd = self.hidden // self.heads
         return HiDreamConfig(
             hidden=self.hidden, n_heads=self.heads,
             depth_double=self.depth_double, depth_single=self.depth_single,
             in_channels=self.in_ch, patch_size=self.patch,
-            n_experts=self.n_experts, top_k=self.top_k)
+            n_experts=self.n_experts, top_k=self.top_k,
+            axes_dim=(hd // 2, hd // 4, hd // 4))
 
 
 # published HiDream-I1 scale: 2560 hidden / 20 heads / 16+32 blocks /
@@ -622,10 +624,11 @@ def hidream_random_stacked_params(dims: TinyHiDreamDims, qtype=Q.Q4_K,
         "p_embedder.mlp.2.weight": random_planar(qtype, (H, H), rng,
                                                  device=device),
         "p_embedder.mlp.2.bias": dense(H),
+        # published ordering: 0..N-2 = llama taps, LAST = t5
         "caption_projection.0.linear.weight": random_planar(
-            qtype, (H, dims.t5_dim), rng, device=device),
-        "caption_projection.1.linear.weight": random_planar(
             qtype, (H, dims.llama_dim), rng, device=device),
+        "caption_projection.1.linear.weight": random_planar(
+            qtype, (H, dims.t5_dim), rng, device=device),
         "final_layer.linear.weight": random_planar(qtype, (C4, H), rng,
                                                    device=device),
         "final_layer.linear.bias": dense(C4),

@@ -531,9 +531,17 @@ def test_hidream_double_block_golden():
     tk = _rms(_heads(lin("to_k_t", txt_m), Hn),
               _t(w[f"{p}.attn1.k_rms_norm_t.weight"]))
     tv = _heads(lin("to_v_t", txt_m), Hn)
-    # IMAGE stream first in the joint sequence (HiDream ordering)
-    a = _unheads(_sdpa(torch.cat([iq, tq], 2), torch.cat([ik, tk], 2),
-                       torch.cat([iv, tv], 2)))
+    # IMAGE stream first in the joint sequence (HiDream ordering);
+    # flux-style rope over (0, row, col) image ids + all-zero txt ids,
+    # axes (hd/2, hd/4, hd/4) — HiDream-I1's (64, 32, 32) at hd=128
+    hd = D // Hn
+    ids = np.zeros((1, 12 + 5, 3), np.int32)
+    ids[0, :12, 1] = np.repeat(np.arange(3), 4)
+    ids[0, :12, 2] = np.tile(np.arange(4), 3)
+    cos_h, sin_h = _torch_rope_table(ids, (hd // 2, hd // 4, hd // 4))
+    q = _torch_apply_rope(torch.cat([iq, tq], 2), cos_h, sin_h)
+    k = _torch_apply_rope(torch.cat([ik, tk], 2), cos_h, sin_h)
+    a = _unheads(_sdpa(q, k, torch.cat([iv, tv], 2)))
     ia, ta = a[:, :12], a[:, 12:]
     it = it + m[2] * lin("to_out", ia)
     tt_ = tt_ + m[8] * lin("to_out_t", ta)
@@ -555,11 +563,15 @@ def test_hidream_double_block_golden():
     tt_ = tt_ + m[11] * swiglu(f"{p}.ff_t", h)
 
     cfg = hidream.HiDreamConfig(hidden=D, n_heads=Hn, depth_double=1,
-                                depth_single=0, n_experts=NE, top_k=2)
+                                depth_single=0, n_experts=NE, top_k=2,
+                                axes_dim=(hd // 2, hd // 4, hd // 4))
     jp = {k2: jnp.asarray(v2) for k2, v2 in w.items()}
+    from comfyui_gguf_tpu.models.flux import rope_freqs
+
+    pe = rope_freqs(jnp.asarray(ids), cfg.axes_dim, cfg.theta)
     j_img, j_txt = hidream._double_block(
         jp, "double_stream_blocks.0.block", jnp.asarray(img),
-        jnp.asarray(txt), jnp.asarray(vec), cfg, F32)
+        jnp.asarray(txt), jnp.asarray(vec), cfg, F32, pe=pe)
     np.testing.assert_allclose(np.asarray(j_img), it.numpy(), rtol=3e-4,
                                atol=3e-4)
     np.testing.assert_allclose(np.asarray(j_txt), tt_.numpy(), rtol=3e-4,

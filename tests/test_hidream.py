@@ -52,8 +52,9 @@ def _tiny_hidream(rng):
         "p_embedder.mlp.0.bias": t(HID),
         "p_embedder.mlp.2.weight": t(HID, HID),
         "p_embedder.mlp.2.bias": t(HID),
-        "caption_projection.0.linear.weight": t(HID, T5D),
-        "caption_projection.1.linear.weight": t(HID, LLD),
+        # published ordering: 0..N-2 = llama taps, LAST = t5
+        "caption_projection.0.linear.weight": t(HID, LLD),
+        "caption_projection.1.linear.weight": t(HID, T5D),
         "final_layer.linear.weight": t(C * 4, HID),
         "final_layer.linear.bias": t(C * 4),
         "final_layer.adaLN_modulation.1.weight": t(2 * HID, HID),
