@@ -31,6 +31,11 @@ class LlamaConfig:
     rope_theta: float = 500_000.0
     eps: float = 1e-5
     qk_norm: bool = False  # qwen3
+    # Qwen-VL multimodal rope: rotary half-dims split over the
+    # (temporal, height, width) position streams — (16, 24, 24) for
+    # head_dim 128 (Qwen2-VL / Qwen2.5-VL rope_scaling.mrope_section).
+    # Only engaged when encode() receives 3-D position_ids.
+    mrope_section: tuple | None = None
 
     @staticmethod
     def from_state_dict(sd, n_heads: int = 32,
@@ -58,11 +63,31 @@ class LlamaConfig:
         )
 
 
-def _rope(x: jax.Array, pos: jax.Array, theta: float) -> jax.Array:
-    """x: (B, H, L, D) — half-split rotary (HF Llama convention)."""
+def _rope(x: jax.Array, pos: jax.Array, theta: float,
+          mrope_section=None) -> jax.Array:
+    """x: (B, H, L, D) — half-split rotary (HF Llama convention).
+
+    ``pos`` (B, L) is standard 1-D rope; (3, B, L) is Qwen-VL M-RoPE:
+    rotary half-dim j takes its position from stream
+    ``repeat([t, h, w], mrope_section)[j]`` (HF
+    apply_multimodal_rotary_pos_emb semantics)."""
     B, H, L, D = x.shape
     inv = 1.0 / (theta ** (jnp.arange(0, D, 2, dtype=jnp.float32) / D))
-    ang = pos.astype(jnp.float32)[:, None, :, None] * inv[None, None, None]
+    if pos.ndim == 3:  # (3, B, L) multimodal position streams
+        if mrope_section is None:
+            # Qwen-VL ratio 2:3:3 over the D/2 rotary half-dims —
+            # (16, 24, 24) at head_dim 128
+            hw = (D // 2) * 3 // 8
+            mrope_section = (D // 2 - 2 * hw, hw, hw)
+        sec = np.asarray(mrope_section)
+        assert int(sec.sum()) == D // 2, (tuple(sec), D)
+        stream = jnp.asarray(np.repeat(np.arange(3), sec))  # (D/2,)
+        # ang[b, l, j] = pos[stream[j], b, l] · inv[j]
+        psel = jnp.take(pos.astype(jnp.float32), stream, axis=0)
+        ang = psel.transpose(1, 2, 0)[:, None] * inv[None, None, None]
+    else:
+        ang = (pos.astype(jnp.float32)[:, None, :, None]
+               * inv[None, None, None])
     cos = jnp.cos(ang)
     sin = jnp.sin(ang)
     xf = x.astype(jnp.float32)
@@ -88,8 +113,8 @@ def _attn(params, p, x, mask, pos, cfg: LlamaConfig, qcfg):
     if cfg.qk_norm:
         q = rms_norm(q, params[f"{p}.q_norm.weight"], eps=cfg.eps)
         k = rms_norm(k, params[f"{p}.k_norm.weight"], eps=cfg.eps)
-    q = _rope(q, pos, cfg.rope_theta)
-    k = _rope(k, pos, cfg.rope_theta)
+    q = _rope(q, pos, cfg.rope_theta, cfg.mrope_section)
+    k = _rope(k, pos, cfg.rope_theta, cfg.mrope_section)
     if KV != H:
         rep = H // KV
         k = jnp.repeat(k, rep, axis=1)
@@ -108,13 +133,17 @@ def encode(params, cfg: LlamaConfig, ids: jax.Array,
            mask: jax.Array | None = None,
            qcfg: QuantConfig = DEFAULT_CONFIG, dtype=jnp.bfloat16,
            return_layers: tuple[int, ...] = (),
-           inputs_embeds: jax.Array | None = None):
+           inputs_embeds: jax.Array | None = None,
+           position_ids: jax.Array | None = None):
     """ids (B, L) → dict(last_hidden, layers={i: hidden_before_layer_i}).
 
     ``return_layers`` selects intermediate activations (HiDream conditions
     on several). ``inputs_embeds`` (B, L, D) bypasses the token embedding
     — the Qwen-VL path splices vision-tower embeddings into the sequence
     (reference loader.py merges the mmproj for exactly this flow).
+    ``position_ids``: (B, L) to override the default arange, or (3, B, L)
+    Qwen-VL M-RoPE streams (temporal/height/width) — required for spliced
+    vision tokens, which carry grid positions, not sequence positions.
     """
     B, L = ids.shape
     if inputs_embeds is not None:
@@ -122,7 +151,10 @@ def encode(params, cfg: LlamaConfig, ids: jax.Array,
     else:
         x = embedding(ids, params["model.embed_tokens.weight"],
                       cfg=qcfg).astype(dtype)
-    pos = jnp.broadcast_to(jnp.arange(L)[None], (B, L))
+    if position_ids is not None:
+        pos = jnp.asarray(position_ids)
+    else:
+        pos = jnp.broadcast_to(jnp.arange(L)[None], (B, L))
 
     neg = jnp.finfo(jnp.float32).min
     causal = jnp.triu(jnp.full((L, L), neg), k=1)[None, None]

@@ -416,6 +416,16 @@ def qwen_vl_encode_with_image(llama_enc: TextEncoder,
         jnp.asarray(ids), llama_enc.params["model.embed_tokens.weight"],
         cfg=llama_enc.qcfg), np.float32)  # np.array: writable copy
     visn = np.asarray(vis, np.float32)
+    merge = getattr(vcfg, "merge", 2)
+    gh = int(np.asarray(image, np.float32).shape[0]
+             // int(pe_shape[-1]) // merge)
+    gw = visn.shape[0] // max(gh, 1)
+    # Qwen-VL M-RoPE position streams (HF get_rope_index): text tokens
+    # advance all three streams together; vision tokens carry their
+    # (t, h, w) GRID positions offset by the text position at the image,
+    # and following text resumes from offset + max(grid dims)
+    B, L = ids.shape
+    pos3 = np.zeros((3, B, L), np.int64)
     for b in range(ids.shape[0]):
         pos = np.nonzero(ids[b] == image_pad_token_id)[0]
         if len(pos) != visn.shape[0]:
@@ -423,9 +433,25 @@ def qwen_vl_encode_with_image(llama_enc: TextEncoder,
                 f"prompt has {len(pos)} image_pad tokens but the vision "
                 f"tower produced {visn.shape[0]} embeddings")
         tok[b, pos] = visn
+        st = 0
+        i = 0
+        while i < L:
+            if ids[b, i] == image_pad_token_id:
+                n = len(pos)
+                grid = np.arange(n)
+                pos3[0, b, i: i + n] = st  # t (single frame)
+                pos3[1, b, i: i + n] = st + grid // gw
+                pos3[2, b, i: i + n] = st + grid % gw
+                st += max(1, gh, gw)
+                i += n
+            else:
+                pos3[:, b, i] = st
+                st += 1
+                i += 1
     out = llama_enc.encode(jnp.asarray(ids),
                            None if mask is None else jnp.asarray(mask),
-                           inputs_embeds=jnp.asarray(tok))
+                           inputs_embeds=jnp.asarray(tok),
+                           position_ids=jnp.asarray(pos3))
     return out
 
 

@@ -108,3 +108,67 @@ def test_llama_parity(hf_model, tmp_path, qtype):
         a, b = got.ravel(), want.ravel()
         cos = float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
         assert cos > 0.999, cos
+
+
+def test_qwen25_vl_mrope_parity():
+    """M-RoPE vs HF Qwen2.5-VL text model: identical hidden states for
+    3-D (t, h, w) position streams with a nontrivial split (vision-token
+    grid positions + offset text) — locks the mrope_section semantics."""
+    from transformers import Qwen2_5_VLConfig
+    from transformers.models.qwen2_5_vl.modeling_qwen2_5_vl import (
+        Qwen2_5_VLTextModel,
+    )
+
+    HD = 16
+    cfg = Qwen2_5_VLConfig(
+        vocab_size=80, hidden_size=4 * HD, intermediate_size=96,
+        num_hidden_layers=2, num_attention_heads=4,
+        num_key_value_heads=2, rope_theta=1_000_000.0,
+        rms_norm_eps=1e-6, max_position_embeddings=128,
+        tie_word_embeddings=False,
+        rope_scaling={"type": "mrope", "mrope_section": [2, 3, 3]},
+    )
+    torch.manual_seed(1)
+    hf = Qwen2_5_VLTextModel(cfg.get_text_config()).eval()
+
+    # our params: direct HF-name mapping (qwen attention carries q/k/v
+    # biases; no GQA permutation — qwen GGUFs are not llama-permuted)
+    params = {}
+    for name, tensor in hf.state_dict().items():
+        if "rotary_emb" in name:
+            continue
+        params[name if name.startswith("model.") else f"model.{name}"] = \
+            jnp.asarray(tensor.numpy())
+    # HF names lack the "model." prefix on Qwen2_5_VLTextModel? normalize
+    params = {(k if k.startswith("model.") else f"model.{k}"): v
+              for k, v in params.items()}
+
+    lcfg = llama.LlamaConfig.from_state_dict(params, n_heads=4,
+                                             rope_theta=1_000_000.0)
+    lcfg = __import__("dataclasses").replace(lcfg,
+                                             mrope_section=(2, 3, 3),
+                                             eps=1e-6)
+
+    rng = np.random.default_rng(0)
+    B, L = 1, 12
+    ids = rng.integers(0, 80, (B, L))
+    # position streams: 4 text tokens, a 2x3 image grid (6 tokens),
+    # then 2 text tokens resuming at offset+max(grid)
+    pos = np.zeros((3, B, L), np.int64)
+    pos[:, 0, :4] = np.arange(4)
+    grid = np.arange(6)
+    pos[0, 0, 4:10] = 4
+    pos[1, 0, 4:10] = 4 + grid // 3
+    pos[2, 0, 4:10] = 4 + grid % 3
+    pos[:, 0, 10:] = 4 + 3 + np.arange(2)[None]
+
+    with torch.no_grad():
+        want = hf(input_ids=torch.from_numpy(ids),
+                  position_ids=torch.from_numpy(pos)
+                  ).last_hidden_state.numpy()
+
+    out = llama.encode(params, lcfg, jnp.asarray(ids), None, qcfg=F32CFG,
+                       dtype=jnp.float32,
+                       position_ids=jnp.asarray(pos))
+    got = np.asarray(out["last_hidden"], np.float32)
+    np.testing.assert_allclose(got, want, rtol=2e-3, atol=2e-3)
