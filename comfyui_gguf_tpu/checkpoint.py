@@ -68,6 +68,15 @@ def save_params(path: str, params: dict) -> None:
             meta[key] = m
         else:
             a, dt = _to_np(v)
+            if a.dtype == object:
+                # np.savez would silently pickle this and load_params
+                # could never read it back (allow_pickle=False) — fail
+                # NOW with the offending key instead of corrupting the
+                # cache (detach LoRA patches before caching)
+                raise TypeError(
+                    f"save_params: {key!r} is not an array leaf "
+                    f"({type(v).__name__}); detach patches / flatten "
+                    "custom leaves before caching")
             arrays[f"{key}/dense"] = a
             meta[key] = {"kind": "dense", "dtype": dt}
     arrays["__meta__"] = np.frombuffer(

@@ -106,8 +106,16 @@ class ResidencyManager:
                          e.nbytes / 2**20)
                 e.device = None
         if self.device_bytes() + needed > self.hbm_budget:
+            if needed > self.hbm_budget:
+                raise MemoryError(
+                    f"model needs {needed} bytes but hbm_budget is only "
+                    f"{self.hbm_budget} — raise the budget")
+            pinned = [n for n, e in self._models.items()
+                      if e.device is not None and e.pins]
             raise MemoryError(
-                f"cannot free {needed} bytes: all resident models pinned")
+                f"cannot free {needed} bytes: pinned resident models "
+                f"{pinned or 'none'} hold "
+                f"{self.device_bytes()} of {self.hbm_budget}")
 
     def _ensure_resident(self, name: str):
         e = self._models[name]

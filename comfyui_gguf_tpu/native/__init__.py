@@ -97,6 +97,15 @@ def dequantize(blocks: np.ndarray, qtype: int,
     if lib is None or q not in NATIVE_DECODE_QTYPES:
         return None
     blocks = np.ascontiguousarray(blocks).view(np.uint8).reshape(-1)
+    from ..gguf.constants import GGML_QUANT_SIZES, GGMLQuantizationType
+
+    bs, ts = GGML_QUANT_SIZES[GGMLQuantizationType(q)]
+    need = (n_elements // bs) * ts
+    if n_elements % bs or blocks.size < need:
+        # a short buffer would make the C decoder read out of bounds
+        raise ValueError(
+            f"dequantize: qtype {q} needs {need} bytes for "
+            f"{n_elements} elements, got {blocks.size}")
     out = np.empty(n_elements, dtype=np.float32)
     rc = lib.ggq_dequantize(
         q, blocks.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),

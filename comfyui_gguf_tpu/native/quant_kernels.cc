@@ -26,6 +26,11 @@ inline uint16_t f32_to_f16(float f) {
     const uint32_t sign = (x >> 16) & 0x8000u;
     uint32_t mant = x & 0x007fffffu;
     int32_t exp = (int32_t)((x >> 23) & 0xff) - 127 + 15;
+    if (((x >> 23) & 0xff) == 0xff && mant) {
+        // NaN: keep it NaN (quiet bit + payload high bits) — mapping to
+        // inf would silently diverge from the numpy codec
+        return (uint16_t)(sign | 0x7e00u | (mant >> 13));
+    }
     if (exp >= 31) return (uint16_t)(sign | 0x7c00u);  // inf/overflow
     if (exp <= 0) {
         if (exp < -10) return (uint16_t)sign;  // underflow to zero

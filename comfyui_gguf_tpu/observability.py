@@ -10,6 +10,7 @@ packed-vs-dense memory reports.
 from __future__ import annotations
 
 import contextlib
+import logging
 import dataclasses
 import time
 
@@ -27,6 +28,9 @@ CHIP_SPECS = {
 }
 
 
+log = logging.getLogger(__name__)
+
+
 def detect_chip() -> str:
     import jax
 
@@ -38,6 +42,12 @@ def detect_chip() -> str:
         return "v5p"
     if "v4" in kind:
         return "v4"
+    if "tpu" in kind or d.platform == "tpu":
+        # unknown TPU generation (v6e/trillium/...): CPU peaks would be
+        # ~200x off — warn and use the newest known chip as the floor
+        log.warning("unrecognized TPU kind %r; using v5e peaks for "
+                    "roofline math", kind)
+        return "v5e"
     return "cpu"
 
 
@@ -148,8 +158,13 @@ def memory_report(params: dict) -> dict:
     packed = dense16 = 0
     largest_key, largest_bytes = None, -1
     n_packed = n_dense = 0
+    from .lora import PatchedWeight
+
     for k, v in params.items():
-        if hasattr(v, "base"):  # PatchedWeight
+        # NOTE: hasattr(v, "base") is true for every numpy array (view
+        # base) — must be a real type check or dense leaves get replaced
+        # by their backing buffer (or None)
+        if isinstance(v, PatchedWeight):
             v = v.base
         if isinstance(v, PlanarQuant):
             b = v.nbytes_packed

@@ -57,9 +57,21 @@ class ModelRegistry:
         return out
 
     def get_full_path(self, role: str, name: str) -> str:
-        for e in self.scan(role):
-            if e.name == name or os.path.basename(e.path) == name:
-                return e.path
+        entries = self.scan(role)
+        exact = [e.path for e in entries if e.name == name]
+        if exact:
+            return exact[0]
+        # basename fallback: ambiguity is an ERROR, not first-scanned-wins
+        # (two roots shipping "model-Q4_K_S.gguf" would silently load
+        # whichever the walk hit first)
+        by_base = sorted({e.path for e in entries
+                          if os.path.basename(e.path) == name})
+        if len(by_base) == 1:
+            return by_base[0]
+        if by_base:
+            raise FileNotFoundError(
+                f"{role} model {name!r} is ambiguous: {by_base} — use the "
+                "root-relative name")
         raise FileNotFoundError(f"{role} model {name!r} not found under "
                                 f"{self.roots}")
 

@@ -111,6 +111,11 @@ def handle_tensors(writer: GGUFWriter, sd: dict[str, np.ndarray],
         data = np.asarray(sd[key])
         if len(key.encode("utf-8")) > MAX_TENSOR_NAME_LENGTH:
             raise ValueError(f"tensor name too long: {key!r}")
+        if data.dtype.kind == "f" and not np.isfinite(data).all():
+            # a NaN/Inf weight quantizes to garbage downstream — surface
+            # it here (the checkpoint is corrupt or half-trained)
+            log.warning("non-finite values in %s (%d of %d)", key,
+                        int((~np.isfinite(data)).sum()), data.size)
 
         n_dims = data.ndim
         n_params = data.size
@@ -167,6 +172,13 @@ def convert_file(src: str, dst: str | None = None,
 
     sidecar = NDSidecar(spec.arch, os.path.dirname(dst)) \
         if spec.has_nd_tensors else None
+    if sidecar is not None and os.path.isfile(sidecar.path):
+        # fail BEFORE minutes of conversion work, not after the GGUF is
+        # written (a stale sidecar next to a fresh GGUF injects
+        # mismatched 5-D weights in fix_5d_tensors)
+        raise RuntimeError(
+            f"5D tensor fix file already exists: {sidecar.path} — "
+            "remove it (stale from a previous run) before converting")
     handle_tensors(writer, sd, spec, use_bf16_base, sidecar)
     writer.write_to_file(dst)
     if sidecar is not None:

@@ -31,7 +31,10 @@ def fix_file(src: str, fix: str, dst: str | None = None) -> str:
 
     extra = load_file(fix)
     if dst is None:
-        dst = src.replace(".gguf", "-5d.gguf")
+        # suffix-only: str.replace would rewrite a ".gguf" embedded
+        # anywhere in the path (e.g. a ".gguf.bak" directory)
+        dst = (src[: -len(".gguf")] + "-5d.gguf"
+               if src.endswith(".gguf") else src + "-5d.gguf")
         if dst == src:
             raise ValueError("refusing to overwrite input; pass --dst")
 

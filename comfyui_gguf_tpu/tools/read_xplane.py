@@ -107,12 +107,16 @@ def main(argv=None):
         return 1
     top_n = int(argv[1]) if len(argv) > 1 else 20
     rows = summarize(argv[0], top_n)
-    total = sum(r["ms"] for r in rows)
+    # grand total over ALL ops (shares were computed against it), not
+    # the truncated display — otherwise shares never reconcile with TOTAL
+    total = (rows[0]["ms"] / rows[0]["share"]
+             if rows and rows[0]["share"] else 0.0)
+    shown = sum(r["ms"] for r in rows)
     print(f"{'op':<24}{'ms':>10}{'calls':>8}{'share':>8}  example")
     for r in rows:
         print(f"{r['op']:<24}{r['ms']:>10.2f}{r['count']:>8}"
               f"{r['share']:>8.1%}  {r['example'][:60]}")
-    print(f"{'TOTAL':<24}{total:>10.2f}")
+    print(f"{'TOTAL (all ops)':<24}{total:>10.2f}   shown {shown:.2f}")
     return 0
 
 
