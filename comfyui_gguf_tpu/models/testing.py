@@ -680,3 +680,232 @@ def hidream_random_stacked_params(dims: TinyHiDreamDims, qtype=Q.Q4_K,
         single[f"block.ff_i.{k}"] = v
     params["single_stream_blocks"] = single
     return params
+
+
+# ---------------------------------------------------------------------------
+# Generic spec-driven full-depth generators (wan / hyvid / aura / lumina2 /
+# qwen-image / ltxv / cosmos full-dims benches)
+# ---------------------------------------------------------------------------
+
+def random_stacked_from_spec(nonblock: dict, groups: dict, qtype=Q.Q4_K,
+                             seed: int = 0, device=None) -> dict:
+    """Full-depth stacked param tree straight from a shape spec.
+
+    ``nonblock``: key → shape for prelude/finale tensors (kept DENSE —
+    mirrors the reference quantizer's exclusion lists, which leave
+    embedders / final layers unquantized, reference tools/lcpp.patch
+    exclusion tables). ``groups``: out_key → (depth, {suffix → shape})
+    describing one homogeneous scanned block; 2-D ``.weight`` suffixes
+    with min dim ≥ 256 become stacked PlanarQuant leaves generated
+    DIRECTLY at depth (no 2× HBM transient — same strategy as
+    flux_random_stacked_params), everything else a dense stacked leaf.
+    The output layout matches ``flux.stack_block_groups``.
+    """
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(seed)
+
+    def dense(shape):
+        dt = jnp.float32 if len(shape) <= 1 else jnp.bfloat16
+        return jnp.asarray(
+            (rng.standard_normal(shape) * 0.02).astype(np.float32), dtype=dt)
+
+    params = {k: dense(tuple(s)) for k, s in nonblock.items()}
+    for out_key, (depth, suffixes) in groups.items():
+        sub = {}
+        for suf, s in suffixes.items():
+            s = tuple(s)
+            if (len(s) == 2 and suf.endswith(".weight")
+                    and min(s) >= 256):
+                sub[suf] = random_planar(qtype, s, rng, device=device,
+                                         stack=depth)
+            else:
+                sub[suf] = dense((depth, *s))
+        params[out_key] = sub
+    return params
+
+
+@dataclasses.dataclass(frozen=True)
+class WanDims:
+    """Wan 2.1 t2v dims (models/wan.py WanConfig fields)."""
+    dim: int = 128
+    ffn_dim: int = 256
+    n_heads: int = 2
+    n_layers: int = 2
+    in_ch: int = 16
+    text_dim: int = 64
+
+    def config(self):
+        from .wan import WanConfig
+        return WanConfig(dim=self.dim, ffn_dim=self.ffn_dim,
+                         n_heads=self.n_heads, n_layers=self.n_layers,
+                         in_channels=self.in_ch, out_channels=self.in_ch,
+                         text_dim=self.text_dim)
+
+
+# Wan2.1-T2V-14B: dim 5120, ffn 13824, 40 heads (hd 128), 40 blocks,
+# UMT5-xxl text states (4096), 16-ch VAE latents, (1,2,2) patch.
+WAN_14B_DIMS = WanDims(dim=5120, ffn_dim=13824, n_heads=40, n_layers=40,
+                       in_ch=16, text_dim=4096)
+
+
+def wan_shape_spec(d: WanDims):
+    """(nonblock, groups) shape spec for random_stacked_from_spec,
+    mirroring tests/test_wan.py's tiny state dict / models/wan.py key
+    expectations."""
+    D, T, F, C = d.dim, d.text_dim, d.ffn_dim, d.in_ch
+    nonblock = {
+        "patch_embedding.weight": (D, C, 1, 2, 2),
+        "patch_embedding.bias": (D,),
+        "text_embedding.0.weight": (D, T),
+        "text_embedding.0.bias": (D,),
+        "text_embedding.2.weight": (D, D),
+        "text_embedding.2.bias": (D,),
+        "time_embedding.0.weight": (D, 256),
+        "time_embedding.0.bias": (D,),
+        "time_embedding.2.weight": (D, D),
+        "time_embedding.2.bias": (D,),
+        "time_projection.1.weight": (6 * D, D),
+        "time_projection.1.bias": (6 * D,),
+        "head.modulation": (1, 2, D),
+        "head.head.weight": (C * 4, D),
+        "head.head.bias": (C * 4,),
+    }
+    suffixes = {"modulation": (1, 6, D)}
+    for a in ("self_attn", "cross_attn"):
+        for n in ("q", "k", "v", "o"):
+            suffixes[f"{a}.{n}.weight"] = (D, D)
+            suffixes[f"{a}.{n}.bias"] = (D,)
+        suffixes[f"{a}.norm_q.weight"] = (D,)
+        suffixes[f"{a}.norm_k.weight"] = (D,)
+    suffixes["norm3.weight"] = (D,)
+    suffixes["norm3.bias"] = (D,)
+    suffixes["ffn.0.weight"] = (F, D)
+    suffixes["ffn.0.bias"] = (F,)
+    suffixes["ffn.2.weight"] = (D, F)
+    suffixes["ffn.2.bias"] = (D,)
+    return nonblock, {"blocks": (d.n_layers, suffixes)}
+
+
+def wan_random_stacked_params(d: WanDims, qtype=Q.Q4_K, seed: int = 0,
+                              device=None) -> dict:
+    nonblock, groups = wan_shape_spec(d)
+    return random_stacked_from_spec(nonblock, groups, qtype=qtype,
+                                    seed=seed, device=device)
+
+
+@dataclasses.dataclass(frozen=True)
+class HyVidDims:
+    """HunyuanVideo dims (models/hyvid.py HyVidConfig fields)."""
+    hidden: int = 128
+    n_heads: int = 2
+    depth_double: int = 2
+    depth_single: int = 2
+    refiner_depth: int = 1
+    in_ch: int = 16
+    text_dim: int = 64
+
+    @property
+    def mlp(self) -> int:
+        return 4 * self.hidden
+
+    def config(self):
+        from .hyvid import HyVidConfig
+        return HyVidConfig(hidden=self.hidden, n_heads=self.n_heads,
+                           depth_double=self.depth_double,
+                           depth_single=self.depth_single,
+                           in_channels=self.in_ch, text_dim=self.text_dim)
+
+
+# HunyuanVideo 13B: hidden 3072, 24 heads (hd 128), 20 double + 40
+# single blocks, mlp_ratio 4, 2 LLM-token-refiner blocks, llama text
+# states (4096), 16-ch latents, (1,2,2) patch.
+HYVID_13B_DIMS = HyVidDims(hidden=3072, n_heads=24, depth_double=20,
+                           depth_single=40, refiner_depth=2, in_ch=16,
+                           text_dim=4096)
+
+
+def hyvid_shape_spec(d: HyVidDims):
+    """(nonblock, groups) spec mirroring tests/test_hyvid.py's tiny state
+    dict / models/hyvid.py key expectations."""
+    H, T, C, M = d.hidden, d.text_dim, d.in_ch, d.mlp
+    hd = H // d.n_heads
+    nonblock = {
+        "img_in.proj.weight": (H, C, 1, 2, 2),
+        "img_in.proj.bias": (H,),
+        "time_in.in_layer.weight": (H, 256),
+        "time_in.in_layer.bias": (H,),
+        "time_in.out_layer.weight": (H, H),
+        "time_in.out_layer.bias": (H,),
+        "guidance_in.in_layer.weight": (H, 256),
+        "guidance_in.in_layer.bias": (H,),
+        "guidance_in.out_layer.weight": (H, H),
+        "guidance_in.out_layer.bias": (H,),
+        "txt_in.input_embedder.weight": (H, T),
+        "txt_in.input_embedder.bias": (H,),
+        "txt_in.t_embedder.mlp.0.weight": (H, 256),
+        "txt_in.t_embedder.mlp.0.bias": (H,),
+        "txt_in.t_embedder.mlp.2.weight": (H, H),
+        "txt_in.t_embedder.mlp.2.bias": (H,),
+        "txt_in.c_embedder.linear_1.weight": (H, H),
+        "txt_in.c_embedder.linear_1.bias": (H,),
+        "txt_in.c_embedder.linear_2.weight": (H, H),
+        "txt_in.c_embedder.linear_2.bias": (H,),
+        "final_layer.linear.weight": (C * 4, H),
+        "final_layer.linear.bias": (C * 4,),
+        "final_layer.adaLN_modulation.1.weight": (2 * H, H),
+        "final_layer.adaLN_modulation.1.bias": (2 * H,),
+    }
+    for i in range(d.refiner_depth):
+        rb = f"txt_in.individual_token_refiner.blocks.{i}"
+        nonblock.update({
+            f"{rb}.self_attn_qkv.weight": (3 * H, H),
+            f"{rb}.self_attn_qkv.bias": (3 * H,),
+            f"{rb}.self_attn_proj.weight": (H, H),
+            f"{rb}.self_attn_proj.bias": (H,),
+            f"{rb}.norm1.weight": (H,),
+            f"{rb}.norm1.bias": (H,),
+            f"{rb}.norm2.weight": (H,),
+            f"{rb}.norm2.bias": (H,),
+            f"{rb}.mlp.fc1.weight": (M, H),
+            f"{rb}.mlp.fc1.bias": (M,),
+            f"{rb}.mlp.fc2.weight": (H, M),
+            f"{rb}.mlp.fc2.bias": (H,),
+            f"{rb}.adaLN_modulation.1.weight": (2 * H, H),
+            f"{rb}.adaLN_modulation.1.bias": (2 * H,),
+        })
+    double = {}
+    for s in ("img", "txt"):
+        double.update({
+            f"{s}_mod.linear.weight": (6 * H, H),
+            f"{s}_mod.linear.bias": (6 * H,),
+            f"{s}_attn_qkv.weight": (3 * H, H),
+            f"{s}_attn_qkv.bias": (3 * H,),
+            f"{s}_attn_q_norm.weight": (hd,),
+            f"{s}_attn_k_norm.weight": (hd,),
+            f"{s}_attn_proj.weight": (H, H),
+            f"{s}_attn_proj.bias": (H,),
+            f"{s}_mlp.fc1.weight": (M, H),
+            f"{s}_mlp.fc1.bias": (M,),
+            f"{s}_mlp.fc2.weight": (H, M),
+            f"{s}_mlp.fc2.bias": (H,),
+        })
+    single = {
+        "linear1.weight": (3 * H + M, H),
+        "linear1.bias": (3 * H + M,),
+        "linear2.weight": (H, H + M),
+        "linear2.bias": (H,),
+        "modulation.linear.weight": (3 * H, H),
+        "modulation.linear.bias": (3 * H,),
+        "q_norm.weight": (hd,),
+        "k_norm.weight": (hd,),
+    }
+    return nonblock, {"double_blocks": (d.depth_double, double),
+                      "single_blocks": (d.depth_single, single)}
+
+
+def hyvid_random_stacked_params(d: HyVidDims, qtype=Q.Q4_K, seed: int = 0,
+                                device=None) -> dict:
+    nonblock, groups = hyvid_shape_spec(d)
+    return random_stacked_from_spec(nonblock, groups, qtype=qtype,
+                                    seed=seed, device=device)
