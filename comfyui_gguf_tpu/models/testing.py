@@ -909,3 +909,371 @@ def hyvid_random_stacked_params(d: HyVidDims, qtype=Q.Q4_K, seed: int = 0,
     nonblock, groups = hyvid_shape_spec(d)
     return random_stacked_from_spec(nonblock, groups, qtype=qtype,
                                     seed=seed, device=device)
+
+
+@dataclasses.dataclass(frozen=True)
+class QwenImageDims:
+    """Qwen-Image dims (models/qwen_image.py QwenImageConfig fields)."""
+    hidden: int = 128
+    n_heads: int = 2
+    n_layers: int = 2
+    in_ch: int = 32
+    context_dim: int = 96
+
+    def config(self):
+        from .qwen_image import QwenImageConfig
+        hd = self.hidden // self.n_heads
+        third = 2 * ((hd - hd // 8) // 4)
+        return QwenImageConfig(hidden=self.hidden, n_layers=self.n_layers,
+                               n_heads=self.n_heads, in_channels=self.in_ch,
+                               context_dim=self.context_dim,
+                               axes_dim=(hd - 2 * third, third, third))
+
+
+# Qwen-Image (20B MMDiT): hidden 3072, 24 heads (hd 128), 60 joint
+# blocks, Qwen2.5-VL-7B text states (3584), 64 input features
+# (16-ch latents × 2×2 patch).
+QWEN_IMAGE_20B_DIMS = QwenImageDims(hidden=3072, n_heads=24, n_layers=60,
+                                    in_ch=64, context_dim=3584)
+
+
+def qwen_image_shape_spec(d: QwenImageDims):
+    """(nonblock, groups) spec mirroring tests/test_cosmos_qwen.py's tiny
+    state dict / models/qwen_image.py key expectations."""
+    H, T, I = d.hidden, d.context_dim, d.in_ch
+    hd = H // d.n_heads
+    nonblock = {
+        "img_in.weight": (H, I), "img_in.bias": (H,),
+        "txt_in.weight": (H, T), "txt_in.bias": (H,),
+        "txt_norm.weight": (T,),
+        "time_text_embed.timestep_embedder.linear_1.weight": (H, 256),
+        "time_text_embed.timestep_embedder.linear_1.bias": (H,),
+        "time_text_embed.timestep_embedder.linear_2.weight": (H, H),
+        "time_text_embed.timestep_embedder.linear_2.bias": (H,),
+        "norm_out.linear.weight": (2 * H, H),
+        "norm_out.linear.bias": (2 * H,),
+        "proj_out.weight": (I, H), "proj_out.bias": (I,),
+    }
+    block = {
+        "img_mod.1.weight": (6 * H, H), "img_mod.1.bias": (6 * H,),
+        "txt_mod.1.weight": (6 * H, H), "txt_mod.1.bias": (6 * H,),
+        "attn.to_out.0.weight": (H, H), "attn.to_out.0.bias": (H,),
+        "attn.to_add_out.weight": (H, H), "attn.to_add_out.bias": (H,),
+    }
+    for n in ("to_q", "to_k", "to_v", "add_q_proj", "add_k_proj",
+              "add_v_proj"):
+        block[f"attn.{n}.weight"] = (H, H)
+        block[f"attn.{n}.bias"] = (H,)
+    for n in ("norm_q", "norm_k", "norm_added_q", "norm_added_k"):
+        block[f"attn.{n}.weight"] = (hd,)
+    for s in ("img", "txt"):
+        block[f"{s}_mlp.net.0.proj.weight"] = (4 * H, H)
+        block[f"{s}_mlp.net.0.proj.bias"] = (4 * H,)
+        block[f"{s}_mlp.net.2.weight"] = (H, 4 * H)
+        block[f"{s}_mlp.net.2.bias"] = (H,)
+    return nonblock, {"transformer_blocks": (d.n_layers, block)}
+
+
+def qwen_image_random_stacked_params(d: QwenImageDims, qtype=Q.Q4_K,
+                                     seed: int = 0, device=None) -> dict:
+    nonblock, groups = qwen_image_shape_spec(d)
+    return random_stacked_from_spec(nonblock, groups, qtype=qtype,
+                                    seed=seed, device=device)
+
+
+@dataclasses.dataclass(frozen=True)
+class Lumina2Dims:
+    """Lumina-Image-2.0 NextDiT dims (models/lumina2.py fields)."""
+    dim: int = 120
+    n_heads: int = 2
+    n_layers: int = 2
+    n_refiner: int = 1
+    n_context_refiner: int = 1
+    ffn: int = 240
+    in_ch: int = 4
+    cap_dim: int = 64
+
+    def config(self):
+        from .lumina2 import Lumina2Config
+        hd = self.dim // self.n_heads
+        third = 2 * (hd // 6)
+        return Lumina2Config(dim=self.dim, n_layers=self.n_layers,
+                             n_refiner=self.n_refiner,
+                             n_heads=self.n_heads, in_channels=self.in_ch,
+                             cap_dim=self.cap_dim,
+                             axes_dim=(hd - 2 * third, third, third))
+
+
+# Lumina-Image-2.0 (2.6B NextDiT): dim 2304, 24 heads (hd 96), 26
+# layers + 2 noise-refiner + 2 context-refiner blocks, SwiGLU ffn 6144
+# (int(8·dim/3) rounded to 256), Gemma-2-2b caption states (2304),
+# 16-ch latents.
+LUMINA2_DIMS = Lumina2Dims(dim=2304, n_heads=24, n_layers=26, n_refiner=2,
+                           n_context_refiner=2, ffn=6144, in_ch=16,
+                           cap_dim=2304)
+
+
+def _lumina2_block_spec(d: Lumina2Dims, adaln: bool) -> dict:
+    D, F = d.dim, d.ffn
+    hd = d.dim // d.n_heads
+    s = {
+        "attention.qkv.weight": (3 * D, D),
+        "attention.out.weight": (D, D),
+        "attention.q_norm.weight": (hd,),
+        "attention.k_norm.weight": (hd,),
+        "attention_norm1.weight": (D,),
+        "attention_norm2.weight": (D,),
+        "ffn_norm1.weight": (D,),
+        "ffn_norm2.weight": (D,),
+        "feed_forward.w1.weight": (F, D),
+        "feed_forward.w2.weight": (D, F),
+        "feed_forward.w3.weight": (F, D),
+    }
+    if adaln:
+        s["adaLN_modulation.1.weight"] = (4 * D, D)
+        s["adaLN_modulation.1.bias"] = (4 * D,)
+    return s
+
+
+def lumina2_shape_spec(d: Lumina2Dims):
+    """(nonblock, groups) spec mirroring tests/test_lumina2.py's tiny
+    state dict / models/lumina2.py key expectations. The noise/context
+    refiners stay flat (unrolled in the prelude) — they are also in the
+    reference quantizer's exclusion list (archs.py lumina2
+    keys_noquant), so dense leaves match reference behavior."""
+    D, C = d.dim, d.in_ch
+    nonblock = {
+        "x_embedder.weight": (D, C * 4),
+        "x_embedder.bias": (D,),
+        "cap_embedder.0.weight": (d.cap_dim,),
+        "cap_embedder.1.weight": (D, d.cap_dim),
+        "cap_embedder.1.bias": (D,),
+        "t_embedder.mlp.0.weight": (D, 256),
+        "t_embedder.mlp.0.bias": (D,),
+        "t_embedder.mlp.2.weight": (D, D),
+        "t_embedder.mlp.2.bias": (D,),
+        "norm_final.weight": (D,),
+        "final_layer.linear.weight": (C * 4, D),
+        "final_layer.linear.bias": (C * 4,),
+        "final_layer.adaLN_modulation.1.weight": (2 * D, D),
+        "final_layer.adaLN_modulation.1.bias": (2 * D,),
+    }
+    for i in range(d.n_refiner):
+        for suf, s in _lumina2_block_spec(d, adaln=True).items():
+            nonblock[f"noise_refiner.{i}.{suf}"] = s
+    for i in range(d.n_context_refiner):
+        for suf, s in _lumina2_block_spec(d, adaln=False).items():
+            nonblock[f"context_refiner.{i}.{suf}"] = s
+    return nonblock, {"layers": (d.n_layers,
+                                 _lumina2_block_spec(d, adaln=True))}
+
+
+def lumina2_random_stacked_params(d: Lumina2Dims, qtype=Q.Q4_K,
+                                  seed: int = 0, device=None) -> dict:
+    nonblock, groups = lumina2_shape_spec(d)
+    return random_stacked_from_spec(nonblock, groups, qtype=qtype,
+                                    seed=seed, device=device)
+
+
+@dataclasses.dataclass(frozen=True)
+class AuraDims:
+    """AuraFlow dims (models/aura.py AuraConfig fields)."""
+    hidden: int = 256
+    depth_double: int = 2
+    depth_single: int = 2
+    mlp: int = 512
+    in_ch: int = 4
+    cond_dim: int = 64
+    n_register_tokens: int = 3
+    max_tokens: int = 64  # positional_encoding length
+
+    def config(self):
+        from .aura import AuraConfig
+        return AuraConfig(hidden=self.hidden,
+                          n_heads=self.hidden // 256,
+                          depth_double=self.depth_double,
+                          depth_single=self.depth_single,
+                          in_channels=self.in_ch, cond_dim=self.cond_dim,
+                          n_register_tokens=self.n_register_tokens)
+
+
+# AuraFlow v0.3 (6.8B): hidden 3072, 12 heads (hd 256), 4 double + 32
+# single layers, gated mlp 8192 (find_multiple(2·4·dim/3, 256)),
+# pile-t5-xl cond states (2048), 4-ch latents, 8 register tokens,
+# learned positional table for up to 9216 tokens (1536² images).
+AURA_V03_DIMS = AuraDims(hidden=3072, depth_double=4, depth_single=32,
+                         mlp=8192, in_ch=4, cond_dim=2048,
+                         n_register_tokens=8, max_tokens=9216)
+
+
+def aura_shape_spec(d: AuraDims):
+    """(nonblock, groups) spec mirroring tests/test_aura.py's tiny state
+    dict / models/aura.py key expectations."""
+    H, M, C = d.hidden, d.mlp, d.in_ch
+    nonblock = {
+        "init_x_linear.weight": (H, C * 4),
+        "init_x_linear.bias": (H,),
+        "positional_encoding": (1, d.max_tokens, H),
+        "register_tokens": (1, d.n_register_tokens, H),
+        "cond_seq_linear.weight": (H, d.cond_dim),
+        "t_embedder.mlp.0.weight": (H, 256),
+        "t_embedder.mlp.0.bias": (H,),
+        "t_embedder.mlp.2.weight": (H, H),
+        "t_embedder.mlp.2.bias": (H,),
+        "modF.1.weight": (2 * H, H),
+        "modF.1.bias": (2 * H,),
+        "final_linear.weight": (C * 4, H),
+    }
+
+    def mlp(prefix):
+        return {f"{prefix}.c_fc1.weight": (M, H),
+                f"{prefix}.c_fc2.weight": (M, H),
+                f"{prefix}.c_proj.weight": (H, M)}
+
+    double = {"modC.1.weight": (6 * H, H), "modX.1.weight": (6 * H, H)}
+    for w in ("w1q", "w1k", "w1v", "w1o", "w2q", "w2k", "w2v", "w2o"):
+        double[f"attn.{w}.weight"] = (H, H)
+    double.update(mlp("mlpC"))
+    double.update(mlp("mlpX"))
+    single = {"modCX.1.weight": (6 * H, H)}
+    for w in ("w1q", "w1k", "w1v", "w1o"):
+        single[f"attn.{w}.weight"] = (H, H)
+    single.update(mlp("mlp"))
+    return nonblock, {"double_layers": (d.depth_double, double),
+                      "single_layers": (d.depth_single, single)}
+
+
+def aura_random_stacked_params(d: AuraDims, qtype=Q.Q4_K, seed: int = 0,
+                               device=None) -> dict:
+    nonblock, groups = aura_shape_spec(d)
+    return random_stacked_from_spec(nonblock, groups, qtype=qtype,
+                                    seed=seed, device=device)
+
+
+@dataclasses.dataclass(frozen=True)
+class LTXVDims:
+    """LTX-Video DiT dims (models/ltxv.py LTXVConfig fields)."""
+    dim: int = 128
+    n_layers: int = 2
+    in_ch: int = 32
+    caption_dim: int = 64
+
+    def config(self):
+        from .ltxv import LTXVConfig
+        return LTXVConfig(dim=self.dim, n_layers=self.n_layers,
+                          n_heads=self.dim // 64, in_channels=self.in_ch,
+                          caption_dim=self.caption_dim)
+
+
+# LTX-Video 2B: dim 2048, 32 heads (hd 64), 28 blocks, ffn 8192,
+# 128-ch latent voxels (32× spatial / 8× temporal VAE, no patching),
+# T5-xxl caption states (4096).
+LTXV_2B_DIMS = LTXVDims(dim=2048, n_layers=28, in_ch=128, caption_dim=4096)
+
+
+def ltxv_shape_spec(d: LTXVDims):
+    """(nonblock, groups) spec mirroring tests/test_ltxv.py's tiny state
+    dict / models/ltxv.py key expectations."""
+    D, I, P = d.dim, d.in_ch, d.caption_dim
+    hd = 64
+    nonblock = {
+        "patchify_proj.weight": (D, I),
+        "patchify_proj.bias": (D,),
+        "adaln_single.emb.timestep_embedder.linear_1.weight": (D, 256),
+        "adaln_single.emb.timestep_embedder.linear_1.bias": (D,),
+        "adaln_single.emb.timestep_embedder.linear_2.weight": (D, D),
+        "adaln_single.emb.timestep_embedder.linear_2.bias": (D,),
+        "adaln_single.linear.weight": (6 * D, D),
+        "adaln_single.linear.bias": (6 * D,),
+        "caption_projection.linear_1.weight": (D, P),
+        "caption_projection.linear_1.bias": (D,),
+        "caption_projection.linear_2.weight": (D, D),
+        "caption_projection.linear_2.bias": (D,),
+        "scale_shift_table": (2, D),
+        "proj_out.weight": (I, D),
+        "proj_out.bias": (I,),
+    }
+    block = {"scale_shift_table": (6, D)}
+    for a in ("attn1", "attn2"):
+        for n in ("to_q", "to_k", "to_v"):
+            block[f"{a}.{n}.weight"] = (D, D)
+            block[f"{a}.{n}.bias"] = (D,)
+        block[f"{a}.to_out.0.weight"] = (D, D)
+        block[f"{a}.to_out.0.bias"] = (D,)
+        block[f"{a}.q_norm.weight"] = (hd,)
+        block[f"{a}.k_norm.weight"] = (hd,)
+    block["ff.net.0.proj.weight"] = (4 * D, D)
+    block["ff.net.0.proj.bias"] = (4 * D,)
+    block["ff.net.2.weight"] = (D, 4 * D)
+    block["ff.net.2.bias"] = (D,)
+    return nonblock, {"transformer_blocks": (d.n_layers, block)}
+
+
+def ltxv_random_stacked_params(d: LTXVDims, qtype=Q.Q4_K, seed: int = 0,
+                               device=None) -> dict:
+    nonblock, groups = ltxv_shape_spec(d)
+    return random_stacked_from_spec(nonblock, groups, qtype=qtype,
+                                    seed=seed, device=device)
+
+
+@dataclasses.dataclass(frozen=True)
+class CosmosDims:
+    """Cosmos diffusion DiT dims (models/cosmos.py CosmosConfig fields)."""
+    dim: int = 128
+    n_heads: int = 2
+    n_layers: int = 2
+    in_ch: int = 16
+    text_dim: int = 64
+
+    def config(self):
+        from .cosmos import CosmosConfig
+        return CosmosConfig(dim=self.dim, n_layers=self.n_layers,
+                            n_heads=self.n_heads, in_channels=self.in_ch,
+                            text_dim=self.text_dim)
+
+
+# Cosmos-1.0-Diffusion-7B: dim 4096, 32 heads (hd 128), 28 blocks,
+# mlp 16384, T5 text states (1024), 16-ch latents, (1,2,2) patch.
+COSMOS_7B_DIMS = CosmosDims(dim=4096, n_heads=32, n_layers=28, in_ch=16,
+                            text_dim=1024)
+
+
+def cosmos_shape_spec(d: CosmosDims):
+    """(nonblock, groups) spec mirroring tests/test_cosmos_qwen.py's tiny
+    state dict / models/cosmos.py key expectations."""
+    D, T, C = d.dim, d.text_dim, d.in_ch
+    hd = D // d.n_heads
+    nonblock = {
+        "x_embedder.proj.1.weight": (D, C * 4),
+        "x_embedder.proj.1.bias": (D,),
+        "t_embedder.1.linear_1.weight": (D, 256),
+        "t_embedder.1.linear_1.bias": (D,),
+        "t_embedder.1.linear_2.weight": (D, D),
+        "t_embedder.1.linear_2.bias": (D,),
+        "t_embedding_norm.weight": (D,),
+        "final_layer.linear.weight": (C * 4, D),
+        "final_layer.linear.bias": (C * 4,),
+        "final_layer.adaln_modulation.1.weight": (2 * D, D),
+        "final_layer.adaln_modulation.1.bias": (2 * D,),
+    }
+    block = {}
+    for m in ("self_attn", "cross_attn", "mlp"):
+        block[f"adaln_modulation_{m}.1.weight"] = (3 * D, D)
+        block[f"adaln_modulation_{m}.1.bias"] = (3 * D,)
+    for a, kdim in (("self_attn", D), ("cross_attn", T)):
+        block[f"{a}.q_proj.weight"] = (D, D)
+        block[f"{a}.k_proj.weight"] = (D, kdim)
+        block[f"{a}.v_proj.weight"] = (D, kdim)
+        block[f"{a}.output_proj.weight"] = (D, D)
+        block[f"{a}.q_norm.weight"] = (hd,)
+        block[f"{a}.k_norm.weight"] = (hd,)
+    block["mlp.layer1.weight"] = (4 * D, D)
+    block["mlp.layer2.weight"] = (D, 4 * D)
+    return nonblock, {"blocks": (d.n_layers, block)}
+
+
+def cosmos_random_stacked_params(d: CosmosDims, qtype=Q.Q4_K, seed: int = 0,
+                                 device=None) -> dict:
+    nonblock, groups = cosmos_shape_spec(d)
+    return random_stacked_from_spec(nonblock, groups, qtype=qtype,
+                                    seed=seed, device=device)

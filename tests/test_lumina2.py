@@ -40,10 +40,7 @@ def _block_params(rng, p, adaln):
     return sd
 
 
-@pytest.fixture(scope="module")
-def lum_params(tmp_path_factory):
-    rng = np.random.default_rng(0)
-
+def _tiny_lumina2(rng):
     def t(*s):
         return (rng.standard_normal(s) * 0.02).astype(np.float32)
 
@@ -68,6 +65,12 @@ def lum_params(tmp_path_factory):
     for i in range(NREF):
         sd.update(_block_params(rng, f"noise_refiner.{i}", adaln=True))
     sd.update(_block_params(rng, "context_refiner.0", adaln=False))
+    return sd
+
+
+@pytest.fixture(scope="module")
+def lum_params(tmp_path_factory):
+    sd = _tiny_lumina2(np.random.default_rng(0))
 
     p = tmp_path_factory.mktemp("lum") / "l.gguf"
     w = GGUFWriter("lumina2")

@@ -36,7 +36,8 @@ def _wan(args, on_tpu, Q, log):
 
     if on_tpu:
         d = testing.WAN_14B_DIMS
-        frames, height, width = args.frames, args.height, args.width
+        frames = args.frames or 81
+        height, width = args.height or 480, args.width or 832
         ctx_len = 512
     else:
         d = testing.WanDims()
@@ -72,7 +73,8 @@ def _hyvid(args, on_tpu, Q, log):
 
     if on_tpu:
         d = testing.HYVID_13B_DIMS
-        frames, height, width = args.frames, args.height, args.width
+        frames = args.frames or 65
+        height, width = args.height or 544, args.width or 960
         ctx_len = 256
     else:
         d = testing.HyVidDims(refiner_depth=2)
@@ -100,7 +102,193 @@ def _hyvid(args, on_tpu, Q, log):
     return sp, fwd, x0, label
 
 
-ARCHS = {"wan": _wan, "hyvid": _hyvid}
+def _aura(args, on_tpu, Q, log):
+    """AuraFlow v0.3 (6.8B): 4 double + 32 single blocks hidden 3072
+    (hd-256 heads), pile-t5-xl cond 2048. Default 1024² → 4096 img
+    tokens (2×2 patch on the 8×-VAE 128² latent; learned positional
+    table covers 9216 = 1536²)."""
+    import jax
+    import jax.numpy as jnp
+
+    from comfyui_gguf_tpu.models import aura, testing
+
+    if on_tpu:
+        d = testing.AURA_V03_DIMS
+        height, width = args.height or 1024, args.width or 1024
+        ctx_len = 256
+    else:
+        d = testing.AuraDims()
+        height, width = 64, 64
+        ctx_len = 16
+    H, W = height // 8, width // 8
+    sp = testing.aura_random_stacked_params(d, qtype=getattr(Q, args.qtype))
+    cfg = d.config()
+    log(f"aura {d.depth_double}+{d.depth_single} blocks hidden {d.hidden}, "
+        f"latent ({H},{W}) = {(H // 2) * (W // 2)} tokens, ctx {ctx_len}")
+    rng = jax.random.key(0)
+    x0 = jax.random.normal(rng, (1, H, W, d.in_ch), jnp.bfloat16)
+    cond = jax.random.normal(jax.random.fold_in(rng, 1),
+                             (1, ctx_len, d.cond_dim), jnp.bfloat16)
+
+    def fwd(params, x, ts):
+        return aura.forward_stacked(params, cfg, x, cond, ts)
+
+    return sp, fwd, x0, f"auraflow-v0.3 dims {args.qtype}, {width}x{height}"
+
+
+def _lumina2(args, on_tpu, Q, log):
+    """Lumina-Image-2.0 (2.6B NextDiT): 26 layers dim 2304 + 2+2
+    refiner blocks, Gemma-2-2b cap 2304. Default 1024² → 4096 img
+    tokens (2×2 patch on the 8×-VAE 128² latent)."""
+    import jax
+    import jax.numpy as jnp
+
+    from comfyui_gguf_tpu.models import lumina2, testing
+
+    if on_tpu:
+        d = testing.LUMINA2_DIMS
+        height, width = args.height or 1024, args.width or 1024
+        ctx_len = 256
+    else:
+        d = testing.Lumina2Dims()
+        height, width = 64, 64
+        ctx_len = 8
+    H, W = height // 8, width // 8
+    sp = testing.lumina2_random_stacked_params(d,
+                                               qtype=getattr(Q, args.qtype))
+    cfg = d.config()
+    log(f"lumina2 {d.n_layers} layers (+{d.n_refiner}+{d.n_context_refiner}"
+        f" refiners) dim {d.dim}, latent ({H},{W}) = "
+        f"{(H // 2) * (W // 2)} tokens, cap {ctx_len}")
+    rng = jax.random.key(0)
+    x0 = jax.random.normal(rng, (1, H, W, d.in_ch), jnp.bfloat16)
+    cap = jax.random.normal(jax.random.fold_in(rng, 1),
+                            (1, ctx_len, d.cap_dim), jnp.bfloat16)
+
+    def fwd(params, x, ts):
+        return lumina2.forward_stacked(params, cfg, x, cap, ts)
+
+    return sp, fwd, x0, (f"lumina-image-2.0 dims {args.qtype}, "
+                         f"{width}x{height}")
+
+
+def _qwen_image(args, on_tpu, Q, log):
+    """Qwen-Image (20B MMDiT): 60 joint blocks hidden 3072 (hd 128),
+    Qwen2.5-VL-7B txt states 3584. Default 1024² → 4096 img tokens
+    (64-feature input = 16-ch latents × 2×2 patch)."""
+    import jax
+    import jax.numpy as jnp
+
+    from comfyui_gguf_tpu.models import flux, qwen_image, testing
+
+    if on_tpu:
+        d = testing.QWEN_IMAGE_20B_DIMS
+        height, width = args.height or 1024, args.width or 1024
+        ctx_len = 256
+    else:
+        d = testing.QwenImageDims()
+        height, width = 64, 64
+        ctx_len = 8
+    h_tok, w_tok = height // 16, width // 16
+    sp = testing.qwen_image_random_stacked_params(
+        d, qtype=getattr(Q, args.qtype))
+    cfg = d.config()
+    log(f"qwen-image {d.n_layers} blocks hidden {d.hidden}, "
+        f"{h_tok * w_tok} img tokens, txt {ctx_len}")
+    rng = jax.random.key(0)
+    x0 = jax.random.normal(rng, (1, h_tok * w_tok, d.in_ch), jnp.bfloat16)
+    img_ids = jnp.asarray(flux.make_img_ids(h_tok, w_tok, 1))
+    txt = jax.random.normal(jax.random.fold_in(rng, 1),
+                            (1, ctx_len, d.context_dim), jnp.bfloat16)
+    txt_ids = jnp.zeros((1, ctx_len, 3), jnp.int32)
+
+    def fwd(params, x, ts):
+        return qwen_image.forward_stacked(params, cfg, x, img_ids, txt,
+                                          txt_ids, ts)
+
+    return sp, fwd, x0, f"qwen-image-20B dims {args.qtype}, {width}x{height}"
+
+
+def _ltxv(args, on_tpu, Q, log):
+    """LTX-Video 2B: 28 blocks dim 2048 (hd 64), T5-xxl captions 4096.
+    Default 768×512 × 121 frames → voxel grid (16, 16, 24) = 6144
+    tokens (VAE 32× spatial / 8× temporal, no patching)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from comfyui_gguf_tpu.models import ltxv, testing
+
+    if on_tpu:
+        d = testing.LTXV_2B_DIMS
+        frames = args.frames or 121
+        height, width = args.height or 512, args.width or 768
+        ctx_len = 128
+    else:
+        d = testing.LTXVDims()
+        frames, height, width = 9, 64, 64
+        ctx_len = 8
+    F = (frames - 1) // 8 + 1
+    H, W = height // 32, width // 32
+    sp = testing.ltxv_random_stacked_params(d, qtype=getattr(Q, args.qtype))
+    cfg = d.config()
+    log(f"ltxv {d.n_layers} blocks dim {d.dim}, voxels ({F},{H},{W}) "
+        f"= {F * H * W} tokens, cap {ctx_len}")
+    grid = np.stack(np.meshgrid(np.arange(F), np.arange(H), np.arange(W),
+                                indexing="ij"), axis=-1)
+    ids = jnp.asarray(grid.reshape(1, -1, 3).astype(np.int32))
+    rng = jax.random.key(0)
+    x0 = jax.random.normal(rng, (1, F * H * W, d.in_ch), jnp.bfloat16)
+    ctx = jax.random.normal(jax.random.fold_in(rng, 1),
+                            (1, ctx_len, d.caption_dim), jnp.bfloat16)
+
+    def fwd(params, x, ts):
+        return ltxv.forward_stacked(params, cfg, x, ids, ctx, ts)
+
+    return sp, fwd, x0, (f"ltx-video-2B dims {args.qtype}, "
+                         f"{width}x{height}x{frames}f")
+
+
+def _cosmos(args, on_tpu, Q, log):
+    """Cosmos-1.0-Diffusion-7B: 28 blocks dim 4096 (hd 128), T5 text
+    1024. Default 1280×704 × 33 frames → latent (5, 88, 160) → 17 600
+    tokens (CV8×8×8 tokenizer, (1,2,2) patch); the full t2w config is
+    --frames 121 (56 320 tokens)."""
+    import jax
+    import jax.numpy as jnp
+
+    from comfyui_gguf_tpu.models import cosmos, testing
+
+    if on_tpu:
+        d = testing.COSMOS_7B_DIMS
+        frames = args.frames or 33
+        height, width = args.height or 704, args.width or 1280
+        ctx_len = 512
+    else:
+        d = testing.CosmosDims()
+        frames, height, width = 9, 64, 64
+        ctx_len = 8
+    F = (frames - 1) // 8 + 1
+    H, W = height // 8, width // 8
+    sp = testing.cosmos_random_stacked_params(d,
+                                              qtype=getattr(Q, args.qtype))
+    cfg = d.config()
+    log(f"cosmos {d.n_layers} blocks dim {d.dim}, latent ({F},{H},{W}) "
+        f"= {F * (H // 2) * (W // 2)} tokens, ctx {ctx_len}")
+    rng = jax.random.key(0)
+    x0 = jax.random.normal(rng, (1, F, H, W, d.in_ch), jnp.bfloat16)
+    ctx = jax.random.normal(jax.random.fold_in(rng, 1),
+                            (1, ctx_len, d.text_dim), jnp.bfloat16)
+
+    def fwd(params, x, ts):
+        return cosmos.forward_stacked(params, cfg, x, ctx, ts)
+
+    return sp, fwd, x0, (f"cosmos-7B dims {args.qtype}, "
+                         f"{width}x{height}x{frames}f")
+
+
+ARCHS = {"wan": _wan, "hyvid": _hyvid, "aura": _aura, "lumina2": _lumina2,
+         "qwen_image": _qwen_image, "ltxv": _ltxv, "cosmos": _cosmos}
 
 
 def main():
@@ -109,9 +297,10 @@ def main():
     ap.add_argument("--qtype", default="Q4_K")
     ap.add_argument("--steps", type=int, default=8)
     ap.add_argument("--reps", type=int, default=2)
-    ap.add_argument("--frames", type=int, default=81)
-    ap.add_argument("--height", type=int, default=480)
-    ap.add_argument("--width", type=int, default=832)
+    ap.add_argument("--frames", type=int, default=None,
+                    help="video frames (per-arch default)")
+    ap.add_argument("--height", type=int, default=None)
+    ap.add_argument("--width", type=int, default=None)
     args = ap.parse_args()
 
     os.environ.setdefault("GGUF_TPU_COMPILE_CACHE",
