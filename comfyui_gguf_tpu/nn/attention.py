@@ -60,6 +60,14 @@ if os.environ.get("GGUF_TPU_FAST_COMPILE", "") not in ("", "0"):
 ATTN_IMPL = os.environ.get("GGUF_TPU_ATTN", "splash")
 SPLASH_BLOCK_Q = 512
 SPLASH_BLOCK_KV_COMPUTE = 1536
+# widened splash gate: lane-odd self-attn lengths (padded + static
+# NumpyMask over the pad keys) and sub-lane head dims (e.g. sd3.5-large's
+# 4250-token hd=64 joint attention, lumina2 hd=96) — semantics validated
+# exact in interpret mode (tests/test_attention.py). OFF by default
+# pending the model-level A/B on chip (ops/autotune.py protocol:
+# kernel-level wins are candidates, not defaults); enable with
+# GGUF_TPU_SPLASH_WIDE=1.
+SPLASH_WIDE = os.environ.get("GGUF_TPU_SPLASH_WIDE", "0") not in ("", "0")
 
 
 @functools.cache
@@ -85,6 +93,45 @@ def _pad128(x, L):
     if pad == 0:
         return x
     return jax.numpy.pad(x, ((0, 0), (0, 0), (0, pad), (0, 0)))
+
+
+def _splash_attention(q, k, v, scale: float, interpret: bool = False):
+    """Splash kernel path: self-attention, Lq == Lk, D ≤ 128 or D%128==0.
+
+    Lk cap (dispatcher): block_kv=Lk keeps whole-KV rows resident per q
+    block (~2.4 MB at flux's 4608×128); video token counts fall through
+    to flash's tiled KV instead of blowing VMEM.
+    Lane-odd lengths (SD3's 154+4096=4250 joint tokens) are padded to a
+    128 multiple with a STATIC NumpyMask excluding the pad keys — the
+    mask is a trace-time constant, so the block-sparse mask info is built
+    once per compile. Pad query rows never see a valid key (their output
+    is garbage by construction) and are sliced off. splash applies no
+    sm_scale internally, so q is pre-scaled. ``interpret=True`` runs the
+    kernel in Pallas interpret mode for CPU tests.
+    """
+    import numpy as np
+    from jax.experimental.pallas.ops.tpu import splash_attention as sa
+
+    B, H, Lq, D = q.shape
+    Lk = k.shape[2]
+    qs = (q * scale).astype(q.dtype)
+    Lkp = Lk + (-Lk % _LANE)
+    if Lkp != Lk:
+        qs, k, v = _pad128(qs, Lq), _pad128(k, Lk), _pad128(v, Lk)
+        m = np.zeros((Lkp, Lkp), bool)
+        m[:Lq, :Lk] = True
+        head_mask = sa.NumpyMask(m)
+    else:
+        head_mask = sa.FullMask((Lq, Lk))
+    bq = next(b for b in (SPLASH_BLOCK_Q, 256, 128) if Lkp % b == 0)
+    bkvc = next(b for b in (SPLASH_BLOCK_KV_COMPUTE, 512, 256, 128)
+                if Lkp % b == 0)
+    bs = sa.BlockSizes(block_q=bq, block_kv=Lkp, block_kv_compute=bkvc)
+    mask = sa.MultiHeadMask([head_mask] * H)
+    kernel = sa.make_splash_mha_single_device(
+        mask, block_sizes=bs, interpret=interpret)
+    out = jax.vmap(kernel)(qs, k, v)
+    return out[:, :, :Lq] if Lkp != Lk else out
 
 
 def dot_product_attention(q: jax.Array, k: jax.Array, v: jax.Array,
@@ -119,25 +166,13 @@ def dot_product_attention(q: jax.Array, k: jax.Array, v: jax.Array,
             v.transpose(0, 2, 1, 3), axis_name=sp, scale=float(scale))
         return out.transpose(0, 2, 1, 3)
 
+    splash_shape_ok = (
+        Lq == Lk and Lk <= 8192
+        and (D % _LANE == 0 or (SPLASH_WIDE and D <= _LANE))
+        and ((Lq % _LANE == 0 and Lq % SPLASH_BLOCK_Q == 0) or SPLASH_WIDE))
     if (ATTN_IMPL == "splash" and _on_tpu() and _flash_ok(q, k)
-            and D % _LANE == 0  # splash not validated on sub-lane hd
-            and Lq == Lk and Lq % _LANE == 0
-            and Lq % SPLASH_BLOCK_Q == 0 and Lk <= 8192):
-        # Lk cap: block_kv=Lk keeps whole-KV rows resident per q block
-        # (~2.4 MB at flux's 4608×128); video token counts fall through
-        # to flash's tiled KV instead of blowing VMEM
-        # splash-attention kernel (fwd-only; self-attn with no masking —
-        # segment-id/padded shapes stay on the flash path below). splash
-        # applies no sm_scale internally, so q is pre-scaled.
-        from jax.experimental.pallas.ops.tpu import splash_attention as sa
-
-        bkvc = next(b for b in (SPLASH_BLOCK_KV_COMPUTE, 512, 256, 128)
-                    if Lk % b == 0)
-        bs = sa.BlockSizes(block_q=SPLASH_BLOCK_Q, block_kv=Lk,
-                           block_kv_compute=bkvc)
-        mask = sa.MultiHeadMask([sa.FullMask((Lq, Lk))] * H)
-        kernel = sa.make_splash_mha_single_device(mask, block_sizes=bs)
-        return jax.vmap(kernel)((q * scale).astype(q.dtype), k, v)
+            and splash_shape_ok):
+        return _splash_attention(q, k, v, float(scale))
 
     if _on_tpu() and _flash_ok(q, k):
         from jax.experimental.pallas.ops.tpu import flash_attention as fa

@@ -34,6 +34,24 @@ def test_custom_scale():
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
 
 
+def test_splash_lane_odd_sublane_hd_interpret():
+    """Widened splash path (lane-odd L via static NumpyMask padding +
+    sub-lane head dim) matches the softmax reference exactly — the
+    interpret-mode proof behind GGUF_TPU_SPLASH_WIDE (sd3.5-large's
+    4250-token hd=64 joint attention, lumina2 hd=96)."""
+    rng = np.random.default_rng(2)
+    for L, D in ((650, 64), (640, 96)):
+        q = rng.standard_normal((1, 2, L, D)).astype(np.float32)
+        k = rng.standard_normal((1, 2, L, D)).astype(np.float32)
+        v = rng.standard_normal((1, 2, L, D)).astype(np.float32)
+        got = np.asarray(attention._splash_attention(
+            jnp.asarray(q), jnp.asarray(k), jnp.asarray(v),
+            D ** -0.5, interpret=True))
+        want = _ref(q, k, v, D ** -0.5)
+        assert got.shape == want.shape
+        np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-5)
+
+
 def test_flash_gate_shapes():
     z = jnp.zeros
     # aligned long sequence qualifies
