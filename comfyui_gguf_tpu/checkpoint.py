@@ -66,6 +66,14 @@ def save_params(path: str, params: dict) -> None:
                 arrays[f"{key}/offsets"] = of
                 m["of_dtype"] = of_dt
             meta[key] = m
+        elif type(v).__name__ == "I8Planar":
+            qs, qs_dt = _to_np(v.qs)
+            sc, sc_dt = _to_np(v.scales)
+            arrays[f"{key}/qs"] = qs
+            arrays[f"{key}/scales"] = sc
+            meta[key] = {"kind": "i8", "qtype": v.qtype,
+                         "shape": list(v.shape), "qs_dtype": qs_dt,
+                         "sc_dtype": sc_dt}
         else:
             a, dt = _to_np(v)
             if a.dtype == object:
@@ -97,6 +105,13 @@ def load_params(path: str, device=None) -> dict:
     for key, m in head["keys"].items():
         if m["kind"] == "dense":
             out[key] = put(_from_np(z[f"{key}/dense"], m["dtype"]))
+        elif m["kind"] == "i8":
+            from .quant.i8 import I8Planar
+
+            out[key] = I8Planar(
+                qs=put(_from_np(z[f"{key}/qs"], m["qs_dtype"])),
+                scales=put(_from_np(z[f"{key}/scales"], m["sc_dtype"])),
+                qtype=int(m["qtype"]), shape=tuple(m["shape"]))
         else:
             offsets = None
             if f"{key}/offsets" in z:

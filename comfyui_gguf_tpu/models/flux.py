@@ -358,14 +358,16 @@ def scan_blocks(block_tree: dict, body, carry, length: int):
     a 690 ms-compute forward); this removes it. body(carry, params_dict)
     → carry."""
     from ..lora import PatchedWeight
+    from ..quant.i8 import I8Planar
     from ..quant.planar import IndexedQuant, PlanarQuant
 
+    packed_types = (PlanarQuant, I8Planar)
     quant, patched, dense = {}, {}, {}
     for k, v in block_tree.items():
-        if isinstance(v, PlanarQuant):
+        if isinstance(v, packed_types):
             quant[k] = v
         elif (isinstance(v, PatchedWeight)
-              and isinstance(v.base, PlanarQuant)):
+              and isinstance(v.base, packed_types)):
             patched[k] = v  # packed base stays whole; LoRA factors (tiny)
         else:
             dense[k] = v

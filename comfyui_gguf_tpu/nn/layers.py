@@ -28,6 +28,7 @@ import jax
 import jax.numpy as jnp
 
 from ..ops.qmatmul import quantized_matmul
+from ..quant.i8 import I8Planar, dequantize_i8
 from ..quant.planar import (IndexedQuant, PlanarQuant,
                             dequantize as planar_dequantize)
 
@@ -55,7 +56,7 @@ DEFAULT_CONFIG = QuantConfig()
 
 
 def is_quantized(leaf) -> bool:
-    return isinstance(leaf, PlanarQuant)
+    return isinstance(leaf, (PlanarQuant, I8Planar))
 
 
 def materialize(leaf, dtype=jnp.float32) -> jax.Array:
@@ -83,6 +84,8 @@ def materialize(leaf, dtype=jnp.float32) -> jax.Array:
         return w.reshape(shape).astype(dtype)
     if isinstance(leaf, PlanarQuant):
         return planar_dequantize(leaf, dtype)
+    if isinstance(leaf, I8Planar):
+        return dequantize_i8(leaf, dtype)
     return jnp.asarray(leaf, dtype)
 
 
@@ -102,7 +105,7 @@ def linear(x: jax.Array, weight, bias=None, *,
 
             x = apply_patch_prologue(x, patches,
                                      patch_dtype=cfg.effective_patch_dtype)
-        if isinstance(weight, (PlanarQuant, IndexedQuant)):
+        if isinstance(weight, (PlanarQuant, I8Planar, IndexedQuant)):
             # rank patches fuse into the kernel epilogue (the (M, R)
             # delta never round-trips HBM); dense-delta patches (diff/
             # loha/lokr) return None and take the unfused path below
@@ -112,15 +115,28 @@ def linear(x: jax.Array, weight, bias=None, *,
                                  patch_dtype=cfg.effective_patch_dtype)
     lh, lu = fac if fac is not None else (None, None)
     if isinstance(weight, IndexedQuant):
-        from ..ops.qmatmul import indexed_matmul
+        if isinstance(weight.pq, I8Planar):
+            from ..ops.i8mm import i8_indexed_matmul
 
-        out = indexed_matmul(
-            x, weight.pq, weight.idx,
-            dequant_dtype=cfg.dequant_dtype,
-            out_dtype=x.dtype,
-            prefer_pallas=cfg.prefer_pallas,
-            lora_h=lh, lora_up=lu,
-        )
+            out = i8_indexed_matmul(
+                x, weight.pq, weight.idx, out_dtype=x.dtype,
+                prefer_pallas=cfg.prefer_pallas, lora_h=lh, lora_up=lu)
+        else:
+            from ..ops.qmatmul import indexed_matmul
+
+            out = indexed_matmul(
+                x, weight.pq, weight.idx,
+                dequant_dtype=cfg.dequant_dtype,
+                out_dtype=x.dtype,
+                prefer_pallas=cfg.prefer_pallas,
+                lora_h=lh, lora_up=lu,
+            )
+    elif isinstance(weight, I8Planar):
+        from ..ops.i8mm import i8_matmul
+
+        out = i8_matmul(
+            x, weight, out_dtype=x.dtype,
+            prefer_pallas=cfg.prefer_pallas, lora_h=lh, lora_up=lu)
     elif isinstance(weight, PlanarQuant):
         out = quantized_matmul(
             x, weight,
@@ -159,7 +175,7 @@ def linear_gelu(x: jax.Array, weight, bias=None, *, tail_from: int = 0,
     base, patches = weight, None
     if hasattr(weight, "patches") and hasattr(weight, "base"):
         base, patches = weight.base, weight.patches
-    if isinstance(base, (PlanarQuant, IndexedQuant)):
+    if isinstance(base, (PlanarQuant, I8Planar, IndexedQuant)):
         lh = lu = None
         xk = x
         fused_ok = patches is None
@@ -178,11 +194,25 @@ def linear_gelu(x: jax.Array, weight, bias=None, *, tail_from: int = 0,
                         patch_dtype=cfg.effective_patch_dtype)
         if fused_ok:
             if isinstance(base, IndexedQuant):
+                if isinstance(base.pq, I8Planar):
+                    from ..ops.i8mm import i8_indexed_matmul
+
+                    return i8_indexed_matmul(
+                        xk, base.pq, base.idx, out_dtype=x.dtype,
+                        prefer_pallas=cfg.prefer_pallas, bias=bias,
+                        act_from_col=tail_from, lora_h=lh, lora_up=lu)
                 from ..ops.qmatmul import indexed_matmul
 
                 return indexed_matmul(
                     xk, base.pq, base.idx,
                     dequant_dtype=cfg.dequant_dtype, out_dtype=x.dtype,
+                    prefer_pallas=cfg.prefer_pallas, bias=bias,
+                    act_from_col=tail_from, lora_h=lh, lora_up=lu)
+            if isinstance(base, I8Planar):
+                from ..ops.i8mm import i8_matmul
+
+                return i8_matmul(
+                    xk, base, out_dtype=x.dtype,
                     prefer_pallas=cfg.prefer_pallas, bias=bias,
                     act_from_col=tail_from, lora_h=lh, lora_up=lu)
             return quantized_matmul(
@@ -202,8 +232,8 @@ def embedding(ids: jax.Array, table, *,
     """ids: int (...,) -> (..., D). table: dense (V, D) (big quantized
     embeddings are eagerly dequantized at load, reference loader.py:384-397).
     """
-    if isinstance(table, PlanarQuant):
-        table = planar_dequantize(table, cfg.dequant_dtype)
+    if isinstance(table, (PlanarQuant, I8Planar)):
+        table = materialize(table, cfg.dequant_dtype)
     return jnp.take(table, ids, axis=0)
 
 

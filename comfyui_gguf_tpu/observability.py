@@ -166,7 +166,9 @@ def memory_report(params: dict) -> dict:
         # by their backing buffer (or None)
         if isinstance(v, PatchedWeight):
             v = v.base
-        if isinstance(v, PlanarQuant):
+        from .quant.i8 import I8Planar
+
+        if isinstance(v, (PlanarQuant, I8Planar)):
             b = v.nbytes_packed
             packed += b
             dense16 += 2 * v.shape[0] * v.shape[1]

@@ -1,0 +1,183 @@
+"""w8a8 integer-MXU weight format: per-column int8 requantization.
+
+The fused bf16 dequant-matmul path (ops/qmatmul.py) runs the MXU at bf16
+rate. v5e (and every TPU since v4) multiplies s8xs8->s32 at ~2x the bf16
+FLOP rate (measured on this chip: 361-366 TOP/s vs 169 TF/s —
+tools_i8_microbench.py), and flux full-depth is compute-bound at 0.93 of
+bf16 peak (BASELINE.md). This module converts already-loaded GGUF planar
+weights (quant/planar.PlanarQuant) into a layout the integer MXU path
+(ops/i8mm.py) consumes directly:
+
+    w[k, r] ~= ws[r] * wq[k, r]        wq int8, ws f32 per OUT column
+
+Activations are quantized dynamically per token row at matmul time
+(x[m, :] ~= xs[m] * xq[m, :]) so the whole contraction runs in s8 with an
+exact s32 accumulator (K*127^2 < 2^31 for K up to ~133k) and ONE f32
+rescale in the kernel epilogue: out = (xs ⊗ ws) * acc.
+
+Accuracy: per-column symmetric int8 on weights is far finer than the
+4-6-bit grouped GGML codes being requantized (a Q4_K group of 32 has 16
+levels; int8 per column has 255), so the additional weight error is
+negligible against the quantization noise already in the file. Dynamic
+per-token activation scales are the standard production w8a8 recipe.
+Measured end-to-end deltas vs the bf16 fused path are recorded in
+BASELINE.md and asserted in tests/test_i8.py.
+
+This path exists only in the new framework — the reference
+(city96/ComfyUI-GGUF) always dequantizes to fp16/bf16 before the matmul
+(reference dequant.py:15-28, ops.py:242-244).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from .planar import PlanarQuant
+
+LANE = 128
+
+# floor for dynamic scales: keeps all-zero rows/columns finite (quantized
+# values are exactly 0 there)
+_SCALE_FLOOR = 1e-30
+
+
+@partial(
+    jax.tree_util.register_dataclass,
+    data_fields=["qs", "scales"],
+    meta_fields=["qtype", "shape"],
+)
+@dataclasses.dataclass(frozen=True)
+class I8Planar:
+    """Per-column-int8 K-major weight for the integer MXU path.
+
+    Leaves may carry a leading depth axis (stacked-scan form):
+      qs: (Kp, Rp) int8 or (depth, Kp, Rp)
+      scales: (1, Rp) float32 or (depth, 1, Rp) — per out-column
+    shape is the LOGICAL torch-order (out=R, in=K); Kp/Rp keep the source
+    PlanarQuant's padding (pad rows/columns requantize to exactly 0).
+    ``qtype`` records the source GGML format for census/reporting.
+    """
+
+    qs: jax.Array
+    scales: jax.Array
+    qtype: int
+    shape: tuple[int, int]
+
+    @property
+    def out_features(self) -> int:
+        return self.shape[0]
+
+    @property
+    def in_features(self) -> int:
+        return self.shape[1]
+
+    @property
+    def padded_out(self) -> int:
+        return self.qs.shape[-1]
+
+    @property
+    def padded_in(self) -> int:
+        return self.qs.shape[-2]
+
+    @property
+    def nbytes_packed(self) -> int:
+        return (self.qs.size * self.qs.dtype.itemsize
+                + self.scales.size * self.scales.dtype.itemsize)
+
+
+def _dequant_padded(qs, scales, offsets, layout, gs, zero_point):
+    """Dense f32 (Kp, Rp) from one planar slice WITHOUT un-padding.
+
+    Same math as planar.dequantize_kmajor but keeps the padded domain
+    (pad codes have zero scales -> dequantize to exactly 0), so the
+    requantized layout inherits kernel-legal dims from the source.
+    """
+    if layout == "nib4":
+        q = jnp.concatenate([qs & 0x0F, qs >> 4], axis=0).astype(jnp.float32)
+    else:
+        q = qs.astype(jnp.float32)
+    if zero_point:
+        q = q - jnp.float32(zero_point)
+    kp = q.shape[0]
+    s = jnp.repeat(scales.astype(jnp.float32), gs, axis=0,
+                   total_repeat_length=kp)
+    w = s * q
+    if offsets is not None:
+        w = w + jnp.repeat(offsets.astype(jnp.float32), gs, axis=0,
+                           total_repeat_length=kp)
+    return w
+
+
+def _req_slice(qs, scales, offsets, *, layout, gs, zero_point):
+    """One planar slice -> (wq int8 (Kp, Rp), ws f32 (1, Rp))."""
+    w = _dequant_padded(qs, scales, offsets, layout, gs, zero_point)
+    ws = jnp.maximum(jnp.max(jnp.abs(w), axis=0, keepdims=True),
+                     _SCALE_FLOOR) / 127.0
+    wq = jnp.round(w / ws).astype(jnp.int8)
+    return wq, ws
+
+
+_req_slice_jit = jax.jit(_req_slice,
+                         static_argnames=("layout", "gs", "zero_point"))
+
+
+def requantize_i8(pq: PlanarQuant) -> I8Planar:
+    """PlanarQuant -> I8Planar (handles 2-D and depth-stacked leaves).
+
+    Stacked weights are converted one depth slice at a time so the dense
+    f32 transient stays one block's worth of HBM (a stacked flux single
+    trunk would otherwise materialize ~10 GB at once).
+    """
+    kw = dict(layout=pq.layout, gs=pq.group_size, zero_point=pq.zero_point)
+    if pq.qs.ndim == 2:
+        wq, ws = _req_slice_jit(pq.qs, pq.scales, pq.offsets, **kw)
+        return I8Planar(qs=wq, scales=ws, qtype=pq.qtype, shape=pq.shape)
+    if pq.qs.ndim != 3:
+        raise ValueError(f"unsupported planar rank {pq.qs.ndim}")
+    wqs, wss = [], []
+    for d in range(pq.qs.shape[0]):
+        wq, ws = _req_slice_jit(
+            pq.qs[d], pq.scales[d],
+            None if pq.offsets is None else pq.offsets[d], **kw)
+        wqs.append(wq)
+        wss.append(ws)
+    return I8Planar(qs=jnp.stack(wqs), scales=jnp.stack(wss),
+                    qtype=pq.qtype, shape=pq.shape)
+
+
+def dequantize_kmajor_i8(ip: I8Planar, dtype=jnp.float32) -> jax.Array:
+    """Dense (K, R) logical-domain weight (oracle / fallback path)."""
+    w = ip.qs.astype(jnp.float32) * ip.scales.astype(jnp.float32)
+    return w[..., : ip.in_features, : ip.out_features].astype(dtype)
+
+
+def dequantize_i8(ip: I8Planar, dtype=jnp.float32) -> jax.Array:
+    """Dense logical torch-order (out=R, in=K) weight."""
+    return jnp.swapaxes(dequantize_kmajor_i8(ip, dtype), -1, -2)
+
+
+def quantize_rows(x2: jax.Array):
+    """Dynamic per-token activation quantization.
+
+    x2: (m, K) any float -> (xq (m, K) int8, xs (m, 1) float32) with
+    x2 ~= xs * xq. Shared by the Pallas kernel dispatch and the XLA
+    fallback so both paths consume IDENTICAL integer operands.
+    """
+    xf = x2.astype(jnp.float32)
+    xs = jnp.maximum(jnp.max(jnp.abs(xf), axis=-1, keepdims=True),
+                     _SCALE_FLOOR) / 127.0
+    xq = jnp.round(xf / xs).astype(jnp.int8)
+    return xq, xs
+
+
+def convert_tree_i8(params):
+    """Replace every PlanarQuant leaf in a pytree with its I8Planar
+    requantization (the w8a8 model-conversion entry point)."""
+    is_pq = lambda l: isinstance(l, PlanarQuant)
+    return jax.tree_util.tree_map(
+        lambda l: requantize_i8(l) if is_pq(l) else l, params,
+        is_leaf=is_pq)

@@ -1,0 +1,257 @@
+"""w8a8 integer-MXU path: requantization accuracy, kernel-vs-XLA parity
+(interpret mode), layer dispatch, stacked/indexed scan path, checkpoint
+round trip, and a tiny end-to-end flux forward vs the bf16 fused path."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from comfyui_gguf_tpu.gguf.constants import GGMLQuantizationType as Q
+from comfyui_gguf_tpu.nn import layers
+from comfyui_gguf_tpu.ops import i8mm
+from comfyui_gguf_tpu.quant import codecs, i8, planar
+
+
+def make_pq(R, K, qtype=Q.Q4_K, seed=0, scale=1.0):
+    rng = np.random.default_rng(seed)
+    x = rng.standard_normal((R, K)).astype(np.float32) * scale
+    return planar.planarize(codecs.quantize(x, qtype), qtype, (R, K)), x
+
+
+# ---------------------------------------------------------------------------
+# requantization
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("qtype", [Q.Q4_K, Q.Q8_0, Q.Q4_1, Q.Q6_K],
+                         ids=lambda q: q.name)
+def test_requantize_error_bound(qtype):
+    """Per-column int8: every element within half an ls step of the
+    source planar dequant (ws = colmax/127)."""
+    pq, _ = make_pq(96, 512, qtype)
+    ip = i8.requantize_i8(pq)
+    w_src = np.asarray(planar.dequantize_kmajor(pq))  # (K, R)
+    w_i8 = np.asarray(i8.dequantize_kmajor_i8(ip))
+    ws = np.maximum(np.abs(w_src).max(axis=0, keepdims=True), 1e-30) / 127.0
+    # 0.5 ls + f32 rounding headroom at the tie boundary
+    assert np.all(np.abs(w_i8 - w_src) <= 0.5001 * ws + 1e-9)
+    assert ip.qs.dtype == jnp.int8
+    assert ip.shape == pq.shape
+    # padding preserved from the source
+    assert ip.qs.shape == (pq.qs.shape[0] * (2 if pq.layout == "nib4" else 1),
+                           pq.padded_out)
+
+
+def test_requantize_stacked_matches_per_slice():
+    pqs = [make_pq(64, 512, Q.Q4_K, seed=s)[0] for s in range(3)]
+    stacked = planar.PlanarQuant(
+        qs=jnp.stack([p.qs for p in pqs]),
+        scales=jnp.stack([p.scales for p in pqs]),
+        offsets=(None if pqs[0].offsets is None
+                 else jnp.stack([p.offsets for p in pqs])),
+        qtype=pqs[0].qtype, layout=pqs[0].layout,
+        group_size=pqs[0].group_size, zero_point=pqs[0].zero_point,
+        shape=pqs[0].shape)
+    ip = i8.requantize_i8(stacked)
+    assert ip.qs.shape[0] == 3
+    for d, p in enumerate(pqs):
+        one = i8.requantize_i8(p)
+        np.testing.assert_array_equal(np.asarray(ip.qs[d]),
+                                      np.asarray(one.qs))
+        np.testing.assert_array_equal(np.asarray(ip.scales[d]),
+                                      np.asarray(one.scales))
+
+
+def test_zero_rows_columns_stay_finite():
+    pq, _ = make_pq(64, 512, Q.Q4_K)
+    # zero out the scales -> weight column is exactly 0
+    pq = planar.PlanarQuant(
+        qs=pq.qs, scales=jnp.zeros_like(pq.scales), offsets=None,
+        qtype=pq.qtype, layout=pq.layout, group_size=pq.group_size,
+        zero_point=pq.zero_point, shape=pq.shape)
+    ip = i8.requantize_i8(pq)
+    x = jnp.zeros((4, 512), jnp.bfloat16)  # all-zero rows too
+    out = i8mm.xla_i8mm(x, ip)
+    assert np.all(np.isfinite(np.asarray(out, np.float32)))
+    np.testing.assert_array_equal(np.asarray(out, np.float32), 0.0)
+
+
+def test_convert_tree_i8():
+    pq, _ = make_pq(64, 512)
+    tree = {"a.weight": pq, "b.bias": jnp.ones((64,)),
+            "c": {"w": pq}}
+    out = i8.convert_tree_i8(tree)
+    assert isinstance(out["a.weight"], i8.I8Planar)
+    assert isinstance(out["c"]["w"], i8.I8Planar)
+    assert isinstance(out["b.bias"], jax.Array)
+
+
+# ---------------------------------------------------------------------------
+# matmul parity
+# ---------------------------------------------------------------------------
+
+def test_xla_i8mm_matches_dense_math():
+    pq, _ = make_pq(96, 512)
+    ip = i8.requantize_i8(pq)
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.standard_normal((10, 512)), jnp.float32)
+    got = np.asarray(i8mm.xla_i8mm(x, ip), np.float32)
+    xq, xs = i8.quantize_rows(x)
+    w = np.asarray(ip.qs, np.float32) * np.asarray(ip.scales, np.float32)
+    want = (np.asarray(xs) * (np.asarray(xq, np.float32) @ w))[:, :96]
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-3)
+
+
+def _flip_tol(x, ip, want, n_flips=2):
+    """Tolerance for comparing two independently-compiled w8a8 programs:
+    the dynamic activation quantization may round 0.5-tie elements
+    differently under different fusion (x/xs vs x*(1/xs)), flipping a
+    code by ±1 — worth at most xs[row]*127*ws[col] in the output."""
+    xq, xs = i8.quantize_rows(jnp.asarray(x).reshape(-1, x.shape[-1])
+                              .astype(jnp.float32))
+    ws = np.asarray(ip.scales, np.float32).reshape(1, -1)[:, : want.shape[-1]]
+    return (n_flips * 127.0 * np.asarray(xs) * ws
+            + 2e-2 * np.abs(want) + 2e-2)
+
+
+@pytest.mark.parametrize("m", [1, 40, 64])
+def test_pallas_interpret_matches_xla(m):
+    pq, _ = make_pq(256, 512)
+    ip = i8.requantize_i8(pq)
+    rng = np.random.default_rng(2)
+    x = jnp.asarray(rng.standard_normal((m, 512)), jnp.bfloat16)
+    want = np.asarray(i8mm.xla_i8mm(x, ip), np.float32)
+    got = np.asarray(
+        i8mm.pallas_i8mm(x, ip, interpret=True), np.float32)
+    assert np.all(np.abs(got - want) <= _flip_tol(x, ip, want))
+
+
+def test_pallas_epilogue_bias_gelu_lora():
+    R, K = 1024, 512  # rt=512 -> act_from_col=512 is tile-aligned
+    pq, _ = make_pq(R, K)
+    ip = i8.requantize_i8(pq)
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.standard_normal((32, K)), jnp.bfloat16)
+    bias = jnp.asarray(rng.standard_normal((R,)), jnp.float32)
+    r = 4
+    lora_h = jnp.asarray(rng.standard_normal((32, r)) * 0.1, jnp.bfloat16)
+    lora_up = jnp.asarray(rng.standard_normal((r, R)) * 0.1, jnp.bfloat16)
+    kw = dict(bias=bias, act_from_col=512, lora_h=lora_h, lora_up=lora_up)
+    want = np.asarray(i8mm.xla_i8mm(x, ip, **kw), np.float32)
+    got = np.asarray(i8mm.pallas_i8mm(x, ip, interpret=True, **kw),
+                     np.float32)
+    assert np.all(np.abs(got - want) <= _flip_tol(x, ip, want))
+
+
+def test_indexed_matches_sliced():
+    pqs = [make_pq(128, 512, seed=s)[0] for s in range(3)]
+    stacked = planar.PlanarQuant(
+        qs=jnp.stack([p.qs for p in pqs]),
+        scales=jnp.stack([p.scales for p in pqs]),
+        offsets=(None if pqs[0].offsets is None
+                 else jnp.stack([p.offsets for p in pqs])),
+        qtype=pqs[0].qtype, layout=pqs[0].layout,
+        group_size=pqs[0].group_size, zero_point=pqs[0].zero_point,
+        shape=pqs[0].shape)
+    ip = i8.requantize_i8(stacked)
+    rng = np.random.default_rng(4)
+    x = jnp.asarray(rng.standard_normal((32, 512)), jnp.bfloat16)
+    bias = jnp.asarray(rng.standard_normal((3, 128)), jnp.float32)
+    for d in range(3):
+        one = i8.I8Planar(qs=ip.qs[d], scales=ip.scales[d],
+                          qtype=ip.qtype, shape=ip.shape)
+        want = np.asarray(
+            i8mm.xla_i8mm(x, one, bias=bias[d]), np.float32)
+        got = np.asarray(
+            i8mm.pallas_i8mm_indexed(x, ip, jnp.int32(d), interpret=True,
+                                     bias=bias), np.float32)
+        assert np.all(np.abs(got - want) <= _flip_tol(x, one, want))
+        # dispatcher fallback path (CPU): slices then runs the XLA form
+        got2 = np.asarray(
+            i8mm.i8_indexed_matmul(x, ip, jnp.int32(d), bias=bias,
+                                   prefer_pallas=False), np.float32)
+        np.testing.assert_allclose(got2, want, rtol=1e-6, atol=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# layer dispatch + end-to-end
+# ---------------------------------------------------------------------------
+
+def test_linear_dispatch_accuracy():
+    """layers.linear on I8Planar approximates the dense linear about as
+    well as the source planar path does (w8a8 adds only 8-bit noise)."""
+    R, K = 128, 512
+    pq, _ = make_pq(R, K, scale=0.05)
+    ip = i8.requantize_i8(pq)
+    rng = np.random.default_rng(5)
+    x = jnp.asarray(rng.standard_normal((16, K)), jnp.bfloat16)
+    ref = np.asarray(layers.linear(x, pq), np.float32)  # planar path
+    got = np.asarray(layers.linear(x, ip), np.float32)
+    denom = np.linalg.norm(ref) + 1e-9
+    rel = np.linalg.norm(got - ref) / denom
+    assert rel < 0.02, rel
+
+
+def test_linear_gelu_dispatch():
+    R, K = 256, 512
+    pq, _ = make_pq(R, K, scale=0.05)
+    ip = i8.requantize_i8(pq)
+    rng = np.random.default_rng(6)
+    x = jnp.asarray(rng.standard_normal((8, K)), jnp.bfloat16)
+    bias = jnp.asarray(rng.standard_normal((R,)) * 0.1, jnp.float32)
+    got = np.asarray(layers.linear_gelu(x, ip, bias, tail_from=128),
+                     np.float32)
+    # unfused composition on the same integer math
+    pre = np.asarray(i8mm.xla_i8mm(x, ip, bias=bias), np.float32)
+    want = np.concatenate(
+        [pre[:, :128],
+         np.asarray(jax.nn.gelu(pre[:, 128:], approximate=True))], axis=1)
+    np.testing.assert_allclose(got, want, rtol=2e-2, atol=2e-2)
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    from comfyui_gguf_tpu import checkpoint
+
+    pq, _ = make_pq(64, 512)
+    ip = i8.requantize_i8(pq)
+    params = {"w": ip, "b": jnp.ones((4,), jnp.float32)}
+    p = str(tmp_path / "i8ckpt")
+    checkpoint.save_params(p, params)
+    back = checkpoint.load_params(p)
+    assert isinstance(back["w"], i8.I8Planar)
+    np.testing.assert_array_equal(np.asarray(back["w"].qs),
+                                  np.asarray(ip.qs))
+    np.testing.assert_array_equal(np.asarray(back["w"].scales),
+                                  np.asarray(ip.scales))
+    assert back["w"].shape == ip.shape
+
+
+def test_memory_report_counts_i8():
+    from comfyui_gguf_tpu.observability import memory_report
+
+    pq, _ = make_pq(64, 512)
+    ip = i8.requantize_i8(pq)
+    rep = memory_report({"w": ip})
+    assert rep["n_packed"] == 1
+    assert rep["packed_bytes"] == ip.nbytes_packed
+
+
+def test_flux_stacked_forward_i8_close_to_planar():
+    """Tiny flux end to end: w8a8 scan forward within a few percent of
+    the bf16 fused-dequant forward on the same weights."""
+    from comfyui_gguf_tpu.models import flux, testing
+
+    dims = testing.TinyFluxDims(depth_double=2, depth_single=2)
+    sparams = testing.flux_random_stacked_params(dims, qtype=Q.Q4_K, seed=0)
+    cfg = dims.config()
+    img, img_ids, txt, txt_ids, t, y, g = testing.flux_example_inputs(
+        dims, batch=1, h_lat=8, w_lat=8, txt_len=16)
+
+    ref = np.asarray(flux.forward_stacked(
+        sparams, cfg, img, img_ids, txt, txt_ids, t, y, g), np.float32)
+    sp8 = i8.convert_tree_i8(sparams)
+    got = np.asarray(flux.forward_stacked(
+        sp8, cfg, img, img_ids, txt, txt_ids, t, y, g), np.float32)
+    rel = np.linalg.norm(got - ref) / (np.linalg.norm(ref) + 1e-9)
+    assert rel < 0.05, rel
