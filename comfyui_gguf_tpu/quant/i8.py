@@ -174,10 +174,46 @@ def quantize_rows(x2: jax.Array):
     return xq, xs
 
 
-def convert_tree_i8(params):
-    """Replace every PlanarQuant leaf in a pytree with its I8Planar
-    requantization (the w8a8 model-conversion entry point)."""
+def convert_tree_i8(params, *, free_source: bool = False, pred=None):
+    """Replace PlanarQuant leaves in a pytree with their I8Planar
+    requantization (the w8a8 model-conversion entry point).
+
+    free_source: drop each source leaf's device buffers as soon as its
+    int8 copy exists (requires dict containers, which all param trees
+    are) — full-depth models can't hold both trees in HBM at once
+    (flux-dev: ~7 GB planar + ~12 GB int8 on a 16 GB chip).
+
+    pred(key, leaf) -> bool: convert only matching leaves. Weights that
+    only ever see batch-size-M rows (e.g. adaLN modulation projections,
+    key substring "mod") are HBM-bandwidth-bound, where int8's ~8 bpw
+    LOSES to the 4.5-bpw nib4 planar path — callers keep those planar:
+    ``pred=lambda k, v: ".mod" not in k and "modulation" not in k``.
+    """
     is_pq = lambda l: isinstance(l, PlanarQuant)
-    return jax.tree_util.tree_map(
-        lambda l: requantize_i8(l) if is_pq(l) else l, params,
-        is_leaf=is_pq)
+    if not free_source and pred is None:
+        return jax.tree_util.tree_map(
+            lambda l: requantize_i8(l) if is_pq(l) else l, params,
+            is_leaf=is_pq)
+
+    def walk(node, path):
+        if is_pq(node):
+            raise TypeError(
+                "convert_tree_i8(free_source/pred) needs dict containers "
+                f"to rebind leaves; got a bare PlanarQuant at {path!r}")
+        out = {}
+        for k, v in node.items():
+            kp = f"{path}.{k}" if path else str(k)
+            if isinstance(v, dict):
+                out[k] = walk(v, kp)
+            elif is_pq(v) and (pred is None or pred(kp, v)):
+                out[k] = requantize_i8(v)
+                if free_source:
+                    node[k] = None  # drop the dict's ref
+                    for leaf in (v.qs, v.scales, v.offsets):
+                        if leaf is not None and hasattr(leaf, "delete"):
+                            leaf.delete()
+            else:
+                out[k] = v
+        return out
+
+    return walk(params, "")

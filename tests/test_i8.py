@@ -255,3 +255,28 @@ def test_flux_stacked_forward_i8_close_to_planar():
         sp8, cfg, img, img_ids, txt, txt_ids, t, y, g), np.float32)
     rel = np.linalg.norm(got - ref) / (np.linalg.norm(ref) + 1e-9)
     assert rel < 0.05, rel
+
+
+def test_convert_tree_pred_and_free_source():
+    pq1, _ = make_pq(64, 512, seed=0)
+    pq2, _ = make_pq(64, 512, seed=1)
+    tree = {"blocks": {"qkv.weight": pq1, "img_mod.lin.weight": pq2},
+            "bias": jnp.ones((4,))}
+    not_mod = lambda k, v: not any(
+        seg == "modulation" or seg.endswith("mod") for seg in k.split("."))
+    out = i8.convert_tree_i8(tree, free_source=True, pred=not_mod)
+    assert isinstance(out["blocks"]["qkv.weight"], i8.I8Planar)
+    # predicate kept the modulation weight planar (and alive)
+    kept = out["blocks"]["img_mod.lin.weight"]
+    assert isinstance(kept, planar.PlanarQuant)
+    np.testing.assert_array_equal(np.asarray(kept.qs), np.asarray(pq2.qs))
+    # converted source leaf was freed and unlinked from the input dict
+    assert tree["blocks"]["qkv.weight"] is None
+    assert np.all(np.isfinite(
+        np.asarray(i8.dequantize_kmajor_i8(out["blocks"]["qkv.weight"]))))
+
+
+def test_convert_tree_free_source_rejects_bare_leaf():
+    pq, _ = make_pq(64, 512)
+    with pytest.raises(TypeError):
+        i8.convert_tree_i8(pq, free_source=True)
