@@ -125,6 +125,22 @@ _req_slice_jit = jax.jit(_req_slice,
                          static_argnames=("layout", "gs", "zero_point"))
 
 
+@partial(jax.jit, static_argnames=("layout", "gs", "zero_point"))
+def _req_stacked(qs, scales, offsets, *, layout, gs, zero_point):
+    """Depth-stacked requantization under ONE jit via lax.map: the int8
+    output buffer is allocated once and written slice by slice, so the
+    peak transient is one block's dense f32 — NOT a second copy of the
+    whole int8 leaf (a python stack of per-slice results OOM'd full-depth
+    flux: jnp.stack duplicates the 2.5 GB single-trunk leaf)."""
+    if offsets is None:
+        return jax.lax.map(
+            lambda a: _req_slice(a[0], a[1], None, layout=layout, gs=gs,
+                                 zero_point=zero_point), (qs, scales))
+    return jax.lax.map(
+        lambda a: _req_slice(a[0], a[1], a[2], layout=layout, gs=gs,
+                             zero_point=zero_point), (qs, scales, offsets))
+
+
 def requantize_i8(pq: PlanarQuant) -> I8Planar:
     """PlanarQuant -> I8Planar (handles 2-D and depth-stacked leaves).
 
@@ -138,15 +154,8 @@ def requantize_i8(pq: PlanarQuant) -> I8Planar:
         return I8Planar(qs=wq, scales=ws, qtype=pq.qtype, shape=pq.shape)
     if pq.qs.ndim != 3:
         raise ValueError(f"unsupported planar rank {pq.qs.ndim}")
-    wqs, wss = [], []
-    for d in range(pq.qs.shape[0]):
-        wq, ws = _req_slice_jit(
-            pq.qs[d], pq.scales[d],
-            None if pq.offsets is None else pq.offsets[d], **kw)
-        wqs.append(wq)
-        wss.append(ws)
-    return I8Planar(qs=jnp.stack(wqs), scales=jnp.stack(wss),
-                    qtype=pq.qtype, shape=pq.shape)
+    wq, ws = _req_stacked(pq.qs, pq.scales, pq.offsets, **kw)
+    return I8Planar(qs=wq, scales=ws, qtype=pq.qtype, shape=pq.shape)
 
 
 def dequantize_kmajor_i8(ip: I8Planar, dtype=jnp.float32) -> jax.Array:
