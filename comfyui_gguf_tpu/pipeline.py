@@ -138,6 +138,30 @@ class DiffusionModel:
         self.params = lora_mod.detach_patches(self.params)
         self.base_params = None
 
+    def requantize_i8(self, *, mod_planar: bool = True,
+                      free_source: bool = True) -> "DiffusionModel":
+        """Convert packed planar weights to the w8a8 integer-MXU format
+        (quant/i8.py): the MXU runs s8xs8->s32 at ~2x its bf16 rate, and
+        DiT denoise is compute-bound at serving shapes — measured ~2x
+        per-matmul and see BASELINE.md for the whole-model step. Costs
+        ~1% end-to-end accuracy (8-bit dynamic activations) and ~8 bpw
+        HBM instead of ~4.5.
+
+        mod_planar: keep adaLN/modulation projections (M=batch rows,
+        BW-bound) on the planar bf16 path. free_source: drop the planar
+        leaves as they convert (both trees don't fit HBM at full depth);
+        the converted model can no longer be un-converted — reload to go
+        back. Call AFTER apply_lora/stack (patched bases convert too,
+        patches keep riding the kernel epilogue)."""
+        from .quant.i8 import convert_tree_i8, is_modulation_key
+
+        pred = (lambda k, v: not is_modulation_key(k)) if mod_planar \
+            else None
+        params = convert_tree_i8(self.params, free_source=free_source,
+                                 pred=pred)
+        return dataclasses.replace(self, params=params,
+                                   base_params=None)
+
     def stack(self) -> "DiffusionModel":
         """Flux / SD3: restack per-block params along a depth axis so
         forwards run the O(1)-compile scanned zero-copy path

@@ -183,6 +183,17 @@ def quantize_rows(x2: jax.Array):
     return xq, xs
 
 
+def is_modulation_key(key: str) -> bool:
+    """True for adaLN/modulation projection keys across the supported
+    arch families (flux img_mod/txt_mod/modulation, sd3/hidream
+    adaLN_modulation, cosmos adaln, wan .modulation). These weights only
+    ever see M=batch activation rows — HBM-bandwidth-bound, where int8's
+    ~8 bpw loses to the 4.5-bpw nib4 planar path — so w8a8 conversion
+    keeps them planar by default."""
+    return any(seg == "modulation" or seg.endswith("mod")
+               or "adaln" in seg.lower() for seg in key.split("."))
+
+
 def convert_tree_i8(params, *, free_source: bool = False, pred=None):
     """Replace PlanarQuant leaves in a pytree with their I8Planar
     requantization (the w8a8 model-conversion entry point).
@@ -198,27 +209,43 @@ def convert_tree_i8(params, *, free_source: bool = False, pred=None):
     LOSES to the 4.5-bpw nib4 planar path — callers keep those planar:
     ``pred=lambda k, v: ".mod" not in k and "modulation" not in k``.
     """
+    import dataclasses as _dc
+
     is_pq = lambda l: isinstance(l, PlanarQuant)
+
+    def base_of(v):
+        # LoRA-patched leaves: convert the packed base, keep the patches
+        if hasattr(v, "patches") and hasattr(v, "base") and is_pq(v.base):
+            return v.base
+        return v if is_pq(v) else None
+
     if not free_source and pred is None:
-        return jax.tree_util.tree_map(
-            lambda l: requantize_i8(l) if is_pq(l) else l, params,
-            is_leaf=is_pq)
+        def conv(l):
+            b = base_of(l)
+            if b is None:
+                return l
+            ip = requantize_i8(b)
+            return ip if l is b else _dc.replace(l, base=ip)
+        is_leaf = lambda l: base_of(l) is not None
+        return jax.tree_util.tree_map(conv, params, is_leaf=is_leaf)
 
     def walk(node, path):
-        if is_pq(node):
+        if base_of(node) is not None:
             raise TypeError(
                 "convert_tree_i8(free_source/pred) needs dict containers "
-                f"to rebind leaves; got a bare PlanarQuant at {path!r}")
+                f"to rebind leaves; got a bare packed leaf at {path!r}")
         out = {}
         for k, v in node.items():
             kp = f"{path}.{k}" if path else str(k)
+            b = base_of(v)
             if isinstance(v, dict):
                 out[k] = walk(v, kp)
-            elif is_pq(v) and (pred is None or pred(kp, v)):
-                out[k] = requantize_i8(v)
+            elif b is not None and (pred is None or pred(kp, b)):
+                ip = requantize_i8(b)
+                out[k] = ip if v is b else _dc.replace(v, base=ip)
                 if free_source:
                     node[k] = None  # drop the dict's ref
-                    for leaf in (v.qs, v.scales, v.offsets):
+                    for leaf in (b.qs, b.scales, b.offsets):
                         if leaf is not None and hasattr(leaf, "delete"):
                             leaf.delete()
             else:

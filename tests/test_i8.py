@@ -280,3 +280,50 @@ def test_convert_tree_free_source_rejects_bare_leaf():
     pq, _ = make_pq(64, 512)
     with pytest.raises(TypeError):
         i8.convert_tree_i8(pq, free_source=True)
+
+
+def test_convert_patched_weight_keeps_patches():
+    from comfyui_gguf_tpu import lora as lora_mod
+
+    pq, _ = make_pq(128, 512, scale=0.05)
+    rng = np.random.default_rng(7)
+    patch = lora_mod.LoRAPatch(
+        up=jnp.asarray(rng.standard_normal((128, 4)) * 0.05, jnp.bfloat16),
+        down=jnp.asarray(rng.standard_normal((4, 512)) * 0.05, jnp.bfloat16),
+        mid=None, diff=None, scale=0.7)
+    pw = lora_mod.PatchedWeight(base=pq, patches=(patch,))
+    out = i8.convert_tree_i8({"w": pw})
+    assert isinstance(out["w"], lora_mod.PatchedWeight)
+    assert isinstance(out["w"].base, i8.I8Planar)
+    assert out["w"].patches == (patch,)
+
+    x = jnp.asarray(rng.standard_normal((8, 512)), jnp.bfloat16)
+    ref = np.asarray(layers.linear(x, pw), np.float32)
+    got = np.asarray(layers.linear(x, out["w"]), np.float32)
+    rel = np.linalg.norm(got - ref) / (np.linalg.norm(ref) + 1e-9)
+    assert rel < 0.02, rel
+
+
+def test_diffusion_model_requantize_i8():
+    from comfyui_gguf_tpu import pipeline
+    from comfyui_gguf_tpu.models import testing
+    from comfyui_gguf_tpu.nn.layers import QuantConfig
+
+    dims = testing.TinyFluxDims(depth_double=2, depth_single=2)
+    sparams = testing.flux_random_stacked_params(dims, qtype=Q.Q4_K, seed=0)
+    model = pipeline.DiffusionModel(arch="flux", params=sparams,
+                                    config=dims.config(),
+                                    qcfg=QuantConfig())
+    img, img_ids, txt, txt_ids, t, y, g = testing.flux_example_inputs(
+        dims, batch=1, h_lat=8, w_lat=8, txt_len=16)
+    ref = np.asarray(model.forward(img, img_ids, txt, txt_ids, t, y, g),
+                     np.float32)
+    m8 = model.requantize_i8(free_source=False)
+    # modulation projections stay planar by default
+    db = m8.params["double_blocks"]
+    assert isinstance(db["img_mod.lin.weight"], planar.PlanarQuant)
+    assert isinstance(db["img_attn.qkv.weight"], i8.I8Planar)
+    got = np.asarray(m8.forward(img, img_ids, txt, txt_ids, t, y, g),
+                     np.float32)
+    rel = np.linalg.norm(got - ref) / (np.linalg.norm(ref) + 1e-9)
+    assert rel < 0.05, rel

@@ -107,11 +107,11 @@ def main():
 
     pred = None
     if not args.all_i8:
-        def pred(k, v):
-            # adaLN modulation projections only ever see M=batch rows:
-            # BW-bound, so int8's ~8 bpw loses to 4.5-bpw planar there
-            return not any(seg == "modulation" or seg.endswith("mod")
-                           for seg in k.split("."))
+        from comfyui_gguf_tpu.quant.i8 import is_modulation_key
+
+        # adaLN modulation projections only ever see M=batch rows:
+        # BW-bound, so int8's ~8 bpw loses to 4.5-bpw planar there
+        pred = lambda k, v: not is_modulation_key(k)
     tc = time.perf_counter()
     sp8 = convert_tree_i8(sparams, free_source=True, pred=pred)
     jax.block_until_ready(jax.tree_util.tree_leaves(sp8))
