@@ -327,3 +327,41 @@ def test_diffusion_model_requantize_i8():
                      np.float32)
     rel = np.linalg.norm(got - ref) / (np.linalg.norm(ref) + 1e-9)
     assert rel < 0.05, rel
+
+
+def test_flux_engine_over_i8_model():
+    """Continuous-batching engine drives a w8a8-converted model: same
+    request produces a latent close to the planar engine's."""
+    from comfyui_gguf_tpu import pipeline
+    from comfyui_gguf_tpu.models import testing
+    from comfyui_gguf_tpu.nn.layers import QuantConfig
+    from comfyui_gguf_tpu.sampling import linear_schedule
+
+    dims = testing.TinyFluxDims()
+    sparams = testing.flux_random_stacked_params(dims, qtype=Q.Q4_K, seed=0)
+    mdl = pipeline.DiffusionModel(arch="flux", params=sparams,
+                                  config=dims.config(), qcfg=QuantConfig())
+    h = w = 8
+    txt_len = 8
+    rng = np.random.default_rng(1)
+    L = (h // 2) * (w // 2)
+    x0 = rng.standard_normal((L, dims.in_ch)).astype(np.float32)
+    cond = {"txt": rng.standard_normal((txt_len, dims.ctx))
+            .astype(np.float32),
+            "y": rng.standard_normal((dims.vec,)).astype(np.float32),
+            "guidance": np.float32(4.0)}
+    sigmas = linear_schedule(3)
+
+    eng = pipeline.flux_engine(mdl, h, w, txt_len, max_batch=2)
+    r1 = eng.submit(x0, cond, sigmas)
+    eng.run_until_drained()
+
+    m8 = mdl.requantize_i8(free_source=False)
+    eng8 = pipeline.flux_engine(m8, h, w, txt_len, max_batch=2)
+    r2 = eng8.submit(x0, cond, sigmas)
+    eng8.run_until_drained()
+
+    a = np.asarray(r1.result, np.float32)
+    b = np.asarray(r2.result, np.float32)
+    rel = np.linalg.norm(a - b) / (np.linalg.norm(a) + 1e-9)
+    assert rel < 0.05, rel
