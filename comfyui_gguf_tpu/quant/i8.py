@@ -152,9 +152,15 @@ def requantize_i8(pq: PlanarQuant) -> I8Planar:
     if pq.qs.ndim == 2:
         wq, ws = _req_slice_jit(pq.qs, pq.scales, pq.offsets, **kw)
         return I8Planar(qs=wq, scales=ws, qtype=pq.qtype, shape=pq.shape)
-    if pq.qs.ndim != 3:
-        raise ValueError(f"unsupported planar rank {pq.qs.ndim}")
-    wq, ws = _req_stacked(pq.qs, pq.scales, pq.offsets, **kw)
+    # any leading axes (depth; or tp x depth for TP-sharded trees) flatten
+    # onto the lax.map axis and restore after
+    lead = pq.qs.shape[:-2]
+    flat = lambda a: (None if a is None
+                      else a.reshape(-1, *a.shape[len(lead):]))
+    wq, ws = _req_stacked(flat(pq.qs), flat(pq.scales), flat(pq.offsets),
+                          **kw)
+    wq = wq.reshape(*lead, *wq.shape[1:])
+    ws = ws.reshape(*lead, *ws.shape[1:])
     return I8Planar(qs=wq, scales=ws, qtype=pq.qtype, shape=pq.shape)
 
 

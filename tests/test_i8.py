@@ -365,3 +365,50 @@ def test_flux_engine_over_i8_model():
     b = np.asarray(r2.result, np.float32)
     rel = np.linalg.norm(a - b) / (np.linalg.norm(a) + 1e-9)
     assert rel < 0.05, rel
+
+
+def test_tp_flux_i8_close_to_unsharded():
+    """w8a8 under shard_map TP: convert the TP-sharded tree (4-D leaves,
+    per-shard per-column scales) and compare the TP forward against the
+    unsharded w8a8 forward — within activation-quant noise (each shard
+    quantizes its own K-slice, so the two programs differ by independent
+    8-bit rounding, not semantics)."""
+    import dataclasses as dc
+
+    from jax.sharding import Mesh
+    from comfyui_gguf_tpu.models import flux, testing
+    from comfyui_gguf_tpu.nn.layers import QuantConfig
+    from comfyui_gguf_tpu.parallel import tp_flux
+
+    TP = 2
+    dims = testing.TinyFluxDims(
+        hidden=512, heads=4, ctx=256, vec=64, in_ch=16,
+        depth_double=2, depth_single=2, axes_dim=(32, 48, 48))
+    sd = testing.flux_state_dict(dims, seed=11)
+    cfg = dims.config()
+    img, img_ids, txt, txt_ids, t, y, g = testing.flux_example_inputs(
+        dims, batch=1, h_lat=8, w_lat=8, txt_len=8, dtype=jnp.float32)
+    mesh = Mesh(np.array(jax.devices()[:TP]), (tp_flux.AXIS,))
+
+    qcfg = QuantConfig(dequant_dtype=jnp.float32,
+                       compute_dtype=jnp.float32, prefer_pallas=True)
+    not_mod = lambda k, v: not i8.is_modulation_key(k)
+
+    sharded = tp_flux.shard_flux_params(sd, cfg, TP, Q.Q8_0)
+    sharded8 = i8.convert_tree_i8(sharded, pred=not_mod)
+    sharded8 = tp_flux.place_tp_params(sharded8, mesh)
+    got = np.asarray(tp_flux.tp_forward_stacked(
+        sharded8, cfg, img, img_ids, txt, txt_ids, t, y, g,
+        mesh=mesh, qcfg=qcfg), np.float32)
+
+    # unsharded w8a8 reference on the same codec blocks
+    params = testing.quantize_flux_params(sd, qtype=Q.Q8_0)
+    sp = flux.stack_flux_params(params, cfg)
+    sp8 = i8.convert_tree_i8(sp, pred=not_mod)
+    ref = np.asarray(flux.forward_stacked(
+        sp8, cfg, img, img_ids, txt, txt_ids, t, y, g,
+        qcfg=dc.replace(qcfg, prefer_pallas=False)), np.float32)
+
+    rel = np.linalg.norm(got - ref) / (np.linalg.norm(ref) + 1e-9)
+    assert rel < 0.05, rel
+    assert np.all(np.isfinite(got))
