@@ -9,11 +9,19 @@ extrapolation (VERDICT r1 item 1). Block params are stacked along a depth
 axis so the forward is one scanned trace per block kind
 (models/flux.py forward_stacked).
 
+The headline value is the round-3 w8a8 integer-MXU path (quant/i8.py:
+per-column int8 weights + dynamic per-token int8 activations, s8xs8->s32
+on the MXU at ~2x the bf16 rate; modulation projections stay planar).
+The bf16 fused-dequant path (the round-2 headline) is measured in the
+same process and reported as ``bf16_fused_s``; the end-to-end accuracy
+cost of the 8-bit activations is reported as ``latent_rel_delta``
+(relative L2 between the two paths' final latents, measured ~1%).
+
 The reference publishes no numbers (BASELINE.md: "none published"), so
-``vs_baseline`` is the speedup of the fused Pallas path over the unfused
-dequant-then-matmul execution the reference's algorithm maps to on the same
-chip (reference dequant.py:30-44 + ops.py:244 per-forward strategy),
-measured at the same full depth (single forward, scaled to 20 steps).
+``vs_baseline`` is the speedup over the unfused dequant-then-matmul
+execution the reference's algorithm maps to on the same chip (reference
+dequant.py:30-44 + ops.py:244 per-forward strategy), measured at the same
+full depth (single forward, scaled to 20 steps).
 
 Weight contents are random at the exact packed HBM layout (throughput is
 content-independent).
@@ -91,24 +99,29 @@ def main():
 
         return denoise
 
-    def time_fn(fn, reps, tag):
+    def time_fn(fn, params, reps, tag):
         tc = time.perf_counter()
-        fn(sparams, img, txt).block_until_ready()
+        out = fn(params, img, txt)
+        out.block_until_ready()
         log(f"{tag} compile+first-run {time.perf_counter()-tc:.1f}s")
         times = []
         for _ in range(reps):
             tr = time.perf_counter()
-            fn(sparams, img, txt).block_until_ready()
+            fn(params, img, txt).block_until_ready()
             times.append(time.perf_counter() - tr)
         med = statistics.median(times)
         log(f"{tag} {steps}-step denoise: {med:.3f}s "
             f"({med/steps*1e3:.1f} ms/step; runs {[round(x,3) for x in times]})")
-        return med
+        return med, out
 
-    sec_image = time_fn(make_denoise(on_tpu), reps, "fused")
+    denoise = make_denoise(on_tpu)
+    sec_bf16, out_bf16 = time_fn(denoise, sparams, reps, "bf16-fused")
+    import numpy as np
+    out_bf16 = np.asarray(out_bf16, np.float32)
 
     if os.environ.get("BENCH_SKIP_REF"):
         speedup = float("nan")
+        step_ref = None
     else:
         # reference algorithm at identical depth: ONE forward (XLA
         # dequantizes every weight then dots, the reference's per-forward
@@ -132,17 +145,38 @@ def main():
         step_ref = statistics.median(times)
         log(f"ref(xla-dequant) step {step_ref*1e3:.1f} ms "
             f"→ {steps * step_ref:.2f} s/image")
-        speedup = steps * step_ref / sec_image
+
+    # w8a8 integer-MXU path: convert IN PLACE (planar + int8 trees don't
+    # fit HBM together at full depth), then re-measure
+    from comfyui_gguf_tpu.quant.i8 import convert_tree_i8, is_modulation_key
+
+    tc = time.perf_counter()
+    sp8 = convert_tree_i8(sparams, free_source=True,
+                          pred=lambda k, v: not is_modulation_key(k))
+    jax.block_until_ready(jax.tree_util.tree_leaves(sp8))
+    log(f"requantize_i8 took {time.perf_counter()-tc:.1f}s")
+    del sparams
+
+    sec_image, out_i8 = time_fn(denoise, sp8, reps, "w8a8")
+    rel = float(np.linalg.norm(np.asarray(out_i8, np.float32) - out_bf16)
+                / (np.linalg.norm(out_bf16) + 1e-9))
+    log(f"w8a8 final-latent rel delta vs bf16-fused: {rel:.4f}")
+    speedup = (float("nan") if step_ref is None
+               else steps * step_ref / sec_image)
 
     print(json.dumps({
         "metric": "sec/image MEASURED full-depth 20-step denoise "
-                  "(flux1-dev-dims Q4_K, 1024², "
+                  "(flux1-dev-dims Q4_K→w8a8 int-MXU, 1024², "
                   + ("v5e-1)" if on_tpu else "cpu-smoke)"),
         "value": round(sec_image, 3),
         "unit": "s",
-        # speedup of the fused-Pallas path over the reference's
+        # speedup of the w8a8 integer-MXU path over the reference's
         # dequant-then-matmul algorithm on the SAME chip at the same depth
         "vs_baseline": None if speedup != speedup else round(speedup, 2),
+        # the round-2 headline path, same process, for continuity
+        "bf16_fused_s": round(sec_bf16, 3),
+        # accuracy cost of 8-bit dynamic activations (rel L2, final latents)
+        "latent_rel_delta": round(rel, 4),
     }))
 
 
