@@ -301,6 +301,9 @@ def main():
                     help="video frames (per-arch default)")
     ap.add_argument("--height", type=int, default=None)
     ap.add_argument("--width", type=int, default=None)
+    ap.add_argument("--i8", action="store_true",
+                    help="requantize to the w8a8 integer-MXU path "
+                         "(modulation projections stay planar)")
     args = ap.parse_args()
 
     os.environ.setdefault("GGUF_TPU_COMPILE_CACHE",
@@ -327,6 +330,17 @@ def main():
     sp, fwd, x0, label = ARCHS[args.arch](args, on_tpu, Q, log)
     jax.block_until_ready(sp)
     log(f"params in {time.perf_counter() - t0:.1f}s")
+
+    if args.i8:
+        from comfyui_gguf_tpu.quant.i8 import (convert_tree_i8,
+                                               is_modulation_key)
+
+        t0 = time.perf_counter()
+        sp = convert_tree_i8(sp, free_source=True,
+                             pred=lambda k, v: not is_modulation_key(k))
+        jax.block_until_ready(jax.tree_util.tree_leaves(sp))
+        log(f"requantize_i8 in {time.perf_counter() - t0:.1f}s")
+        label += "→w8a8"
 
     sigmas = jnp.linspace(1.0, 0.0, steps + 1)
 
