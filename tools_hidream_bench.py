@@ -38,8 +38,10 @@ def main():
     from comfyui_gguf_tpu.models import hidream, testing
     from comfyui_gguf_tpu.nn.layers import QuantConfig
 
-    steps = int(sys.argv[1]) if len(sys.argv) > 1 else 20
-    reps = int(sys.argv[2]) if len(sys.argv) > 2 else 3
+    argv = [a for a in sys.argv[1:] if a != "--i8"]
+    use_i8 = "--i8" in sys.argv[1:]
+    steps = int(argv[0]) if len(argv) > 0 else 20
+    reps = int(argv[1]) if len(argv) > 1 else 3
 
     def log(m):
         print(m, file=sys.stderr, flush=True)
@@ -62,6 +64,17 @@ def main():
     log(f"params in {time.perf_counter()-t0:.1f}s "
         f"({dims.depth_double}+{dims.depth_single} blocks, "
         f"{dims.n_experts}-expert MoE)")
+
+    if use_i8:
+        from comfyui_gguf_tpu.quant.i8 import (convert_tree_i8,
+                                               is_modulation_key)
+
+        t0 = time.perf_counter()
+        sparams = convert_tree_i8(
+            sparams, free_source=True,
+            pred=lambda k, v: not is_modulation_key(k))
+        jax.block_until_ready(jax.tree_util.tree_leaves(sparams))
+        log(f"requantize_i8 in {time.perf_counter()-t0:.1f}s")
 
     cfg = dims.config()
     qcfg = QuantConfig()
@@ -111,7 +124,7 @@ def main():
 
     print(json.dumps({
         "metric": ("sec/image MEASURED full-depth denoise (hidream-I1 "
-                   "dims Q4_K, 1024², "
+                   f"dims Q4_K{'→w8a8' if use_i8 else ''}, 1024², "
                    f"{steps} steps{'' if on_tpu else ', cpu-smoke'})"),
         "dense_s": round(results["dense"], 3),
         "capacity_s": round(results["capacity"], 3),

@@ -33,6 +33,9 @@ def main():
     ap.add_argument("--steps", type=int, default=28)
     ap.add_argument("--reps", type=int, default=3)
     ap.add_argument("--skip-ref", action="store_true")
+    ap.add_argument("--i8", action="store_true",
+                    help="requantize to the w8a8 integer-MXU path "
+                         "(modulation projections stay planar)")
     args = ap.parse_args()
 
     import jax
@@ -65,6 +68,17 @@ def main():
     sparams = testing.sd3_random_stacked_params(dims, qtype=qtype, seed=0)
     log(f"stacked params built in {time.perf_counter()-t0:.1f}s "
         f"(depth {dims.depth}, hidden {dims.hidden}, {args.qtype})")
+
+    if args.i8:
+        from comfyui_gguf_tpu.quant.i8 import (convert_tree_i8,
+                                               is_modulation_key)
+
+        t0 = time.perf_counter()
+        sparams = convert_tree_i8(
+            sparams, free_source=True,
+            pred=lambda k, v: not is_modulation_key(k))
+        jax.block_until_ready(jax.tree_util.tree_leaves(sparams))
+        log(f"requantize_i8 in {time.perf_counter()-t0:.1f}s")
 
     latent, context, pooled, _t = testing.sd3_example_inputs(
         dims, h_lat=h_lat, w_lat=w_lat, ctx_len=ctx_len)
@@ -119,7 +133,8 @@ def main():
 
     print(json.dumps({
         "metric": f"sec/image MEASURED full-depth {steps}-step denoise "
-                  f"(sd3.5-large-dims {args.qtype}, 1024², "
+                  f"(sd3.5-large-dims {args.qtype}"
+                  f"{'→w8a8' if args.i8 else ''}, 1024², "
                   + ("v5e-1)" if on_tpu else "cpu-smoke)"),
         "value": round(sec_image, 3),
         "unit": "s",
