@@ -360,9 +360,13 @@ def main():
     jax.block_until_ready(denoise(sp, x0))
     log(f"compile+first-run {time.perf_counter() - tc:.1f}s")
     times = []
-    for _ in range(reps):
+    for r in range(reps):
+        # perturbed input per rep: the remote tunnel value-memoizes
+        # repeated (program, inputs) dispatches (0.000 s repeats observed)
+        xr = x0 + jnp.asarray((r + 1) * 1e-3, x0.dtype)
+        jax.block_until_ready(xr)
         t1 = time.perf_counter()
-        jax.block_until_ready(denoise(sp, x0))
+        jax.block_until_ready(denoise(sp, xr))
         times.append(time.perf_counter() - t1)
     sec = statistics.median(times)
     log(f"{steps}-step denoise: {sec:.3f}s ({sec / steps * 1e3:.1f} ms/step; "

@@ -111,9 +111,13 @@ def main():
         out = jax.block_until_ready(dn(sparams, lat))
         log(f"[{mode}] compile+first-run {time.perf_counter()-tc:.1f}s")
         times = []
-        for _ in range(reps):
+        for r in range(reps):
+            # perturbed input per rep: the remote tunnel value-memoizes
+            # repeated (program, inputs) dispatches (0.000 s observed)
+            xr = lat + jnp.asarray((r + 1) * 1e-3, lat.dtype)
+            jax.block_until_ready(xr)
             t1 = time.perf_counter()
-            jax.block_until_ready(dn(sparams, lat))
+            jax.block_until_ready(dn(sparams, xr))
             times.append(time.perf_counter() - t1)
         sec = statistics.median(times)
         log(f"[{mode}] {steps}-step denoise: {sec:.3f}s "

@@ -99,9 +99,13 @@ def main():
     denoise(sparams, latent, context).block_until_ready()
     log(f"fused compile+first-run {time.perf_counter()-tc:.1f}s")
     times = []
-    for _ in range(reps):
+    for r in range(reps):
+        # perturbed input per rep: the remote tunnel value-memoizes
+        # repeated (program, inputs) dispatches (0.000 s repeats observed)
+        xr = latent + jnp.asarray((r + 1) * 1e-3, latent.dtype)
+        xr.block_until_ready()
         tr = time.perf_counter()
-        denoise(sparams, latent, context).block_until_ready()
+        denoise(sparams, xr, context).block_until_ready()
         times.append(time.perf_counter() - tr)
     sec_image = statistics.median(times)
     log(f"fused {steps}-step denoise: {sec_image:.3f}s "
