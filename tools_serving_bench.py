@@ -35,12 +35,13 @@ def log(m):
 def main():
     import jax
 
-    n_req = int(sys.argv[1]) if len(sys.argv) > 1 else 6
-    steps = int(sys.argv[2]) if len(sys.argv) > 2 else 8
-    max_batch = int(sys.argv[3]) if len(sys.argv) > 3 else 2
+    argv = [a for a in sys.argv[1:] if a != "--i8"]
+    n_req = int(argv[0]) if len(argv) > 0 else 6
+    steps = int(argv[1]) if len(argv) > 1 else 8
+    max_batch = int(argv[2]) if len(argv) > 2 else 2
     depths = [int(d) for d in
-              (sys.argv[4] if len(sys.argv) > 4 else "1,4").split(",")]
-    sampler = sys.argv[5] if len(sys.argv) > 5 else "euler"
+              (argv[3] if len(argv) > 3 else "1,4").split(",")]
+    sampler = argv[4] if len(argv) > 4 else "euler"
 
     on_tpu = any(d.platform == "tpu" for d in jax.devices())
     if on_tpu:
@@ -60,6 +61,14 @@ def main():
     model = pipeline.DiffusionModel(arch="flux", params=params,
                                     config=dims.config(),
                                     qcfg=QuantConfig())
+    use_i8 = "--i8" in sys.argv[1:]
+    if use_i8:
+        t0 = time.perf_counter()
+        model = model.requantize_i8()
+        import jax as _jax
+        _jax.block_until_ready(
+            _jax.tree_util.tree_leaves(model.params))
+        log(f"requantize_i8 in {time.perf_counter()-t0:.0f}s")
     eng = pipeline.flux_engine(model, h_lat, w_lat, txt_len,
                                max_batch=max_batch, sampler=sampler)
 
@@ -104,7 +113,8 @@ def main():
         p95 = lats[min(len(lats) - 1, int(0.95 * len(lats)))]
 
         out = {
-            "config": f"flux-dev-dims Q4_K 1024² serving, {n_req} req × "
+            "config": f"flux-dev-dims Q4_K{'→w8a8' if use_i8 else ''}"
+                      f" 1024² serving, {n_req} req × "
                       f"{steps} steps, max_batch {max_batch}, "
                       f"pipeline_depth {depth}, sampler {sampler}"
                       + ("" if on_tpu else " (cpu-smoke)"),
