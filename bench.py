@@ -99,24 +99,11 @@ def main():
 
         return denoise
 
+    from bench_util import timed_reps
+
     def time_fn(fn, params, reps, tag):
-        tc = time.perf_counter()
-        out = fn(params, img, txt)
-        out.block_until_ready()
-        log(f"{tag} compile+first-run {time.perf_counter()-tc:.1f}s")
-        times = []
-        for r in range(reps):
-            # perturbed latent per rep: the remote-chip tunnel value-
-            # memoizes repeated (program, inputs) dispatches
-            xr = img + jnp.float32((r + 1) * 1e-3)
-            xr.block_until_ready()
-            tr = time.perf_counter()
-            fn(params, xr, txt).block_until_ready()
-            times.append(time.perf_counter() - tr)
-        med = statistics.median(times)
-        log(f"{tag} {steps}-step denoise: {med:.3f}s "
-            f"({med/steps*1e3:.1f} ms/step; runs {[round(x,3) for x in times]})")
-        return med, out
+        return timed_reps(lambda xr: fn(params, xr, txt), img,
+                          reps=reps, steps=steps, tag=tag, log=log)
 
     denoise = make_denoise(on_tpu)
     sec_bf16, out_bf16 = time_fn(denoise, sparams, reps, "bf16-fused")
@@ -138,15 +125,9 @@ def main():
             return flux.forward_stacked(sparams, cfg, x, img_ids, txt,
                                         txt_ids, tt, y, g, qcfg=qcfg_ref)
 
-        tc = time.perf_counter()
-        fwd_ref(sparams, img, txt).block_until_ready()
-        log(f"ref(xla-dequant) compile+first-run {time.perf_counter()-tc:.1f}s")
-        times = []
-        for _ in range(max(1, reps - 1)):
-            tr = time.perf_counter()
-            fwd_ref(sparams, img, txt).block_until_ready()
-            times.append(time.perf_counter() - tr)
-        step_ref = statistics.median(times)
+        step_ref, _ = timed_reps(
+            lambda xr: fwd_ref(sparams, xr, txt), img,
+            reps=max(1, reps - 1), steps=1, tag="ref(xla-dequant)", log=log)
         log(f"ref(xla-dequant) step {step_ref*1e3:.1f} ms "
             f"→ {steps * step_ref:.2f} s/image")
 

@@ -1,0 +1,42 @@
+"""Shared timing harness for the full-depth bench drivers.
+
+One definition of the timed-repetition loop so every driver gets the
+same two guards:
+
+* **dtype-preserving input perturbation** — the remote-chip tunnel
+  value-memoizes repeated (program, inputs) dispatches (observed:
+  0.000 s repeats), so each rep nudges the input by a tiny constant.
+  The nudge is cast to the input's dtype: ``x + jnp.float32(eps)``
+  silently promotes a bf16 latent to f32, which retraces the jit inside
+  the timed region AND (under lax.scan denoises) fails the carry-dtype
+  check — both observed before this helper existed.
+* compile+first-run timed separately from the reps; median reported.
+"""
+
+from __future__ import annotations
+
+import statistics
+import time
+
+
+def timed_reps(fn, x, *, reps, steps, tag, log):
+    """Time ``fn(x)``: one compile+first-run, then ``reps`` perturbed
+    calls. Returns (median_seconds, first_run_output)."""
+    import jax
+    import jax.numpy as jnp
+
+    tc = time.perf_counter()
+    out = fn(x)
+    jax.block_until_ready(out)
+    log(f"{tag} compile+first-run {time.perf_counter() - tc:.1f}s")
+    times = []
+    for r in range(reps):
+        xr = x + jnp.asarray((r + 1) * 1e-3, x.dtype)
+        jax.block_until_ready(xr)
+        tr = time.perf_counter()
+        jax.block_until_ready(fn(xr))
+        times.append(time.perf_counter() - tr)
+    med = statistics.median(times)
+    log(f"{tag} {steps}-step: {med:.3f}s ({med / steps * 1e3:.1f} ms/step; "
+        f"runs {[round(t, 3) for t in times]})")
+    return med, out

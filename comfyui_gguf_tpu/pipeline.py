@@ -152,15 +152,20 @@ class DiffusionModel:
         leaves as they convert (both trees don't fit HBM at full depth);
         the converted model can no longer be un-converted — reload to go
         back. Call AFTER apply_lora/stack (patched bases convert too,
-        patches keep riding the kernel epilogue)."""
+        patches keep riding the kernel epilogue).
+
+        Mutates self and returns it (apply_lora convention) — with
+        free_source the old tree is destroyed, so handing back a new
+        object while self silently kept deleted buffers would be a trap.
+        """
         from .quant.i8 import convert_tree_i8, is_modulation_key
 
         pred = (lambda k, v: not is_modulation_key(k)) if mod_planar \
             else None
-        params = convert_tree_i8(self.params, free_source=free_source,
-                                 pred=pred)
-        return dataclasses.replace(self, params=params,
-                                   base_params=None)
+        self.params = convert_tree_i8(self.params,
+                                      free_source=free_source, pred=pred)
+        self.base_params = None
+        return self
 
     def stack(self) -> "DiffusionModel":
         """Flux / SD3: restack per-block params along a depth axis so

@@ -210,10 +210,10 @@ def convert_tree_i8(params, *, free_source: bool = False, pred=None):
     (flux-dev: ~7 GB planar + ~12 GB int8 on a 16 GB chip).
 
     pred(key, leaf) -> bool: convert only matching leaves. Weights that
-    only ever see batch-size-M rows (e.g. adaLN modulation projections,
-    key substring "mod") are HBM-bandwidth-bound, where int8's ~8 bpw
-    LOSES to the 4.5-bpw nib4 planar path — callers keep those planar:
-    ``pred=lambda k, v: ".mod" not in k and "modulation" not in k``.
+    only ever see batch-size-M rows (adaLN modulation projections) are
+    HBM-bandwidth-bound, where int8's ~8 bpw LOSES to the 4.5-bpw nib4
+    planar path — keep those planar with the shared helper:
+    ``pred=lambda k, v: not is_modulation_key(k)``.
     """
     import dataclasses as _dc
 

@@ -356,21 +356,10 @@ def main():
         x, _ = jax.lax.scan(step, x0, jnp.arange(steps))
         return x
 
-    tc = time.perf_counter()
-    jax.block_until_ready(denoise(sp, x0))
-    log(f"compile+first-run {time.perf_counter() - tc:.1f}s")
-    times = []
-    for r in range(reps):
-        # perturbed input per rep: the remote tunnel value-memoizes
-        # repeated (program, inputs) dispatches (0.000 s repeats observed)
-        xr = x0 + jnp.asarray((r + 1) * 1e-3, x0.dtype)
-        jax.block_until_ready(xr)
-        t1 = time.perf_counter()
-        jax.block_until_ready(denoise(sp, xr))
-        times.append(time.perf_counter() - t1)
-    sec = statistics.median(times)
-    log(f"{steps}-step denoise: {sec:.3f}s ({sec / steps * 1e3:.1f} ms/step; "
-        f"runs {[round(t, 3) for t in times]})")
+    from bench_util import timed_reps
+
+    sec, _ = timed_reps(lambda xr: denoise(sp, xr), x0,
+                        reps=reps, steps=steps, tag=args.arch, log=log)
     print(json.dumps({
         "metric": (f"ms/step MEASURED full-depth denoise ({label}"
                    f"{'' if on_tpu else ', cpu-smoke'})"),

@@ -107,22 +107,10 @@ def main():
         # MOE_DISPATCH is read at trace time; a fresh jit per mode
         # forces a retrace
         dn = jax.jit(denoise)
-        tc = time.perf_counter()
-        out = jax.block_until_ready(dn(sparams, lat))
-        log(f"[{mode}] compile+first-run {time.perf_counter()-tc:.1f}s")
-        times = []
-        for r in range(reps):
-            # perturbed input per rep: the remote tunnel value-memoizes
-            # repeated (program, inputs) dispatches (0.000 s observed)
-            xr = lat + jnp.asarray((r + 1) * 1e-3, lat.dtype)
-            jax.block_until_ready(xr)
-            t1 = time.perf_counter()
-            jax.block_until_ready(dn(sparams, xr))
-            times.append(time.perf_counter() - t1)
-        sec = statistics.median(times)
-        log(f"[{mode}] {steps}-step denoise: {sec:.3f}s "
-            f"({sec/steps*1e3:.1f} ms/step; "
-            f"runs {[round(t, 3) for t in times]})")
+        from bench_util import timed_reps
+
+        sec, _ = timed_reps(lambda xr: dn(sparams, xr), lat,
+                            reps=reps, steps=steps, tag=mode, log=log)
         results[mode] = sec
     hidream.MOE_DISPATCH = "dense"
 

@@ -85,25 +85,11 @@ def main():
                                         txt_ids, tt, y, g, qcfg=qcfg)
         return flow_match.euler_sample(velocity, x0, sigmas)
 
+    from bench_util import timed_reps
+
     def timed(sp, tag):
-        tc = time.perf_counter()
-        out = denoise(sp, img, txt)
-        out.block_until_ready()
-        log(f"{tag} compile+first-run {time.perf_counter()-tc:.1f}s")
-        times = []
-        for r in range(reps):
-            # perturbed latent per rep: the remote-chip tunnel value-
-            # memoizes repeated (program, inputs) dispatches (observed:
-            # 0.000 s repeats), so every timed call gets fresh inputs
-            xr = img + jnp.float32((r + 1) * 1e-3)
-            xr.block_until_ready()
-            tr = time.perf_counter()
-            denoise(sp, xr, txt).block_until_ready()
-            times.append(time.perf_counter() - tr)
-        med = statistics.median(times)
-        log(f"{tag} {steps}-step denoise: {med:.3f}s "
-            f"({med/steps*1e3:.1f} ms/step; runs "
-            f"{[round(x, 3) for x in times]})")
+        med, out = timed_reps(lambda xr: denoise(sp, xr, txt), img,
+                              reps=reps, steps=steps, tag=tag, log=log)
         return med, np.asarray(out, np.float32)
 
     sec_bf16, out_bf16 = (None, None)

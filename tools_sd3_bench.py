@@ -95,25 +95,19 @@ def main():
                                        tt, qcfg=qcfg)
         return flow_match.euler_sample(velocity, x0, sigmas)
 
-    tc = time.perf_counter()
-    denoise(sparams, latent, context).block_until_ready()
-    log(f"fused compile+first-run {time.perf_counter()-tc:.1f}s")
-    times = []
-    for r in range(reps):
-        # perturbed input per rep: the remote tunnel value-memoizes
-        # repeated (program, inputs) dispatches (0.000 s repeats observed)
-        xr = latent + jnp.asarray((r + 1) * 1e-3, latent.dtype)
-        xr.block_until_ready()
-        tr = time.perf_counter()
-        denoise(sparams, xr, context).block_until_ready()
-        times.append(time.perf_counter() - tr)
-    sec_image = statistics.median(times)
-    log(f"fused {steps}-step denoise: {sec_image:.3f}s "
-        f"({sec_image/steps*1e3:.1f} ms/step; "
-        f"runs {[round(x, 3) for x in times]})")
+    from bench_util import timed_reps
+
+    sec_image, _ = timed_reps(
+        lambda xr: denoise(sparams, xr, context), latent,
+        reps=reps, steps=steps, tag="fused", log=log)
 
     speedup = float("nan")
-    if not args.skip_ref:
+    if args.i8 and not args.skip_ref:
+        # the planar tree was destroyed by the in-place conversion; the
+        # labeled reference (Q4_K XLA dequant->dot) can't be measured
+        # here — compare against the non-i8 run's vs_baseline instead
+        log("--i8: skipping ref row (planar source freed by conversion)")
+    elif not args.skip_ref:
         qcfg_ref = QuantConfig(prefer_pallas=False)
 
         @jax.jit
@@ -122,15 +116,10 @@ def main():
             return sd3.forward_stacked(sparams, cfg, x, context, pooled,
                                        tt, qcfg=qcfg_ref)
 
-        tc = time.perf_counter()
-        fwd_ref(sparams, latent, context).block_until_ready()
-        log(f"ref(xla-dequant) compile+first-run {time.perf_counter()-tc:.1f}s")
-        rtimes = []
-        for _ in range(max(1, reps - 1)):
-            tr = time.perf_counter()
-            fwd_ref(sparams, latent, context).block_until_ready()
-            rtimes.append(time.perf_counter() - tr)
-        step_ref = statistics.median(rtimes)
+        step_ref, _ = timed_reps(
+            lambda xr: fwd_ref(sparams, xr, context), latent,
+            reps=max(1, reps - 1), steps=1, tag="ref(xla-dequant)",
+            log=log)
         log(f"ref(xla-dequant) step {step_ref*1e3:.1f} ms "
             f"→ {steps * step_ref:.2f} s/image")
         speedup = steps * step_ref / sec_image
