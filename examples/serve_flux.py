@@ -31,6 +31,10 @@ def main():
     ap.add_argument("--preview-every", type=int, default=0,
                     help="write a latent->RGB preview .npy every N steps")
     ap.add_argument("--t5-len", type=int, default=512)
+    ap.add_argument("--i8", action="store_true",
+                    help="serve on the w8a8 integer-MXU path (~1.4x "
+                         "faster step, ~1%% latent delta; adaLN "
+                         "projections stay planar)")
     args = ap.parse_args()
 
     import jax
@@ -52,6 +56,8 @@ def main():
               "metadata for this example", file=sys.stderr)
         return 1
     model = pipe.model.stack()  # depth-stacked: scanned zero-copy forward
+    if args.i8:
+        model = model.requantize_i8()  # in place; planar tree is freed
     h_lat, w_lat = args.height // 8, args.width // 8
     lat_c = pipe.model.config.in_channels // 4
     L_img = (h_lat // 2) * (w_lat // 2)
