@@ -363,6 +363,60 @@ int ggq_quantize(int qtype, const float* src, uint8_t* dst, int64_t n) {
     return 0;
 }
 
+// Planar re-tiling fast paths (quant/planar.py assembly): the hot cost
+// of loading a real multi-GB checkpoint is the byte-granular (R, K) ->
+// (K, R) transpose — numpy materializes it at ~40 MB/s (cache-hostile
+// strided writes). Tiled transposes run at memory bandwidth.
+
+// dst (K/2, rp), zero-padded beyond R: dst[j, r] = q[r, j] | q[r, j+K/2]<<4
+// (the nib4 global K-split: low nibble row j, high nibble row j+K/2).
+int ggq_pack_nib4_planar(const uint8_t* q, uint8_t* dst,
+                         int64_t R, int64_t K, int64_t rp) {
+    if (K % 2 || rp < R) return -1;
+    const int64_t Kh = K / 2;
+    const int64_t T = 64;  // tile edge (fits L1 both ways)
+#pragma omp parallel for schedule(static)
+    for (int64_t j0 = 0; j0 < Kh; j0 += T) {
+        const int64_t j1 = j0 + T < Kh ? j0 + T : Kh;
+        for (int64_t r0 = 0; r0 < R; r0 += T) {
+            const int64_t r1 = r0 + T < R ? r0 + T : R;
+            for (int64_t r = r0; r < r1; ++r) {
+                const uint8_t* lo = q + r * K;
+                const uint8_t* hi = lo + Kh;
+                for (int64_t j = j0; j < j1; ++j)
+                    dst[j * rp + r] =
+                        (uint8_t)(lo[j] | (uint8_t)(hi[j] << 4));
+            }
+        }
+        // zero the lane padding for this row stripe
+        for (int64_t j = j0; j < j1; ++j)
+            for (int64_t r = R; r < rp; ++r) dst[j * rp + r] = 0;
+    }
+    return 0;
+}
+
+// dst (K, rp) int8, zero-padded beyond R: dst[j, r] = q[r, j]
+int ggq_transpose_i8(const int8_t* q, int8_t* dst,
+                     int64_t R, int64_t K, int64_t rp) {
+    if (rp < R) return -1;
+    const int64_t T = 64;
+#pragma omp parallel for schedule(static)
+    for (int64_t j0 = 0; j0 < K; j0 += T) {
+        const int64_t j1 = j0 + T < K ? j0 + T : K;
+        for (int64_t r0 = 0; r0 < R; r0 += T) {
+            const int64_t r1 = r0 + T < R ? r0 + T : R;
+            for (int64_t r = r0; r < r1; ++r) {
+                const int8_t* row = q + r * K;
+                for (int64_t j = j0; j < j1; ++j)
+                    dst[j * rp + r] = row[j];
+            }
+        }
+        for (int64_t j = j0; j < j1; ++j)
+            for (int64_t r = R; r < rp; ++r) dst[j * rp + r] = 0;
+    }
+    return 0;
+}
+
 int ggq_dequantize(int qtype, const uint8_t* src, float* dst, int64_t n) {
     int bs = ggq_block_size(qtype), ts = ggq_type_size(qtype);
     if (!bs || n % bs) return -1;

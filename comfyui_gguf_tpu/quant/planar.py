@@ -300,16 +300,27 @@ def _components_to_planar(q, scales, offsets, qtype, zero_point, gs,
     offsets_t = (None if offsets is None
                  else np.pad(offsets.reshape(R, K // gs).T,
                              ((0, 0), (0, pad))))
+    # the (R, K) -> (K, R) byte transpose dominates real-checkpoint load
+    # time in numpy (~40 MB/s cache-hostile strided copy); the tiled C++
+    # paths run it at memory bandwidth (native/quant_kernels.cc)
+    from .. import native
+
     if qtype in _NIB4_TYPES:
-        qt = q.reshape(R, K).T.astype(np.uint8)
-        packed = qt[: K // 2] | (qt[K // 2:] << 4)
-        qs = np.pad(packed, ((0, 0), (0, pad)))
+        qu = q.reshape(R, K).astype(np.uint8, copy=False)
+        qs = native.pack_nib4_planar(qu, rp)
+        if qs is None:
+            qt = qu.T.astype(np.uint8)
+            packed = qt[: K // 2] | (qt[K // 2:] << 4)
+            qs = np.pad(packed, ((0, 0), (0, pad)))
         layout, zp = "nib4", zero_point
     else:
         qi = q.reshape(R, K).astype(np.int16) - int(zero_point)
         if qi.min(initial=0) < -128 or qi.max(initial=0) > 127:
             raise ValueError(f"{qtype!r}: codes out of int8 range")
-        qs = np.pad(qi.astype(np.int8).T, ((0, 0), (0, pad)))
+        qi8 = qi.astype(np.int8)
+        qs = native.transpose_i8(qi8, rp)
+        if qs is None:
+            qs = np.pad(qi8.T, ((0, 0), (0, pad)))
         layout, zp = "int8", 0
     sdt = jnp.dtype(scale_dtype) if not isinstance(scale_dtype, np.dtype) \
         else scale_dtype
