@@ -72,6 +72,9 @@ def get_lib():
             lib.ggq_pack_nib4_planar.argtypes = [u8p, u8p, i64, i64, i64]
             lib.ggq_transpose_i8.restype = ctypes.c_int
             lib.ggq_transpose_i8.argtypes = [i8p, i8p, i64, i64, i64]
+            f32p = ctypes.POINTER(ctypes.c_float)
+            lib.ggq_extract_q4k.restype = ctypes.c_int
+            lib.ggq_extract_q4k.argtypes = [u8p, u8p, f32p, f32p, i64]
         except AttributeError:
             log.info("libggquant.so predates the planar fast paths; "
                      "codecs available, planar assembly stays on numpy")
@@ -126,6 +129,25 @@ def pack_nib4_planar(q: np.ndarray, rp: int) -> np.ndarray | None:
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
         R, K, rp)
     return out if rc == 0 else None
+
+
+def extract_q4k(blocks: np.ndarray):
+    """(n, 144) Q4_K blocks → (q (n,256) u8, A (n,8) f32, B (n,8) f32)
+    matching codecs.components_Q4_K bit-exactly, or None."""
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "ggq_extract_q4k"):
+        return None
+    blocks = np.ascontiguousarray(blocks).view(np.uint8).reshape(-1, 144)
+    n = blocks.shape[0]
+    q = np.empty((n, 256), dtype=np.uint8)
+    A = np.empty((n, 8), dtype=np.float32)
+    B = np.empty((n, 8), dtype=np.float32)
+    rc = lib.ggq_extract_q4k(
+        blocks.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        q.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        A.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        B.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), n)
+    return (q, A, B) if rc == 0 else None
 
 
 def transpose_i8(q: np.ndarray, rp: int) -> np.ndarray | None:

@@ -363,6 +363,47 @@ int ggq_quantize(int qtype, const float* src, uint8_t* dst, int64_t n) {
     return 0;
 }
 
+// Q4_K component extraction (codecs.components_Q4_K): per block emit
+// q (256 u8 codes, sub-block order lo|hi per 32-byte group), A = d*sc
+// (8 f32), B = -dmin*mn (8 f32). Matches the numpy extractor bit-exactly
+// (same f16->f32, same integer unpacks).
+int ggq_extract_q4k(const uint8_t* blocks, uint8_t* q, float* A, float* B,
+                    int64_t n_blocks) {
+#pragma omp parallel for schedule(static)
+    for (int64_t b = 0; b < n_blocks; ++b) {
+        const uint8_t* src = blocks + b * 144;
+        uint8_t* qb = q + b * 256;
+        float* Ab = A + b * 8;
+        float* Bb = B + b * 8;
+        const float d = f16_to_f32((uint16_t)(src[0] | (src[1] << 8)));
+        const float dmin = f16_to_f32((uint16_t)(src[2] | (src[3] << 8)));
+        const uint8_t* s = src + 4;  // 12-byte 6-bit scale/min table
+        for (int i = 0; i < 4; ++i) {
+            const uint8_t sc_lo = (uint8_t)(s[i] & 0x3F);
+            const uint8_t mn_lo = (uint8_t)(s[4 + i] & 0x3F);
+            const uint8_t sc_hi =
+                (uint8_t)((s[8 + i] & 0x0F) | ((s[i] >> 2) & 0x30));
+            const uint8_t mn_hi =
+                (uint8_t)((s[8 + i] >> 4) | ((s[4 + i] >> 2) & 0x30));
+            Ab[i] = d * (float)sc_lo;
+            Ab[4 + i] = d * (float)sc_hi;
+            Bb[i] = -(dmin * (float)mn_lo);
+            Bb[4 + i] = -(dmin * (float)mn_hi);
+        }
+        const uint8_t* qs = src + 16;  // 4 groups of 32 bytes
+        for (int g = 0; g < 4; ++g) {
+            const uint8_t* gp = qs + g * 32;
+            uint8_t* lo = qb + g * 64;
+            uint8_t* hi = lo + 32;
+            for (int i = 0; i < 32; ++i) {
+                lo[i] = (uint8_t)(gp[i] & 0x0F);
+                hi[i] = (uint8_t)(gp[i] >> 4);
+            }
+        }
+    }
+    return 0;
+}
+
 // Planar re-tiling fast paths (quant/planar.py assembly): the hot cost
 // of loading a real multi-GB checkpoint is the byte-granular (R, K) ->
 // (K, R) transpose — numpy materializes it at ~40 MB/s (cache-hostile

@@ -240,6 +240,12 @@ def _pack_scale_min_k4(sc: np.ndarray, mn: np.ndarray) -> np.ndarray:
 
 
 def components_Q4_K(blocks: np.ndarray) -> Components:
+    from .. import native
+
+    ext = native.extract_q4k(blocks)  # C++ fast path (bit-exact)
+    if ext is not None:
+        q, A, B = ext
+        return Components(q, A, offsets=B, group_size=32)
     blocks = _u8(blocks)
     d, dmin, scales, qs = _split(blocks, 2, 2, K_SCALE_SIZE)
     sc, mn = _unpack_scale_min_k4(scales)
