@@ -412,3 +412,49 @@ def test_tp_flux_i8_close_to_unsharded():
     rel = np.linalg.norm(got - ref) / (np.linalg.norm(ref) + 1e-9)
     assert rel < 0.05, rel
     assert np.all(np.isfinite(got))
+
+
+def test_flux_engine_dp_mesh_over_i8():
+    """Data-parallel serving over a w8a8 model: replicated int8 weights +
+    GSPMD lane-sharded pool equals the unsharded i8 engine."""
+    from jax.sharding import Mesh
+    from comfyui_gguf_tpu import pipeline
+    from comfyui_gguf_tpu.models import testing
+    from comfyui_gguf_tpu.nn.layers import QuantConfig
+    from comfyui_gguf_tpu.sampling import linear_schedule
+
+    dims = testing.TinyFluxDims()
+    sparams = testing.flux_random_stacked_params(dims, qtype=Q.Q4_K, seed=0)
+    mdl = pipeline.DiffusionModel(arch="flux", params=sparams,
+                                  config=dims.config(), qcfg=QuantConfig())
+    mdl = mdl.requantize_i8(free_source=False)
+    h = w = 8
+    txt_len = 8
+    rng = np.random.default_rng(2)
+    L = (h // 2) * (w // 2)
+
+    def mk(seed):
+        r = np.random.default_rng(seed)
+        return (r.standard_normal((L, dims.in_ch)).astype(np.float32),
+                {"txt": r.standard_normal((txt_len, dims.ctx))
+                 .astype(np.float32),
+                 "y": r.standard_normal((dims.vec,)).astype(np.float32),
+                 "guidance": np.float32(4.0)})
+
+    x1, c1 = mk(10)
+    x2, c2 = mk(11)
+    sig = linear_schedule(3)
+    mesh = Mesh(np.array(jax.devices()[:2]), ("dp",))
+    results = []
+    for dp in (None, mesh):
+        eng = pipeline.flux_engine(mdl, h, w, txt_len, max_batch=2,
+                                   dp_mesh=dp)
+        r1 = eng.submit(x1.copy(), c1, sig)
+        r2 = eng.submit(x2.copy(), c2, sig)
+        eng.run_until_drained()
+        assert r1.error is None and r2.error is None
+        results.append((np.asarray(r1.result, np.float32),
+                        np.asarray(r2.result, np.float32)))
+    (a1, a2), (b1, b2) = results
+    np.testing.assert_allclose(b1, a1, rtol=2e-2, atol=2e-2)
+    np.testing.assert_allclose(b2, a2, rtol=2e-2, atol=2e-2)
