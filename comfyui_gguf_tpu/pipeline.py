@@ -298,6 +298,17 @@ class TextEncoder:
         self.params = lora_mod.detach_patches(self.params)
         return self
 
+    def requantize_i8(self, *, free_source: bool = True) -> "TextEncoder":
+        """w8a8 conversion for the encoder stack (see
+        DiffusionModel.requantize_i8). Worth it for batched/long-prompt
+        encoding (M = tokens is MXU-viable); single short prompts are
+        latency-dominated either way. Mutates self and returns it."""
+        from .quant.i8 import convert_tree_i8
+
+        self.params = convert_tree_i8(self.params,
+                                      free_source=free_source)
+        return self
+
 
 def _load_safetensors_sd(path: str) -> dict:
     import torch

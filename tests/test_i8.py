@@ -458,3 +458,17 @@ def test_flux_engine_dp_mesh_over_i8():
     (a1, a2), (b1, b2) = results
     np.testing.assert_allclose(b1, a1, rtol=2e-2, atol=2e-2)
     np.testing.assert_allclose(b2, a2, rtol=2e-2, atol=2e-2)
+
+
+def test_text_encoder_requantize_i8_method():
+    from comfyui_gguf_tpu import pipeline
+    from comfyui_gguf_tpu.nn.layers import QuantConfig
+
+    pq, _ = make_pq(64, 512)
+    enc = pipeline.TextEncoder(
+        "t5", {"q.weight": pq, "ln.weight": jnp.ones((64,))},
+        None, None, QuantConfig())
+    out = enc.requantize_i8(free_source=False)
+    assert out is enc  # mutate-and-return-self contract
+    assert isinstance(enc.params["q.weight"], i8.I8Planar)
+    assert isinstance(enc.params["ln.weight"], jax.Array)
