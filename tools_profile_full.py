@@ -87,10 +87,23 @@ def trace(fwd, sparams, inputs):
 
 
 def main():
-    mode = sys.argv[1] if len(sys.argv) > 1 else "trace"
+    argv = [a for a in sys.argv[1:] if a != "--i8"]
+    use_i8 = "--i8" in sys.argv[1:]
+    mode = argv[0] if argv else "trace"
     dims, sparams, inputs = build()
     cfg = dims.config()
     qcfg = QuantConfig()
+
+    if use_i8:
+        from comfyui_gguf_tpu.quant.i8 import (convert_tree_i8,
+                                               is_modulation_key)
+
+        t0 = time.perf_counter()
+        sparams = convert_tree_i8(
+            sparams, free_source=True,
+            pred=lambda k, v: not is_modulation_key(k))
+        jax.block_until_ready(jax.tree_util.tree_leaves(sparams))
+        log(f"requantize_i8 in {time.perf_counter()-t0:.0f}s")
 
     fwd = make_fwd(cfg, inputs, qcfg)
     base = time_fwd(fwd, sparams, inputs, tag="base")
