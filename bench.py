@@ -31,7 +31,6 @@ from __future__ import annotations
 
 import json
 import os
-import statistics
 import sys
 import time
 
@@ -111,7 +110,6 @@ def main():
     out_bf16 = np.asarray(out_bf16, np.float32)
 
     if os.environ.get("BENCH_SKIP_REF"):
-        speedup = float("nan")
         step_ref = None
     else:
         # reference algorithm at identical depth: ONE forward (XLA

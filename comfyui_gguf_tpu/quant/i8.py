@@ -235,25 +235,42 @@ def convert_tree_i8(params, *, free_source: bool = False, pred=None):
         is_leaf = lambda l: base_of(l) is not None
         return jax.tree_util.tree_map(conv, params, is_leaf=is_leaf)
 
+    def convert_one(v, b):
+        ip = requantize_i8(b)
+        if free_source:
+            for leaf in (b.qs, b.scales, b.offsets):
+                if leaf is not None and hasattr(leaf, "delete"):
+                    leaf.delete()
+        return ip if v is b else _dc.replace(v, base=ip)
+
     def walk(node, path):
         if base_of(node) is not None:
             raise TypeError(
-                "convert_tree_i8(free_source/pred) needs dict containers "
+                "convert_tree_i8(free_source/pred) needs container nodes "
                 f"to rebind leaves; got a bare packed leaf at {path!r}")
+        if isinstance(node, (list, tuple)):
+            # packed leaves inside sequences convert too (the dict-slot
+            # ref-drop doesn't apply, but the device buffers are still
+            # freed — that's what free_source promises)
+            items = [walk(v, f"{path}[{i}]") if isinstance(v, (dict, list,
+                                                               tuple))
+                     else (convert_one(v, base_of(v))
+                           if base_of(v) is not None
+                           and (pred is None or pred(f"{path}[{i}]",
+                                                     base_of(v)))
+                           else v)
+                     for i, v in enumerate(node)]
+            return type(node)(items)
         out = {}
         for k, v in node.items():
             kp = f"{path}.{k}" if path else str(k)
             b = base_of(v)
-            if isinstance(v, dict):
+            if isinstance(v, (dict, list, tuple)):
                 out[k] = walk(v, kp)
             elif b is not None and (pred is None or pred(kp, b)):
-                ip = requantize_i8(b)
-                out[k] = ip if v is b else _dc.replace(v, base=ip)
+                out[k] = convert_one(v, b)
                 if free_source:
                     node[k] = None  # drop the dict's ref
-                    for leaf in (b.qs, b.scales, b.offsets):
-                        if leaf is not None and hasattr(leaf, "delete"):
-                            leaf.delete()
             else:
                 out[k] = v
         return out

@@ -472,3 +472,15 @@ def test_text_encoder_requantize_i8_method():
     assert out is enc  # mutate-and-return-self contract
     assert isinstance(enc.params["q.weight"], i8.I8Planar)
     assert isinstance(enc.params["ln.weight"], jax.Array)
+
+
+def test_convert_tree_walk_handles_sequences():
+    """The pred/free_source walk converts packed leaves inside lists and
+    tuples (the tree_map path always did) instead of silently skipping."""
+    pq1, _ = make_pq(64, 512, seed=0)
+    pq2, _ = make_pq(64, 512, seed=1)
+    tree = {"seq": [pq1, {"w": pq2}], "tup": (jnp.ones((2,)),)}
+    out = i8.convert_tree_i8(tree, pred=lambda k, v: True)
+    assert isinstance(out["seq"][0], i8.I8Planar)
+    assert isinstance(out["seq"][1]["w"], i8.I8Planar)
+    assert isinstance(out["tup"], tuple)

@@ -11,7 +11,6 @@ Run directly on the chip: python tools_profile_full.py [trace|ab:<knob>]
 
 from __future__ import annotations
 
-import statistics
 import sys
 import tempfile
 import time
@@ -54,18 +53,12 @@ def make_fwd(cfg, inputs, qcfg):
 
 
 def time_fwd(fwd, sparams, inputs, reps=5, tag=""):
+    from bench_util import timed_reps
+
     img = inputs[0]
     txt = inputs[2]
-    t0 = time.perf_counter()
-    fwd(sparams, img, txt).block_until_ready()
-    log(f"{tag} compile+run {time.perf_counter()-t0:.0f}s")
-    ts = []
-    for _ in range(reps):
-        t0 = time.perf_counter()
-        fwd(sparams, img, txt).block_until_ready()
-        ts.append(time.perf_counter() - t0)
-    med = statistics.median(ts)
-    log(f"{tag} step {med*1e3:.1f} ms  (runs {[round(x*1e3,1) for x in ts]})")
+    med, _ = timed_reps(lambda xr: fwd(sparams, xr, txt), img,
+                        reps=reps, steps=1, tag=tag, log=log)
     return med
 
 
@@ -73,6 +66,9 @@ def trace(fwd, sparams, inputs):
     from comfyui_gguf_tpu.tools.read_xplane import module_ms, summarize
 
     img, txt = inputs[0], inputs[2]
+    # fresh input value: an identical dispatch would be value-memoized by
+    # the tunnel and leave an empty device trace
+    img = img + jnp.asarray(17e-3, img.dtype)
     with tempfile.TemporaryDirectory() as td:
         with jax.profiler.trace(td):
             fwd(sparams, img, txt).block_until_ready()
@@ -114,4 +110,11 @@ def main():
 
 
 if __name__ == "__main__":
+    import os
+
+    if os.environ.get("JAX_PLATFORMS"):
+        # the sitecustomize remote-TPU plugin overwrites jax_platforms;
+        # honor an explicit CPU request (tests/conftest.py trick) — and
+        # NEVER let a smoke run land on the shared chip by accident
+        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
     main()

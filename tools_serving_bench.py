@@ -65,9 +65,7 @@ def main():
     if use_i8:
         t0 = time.perf_counter()
         model = model.requantize_i8()
-        import jax as _jax
-        _jax.block_until_ready(
-            _jax.tree_util.tree_leaves(model.params))
+        jax.block_until_ready(jax.tree_util.tree_leaves(model.params))
         log(f"requantize_i8 in {time.perf_counter()-t0:.0f}s")
     eng = pipeline.flux_engine(model, h_lat, w_lat, txt_len,
                                max_batch=max_batch, sampler=sampler)
