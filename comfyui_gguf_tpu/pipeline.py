@@ -139,7 +139,8 @@ class DiffusionModel:
         self.base_params = None
 
     def requantize_i8(self, *, mod_planar: bool = True,
-                      free_source: bool = True) -> "DiffusionModel":
+                      free_source: bool = True,
+                      max_bytes: int | None = None) -> "DiffusionModel":
         """Convert packed planar weights to the w8a8 integer-MXU format
         (quant/i8.py): the MXU runs s8xs8->s32 at ~2x its bf16 rate, and
         DiT denoise is compute-bound at serving shapes — measured ~2x
@@ -163,7 +164,8 @@ class DiffusionModel:
         pred = (lambda k, v: not is_modulation_key(k)) if mod_planar \
             else None
         self.params = convert_tree_i8(self.params,
-                                      free_source=free_source, pred=pred)
+                                      free_source=free_source, pred=pred,
+                                      max_bytes=max_bytes)
         self.base_params = None
         return self
 

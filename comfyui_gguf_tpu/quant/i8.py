@@ -200,7 +200,65 @@ def is_modulation_key(key: str) -> bool:
                or "adaln" in seg.lower() for seg in key.split("."))
 
 
-def convert_tree_i8(params, *, free_source: bool = False, pred=None):
+def _leaf_bytes(b: PlanarQuant) -> tuple[int, int]:
+    """(planar_bytes, i8_bytes) for one packed leaf (any leading axes)."""
+    rp = b.qs.shape[-1]
+    code_rows = b.qs.shape[-2]
+    lead = 1
+    for d in b.qs.shape[:-2]:
+        lead *= d
+    kp = code_rows * (2 if b.layout == "nib4" else 1)
+    i8 = lead * (kp * rp + 4 * rp)  # s8 codes + f32 per-column scales
+    return b.nbytes_packed, i8
+
+
+def plan_i8_budget(params, *, max_bytes: int, pred=None) -> set:
+    """Greedy selection of leaves to convert under a TOTAL packed-weight
+    byte budget (planar leaves kept + int8 leaves converted ≤ max_bytes).
+
+    Models whose int8 form exceeds HBM (HiDream-I1: 17.8B params ≈ 18 GB
+    at ~8 bpw on a 16 GB chip — a measured hard OOM) convert only as much
+    as fits instead of failing. Non-expert leaves convert first: routed
+    MoE experts see ~(k/E) of the tokens, so per byte they buy less
+    int-MXU time than the always-on projections.
+
+    Returns the set of key paths (same dotted/indexed paths the walk
+    builds) to convert; feed it back via ``pred``.
+    """
+    cands = []
+    total = 0
+
+    def scan(node, path):
+        nonlocal total
+        if isinstance(node, (list, tuple)):
+            for i, v in enumerate(node):
+                scan(v, f"{path}[{i}]")
+            return
+        if isinstance(node, dict):
+            for k, v in node.items():
+                scan(v, f"{path}.{k}" if path else str(k))
+            return
+        b = node
+        if hasattr(b, "patches") and hasattr(b, "base"):
+            b = b.base
+        if isinstance(b, PlanarQuant):
+            pb, ib = _leaf_bytes(b)
+            total += pb
+            if pred is None or pred(path, b):
+                cands.append((path, pb, ib))
+
+    scan(params, "")
+    cands.sort(key=lambda c: ("experts" in c[0], -(c[2] - c[1])))
+    chosen = set()
+    for path, pb, ib in cands:
+        if total + (ib - pb) <= max_bytes:
+            chosen.add(path)
+            total += ib - pb
+    return chosen
+
+
+def convert_tree_i8(params, *, free_source: bool = False, pred=None,
+                    max_bytes: int | None = None):
     """Replace PlanarQuant leaves in a pytree with their I8Planar
     requantization (the w8a8 model-conversion entry point).
 
@@ -214,8 +272,17 @@ def convert_tree_i8(params, *, free_source: bool = False, pred=None):
     HBM-bandwidth-bound, where int8's ~8 bpw LOSES to the 4.5-bpw nib4
     planar path — keep those planar with the shared helper:
     ``pred=lambda k, v: not is_modulation_key(k)``.
+
+    max_bytes: cap on the TOTAL packed-weight bytes after conversion —
+    leaves are converted greedily (plan_i8_budget; experts last) until
+    the next one would exceed the cap, the rest stay planar. Use for
+    models whose full int8 form doesn't fit HBM (HiDream on 16 GB).
     """
     import dataclasses as _dc
+
+    if max_bytes is not None:
+        chosen = plan_i8_budget(params, max_bytes=max_bytes, pred=pred)
+        pred = lambda path, b: path in chosen
 
     is_pq = lambda l: isinstance(l, PlanarQuant)
 

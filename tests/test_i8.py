@@ -484,3 +484,34 @@ def test_convert_tree_walk_handles_sequences():
     assert isinstance(out["seq"][0], i8.I8Planar)
     assert isinstance(out["seq"][1]["w"], i8.I8Planar)
     assert isinstance(out["tup"], tuple)
+
+
+def test_convert_tree_budget():
+    """max_bytes: greedy partial conversion under a total byte cap —
+    experts last, total packed bytes never exceed the budget."""
+    pq_a, _ = make_pq(256, 512, seed=0)   # bigger non-expert
+    pq_b, _ = make_pq(64, 512, seed=1)    # smaller non-expert
+    pq_e, _ = make_pq(256, 512, seed=2)   # expert leaf
+    tree = {"attn.weight": pq_a, "mlp.weight": pq_b,
+            "experts.w1.weight": pq_e}
+    from comfyui_gguf_tpu.quant.i8 import _leaf_bytes
+
+    pb_a, ib_a = _leaf_bytes(pq_a)
+    pb_b, ib_b = _leaf_bytes(pq_b)
+    pb_e, ib_e = _leaf_bytes(pq_e)
+    total_planar = pb_a + pb_b + pb_e
+
+    # budget fits converting both non-experts but not the expert
+    budget = total_planar + (ib_a - pb_a) + (ib_b - pb_b)
+    out = i8.convert_tree_i8(tree, max_bytes=budget)
+    assert isinstance(out["attn.weight"], i8.I8Planar)
+    assert isinstance(out["mlp.weight"], i8.I8Planar)
+    assert isinstance(out["experts.w1.weight"], planar.PlanarQuant)
+
+    # unlimited budget converts everything
+    out2 = i8.convert_tree_i8(tree, max_bytes=1 << 40)
+    assert isinstance(out2["experts.w1.weight"], i8.I8Planar)
+
+    # budget below any conversion keeps the whole tree planar
+    out3 = i8.convert_tree_i8(tree, max_bytes=total_planar)
+    assert all(isinstance(v, planar.PlanarQuant) for v in out3.values())
