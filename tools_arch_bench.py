@@ -303,6 +303,10 @@ def main():
     ap.add_argument("--i8", action="store_true",
                     help="requantize to the w8a8 integer-MXU path "
                          "(modulation projections stay planar)")
+    ap.add_argument("--i8-budget", type=float, default=13.5e9,
+                    help="total packed-weight byte cap for --i8 (14B+ "
+                         "models exceed the 16 GB chip fully-int8; "
+                         "plan_i8_budget keeps the overflow planar)")
     args = ap.parse_args()
 
     os.environ.setdefault("GGUF_TPU_COMPILE_CACHE",
@@ -336,7 +340,8 @@ def main():
 
         t0 = time.perf_counter()
         sp = convert_tree_i8(sp, free_source=True,
-                             pred=lambda k, v: not is_modulation_key(k))
+                             pred=lambda k, v: not is_modulation_key(k),
+                             max_bytes=int(args.i8_budget))
         jax.block_until_ready(jax.tree_util.tree_leaves(sp))
         log(f"requantize_i8 in {time.perf_counter() - t0:.1f}s")
         label += "→w8a8"
