@@ -218,9 +218,16 @@ def plan_i8_budget(params, *, max_bytes: int, pred=None) -> set:
 
     Models whose int8 form exceeds HBM (HiDream-I1: 17.8B params ≈ 18 GB
     at ~8 bpw on a 16 GB chip — a measured hard OOM) convert only as much
-    as fits instead of failing. Non-expert leaves convert first: routed
-    MoE experts see ~(k/E) of the tokens, so per byte they buy less
-    int-MXU time than the always-on projections.
+    as fits instead of failing.
+
+    Selection is by descending byte delta (big leaves first): every
+    token-facing matmul buys the same int-MXU time per converted byte, so
+    filling the budget with the fewest leaves maximizes converted bytes.
+    (An earlier experts-last heuristic assumed capacity/EP routing where
+    experts see ~k/E of the tokens — under the DENSE MoE dispatch HiDream
+    defaults to, every expert runs over all tokens and the heuristic left
+    the FLOP bulk planar: measured zero speedup. Callers on capacity/EP
+    dispatch can deprioritize experts via ``pred``.)
 
     Returns the set of key paths (same dotted/indexed paths the walk
     builds) to convert; feed it back via ``pred``.
@@ -248,7 +255,7 @@ def plan_i8_budget(params, *, max_bytes: int, pred=None) -> set:
                 cands.append((path, pb, ib))
 
     scan(params, "")
-    cands.sort(key=lambda c: ("experts" in c[0], -(c[2] - c[1])))
+    cands.sort(key=lambda c: -(c[2] - c[1]))
     chosen = set()
     for path, pb, ib in cands:
         if total + (ib - pb) <= max_bytes:
