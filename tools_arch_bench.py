@@ -303,6 +303,10 @@ def main():
     ap.add_argument("--i8", action="store_true",
                     help="requantize to the w8a8 integer-MXU path "
                          "(modulation projections stay planar)")
+    ap.add_argument("--single-fwd", action="store_true",
+                    help="time one jitted forward instead of the N-step "
+                         "scan (workaround: very long single dispatches "
+                         "hit device faults on the shared tunnel)")
     ap.add_argument("--i8-budget", type=float, default=13.5e9,
                     help="total packed-weight byte cap for --i8 (14B+ "
                          "models exceed the 16 GB chip fully-int8; "
@@ -362,10 +366,22 @@ def main():
 
     from bench_util import timed_reps
 
-    sec, _ = timed_reps(lambda xr: denoise(sp, xr), x0,
-                        reps=reps, steps=steps, tag=args.arch, log=log)
+    if args.single_fwd:
+        @jax.jit
+        def one(params, x):
+            ts = jnp.full((x.shape[0],), 0.5, jnp.float32)
+            return fwd(params, x, ts)
+
+        ms, _ = timed_reps(lambda xr: one(sp, xr), x0,
+                           reps=reps, steps=1, tag=f"{args.arch}(fwd)",
+                           log=log)
+        sec = ms * steps
+    else:
+        sec, _ = timed_reps(lambda xr: denoise(sp, xr), x0,
+                            reps=reps, steps=steps, tag=args.arch, log=log)
     print(json.dumps({
         "metric": (f"ms/step MEASURED full-depth denoise ({label}"
+                   f"{', per-forward' if args.single_fwd else ''}"
                    f"{'' if on_tpu else ', cpu-smoke'})"),
         "value": round(sec / steps * 1e3, 1),
         "unit": "ms/step",
