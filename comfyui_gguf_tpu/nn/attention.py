@@ -69,6 +69,26 @@ SPLASH_BLOCK_KV_COMPUTE = 1536
 # GGUF_TPU_SPLASH_WIDE=1.
 SPLASH_WIDE = os.environ.get("GGUF_TPU_SPLASH_WIDE", "0") not in ("", "0")
 
+# int8 attention (ops/i8attn): both dots on the MXU's 2x s8 mode.
+# "pv" = full int8 (QK + PV), "qk" = QK only (accuracy-conservative),
+# "" = off. Env default; override per scope with `attention_i8(...)`.
+_I8_MODE: contextvars.ContextVar[str] = contextvars.ContextVar(
+    "gguf_tpu_attn_i8", default=os.environ.get("GGUF_TPU_ATTN_I8", ""))
+
+
+@contextlib.contextmanager
+def attention_i8(mode: str = "pv"):
+    """Route eligible self-attention calls through the int8 kernel for
+    the enclosed scope. mode: "pv" (full int8) | "qk" (QK dot only) |
+    "" (off)."""
+    if mode not in ("", "qk", "pv", "0", "1"):
+        raise ValueError(f"attention_i8 mode {mode!r}")
+    tok = _I8_MODE.set(mode)
+    try:
+        yield
+    finally:
+        _I8_MODE.reset(tok)
+
 
 @functools.cache
 def _on_tpu() -> bool:
@@ -165,6 +185,16 @@ def dot_product_attention(q: jax.Array, k: jax.Array, v: jax.Array,
             q.transpose(0, 2, 1, 3), k.transpose(0, 2, 1, 3),
             v.transpose(0, 2, 1, 3), axis_name=sp, scale=float(scale))
         return out.transpose(0, 2, 1, 3)
+
+    i8_mode = _I8_MODE.get()
+    if i8_mode not in ("", "0"):
+        from ..ops.i8attn import i8_attention_ok, i8_dot_product_attention
+        from ..ops.qmatmul import _interpret_default
+
+        if (_on_tpu() or _interpret_default()) and i8_attention_ok(q, k):
+            return i8_dot_product_attention(
+                q, k, v, scale=float(scale),
+                pv_int8=i8_mode in ("pv", "1"))
 
     splash_shape_ok = (
         Lq == Lk and Lk <= 8192

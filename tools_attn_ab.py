@@ -128,6 +128,26 @@ def main():
             log(f"splash ({bq},{bkv},{bkvc}): FAIL {type(e).__name__}: "
                 f"{str(e)[:200]}")
 
+    # int8 attention (ops/i8attn): both dots on the s8 MXU mode
+    from comfyui_gguf_tpu.ops import i8attn
+
+    for pv, bkv in [(True, 1536), (True, 1024), (True, 512),
+                    (True, 2304), (False, 1536)]:
+        def f(q, k, v, pv=pv, bkv=bkv):
+            return i8attn.pallas_i8_attention(q, k, v, scale=SCALE,
+                                              pv_int8=pv, block_kv=bkv)
+        try:
+            t, o = bench(jax.jit(f), q, k, v)
+            o = o.astype(jnp.float32)
+            err = float(jnp.abs(o - o_ref).max())
+            rel = float(jnp.linalg.norm(o - o_ref)
+                        / jnp.linalg.norm(o_ref))
+            log(f"i8attn (pv={int(pv)},bkv={bkv}): {t*1e3:.2f} ms  "
+                f"{flops/t/1e12:.1f} TOP/s  maxerr {err:.4f} rel {rel:.4f}")
+        except Exception as e:
+            log(f"i8attn (pv={int(pv)},bkv={bkv}): FAIL "
+                f"{type(e).__name__}: {str(e)[:200]}")
+
 
 if __name__ == "__main__":
     main()

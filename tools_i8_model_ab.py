@@ -34,6 +34,9 @@ def main():
                     help="convert modulation projections too (default: "
                          "keep the M=1 BW-bound mod weights planar)")
     ap.add_argument("--skip-bf16", action="store_true")
+    ap.add_argument("--i8attn", choices=("", "qk", "pv"), default="",
+                    help="route joint attention through the int8 kernel "
+                         "(ops/i8attn) in the w8a8 row")
     args = ap.parse_args()
 
     os.environ.setdefault("GGUF_TPU_COMPILE_CACHE",
@@ -76,6 +79,8 @@ def main():
     sigmas = flow_match.flux_schedule(steps, img.shape[1])
     qcfg = QuantConfig(prefer_pallas=on_tpu)
 
+    from comfyui_gguf_tpu.nn.attention import attention_i8
+
     @jax.jit
     def denoise(sp, x0, txt):
         def velocity(x, sigma):
@@ -84,10 +89,22 @@ def main():
                                         txt_ids, tt, y, g, qcfg=qcfg)
         return flow_match.euler_sample(velocity, x0, sigmas)
 
+    @jax.jit
+    def denoise_i8attn(sp, x0, txt):
+        # attention_i8 is read at TRACE time; entering it inside the
+        # jitted body guarantees the traced graph carries the int8 path
+        with attention_i8(args.i8attn):
+            def velocity(x, sigma):
+                tt = jnp.full((x.shape[0],), sigma, jnp.float32)
+                return flux.forward_stacked(sp, cfg, x, img_ids, txt,
+                                            txt_ids, tt, y, g, qcfg=qcfg)
+            return flow_match.euler_sample(velocity, x0, sigmas)
+
     from bench_util import timed_reps
 
-    def timed(sp, tag):
-        med, out = timed_reps(lambda xr: denoise(sp, xr, txt), img,
+    def timed(sp, tag, fn=None):
+        fn = fn or denoise
+        med, out = timed_reps(lambda xr: fn(sp, xr, txt), img,
                               reps=reps, steps=steps, tag=tag, log=log)
         return med, np.asarray(out, np.float32)
 
@@ -109,7 +126,11 @@ def main():
         f"took {time.perf_counter()-tc:.1f}s")
     del sparams
 
-    sec_i8, out_i8 = timed(sp8, "w8a8")
+    if args.i8attn:
+        sec_i8, out_i8 = timed(sp8, f"w8a8+i8attn[{args.i8attn}]",
+                               fn=denoise_i8attn)
+    else:
+        sec_i8, out_i8 = timed(sp8, "w8a8")
 
     rel = None
     if out_bf16 is not None:
@@ -129,6 +150,7 @@ def main():
         else round(sec_bf16 / sec_i8, 3),
         "latent_rel_delta": rel,
         "mod_planar": not args.all_i8,
+        "i8attn": args.i8attn or None,
     }))
 
 
