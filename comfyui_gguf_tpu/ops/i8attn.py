@@ -8,6 +8,15 @@ two attention dots onto the MXU's 2x int8 mode (SageAttention-style;
 the reference has no attention code at all — attention is host-owned,
 SURVEY.md §5 "long-context").
 
+MEASURED VERDICT (v5e-1, flux joint shape; docs/KERNEL.md table): the
+bf16 splash kernel stays the default — 2.18 ms vs 2.59/2.47 ms here.
+The s8 QK dot is contraction-starved (D=128 → ~120 TOP/s, far from the
+361 TOP/s deep-K rate) and the f32 softmax VPU chain (~1.5 ms/call) is
+the true floor; the int8 path adds VPU passes worth more than the dot
+time it saves. Kept as a gated option (`attention_i8` /
+GGUF_TPU_ATTN_I8) — correctness-tested, off by default per the
+ops/autotune acceptance protocol.
+
 Quantization scheme (exactness/invariance arguments):
 
 * K is smoothed by its per-(batch,head) token mean before quantization:
