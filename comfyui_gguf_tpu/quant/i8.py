@@ -31,6 +31,7 @@ This path exists only in the new framework — the reference
 from __future__ import annotations
 
 import dataclasses
+import logging
 from functools import partial
 
 import jax
@@ -225,9 +226,12 @@ def plan_i8_budget(params, *, max_bytes: int, pred=None) -> set:
     filling the budget with the fewest leaves maximizes converted bytes.
     (An earlier experts-last heuristic assumed capacity/EP routing where
     experts see ~k/E of the tokens — under the DENSE MoE dispatch HiDream
-    defaults to, every expert runs over all tokens and the heuristic left
-    the FLOP bulk planar: measured zero speedup. Callers on capacity/EP
-    dispatch can deprioritize experts via ``pred``.)
+    defaults to, every expert runs over all tokens, so experts deserve no
+    deprioritization; callers on capacity/EP dispatch can still exclude
+    them via ``pred``. NOTE: the first HiDream "zero speedup" campaign
+    rows compared nothing — the 13.5 GB budget sat below the 13.51 GB
+    planar footprint and converted zero leaves, hence the loud warning
+    below.)
 
     Returns the set of key paths (same dotted/indexed paths the walk
     builds) to convert; feed it back via ``pred``.
@@ -257,10 +261,25 @@ def plan_i8_budget(params, *, max_bytes: int, pred=None) -> set:
     scan(params, "")
     cands.sort(key=lambda c: -(c[2] - c[1]))
     chosen = set()
+    planar_total = total
     for path, pb, ib in cands:
         if total + (ib - pb) <= max_bytes:
             chosen.add(path)
             total += ib - pb
+    # no silent caps: a budget below/near the planar footprint converts
+    # nothing and the "w8a8" model would silently be the planar one
+    # (exactly what invalidated the first HiDream --i8 campaign rows:
+    # planar 13.51 GB vs a 13.5 GB budget -> 0 leaves converted, both
+    # rows measured the same model)
+    logging.info(
+        "plan_i8_budget: %d/%d leaves chosen, packed %.2f -> %.2f GB "
+        "(budget %.2f GB)", len(chosen), len(cands),
+        planar_total / 1e9, total / 1e9, max_bytes / 1e9)
+    if cands and not chosen:
+        logging.warning(
+            "plan_i8_budget: budget %.2f GB <= planar footprint %.2f GB "
+            "— NOTHING will be converted; the model stays fully planar",
+            max_bytes / 1e9, planar_total / 1e9)
     return chosen
 
 

@@ -515,3 +515,22 @@ def test_convert_tree_budget():
     # budget below any conversion keeps the whole tree planar
     out3 = i8.convert_tree_i8(tree, max_bytes=total_planar)
     assert all(isinstance(v, planar.PlanarQuant) for v in out3.values())
+
+
+def test_budget_noop_warns(caplog):
+    """A budget at/below the planar footprint converts NOTHING — that
+    must be loud (the first HiDream --i8 campaign silently benched the
+    planar model against itself)."""
+    import logging as _logging
+
+    pq_a, _ = make_pq(256, 512, seed=0)
+    tree = {"attn.weight": pq_a}
+    from comfyui_gguf_tpu.quant.i8 import _leaf_bytes
+
+    pb, _ib = _leaf_bytes(pq_a)
+    with caplog.at_level(_logging.WARNING,
+                         logger="comfyui_gguf_tpu.quant.i8"):
+        out = i8.convert_tree_i8(tree, max_bytes=pb)
+    assert isinstance(out["attn.weight"], planar.PlanarQuant)
+    assert any("NOTHING will be converted" in r.message
+               for r in caplog.records), caplog.records

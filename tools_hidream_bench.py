@@ -70,13 +70,16 @@ def main():
                                                is_modulation_key)
 
         t0 = time.perf_counter()
-        # 17.8B params ≈ 18 GB fully-int8 > 16 GB HBM (measured OOM):
-        # budget to ~13.5 GB of packed weights, leaving headroom for
-        # activations/latents; experts stay planar last (plan_i8_budget)
+        # 18 GB fully-int8 > 16 GB HBM (measured OOM), and the PLANAR
+        # tree is already 13.51 GB packed — the first campaign used a
+        # 13.5 GB budget, which converted NOTHING (plan_i8_budget now
+        # warns). 15.0 GB leaves ~1.5 GB of int8 growth (the largest
+        # single-stream expert leaves) and ~1 GB activation headroom
+        # (the planar run held >2.5 GB free).
         sparams = convert_tree_i8(
             sparams, free_source=True,
             pred=lambda k, v: not is_modulation_key(k),
-            max_bytes=int(13.5e9))
+            max_bytes=int(15.0e9))
         jax.block_until_ready(jax.tree_util.tree_leaves(sparams))
         log(f"requantize_i8 in {time.perf_counter()-t0:.1f}s")
 
