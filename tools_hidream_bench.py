@@ -73,13 +73,13 @@ def main():
         # 18 GB fully-int8 > 16 GB HBM (measured OOM), and the PLANAR
         # tree is already 13.51 GB packed — the first campaign used a
         # 13.5 GB budget, which converted NOTHING (plan_i8_budget now
-        # warns). 15.0 GB leaves ~1.5 GB of int8 growth (the largest
-        # single-stream expert leaves) and ~1 GB activation headroom
-        # (the planar run held >2.5 GB free).
+        # warns). 15.0 GB OOM'd at compile (activations + XLA workspace
+        # need >1 GB at these dims); 14.4 GB (≈0.9 GB int8 growth — the
+        # two largest stacked expert leaves) is the measured fit.
         sparams = convert_tree_i8(
             sparams, free_source=True,
             pred=lambda k, v: not is_modulation_key(k),
-            max_bytes=int(15.0e9))
+            max_bytes=int(14.4e9))
         jax.block_until_ready(jax.tree_util.tree_leaves(sparams))
         log(f"requantize_i8 in {time.perf_counter()-t0:.1f}s")
 
