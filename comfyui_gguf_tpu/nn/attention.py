@@ -72,8 +72,20 @@ SPLASH_WIDE = os.environ.get("GGUF_TPU_SPLASH_WIDE", "0") not in ("", "0")
 # int8 attention (ops/i8attn): both dots on the MXU's 2x s8 mode.
 # "pv" = full int8 (QK + PV), "qk" = QK only (accuracy-conservative),
 # "" = off. Env default; override per scope with `attention_i8(...)`.
+_I8_ALLOWED = ("", "qk", "pv", "0", "1")
+
+
+def _i8_env_default() -> str:
+    v = os.environ.get("GGUF_TPU_ATTN_I8", "")
+    if v not in _I8_ALLOWED:
+        raise ValueError(
+            f"GGUF_TPU_ATTN_I8={v!r}: expected one of {_I8_ALLOWED} "
+            "('pv'/'1' full int8, 'qk' QK-dot only, ''/'0' off)")
+    return v
+
+
 _I8_MODE: contextvars.ContextVar[str] = contextvars.ContextVar(
-    "gguf_tpu_attn_i8", default=os.environ.get("GGUF_TPU_ATTN_I8", ""))
+    "gguf_tpu_attn_i8", default=_i8_env_default())
 
 
 @contextlib.contextmanager
@@ -81,7 +93,7 @@ def attention_i8(mode: str = "pv"):
     """Route eligible self-attention calls through the int8 kernel for
     the enclosed scope. mode: "pv" (full int8) | "qk" (QK dot only) |
     "" (off)."""
-    if mode not in ("", "qk", "pv", "0", "1"):
+    if mode not in _I8_ALLOWED:
         raise ValueError(f"attention_i8 mode {mode!r}")
     tok = _I8_MODE.set(mode)
     try:

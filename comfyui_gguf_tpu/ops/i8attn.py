@@ -229,7 +229,10 @@ def pallas_i8_attention(q, k, v, *, scale: float, interpret: bool = False,
         ],
         cost_estimate=pl.CostEstimate(
             flops=4 * BH * Lq * Lkp * D,
-            bytes_accessed=BH * (2 * Lq * D + 2 * Lkp * D + 2 * Lq * D),
+            # by operand dtype: int8 q/kT/v (1 B/elem), bf16 output
+            # (2 B/elem); the f32 scale vectors are negligible
+            bytes_accessed=BH * (Lq * D + Lkp * D + Lkp * D
+                                 + 2 * Lq * D),
             transcendentals=BH * Lq * Lkp,
         ),
         interpret=interpret,
@@ -274,7 +277,14 @@ def i8_attention_ok(q, k) -> bool:
 
 def i8_dot_product_attention(q, k, v, *, scale: float,
                              pv_int8: bool = True) -> jax.Array:
-    if _have_tpu() or _interpret_default():
+    # off-TPU the (very slow) interpret-mode Pallas kernel is only worth
+    # running when explicitly forced via GGUF_TPU_PALLAS_INTERPRET;
+    # otherwise take the same-math XLA path
+    import os
+
+    forced = os.environ.get("GGUF_TPU_PALLAS_INTERPRET", "") not in ("",
+                                                                     "0")
+    if _have_tpu() or forced:
         return pallas_i8_attention(q, k, v, scale=scale,
                                    interpret=_interpret_default(),
                                    pv_int8=pv_int8)

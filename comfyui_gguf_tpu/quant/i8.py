@@ -39,6 +39,8 @@ import jax.numpy as jnp
 
 from .planar import PlanarQuant
 
+log = logging.getLogger(__name__)
+
 LANE = 128
 
 # floor for dynamic scales: keeps all-zero rows/columns finite (quantized
@@ -271,12 +273,12 @@ def plan_i8_budget(params, *, max_bytes: int, pred=None) -> set:
     # (exactly what invalidated the first HiDream --i8 campaign rows:
     # planar 13.51 GB vs a 13.5 GB budget -> 0 leaves converted, both
     # rows measured the same model)
-    logging.info(
+    log.info(
         "plan_i8_budget: %d/%d leaves chosen, packed %.2f -> %.2f GB "
         "(budget %.2f GB)", len(chosen), len(cands),
         planar_total / 1e9, total / 1e9, max_bytes / 1e9)
     if cands and not chosen:
-        logging.warning(
+        log.warning(
             "plan_i8_budget: budget %.2f GB <= planar footprint %.2f GB "
             "— NOTHING will be converted; the model stays fully planar",
             max_bytes / 1e9, planar_total / 1e9)
