@@ -166,6 +166,12 @@ def gguf_sd_loader(
                 shape = _squeeze_trailing_ones(shape)
         qt = QTensor(name=t.name, qtype=t.qtype, shape=tuple(shape),
                      data=t.data)
+        # fail at LOAD, with the actionable message, for formats whose
+        # decode needs llama.cpp codebook tables (IQ1/IQ2/IQ3) — the
+        # role of the reference's gguf-pkg decode fallback
+        # (reference dequant.py:26-28), which this env cannot bundle
+        if not codecs.can_decode(qt.qtype):
+            codecs.require_decoder(qt.qtype, context=f"tensor {t.name!r}")
         # 1-D tensors shouldn't stay quantized — BF16 fix
         # (reference loader.py:122-124)
         if len(shape) <= 1 and t.qtype == Q.BF16:

@@ -655,6 +655,78 @@ ENCODERS = {
 }
 
 
+# llama.cpp importance-matrix ("IQ") formats whose decode requires the
+# large constant codebook tables compiled into llama.cpp (iq1s_grid:
+# 2048×u64, iq2xxs_grid: 256×u64, iq2xs_grid: 512×u64, iq2s_grid:
+# 1024×u64, iq3xxs_grid: 256×u32, iq3s_grid: 512×u32, plus the shared
+# ksigns_iq2xs 128×u8 sign LUT). Those tables are NOT derivable from the
+# block layout and are present neither in the reference snapshot nor in
+# this environment (no `gguf` pkg, no llama.cpp checkout — the reference
+# decodes these via its gguf-pkg fallback, reference dequant.py:26-28).
+# The formats stay load-blocked with an actionable error until a decoder
+# is dropped in through register_decoder() below; the skipped golden
+# test tests/test_codecs.py::test_iq_codebook_seam documents the
+# expected table shapes and the registration contract.
+CODEBOOK_BLOCKED = frozenset({
+    Q.IQ1_S, Q.IQ1_M, Q.IQ2_XXS, Q.IQ2_XS, Q.IQ2_S, Q.IQ3_XXS, Q.IQ3_S,
+})
+
+
+class MissingCodebookError(NotImplementedError):
+    """An IQ1/IQ2/IQ3 tensor was encountered but the llama.cpp codebook
+    grid tables needed to decode it aren't registered."""
+
+
+def can_decode(qtype: GGMLQuantizationType) -> bool:
+    """True if `dequantize` can handle this qtype (block decoder or
+    scalar view)."""
+    qtype = GGMLQuantizationType(qtype)
+    return qtype in DECODERS or qtype in _SCALAR_VIEWS
+
+
+def require_decoder(qtype: GGMLQuantizationType, context: str = ""):
+    """DECODERS lookup with an actionable failure instead of a KeyError.
+
+    context: optional 'tensor blk.0.ffn_up.weight'-style suffix naming
+    what triggered the lookup.
+    """
+    qtype = GGMLQuantizationType(qtype)
+    dec = DECODERS.get(qtype)
+    if dec is not None:
+        return dec
+    where = f" ({context})" if context else ""
+    if qtype in CODEBOOK_BLOCKED:
+        raise MissingCodebookError(
+            f"cannot decode {qtype.name}{where}: this llama.cpp "
+            "importance-matrix format needs the codebook grid tables "
+            "compiled into llama.cpp (iq*_grid / ksigns_iq2xs), which "
+            "are not bundled here. Workarounds: (a) requantize the "
+            "checkpoint from a higher-precision GGUF (F16/Q8_0/Q4_K...) "
+            "with tools/quantize.py, or (b) obtain the grid tables and "
+            "register a decoder via "
+            "comfyui_gguf_tpu.quant.codecs.register_decoder().")
+    raise NotImplementedError(
+        f"no decoder for GGUF quantization type {qtype.name}{where}")
+
+
+def register_decoder(qtype: GGMLQuantizationType, decode,
+                     components=None, encode=None) -> None:
+    """Registration seam for decoders this build can't bundle (the
+    codebook-blocked IQ formats above, or future GGUF additions).
+
+    decode(blocks: uint8 (n_blocks, type_size)) -> float32
+    (n_blocks, block_elems); components (optional) additionally exposes
+    the planar A/B/q decomposition used by the fused TPU kernels —
+    without it the format loads through eager dequant only.
+    """
+    qtype = GGMLQuantizationType(qtype)
+    DECODERS[qtype] = decode
+    if components is not None:
+        COMPONENT_EXTRACTORS[qtype] = components
+    if encode is not None:
+        ENCODERS[qtype] = encode
+
+
 def dequantize(data: np.ndarray, qtype: GGMLQuantizationType,
                shape: tuple[int, ...], use_native: bool = True) -> np.ndarray:
     """Raw packed bytes -> float32 array of logical ``shape``.
@@ -684,7 +756,7 @@ def dequantize(data: np.ndarray, qtype: GGMLQuantizationType,
             if out is not None:
                 return out.reshape(shape)
     raw = np.ascontiguousarray(data).view(np.uint8).reshape(-1, type_size)
-    out = DECODERS[qtype](raw)
+    out = require_decoder(qtype)(raw)
     return out.reshape(shape)
 
 
