@@ -75,6 +75,14 @@ def get_lib():
             f32p = ctypes.POINTER(ctypes.c_float)
             lib.ggq_extract_q4k.restype = ctypes.c_int
             lib.ggq_extract_q4k.argtypes = [u8p, u8p, f32p, f32p, i64]
+            lib.ggq_extract_q5k.restype = ctypes.c_int
+            lib.ggq_extract_q5k.argtypes = [u8p, u8p, f32p, f32p, i64]
+            lib.ggq_extract_q2k.restype = ctypes.c_int
+            lib.ggq_extract_q2k.argtypes = [u8p, u8p, f32p, f32p, i64]
+            lib.ggq_extract_q6k.restype = ctypes.c_int
+            lib.ggq_extract_q6k.argtypes = [u8p, i8p, f32p, i64]
+            lib.ggq_extract_q3k.restype = ctypes.c_int
+            lib.ggq_extract_q3k.argtypes = [u8p, i8p, f32p, i64]
         except AttributeError:
             log.info("libggquant.so predates the planar fast paths; "
                      "codecs available, planar assembly stays on numpy")
@@ -148,6 +156,69 @@ def extract_q4k(blocks: np.ndarray):
         A.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
         B.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), n)
     return (q, A, B) if rc == 0 else None
+
+
+def _extract_scale_min(sym: str, type_size: int, blocks: np.ndarray,
+                       ngroups: int):
+    """Shared driver for the scale+min formats (Q4_K/Q5_K/Q2_K): emit
+    (q u8 (n,256), A (n,ngroups) f32, B (n,ngroups) f32) or None."""
+    lib = get_lib()
+    if lib is None or not hasattr(lib, sym):
+        return None
+    blocks = np.ascontiguousarray(blocks).view(np.uint8) \
+        .reshape(-1, type_size)
+    n = blocks.shape[0]
+    q = np.empty((n, 256), dtype=np.uint8)
+    A = np.empty((n, ngroups), dtype=np.float32)
+    B = np.empty((n, ngroups), dtype=np.float32)
+    rc = getattr(lib, sym)(
+        blocks.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        q.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        A.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        B.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), n)
+    return (q, A, B) if rc == 0 else None
+
+
+def _extract_signed(sym: str, type_size: int, blocks: np.ndarray):
+    """Shared driver for the signed-code formats (Q6_K/Q3_K): emit
+    (q i8 (n,256), A (n,16) f32) or None."""
+    lib = get_lib()
+    if lib is None or not hasattr(lib, sym):
+        return None
+    blocks = np.ascontiguousarray(blocks).view(np.uint8) \
+        .reshape(-1, type_size)
+    n = blocks.shape[0]
+    q = np.empty((n, 256), dtype=np.int8)
+    A = np.empty((n, 16), dtype=np.float32)
+    rc = getattr(lib, sym)(
+        blocks.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        q.ctypes.data_as(ctypes.POINTER(ctypes.c_int8)),
+        A.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), n)
+    return (q, A) if rc == 0 else None
+
+
+def extract_q5k(blocks: np.ndarray):
+    """(n, 176) Q5_K blocks → (q (n,256) u8, A (n,8) f32, B (n,8) f32)
+    matching codecs.components_Q5_K bit-exactly, or None."""
+    return _extract_scale_min("ggq_extract_q5k", 176, blocks, 8)
+
+
+def extract_q2k(blocks: np.ndarray):
+    """(n, 84) Q2_K blocks → (q (n,256) u8, A (n,16) f32, B (n,16) f32)
+    matching codecs.components_Q2_K bit-exactly, or None."""
+    return _extract_scale_min("ggq_extract_q2k", 84, blocks, 16)
+
+
+def extract_q6k(blocks: np.ndarray):
+    """(n, 210) Q6_K blocks → (q (n,256) i8, A (n,16) f32) matching
+    codecs.components_Q6_K bit-exactly, or None."""
+    return _extract_signed("ggq_extract_q6k", 210, blocks)
+
+
+def extract_q3k(blocks: np.ndarray):
+    """(n, 110) Q3_K blocks → (q (n,256) i8, A (n,16) f32) matching
+    codecs.components_Q3_K bit-exactly, or None."""
+    return _extract_signed("ggq_extract_q3k", 110, blocks)
 
 
 def transpose_i8(q: np.ndarray, rp: int) -> np.ndarray | None:

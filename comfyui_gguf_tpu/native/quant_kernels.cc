@@ -404,6 +404,154 @@ int ggq_extract_q4k(const uint8_t* blocks, uint8_t* q, float* A, float* B,
     return 0;
 }
 
+// Q5_K component extraction (codecs.components_Q5_K): q (256 u8 5-bit
+// codes, sub-block order lo|hi per 32-byte group with qh bit j for
+// sub-block j), A = d*sc (8 f32), B = -dmin*mn (8 f32).
+int ggq_extract_q5k(const uint8_t* blocks, uint8_t* q, float* A, float* B,
+                    int64_t n_blocks) {
+#pragma omp parallel for schedule(static)
+    for (int64_t b = 0; b < n_blocks; ++b) {
+        const uint8_t* src = blocks + b * 176;
+        uint8_t* qb = q + b * 256;
+        float* Ab = A + b * 8;
+        float* Bb = B + b * 8;
+        const float d = f16_to_f32((uint16_t)(src[0] | (src[1] << 8)));
+        const float dmin = f16_to_f32((uint16_t)(src[2] | (src[3] << 8)));
+        const uint8_t* s = src + 4;  // 12-byte 6-bit scale/min table
+        for (int i = 0; i < 4; ++i) {
+            const uint8_t sc_lo = (uint8_t)(s[i] & 0x3F);
+            const uint8_t mn_lo = (uint8_t)(s[4 + i] & 0x3F);
+            const uint8_t sc_hi =
+                (uint8_t)((s[8 + i] & 0x0F) | ((s[i] >> 2) & 0x30));
+            const uint8_t mn_hi =
+                (uint8_t)((s[8 + i] >> 4) | ((s[4 + i] >> 2) & 0x30));
+            Ab[i] = d * (float)sc_lo;
+            Ab[4 + i] = d * (float)sc_hi;
+            Bb[i] = -(dmin * (float)mn_lo);
+            Bb[4 + i] = -(dmin * (float)mn_hi);
+        }
+        const uint8_t* qh = src + 16;  // 32 bytes of 5th bits
+        const uint8_t* qs = src + 48;  // 4 groups of 32 low-nibble bytes
+        for (int g = 0; g < 4; ++g) {
+            const uint8_t* gp = qs + g * 32;
+            uint8_t* lo = qb + g * 64;  // sub-block 2g
+            uint8_t* hi = lo + 32;      // sub-block 2g+1
+            for (int i = 0; i < 32; ++i) {
+                lo[i] = (uint8_t)((gp[i] & 0x0F)
+                                  | (((qh[i] >> (2 * g)) & 1) << 4));
+                hi[i] = (uint8_t)((gp[i] >> 4)
+                                  | (((qh[i] >> (2 * g + 1)) & 1) << 4));
+            }
+        }
+    }
+    return 0;
+}
+
+// Q6_K component extraction (codecs.components_Q6_K): q (256 i8 codes,
+// value range [-32, 31]), A = d*sc (16 f32, signed 8-bit scales).
+int ggq_extract_q6k(const uint8_t* blocks, int8_t* q, float* A,
+                    int64_t n_blocks) {
+#pragma omp parallel for schedule(static)
+    for (int64_t b = 0; b < n_blocks; ++b) {
+        const uint8_t* src = blocks + b * 210;
+        const uint8_t* ql = src;         // 128 low-nibble bytes
+        const uint8_t* qh = src + 128;   // 64 bytes of 2-bit highs
+        const int8_t* sc = (const int8_t*)(src + 192);  // 16 i8 scales
+        const float d =
+            f16_to_f32((uint16_t)(src[208] | (src[209] << 8)));
+        int8_t* qb = q + b * 256;
+        float* Ab = A + b * 16;
+        for (int i = 0; i < 16; ++i) Ab[i] = d * (float)sc[i];
+        for (int h = 0; h < 2; ++h) {
+            const uint8_t* l = ql + h * 64;
+            const uint8_t* hh = qh + h * 32;
+            int8_t* out = qb + h * 128;
+            for (int i = 0; i < 32; ++i) {
+                out[i] = (int8_t)((int)((l[i] & 0x0F)
+                                        | (((hh[i] >> 0) & 3) << 4)) - 32);
+                out[32 + i] = (int8_t)((int)((l[32 + i] & 0x0F)
+                                             | (((hh[i] >> 2) & 3) << 4))
+                                       - 32);
+                out[64 + i] = (int8_t)((int)((l[i] >> 4)
+                                             | (((hh[i] >> 4) & 3) << 4))
+                                       - 32);
+                out[96 + i] = (int8_t)((int)((l[32 + i] >> 4)
+                                             | (((hh[i] >> 6) & 3) << 4))
+                                       - 32);
+            }
+        }
+    }
+    return 0;
+}
+
+// Q3_K component extraction (codecs.components_Q3_K): q (256 i8 codes,
+// ql - 4*(1 - high_bit)), A = d*sc (16 f32, 6-bit signed scales).
+int ggq_extract_q3k(const uint8_t* blocks, int8_t* q, float* A,
+                    int64_t n_blocks) {
+#pragma omp parallel for schedule(static)
+    for (int64_t b = 0; b < n_blocks; ++b) {
+        const uint8_t* src = blocks + b * 110;
+        const uint8_t* hmask = src;        // 32 bytes of high bits
+        const uint8_t* qs = src + 32;      // 64 bytes of 2-bit lows
+        const uint8_t* scales = src + 96;  // 12-byte 6-bit scale table
+        const float d =
+            f16_to_f32((uint16_t)(src[108] | (src[109] << 8)));
+        int8_t* qb = q + b * 256;
+        float* Ab = A + b * 16;
+        for (int j = 0; j < 16; ++j) {
+            const uint8_t lo4 = (j < 8) ? (uint8_t)(scales[j] & 0x0F)
+                                        : (uint8_t)(scales[j - 8] >> 4);
+            const uint8_t hi2 =
+                (uint8_t)((scales[8 + (j & 3)] >> (2 * (j >> 2))) & 3);
+            Ab[j] = d * (float)((int8_t)(lo4 | (hi2 << 4)) - 32);
+        }
+        for (int h = 0; h < 2; ++h) {
+            const uint8_t* g = qs + h * 32;
+            for (int s = 0; s < 4; ++s) {
+                int8_t* out = qb + h * 128 + s * 32;
+                const int sh = h * 4 + s;  // hmask bit index for this sub
+                for (int i = 0; i < 32; ++i) {
+                    const int lo = (g[i] >> (2 * s)) & 3;
+                    const int hb = (hmask[i] >> sh) & 1;
+                    out[i] = (int8_t)(lo - ((hb ^ 1) << 2));
+                }
+            }
+        }
+    }
+    return 0;
+}
+
+// Q2_K component extraction (codecs.components_Q2_K): q (256 u8 2-bit
+// codes), A = d*(scale&0xF) (16 f32), B = -dmin*(scale>>4) (16 f32).
+int ggq_extract_q2k(const uint8_t* blocks, uint8_t* q, float* A, float* B,
+                    int64_t n_blocks) {
+#pragma omp parallel for schedule(static)
+    for (int64_t b = 0; b < n_blocks; ++b) {
+        const uint8_t* src = blocks + b * 84;
+        const uint8_t* scales = src;   // 16 bytes: lo4 scale, hi4 min
+        const uint8_t* qs = src + 16;  // 64 bytes of 2-bit codes
+        const float d = f16_to_f32((uint16_t)(src[80] | (src[81] << 8)));
+        const float dmin =
+            f16_to_f32((uint16_t)(src[82] | (src[83] << 8)));
+        uint8_t* qb = q + b * 256;
+        float* Ab = A + b * 16;
+        float* Bb = B + b * 16;
+        for (int i = 0; i < 16; ++i) {
+            Ab[i] = d * (float)(scales[i] & 0x0F);
+            Bb[i] = -(dmin * (float)(scales[i] >> 4));
+        }
+        for (int h = 0; h < 2; ++h) {
+            const uint8_t* g = qs + h * 32;
+            for (int s = 0; s < 4; ++s) {
+                uint8_t* out = qb + h * 128 + s * 32;
+                for (int i = 0; i < 32; ++i)
+                    out[i] = (uint8_t)((g[i] >> (2 * s)) & 3);
+            }
+        }
+    }
+    return 0;
+}
+
 // Planar re-tiling fast paths (quant/planar.py assembly): the hot cost
 // of loading a real multi-GB checkpoint is the byte-granular (R, K) ->
 // (K, R) transpose — numpy materializes it at ~40 MB/s (cache-hostile

@@ -259,6 +259,12 @@ def components_Q4_K(blocks: np.ndarray) -> Components:
 
 
 def components_Q5_K(blocks: np.ndarray) -> Components:
+    from .. import native
+
+    ext = native.extract_q5k(blocks)  # C++ fast path (bit-exact)
+    if ext is not None:
+        q, A, B = ext
+        return Components(q, A, offsets=B, group_size=32)
     blocks = _u8(blocks)
     d, dmin, scales, qh, qs = _split(blocks, 2, 2, K_SCALE_SIZE, QK_K // 8)
     sc, mn = _unpack_scale_min_k4(scales)
@@ -274,6 +280,12 @@ def components_Q5_K(blocks: np.ndarray) -> Components:
 
 
 def components_Q6_K(blocks: np.ndarray) -> Components:
+    from .. import native
+
+    ext = native.extract_q6k(blocks)  # C++ fast path (bit-exact)
+    if ext is not None:
+        q, A = ext
+        return Components(q, A, group_size=16)
     blocks = _u8(blocks)
     ql, qh, scales, d = _split(blocks, QK_K // 2, QK_K // 4, QK_K // 16)
     n = blocks.shape[0]
@@ -288,6 +300,12 @@ def components_Q6_K(blocks: np.ndarray) -> Components:
 
 
 def components_Q3_K(blocks: np.ndarray) -> Components:
+    from .. import native
+
+    ext = native.extract_q3k(blocks)  # C++ fast path (bit-exact)
+    if ext is not None:
+        q, A = ext
+        return Components(q, A, group_size=16)
     blocks = _u8(blocks)
     hmask, qs, scales, d = _split(blocks, QK_K // 8, QK_K // 4, 12)
     n = blocks.shape[0]
@@ -308,6 +326,12 @@ def components_Q3_K(blocks: np.ndarray) -> Components:
 
 
 def components_Q2_K(blocks: np.ndarray) -> Components:
+    from .. import native
+
+    ext = native.extract_q2k(blocks)  # C++ fast path (bit-exact)
+    if ext is not None:
+        q, A, B = ext
+        return Components(q, A, offsets=B, group_size=16)
     blocks = _u8(blocks)
     scales, qs, d, dmin = _split(blocks, QK_K // 16, QK_K // 4, 2)
     n = blocks.shape[0]

@@ -58,3 +58,59 @@ def test_codecs_route_through_native():
         codecs.quantize(x, Q.Q4_K),
         codecs.quantize(x, Q.Q4_K, use_native=False),
     )
+
+
+# C++ component extraction (the planar load path): must match the numpy
+# extractors bit-exactly — q codes, scales, and offsets all byte-equal.
+_EXTRACT = [
+    (Q.Q4_K, "extract_q4k", codecs.components_Q4_K, True),
+    (Q.Q5_K, "extract_q5k", codecs.components_Q5_K, True),
+    (Q.Q2_K, "extract_q2k", codecs.components_Q2_K, True),
+    (Q.Q6_K, "extract_q6k", codecs.components_Q6_K, False),
+    (Q.Q3_K, "extract_q3k", codecs.components_Q3_K, False),
+]
+
+
+@pytest.mark.parametrize("qtype,sym,comp,has_offsets", _EXTRACT,
+                         ids=lambda v: v.name if hasattr(v, "name") else "")
+def test_extract_components_bit_identical(qtype, sym, comp, has_offsets,
+                                          monkeypatch):
+    rng = np.random.default_rng(int(qtype) + 7)
+    x = (rng.standard_normal(256 * 32) * rng.uniform(0.01, 8)).astype(
+        np.float32)
+    blocks = codecs.quantize(x, qtype, use_native=False)
+    got = getattr(native, sym)(blocks)
+    assert got is not None, f"native {sym} unavailable"
+    # numpy reference: force the components_* fallback path
+    monkeypatch.setattr(native, sym, lambda b: None)
+    want = comp(blocks)
+    np.testing.assert_array_equal(got[0], want.q)
+    assert got[0].dtype == want.q.dtype
+    np.testing.assert_array_equal(got[1], want.scales)
+    if has_offsets:
+        np.testing.assert_array_equal(got[2], want.offsets)
+    else:
+        assert want.offsets is None and len(got) == 2
+
+
+@pytest.mark.parametrize("qtype,sym,comp,has_offsets", _EXTRACT,
+                         ids=lambda v: v.name if hasattr(v, "name") else "")
+def test_extract_perturbed_payloads(qtype, sym, comp, has_offsets,
+                                    monkeypatch):
+    """Cover bit patterns the encoder never emits: flip random payload
+    bytes (not just encoder outputs) and require identical decode."""
+    rng = np.random.default_rng(int(qtype) + 99)
+    x = rng.standard_normal(256 * 8).astype(np.float32)
+    blocks = np.ascontiguousarray(
+        codecs.quantize(x, qtype, use_native=False))
+    flat = blocks.reshape(-1).copy()
+    idx = rng.integers(0, flat.size, flat.size // 4)
+    flat[idx] ^= rng.integers(1, 256, idx.size).astype(np.uint8)
+    blocks = flat.reshape(blocks.shape)
+    got = getattr(native, sym)(blocks)
+    monkeypatch.setattr(native, sym, lambda b: None)
+    want = comp(blocks)
+    np.testing.assert_array_equal(got[0], want.q)
+    np.testing.assert_array_equal(got[1], want.scales)
+    if has_offsets:
+        np.testing.assert_array_equal(got[2], want.offsets)
