@@ -49,6 +49,23 @@ class ArchSpec:
 
 
 ARCH_SPECS: tuple[ArchSpec, ...] = (
+    # qwen_image MUST precede flux and sd3: its state dict contains
+    # `attn.norm_added_k` and `attn.add_q_proj` keys that those specs use
+    # as BANNED diffusers-variant fingerprints — ordering makes the
+    # joint-stream MMDiT match here first. (The reference has no
+    # qwen_image conversion template at all — tools/convert.py:26-149 —
+    # its loader only accepts pre-converted GGUFs; this entry closes
+    # that gap natively.)
+    ArchSpec(
+        arch="qwen_image",
+        keys_detect=(
+            ("transformer_blocks.0.img_mod.1.weight",
+             "transformer_blocks.0.attn.add_q_proj.weight",
+             "transformer_blocks.0.img_mlp.net.0.proj.weight"),
+        ),
+        keys_noquant=("img_in.", "txt_in.", "txt_norm.",
+                      "time_text_embed.", "norm_out.", "proj_out."),
+    ),
     ArchSpec(
         arch="flux",
         keys_detect=(

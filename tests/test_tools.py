@@ -323,3 +323,85 @@ def test_quantize_rejects_unknown_arch(tmp_path):
     w.write_to_file(str(path))
     with pytest.raises(ValueError, match="unknown architecture"):
         quantize.quantize_file(str(path), None, "Q8_0")
+
+
+# ---------------------------------------------------------------------------
+# qwen_image ArchSpec: converter coverage the reference itself lacks
+# (reference tools/convert.py:26-149 has no qwen_image template)
+# ---------------------------------------------------------------------------
+
+def _qwen_image_like_sd(rng):
+    def t(*s):
+        return rng.standard_normal(s).astype(np.float32)
+
+    pfx = "transformer_blocks.0."
+    return {
+        pfx + "img_mod.1.weight": t(1536, 256),
+        pfx + "txt_mod.1.weight": t(1536, 256),
+        pfx + "attn.to_q.weight": t(256, 256),
+        pfx + "attn.norm_q.weight": t(64),
+        pfx + "attn.add_q_proj.weight": t(256, 256),
+        pfx + "attn.norm_added_k.weight": t(64),
+        pfx + "img_mlp.net.0.proj.weight": t(1024, 256),
+        pfx + "img_mlp.net.2.weight": t(256, 1024),
+        "img_in.weight": t(256, 64),
+        "txt_in.weight": t(256, 512),
+        "txt_norm.weight": t(512),
+        "time_text_embed.timestep_embedder.linear_1.weight": t(256, 256),
+        "norm_out.linear.weight": t(512, 256),
+        "proj_out.weight": t(64, 256),
+    }
+
+
+def test_qwen_image_detect_and_convert(tmp_path):
+    """qwen_image fingerprints, converts, quantizes with its noquant
+    policy, and loads back under the qwen_image arch."""
+    from comfyui_gguf_tpu import archs
+
+    rng = np.random.default_rng(7)
+    sd = _qwen_image_like_sd(rng)
+    assert archs.detect_arch(sd.keys()).arch == "qwen_image"
+
+    import safetensors.torch
+    import torch
+
+    src = tmp_path / "model.safetensors"
+    safetensors.torch.save_file(
+        {k: torch.from_numpy(v) for k, v in sd.items()}, str(src))
+    f16 = convert.convert_file(str(src), str(tmp_path / "m-F16.gguf"))
+    r = GGUFReader(f16)
+    assert r.get_str("general.architecture") == "qwen_image"
+
+    q = quantize.quantize_file(f16, str(tmp_path / "m-Q4_K_S.gguf"),
+                               "Q4_K_S")
+    by_name = {t.name: t for t in GGUFReader(q).tensors}
+    # embedders / modulation / head stay unquantized
+    for k in ("img_in.weight", "txt_in.weight", "norm_out.linear.weight",
+              "proj_out.weight",
+              "time_text_embed.timestep_embedder.linear_1.weight"):
+        assert by_name[k].qtype in (Q.F16, Q.F32), (k, by_name[k].qtype)
+    # stream weights quantize
+    assert by_name["transformer_blocks.0.attn.to_q.weight"].qtype \
+        not in (Q.F16, Q.F32)
+
+    loaded, arch = gguf_sd_loader(q, return_arch=True)
+    assert arch == "qwen_image"
+    assert "transformer_blocks.0.attn.to_q.weight" in loaded
+
+
+def test_qwen_image_order_keeps_diffusers_bans():
+    """The qwen_image spec (which shares norm_added_k / add_q_proj keys
+    with the banned diffusers flux/sd3 variants) must not shadow those
+    bans."""
+    from comfyui_gguf_tpu import archs
+
+    # diffusers-format flux: norm_added_k but NO qwen img_mod keys
+    with np.testing.assert_raises(archs.BannedArchitectureError):
+        archs.detect_arch({
+            "transformer_blocks.0.attn.norm_added_k.weight",
+            "double_blocks.0.img_attn.proj.weight"})
+    # diffusers-format sd3: add_q_proj but NO qwen img_mod keys
+    with np.testing.assert_raises(archs.BannedArchitectureError):
+        archs.detect_arch({
+            "transformer_blocks.0.attn.add_q_proj.weight",
+            "joint_blocks.0.x_block.attn.qkv.weight"})
