@@ -1462,3 +1462,151 @@ def test_unet_downsample_golden():
     got = unet._apply_numbered_block(params, "blk", jnp.asarray(x), None,
                                      None, None, F32)
     np.testing.assert_allclose(np.asarray(got), want, rtol=2e-4, atol=2e-4)
+
+
+def test_cosmos_forward_golden():
+    """Cosmos FULL forward (patchify → t-embed → 1 block → adaLN head →
+    unpatchify) vs an independent torch derivation — locks the
+    grid/rope/time-embed conventions at the forward level the way
+    test_ltxv_forward_golden does for LTXV (that step caught a
+    shape-breaking bug there; VERDICT r3 item 8). Conventions locked:
+    channel-major (C, pt, ph, pw) patch flattening with (f, h, w) token
+    order; BFL sinusoidal t-embed (t×1000, cos|sin, 256 dims) through
+    the two-linear t_embedder + RMS t_embedding_norm; complex-pair 3-D
+    rope over the (f, h, w) token grid; final adaLN (shift, scale) from
+    ``final_layer.adaln_modulation`` and linear→unpatchify."""
+    from comfyui_gguf_tpu.models import cosmos
+
+    rng = np.random.default_rng(67)
+    D, Hn, FF, Td = 64, 2, 160, 48
+    hd = D // Hn
+    pt, ph, pw = 1, 2, 2
+    F_, Hh, Ww, C = 2, 4, 4, 16
+    f, hh, ww = F_ // pt, Hh // ph, Ww // pw
+    Lc = 5
+    IN = C * pt * ph * pw
+    p = "blocks.0"
+
+    w = {
+        "x_embedder.proj.1.weight": _rand(rng, D, IN),
+        "x_embedder.proj.1.bias": _rand(rng, D),
+        "t_embedder.1.linear_1.weight": _rand(rng, D, 256),
+        "t_embedder.1.linear_1.bias": _rand(rng, D),
+        "t_embedder.1.linear_2.weight": _rand(rng, D, D),
+        "t_embedder.1.linear_2.bias": _rand(rng, D),
+        "t_embedding_norm.weight": _rand(rng, D) + 1,
+        "final_layer.adaln_modulation.1.weight": _rand(rng, 2 * D, D),
+        "final_layer.linear.weight": _rand(rng, IN, D),
+    }
+    for br in ("self_attn", "cross_attn", "mlp"):
+        w[f"{p}.adaln_modulation_{br}.1.weight"] = _rand(rng, 3 * D, D)
+    for a in ("self_attn", "cross_attn"):
+        kv_in = D if a == "self_attn" else Td
+        w[f"{p}.{a}.q_proj.weight"] = _rand(rng, D, D)
+        w[f"{p}.{a}.k_proj.weight"] = _rand(rng, D, kv_in)
+        w[f"{p}.{a}.v_proj.weight"] = _rand(rng, D, kv_in)
+        w[f"{p}.{a}.output_proj.weight"] = _rand(rng, D, D)
+        w[f"{p}.{a}.q_norm.weight"] = _rand(rng, hd) + 1
+        w[f"{p}.{a}.k_norm.weight"] = _rand(rng, hd) + 1
+    w[f"{p}.mlp.layer1.weight"] = _rand(rng, FF, D)
+    w[f"{p}.mlp.layer2.weight"] = _rand(rng, D, FF)
+
+    lat0 = _rand(rng, 1, F_, Hh, Ww, C)
+    ctx0 = _rand(rng, 1, Lc, Td)
+    tstep = np.array([0.4], np.float32)
+
+    def lin(name, x):
+        y = x @ _t(w[f"{name}.weight"]).T
+        if f"{name}.bias" in w:
+            y = y + _t(w[f"{name}.bias"])
+        return y
+
+    # --- patchify: pt×ph×pw patches, channel-major flatten, (f,h,w) order
+    lt = _t(lat0)  # (B, F, H, W, C)
+    patches = []
+    for fi in range(f):
+        for hi in range(hh):
+            for wi in range(ww):
+                blk = lt[0, fi * pt:(fi + 1) * pt, hi * ph:(hi + 1) * ph,
+                         wi * pw:(wi + 1) * pw, :]  # (pt, ph, pw, C)
+                patches.append(blk.permute(3, 0, 1, 2).reshape(-1))
+    xt = torch.stack(patches)[None]  # (1, L, IN)
+    xt = lin("x_embedder.proj.1", xt)
+
+    # --- BFL t-embed: t×1000, cos|sin over 128 freqs
+    tt = torch.tensor(tstep) * 1000.0
+    half = 128
+    freqs_t = torch.exp(-np.log(10_000.0)
+                        * torch.arange(half, dtype=torch.float32) / half)
+    sincos = torch.cat([torch.cos(tt[:, None] * freqs_t[None]),
+                        torch.sin(tt[:, None] * freqs_t[None])], dim=-1)
+    vec = lin("t_embedder.1.linear_1", sincos)
+    vec = lin("t_embedder.1.linear_2", torch.nn.functional.silu(vec))
+    vec = _rms(vec, _t(w["t_embedding_norm.weight"]))
+
+    def mod3(br):
+        o = torch.nn.functional.silu(vec)
+        o = o @ _t(w[f"{p}.adaln_modulation_{br}.1.weight"]).T
+        sh, sc, g = o.chunk(3, dim=-1)
+        return sh[:, None], sc[:, None], g[:, None]
+
+    rope = _wan_rope_complex(f, hh, ww, hd)
+
+    sh, sc, g = mod3("self_attn")
+    h = _ln(xt) * (1 + sc) + sh
+    q = _rms(_heads(lin(f"{p}.self_attn.q_proj", h), Hn),
+             _t(w[f"{p}.self_attn.q_norm.weight"]))
+    k = _rms(_heads(lin(f"{p}.self_attn.k_proj", h), Hn),
+             _t(w[f"{p}.self_attn.k_norm.weight"]))
+    v = _heads(lin(f"{p}.self_attn.v_proj", h), Hn)
+    q = _wan_apply_rope_t(q, rope)
+    k = _wan_apply_rope_t(k, rope)
+    xt = xt + g * lin(f"{p}.self_attn.output_proj", _unheads(_sdpa(q, k, v)))
+
+    ct = _t(ctx0)
+    sh, sc, g = mod3("cross_attn")
+    h = _ln(xt) * (1 + sc) + sh
+    q = _rms(_heads(lin(f"{p}.cross_attn.q_proj", h), Hn),
+             _t(w[f"{p}.cross_attn.q_norm.weight"]))
+    k = _rms(_heads(lin(f"{p}.cross_attn.k_proj", ct), Hn),
+             _t(w[f"{p}.cross_attn.k_norm.weight"]))
+    v = _heads(lin(f"{p}.cross_attn.v_proj", ct), Hn)
+    xt = xt + g * lin(f"{p}.cross_attn.output_proj",
+                      _unheads(_sdpa(q, k, v)))
+
+    sh, sc, g = mod3("mlp")
+    h = _ln(xt) * (1 + sc) + sh
+    h = torch.nn.functional.gelu(lin(f"{p}.mlp.layer1", h),
+                                 approximate="tanh")
+    xt = xt + g * lin(f"{p}.mlp.layer2", h)
+
+    # --- head: adaLN (shift, scale) + linear + unpatchify (inverse walk)
+    mod = torch.nn.functional.silu(vec) \
+        @ _t(w["final_layer.adaln_modulation.1.weight"]).T
+    shf, scf = mod.chunk(2, dim=-1)
+    xt = _ln(xt) * (1 + scf[:, None]) + shf[:, None]
+    xt = lin("final_layer.linear", xt)  # (1, L, IN)
+    out = torch.zeros(1, F_, Hh, Ww, C)
+    i = 0
+    for fi in range(f):
+        for hi in range(hh):
+            for wi in range(ww):
+                blk = xt[0, i].reshape(C, pt, ph, pw).permute(1, 2, 3, 0)
+                out[0, fi * pt:(fi + 1) * pt, hi * ph:(hi + 1) * ph,
+                    wi * pw:(wi + 1) * pw, :] = blk
+                i += 1
+
+    # --- the real jax forward (both paths: python loop and scanned)
+    cfg = cosmos.CosmosConfig(dim=D, n_layers=1, n_heads=Hn, text_dim=Td,
+                              in_channels=C, patch=(pt, ph, pw))
+    jp = {k2: jnp.asarray(v2) for k2, v2 in w.items()}
+    j = cosmos.forward(jp, cfg, jnp.asarray(lat0), jnp.asarray(ctx0),
+                       jnp.asarray(tstep), qcfg=F32)
+    np.testing.assert_allclose(np.asarray(j), out.numpy(), rtol=3e-4,
+                               atol=3e-4)
+    sp = cosmos.stack_cosmos_params(dict(jp), cfg)
+    js = cosmos.forward_stacked(sp, cfg, jnp.asarray(lat0),
+                                jnp.asarray(ctx0), jnp.asarray(tstep),
+                                qcfg=F32)
+    np.testing.assert_allclose(np.asarray(js), out.numpy(), rtol=3e-4,
+                               atol=3e-4)
