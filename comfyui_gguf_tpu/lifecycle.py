@@ -125,6 +125,12 @@ class ResidencyManager:
             e.device = to_device(e.host, self.device)
         return e
 
+    def resident_params(self, name: str):
+        """Device tree for ``name``, loading (and LRU-evicting other
+        unpinned models) as needed — the unpinned read used by
+        per-tick params providers (serving.ResidentModelServer)."""
+        return self._ensure_resident(name).device
+
     @contextlib.contextmanager
     def acquire(self, name: str):
         e = self._ensure_resident(name)

@@ -703,7 +703,8 @@ def _cfg_mix_velocity(fwd, model, ckey: str = "ctx", nkey: str = "nctx"):
 
 def make_flow_engine(model: DiffusionModel, velocity, cond_spec: dict, *,
                      max_batch: int = 4, pipeline_depth: int = 1,
-                     sampler: str = "euler", dp_mesh=None):
+                     sampler: str = "euler", dp_mesh=None,
+                     params_provider=None):
     """Generic rectified-flow continuous-batching engine.
 
     ``velocity(params, x, s_cur, cond) -> v`` — the per-arch forward
@@ -723,9 +724,21 @@ def make_flow_engine(model: DiffusionModel, velocity, cond_spec: dict, *,
     each step across devices with zero collectives in the forward (the
     step is embarrassingly parallel over lanes). Batch buckets snap to
     multiples of the dp size so every shard stays shape-static.
+
+    ``params_provider``: optional zero-arg callable returning the
+    device param tree to use for THIS tick — the multi-model residency
+    hook (serving.ResidentModelServer): params are jit ARGUMENTS, so an
+    evict/re-place cycle swaps buffers without any retrace or recompile.
+    Mutually exclusive with ``dp_mesh`` (the dp path replicates a fixed
+    tree up front).
     """
     from .serving import (ContinuousBatchEngine, flow_multistep_aux_init,
                           lane_dpmpp_2m_update)
+
+    if params_provider is not None and dp_mesh is not None:
+        raise ValueError("params_provider and dp_mesh are mutually "
+                         "exclusive")
+    get_params = params_provider or (lambda: model.params)
 
     batch_sizes = None
     shard_in = None
@@ -764,7 +777,7 @@ def make_flow_engine(model: DiffusionModel, velocity, cond_spec: dict, *,
             return (x.astype(jnp.float32) + step).astype(x.dtype)
 
         def step_fn(x, s_cur, s_next, cond):
-            return _step(model.params,
+            return _step(get_params(),
                          _place(jnp.asarray(x, jnp.bfloat16)),
                          jnp.asarray(s_cur, jnp.float32),
                          jnp.asarray(s_next, jnp.float32), _cast(cond))
@@ -784,7 +797,7 @@ def make_flow_engine(model: DiffusionModel, velocity, cond_spec: dict, *,
         return lane_dpmpp_2m_update(x, denoised, s_cur, s_next, aux)
 
     def step_fn2m(x, s_cur, s_next, cond, aux):
-        return _step2m(model.params,
+        return _step2m(get_params(),
                        _place(jnp.asarray(x, jnp.bfloat16)),
                        jnp.asarray(s_cur, jnp.float32),
                        jnp.asarray(s_next, jnp.float32), _cast(cond),
@@ -800,7 +813,7 @@ def flux_engine(model: DiffusionModel, h_lat: int, w_lat: int,
                 txt_len: int, max_batch: int = 4,
                 pipeline_depth: int = 1, mesh=None,
                 sampler: str = "euler",
-                dp_mesh=None):
+                dp_mesh=None, params_provider=None):
     """Continuous-batching engine for a loaded flux model.
 
     ``sampler="dpmpp_2m"`` runs 2nd-order multistep per LANE (each
@@ -850,7 +863,8 @@ def flux_engine(model: DiffusionModel, h_lat: int, w_lat: int,
         model, velocity,
         {"txt": jnp.bfloat16, "y": jnp.bfloat16, "guidance": jnp.float32},
         max_batch=max_batch, pipeline_depth=pipeline_depth,
-        sampler=sampler, dp_mesh=dp_mesh)
+        sampler=sampler, dp_mesh=dp_mesh,
+        params_provider=params_provider)
 
 
 def qwen_image_engine(model: DiffusionModel, h_tok: int, w_tok: int,

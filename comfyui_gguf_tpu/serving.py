@@ -467,3 +467,64 @@ def flow_multistep_aux_init(latent):
 
     return (jnp.zeros(np.asarray(latent).shape, jnp.float32),
             jnp.float32(0.0), jnp.asarray(False))
+
+
+class ResidentModelServer:
+    """Multi-MODEL serving on one chip under an HBM budget.
+
+    The role of ComfyUI's model management (reference nodes.py:80-119
+    mmap/offload lifecycle) at TPU granularity: every model's packed
+    params are registered with a lifecycle.ResidencyManager (durable
+    host copy + LRU device copy); each model gets a persistent engine
+    whose jitted step receives params AS ARGUMENTS via a provider
+    (pipeline.make_flow_engine(params_provider=...)), so an
+    evict→re-place cycle swaps device buffers without any retrace or
+    recompile — only the host→HBM transfer is paid.
+
+    Draining is grouped BY MODEL (all queued work for one model runs
+    before switching), because a model switch can cost an HBM swap —
+    the same reason ComfyUI runs one model's queue at a time.
+    """
+
+    def __init__(self, hbm_budget: int | None = None, device=None):
+        from .lifecycle import ResidencyManager
+
+        self.manager = ResidencyManager(hbm_budget=hbm_budget,
+                                        device=device)
+        self._engines: dict[str, ContinuousBatchEngine] = {}
+
+    def register(self, name: str, params, engine_factory) -> None:
+        """``engine_factory(params_provider) -> ContinuousBatchEngine``.
+
+        The provider returns the CURRENT device tree for ``name``,
+        loading (and LRU-evicting others) as needed. Ticks are
+        single-threaded through this object, so residency is stable for
+        the duration of each engine call.
+        """
+        self.manager.register(name, params)
+
+        def provider(_name=name):
+            return self.manager.resident_params(_name)
+
+        self._engines[name] = engine_factory(provider)
+
+    def submit(self, name: str, latent, cond, sigmas) -> GenRequest:
+        return self._engines[name].submit(latent, cond, sigmas)
+
+    def run_until_drained(self, timeout_s: float = 600.0) -> None:
+        deadline = time.monotonic() + timeout_s
+        for name, eng in self._engines.items():
+            if not (eng.active or not eng.queue.empty()):
+                continue
+            with self.manager.acquire(name):  # pin across this drain
+                while eng.active or not eng.queue.empty():
+                    if time.monotonic() > deadline:
+                        raise TimeoutError(
+                            f"drain timed out (model {name!r})")
+                    eng.tick()
+
+    @property
+    def stats(self) -> dict:
+        return {"models": self.manager.stats(),
+                "engines": {n: e.stats.snapshot()
+                            for n, e in self._engines.items()}}

@@ -134,3 +134,62 @@ def test_engine_dpmpp_2m_matches_direct(model):
 
     with pytest.raises(ValueError, match="euler|dpmpp_2m"):
         pipeline.flux_engine(mdl, H_LAT, W_LAT, TXT_LEN, sampler="bogus")
+
+
+def test_resident_model_server_two_models_lru():
+    """TWO models sharing one device under an HBM budget smaller than
+    their sum: LRU eviction must swap them, results must match each
+    model's standalone engine, and the evict→re-place cycle must not
+    change outputs (params are jit arguments — no retrace)."""
+    from comfyui_gguf_tpu import serving
+    from comfyui_gguf_tpu.lifecycle import tree_bytes, to_host
+
+    dims = testing.TinyFluxDims()
+    models = {}
+    for name, seed in (("m_a", 0), ("m_b", 9)):
+        sd = testing.flux_state_dict(dims, seed=seed)
+        params = testing.quantize_flux_params(sd, qtype=Q.Q8_0)
+        models[name] = pipeline.DiffusionModel(
+            arch="flux", params=params, config=dims.config(), qcfg=F32)
+
+    per_model = tree_bytes(to_host(models["m_a"].params))
+    # budget fits ~one model: serving the other forces an eviction
+    srv = serving.ResidentModelServer(hbm_budget=int(per_model * 1.5))
+    for name, mdl in models.items():
+        srv.register(
+            name, mdl.params,
+            lambda provider, mdl=mdl: pipeline.flux_engine(
+                mdl, H_LAT, W_LAT, TXT_LEN, max_batch=2,
+                params_provider=provider))
+
+    rng = np.random.default_rng(4)
+    L = (H_LAT // 2) * (W_LAT // 2)
+    x0 = rng.standard_normal((L, dims.in_ch)).astype(np.float32)
+    cond = _cond(dims, 5)
+    sigmas = linear_schedule(3)
+
+    reqs = {n: srv.submit(n, x0, cond, sigmas) for n in models}
+    srv.run_until_drained()
+    assert all(r.finished for r in reqs.values())
+
+    st = srv.stats["models"]
+    assert sum(e["resident"] for e in st.values()) == 1, st  # one evicted
+    assert not any(e["pinned"] for e in st.values())
+
+    # the two models are different weights — results must differ
+    assert not np.allclose(reqs["m_a"].result, reqs["m_b"].result)
+
+    # standalone single-model engines give the same answers
+    for name, mdl in models.items():
+        eng = pipeline.flux_engine(mdl, H_LAT, W_LAT, TXT_LEN, max_batch=2)
+        ref = eng.submit(x0, cond, sigmas)
+        eng.run_until_drained()
+        np.testing.assert_allclose(reqs[name].result, ref.result,
+                                   rtol=1e-5, atol=1e-5)
+
+    # second round through the server: m_a must be re-placed (it was
+    # evicted) and still produce identical output — no retrace, same math
+    req_a2 = srv.submit("m_a", x0, cond, sigmas)
+    srv.run_until_drained()
+    np.testing.assert_allclose(req_a2.result, reqs["m_a"].result,
+                               rtol=1e-5, atol=1e-5)
