@@ -17,3 +17,39 @@ os.environ["JAX_PLATFORMS"] = "cpu"
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+
+
+# ---------------------------------------------------------------------------
+# fast-core vs slow split (VERDICT r3 item 9): the default CI gate is
+# ``pytest -m "not slow"`` — quant codecs, gguf io, kernels, loader,
+# serving runtime, parallelism primitives. Model-graph fulls, engines,
+# HF-parity, torch golden derivations, and the multihost DCN run carry
+# ``slow`` (they dominate the 15-min full-suite wall).
+# ---------------------------------------------------------------------------
+
+SLOW_MODULES = {
+    "test_aura", "test_clip_parity", "test_cosmos_qwen",
+    "test_flux_engine", "test_golden_blocks", "test_hidream",
+    "test_hyvid", "test_hyvid_vae", "test_llama_parity", "test_ltxv",
+    "test_ltxv_vae", "test_lumina2", "test_multihost", "test_pipeline",
+    "test_pipelines_sd", "test_pipelines_video", "test_preview",
+    "test_qwen_image_engine", "test_qwen_vl_vision",
+    "test_qwen_vl_vision_parity", "test_sd3", "test_sd3_engine",
+    "test_t5_parity", "test_tp_flux", "test_unet", "test_vae",
+    "test_wan", "test_wan_vae",
+}
+# individually heavy tests inside otherwise-fast modules
+SLOW_TESTS = {
+    "test_tp_flux_i8_close_to_unsharded",      # 45 s
+    "test_flux_forward_through_gguf",          # 16 s
+}
+
+
+def pytest_collection_modifyitems(config, items):
+    import pytest
+
+    slow = pytest.mark.slow
+    for it in items:
+        mod = it.module.__name__.rsplit(".", 1)[-1] if it.module else ""
+        if mod in SLOW_MODULES or it.name.split("[")[0] in SLOW_TESTS:
+            it.add_marker(slow)

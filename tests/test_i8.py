@@ -453,6 +453,14 @@ def test_flux_engine_dp_mesh_over_i8():
         r2 = eng.submit(x2.copy(), c2, sig)
         eng.run_until_drained()
         assert r1.error is None and r2.error is None
+        # the dp serving stat line (VERDICT r3 item 7): the sharded
+        # engine must report real work, full occupancy, both completions
+        snap = eng.stats.snapshot()
+        print(f"dp={'1' if dp is None else mesh.shape['dp']} w8a8 "
+              f"serving stats: {snap}")
+        assert snap["completed"] == 2
+        assert snap["mean_batch_occupancy"] == 1.0
+        assert snap["steps_per_second"] > 0
         results.append((np.asarray(r1.result, np.float32),
                         np.asarray(r2.result, np.float32)))
     (a1, a2), (b1, b2) = results

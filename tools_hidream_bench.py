@@ -38,8 +38,9 @@ def main():
     from comfyui_gguf_tpu.models import hidream, testing
     from comfyui_gguf_tpu.nn.layers import QuantConfig
 
-    argv = [a for a in sys.argv[1:] if a != "--i8"]
+    argv = [a for a in sys.argv[1:] if not a.startswith("--")]
     use_i8 = "--i8" in sys.argv[1:]
+    dense_only = "--dense-only" in sys.argv[1:]
     steps = int(argv[0]) if len(argv) > 0 else 20
     reps = int(argv[1]) if len(argv) > 1 else 3
 
@@ -66,6 +67,10 @@ def main():
         f"{dims.n_experts}-expert MoE)")
 
     if use_i8:
+        import logging
+        logging.getLogger("comfyui_gguf_tpu.quant.i8").setLevel(
+            logging.INFO)
+        logging.basicConfig(stream=sys.stderr)
         from comfyui_gguf_tpu.quant.i8 import (convert_tree_i8,
                                                is_modulation_key)
 
@@ -73,13 +78,15 @@ def main():
         # 18 GB fully-int8 > 16 GB HBM (measured OOM), and the PLANAR
         # tree is already 13.51 GB packed — the first campaign used a
         # 13.5 GB budget, which converted NOTHING (plan_i8_budget now
-        # warns). 15.0 GB OOM'd at compile (activations + XLA workspace
-        # need >1 GB at these dims); 14.4 GB (≈0.9 GB int8 growth — the
-        # two largest stacked expert leaves) is the measured fit.
+        # warns). With a WORKING planner: 14.4 GB (10 leaves, 19.8% of
+        # tree bytes) OOM'd at first run — only ~1.6 GB left for
+        # activations + XLA workspace at 1024² dims. 14.0 GB (5 stacked
+        # leaves, 11.0% of tree bytes — the single-stream expert ffn
+        # stack) leaves the 2 GB headroom the known-good planar run had.
         sparams = convert_tree_i8(
             sparams, free_source=True,
             pred=lambda k, v: not is_modulation_key(k),
-            max_bytes=int(14.4e9))
+            max_bytes=int(14.0e9))
         jax.block_until_ready(jax.tree_util.tree_leaves(sparams))
         log(f"requantize_i8 in {time.perf_counter()-t0:.1f}s")
 
@@ -109,7 +116,7 @@ def main():
         return x
 
     results = {}
-    for mode in ("dense", "capacity"):
+    for mode in (("dense",) if dense_only else ("dense", "capacity")):
         hidream.MOE_DISPATCH = mode
         # MOE_DISPATCH is read at trace time; a fresh jit per mode
         # forces a retrace
@@ -126,11 +133,12 @@ def main():
                    f"dims Q4_K{'→w8a8' if use_i8 else ''}, 1024², "
                    f"{steps} steps{'' if on_tpu else ', cpu-smoke'})"),
         "dense_s": round(results["dense"], 3),
-        "capacity_s": round(results["capacity"], 3),
         "unit": "s",
         "dense_ms_per_step": round(results["dense"] / steps * 1e3, 1),
-        "capacity_ms_per_step": round(results["capacity"] / steps * 1e3,
-                                      1),
+        **({} if dense_only else {
+            "capacity_s": round(results["capacity"], 3),
+            "capacity_ms_per_step": round(
+                results["capacity"] / steps * 1e3, 1)}),
     }))
 
 
