@@ -1277,3 +1277,135 @@ def cosmos_random_stacked_params(d: CosmosDims, qtype=Q.Q4_K, seed: int = 0,
     nonblock, groups = cosmos_shape_spec(d)
     return random_stacked_from_spec(nonblock, groups, qtype=qtype,
                                     seed=seed, device=device)
+
+
+# ---------------------------------------------------------------------------
+# SDXL / SD1 sgm UNet (models/unet.py key schema) — conv2d + hd-64
+# attention full-depth bench geometry (BASELINE config 4's conv sibling)
+# ---------------------------------------------------------------------------
+
+@dataclasses.dataclass(frozen=True)
+class SDXLDims:
+    """sgm UNet geometry (models/unet.py). Real SDXL: mc 320,
+    channel_mult (1,2,4), 2 res blocks, transformer depth (0, 2, 10),
+    ctx 2048, adm 2816 — ~2.6B params."""
+
+    model_channels: int = 32
+    channel_mult: tuple[int, ...] = (1, 2, 4)
+    num_res_blocks: int = 2
+    depths: tuple[int, ...] = (0, 1, 1)  # transformer depth per level
+    ctx: int = 64
+    adm: int = 64
+    in_ch: int = 4
+
+
+SDXL_DIMS = SDXLDims(model_channels=320, depths=(0, 2, 10), ctx=2048,
+                     adm=2816)
+
+
+def sdxl_random_params(d: SDXLDims = SDXL_DIMS, qtype=Q.Q4_K,
+                       seed: int = 0) -> dict:
+    """Random SDXL-dims UNet params: 2-D weights packed planar (the
+    quantizer's 2-D-only rule, reference lcpp.patch:427-429), convs and
+    norms dense (bf16/f32) — exactly the mix a real quantized SDXL GGUF
+    loads into."""
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(seed)
+    mc, emb = d.model_channels, 4 * d.model_channels
+    sd: dict = {}
+
+    def conv(name, o, i, k=3):
+        sd[f"{name}.weight"] = jnp.asarray(
+            (rng.standard_normal((o, i, k, k)) * 0.02).astype(np.float32),
+            jnp.bfloat16)
+        sd[f"{name}.bias"] = jnp.zeros(o, jnp.float32)
+
+    def lin(name, o, i, bias=True):
+        sd[f"{name}.weight"] = random_planar(qtype, (o, i), rng)
+        if bias:
+            sd[f"{name}.bias"] = jnp.zeros(o, jnp.float32)
+
+    def norm(name, c):
+        sd[f"{name}.weight"] = jnp.ones(c, jnp.float32)
+        sd[f"{name}.bias"] = jnp.zeros(c, jnp.float32)
+
+    def resblock(p, cin, cout):
+        norm(f"{p}.in_layers.0", cin)
+        conv(f"{p}.in_layers.2", cout, cin)
+        lin(f"{p}.emb_layers.1", cout, emb)
+        norm(f"{p}.out_layers.0", cout)
+        conv(f"{p}.out_layers.3", cout, cout)
+        if cin != cout:
+            conv(f"{p}.skip_connection", cout, cin, k=1)
+
+    def transformer(p, c, depth):
+        norm(f"{p}.norm", c)
+        lin(f"{p}.proj_in", c, c)
+        for i in range(depth):
+            b = f"{p}.transformer_blocks.{i}"
+            for n in ("norm1", "norm2", "norm3"):
+                norm(f"{b}.{n}", c)
+            lin(f"{b}.attn1.to_q", c, c, bias=False)
+            lin(f"{b}.attn1.to_k", c, c, bias=False)
+            lin(f"{b}.attn1.to_v", c, c, bias=False)
+            lin(f"{b}.attn1.to_out.0", c, c)
+            lin(f"{b}.attn2.to_q", c, c, bias=False)
+            lin(f"{b}.attn2.to_k", c, d.ctx, bias=False)
+            lin(f"{b}.attn2.to_v", c, d.ctx, bias=False)
+            lin(f"{b}.attn2.to_out.0", c, c)
+            lin(f"{b}.ff.net.0.proj", 8 * c, c)
+            lin(f"{b}.ff.net.2", c, 4 * c)
+        lin(f"{p}.proj_out", c, c)
+
+    # embedders stay dense (noquant recipe)
+    for name, o, i in (("time_embed.0", emb, mc), ("time_embed.2", emb, emb),
+                       ("label_emb.0.0", emb, d.adm),
+                       ("label_emb.0.2", emb, emb)):
+        sd[f"{name}.weight"] = jnp.asarray(
+            (rng.standard_normal((o, i)) * 0.02).astype(np.float32),
+            jnp.bfloat16)
+        sd[f"{name}.bias"] = jnp.zeros(o, jnp.float32)
+
+    chans = [mc * m for m in d.channel_mult]
+    # input blocks
+    conv("input_blocks.0.0", mc, d.in_ch)
+    skips = [mc]
+    ch = mc
+    bi = 1
+    for lvl, c in enumerate(chans):
+        for _ in range(d.num_res_blocks):
+            resblock(f"input_blocks.{bi}.0", ch, c)
+            ch = c
+            if d.depths[lvl]:
+                transformer(f"input_blocks.{bi}.1", c, d.depths[lvl])
+            skips.append(ch)
+            bi += 1
+        if lvl < len(chans) - 1:
+            conv(f"input_blocks.{bi}.0.op", ch, ch)
+            skips.append(ch)
+            bi += 1
+
+    # middle
+    resblock("middle_block.0", ch, ch)
+    transformer("middle_block.1", ch, d.depths[-1] or 1)
+    resblock("middle_block.2", ch, ch)
+
+    # output blocks
+    bo = 0
+    for lvl in reversed(range(len(chans))):
+        c = chans[lvl]
+        for j in range(d.num_res_blocks + 1):
+            resblock(f"output_blocks.{bo}.0", ch + skips.pop(), c)
+            ch = c
+            k = 1
+            if d.depths[lvl]:
+                transformer(f"output_blocks.{bo}.{k}", c, d.depths[lvl])
+                k += 1
+            if lvl > 0 and j == d.num_res_blocks:
+                conv(f"output_blocks.{bo}.{k}.conv", c, c)
+            bo += 1
+
+    norm("out.0", mc)
+    conv("out.2", d.in_ch, mc)
+    return sd

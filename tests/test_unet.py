@@ -334,3 +334,29 @@ def test_unet_engine_dpmpp_2m(tiny_unet):
     e1 = eng_e.submit(x1.copy(), c1, sigmas)
     eng_e.run_until_drained()
     assert not np.allclose(r1.result, e1.result)
+
+
+def test_sdxl_random_params_generator_forward():
+    """The bench generator (testing.sdxl_random_params) must produce a
+    tree models/unet.py accepts: config introspection, forward shape,
+    finite output — guards the tools_arch_bench sdxl entry against
+    schema drift."""
+    import jax
+
+    from comfyui_gguf_tpu.models import testing
+
+    d = testing.SDXLDims()
+    sd = testing.sdxl_random_params(d, seed=3)
+    cfg = unet.UNetConfig.from_state_dict(sd)
+    assert cfg.model_channels == d.model_channels
+    assert cfg.context_dim == d.ctx and cfg.adm_in_channels == d.adm
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((1, 16, 16, d.in_ch)),
+                    jnp.bfloat16)
+    ctx = jnp.asarray(rng.standard_normal((1, 7, d.ctx)), jnp.bfloat16)
+    y = jnp.asarray(rng.standard_normal((1, d.adm)), jnp.bfloat16)
+    fwd = jax.jit(lambda p, x: unet.forward(p, cfg, x, jnp.asarray([500.0]),
+                                            ctx, y, qcfg=F32CFG))
+    out = fwd(sd, x)
+    assert out.shape == (1, 16, 16, d.in_ch)
+    assert np.isfinite(np.asarray(out, np.float32)).all()

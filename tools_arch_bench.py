@@ -286,8 +286,46 @@ def _cosmos(args, on_tpu, Q, log):
                          f"{width}x{height}x{frames}f")
 
 
+def _sdxl(args, on_tpu, Q, log):
+    """SDXL base (sgm UNet, ~2.6B): mc 320 × (1,2,4), transformer depth
+    (0,2,10), hd-64 attention at 4096 tokens (level 1) / 1024 (level 2),
+    CLIP ctx 2048, adm 2816. The conv2d + UNet path's first full-depth
+    run (VERDICT r3 item 3) — eps-model, but the Euler-update arithmetic
+    costs the same either way; this measures the forward."""
+    import jax
+    import jax.numpy as jnp
+
+    from comfyui_gguf_tpu.models import testing, unet
+
+    if on_tpu:
+        d = testing.SDXL_DIMS
+        height, width = args.height or 1024, args.width or 1024
+        ctx_len = 77
+    else:
+        d = testing.SDXLDims()
+        height, width = 64, 64
+        ctx_len = 7
+    H, W = height // 8, width // 8
+    sp = testing.sdxl_random_params(d, qtype=getattr(Q, args.qtype))
+    cfg = unet.UNetConfig.from_state_dict(sp)
+    log(f"sdxl mc {d.model_channels} mult {d.channel_mult} depths "
+        f"{d.depths}, latent ({H},{W}), ctx {ctx_len}")
+    rng = jax.random.key(0)
+    x0 = jax.random.normal(rng, (1, H, W, d.in_ch), jnp.bfloat16)
+    ctx = jax.random.normal(jax.random.fold_in(rng, 1),
+                            (1, ctx_len, d.ctx), jnp.bfloat16)
+    y = jax.random.normal(jax.random.fold_in(rng, 2), (1, d.adm),
+                          jnp.bfloat16)
+
+    def fwd(params, x, ts):
+        return unet.forward(params, cfg, x, ts * 1000.0, ctx, y)
+
+    return sp, fwd, x0, f"sdxl-base dims {args.qtype}, {width}x{height}"
+
+
 ARCHS = {"wan": _wan, "hyvid": _hyvid, "aura": _aura, "lumina2": _lumina2,
-         "qwen_image": _qwen_image, "ltxv": _ltxv, "cosmos": _cosmos}
+         "qwen_image": _qwen_image, "ltxv": _ltxv, "cosmos": _cosmos,
+         "sdxl": _sdxl}
 
 
 def main():
