@@ -1295,12 +1295,16 @@ class SDXLDims:
     num_res_blocks: int = 2
     depths: tuple[int, ...] = (0, 1, 1)  # transformer depth per level
     ctx: int = 64
-    adm: int = 64
+    adm: int | None = 64  # None = SD1 (no label_emb, fixed 8 heads)
     in_ch: int = 4
 
 
 SDXL_DIMS = SDXLDims(model_channels=320, depths=(0, 2, 10), ctx=2048,
                      adm=2816)
+# SD1.x: 860M, attention (depth 1) at every level but the last, CLIP-L
+# ctx 768, no pooled vector
+SD1_DIMS = SDXLDims(model_channels=320, channel_mult=(1, 2, 4, 4),
+                    depths=(1, 1, 1, 0), ctx=768, adm=None)
 
 
 def sdxl_random_params(d: SDXLDims = SDXL_DIMS, qtype=Q.Q4_K,
@@ -1341,7 +1345,12 @@ def sdxl_random_params(d: SDXLDims = SDXL_DIMS, qtype=Q.Q4_K,
 
     def transformer(p, c, depth):
         norm(f"{p}.norm", c)
-        lin(f"{p}.proj_in", c, c)
+        # SD1 stores proj_in/out as 1×1 convs; SDXL as linear
+        # (models/unet.py branches on weight ndim)
+        if d.adm is None:
+            conv(f"{p}.proj_in", c, c, k=1)
+        else:
+            lin(f"{p}.proj_in", c, c)
         for i in range(depth):
             b = f"{p}.transformer_blocks.{i}"
             for n in ("norm1", "norm2", "norm3"):
@@ -1356,12 +1365,17 @@ def sdxl_random_params(d: SDXLDims = SDXL_DIMS, qtype=Q.Q4_K,
             lin(f"{b}.attn2.to_out.0", c, c)
             lin(f"{b}.ff.net.0.proj", 8 * c, c)
             lin(f"{b}.ff.net.2", c, 4 * c)
-        lin(f"{p}.proj_out", c, c)
+        if d.adm is None:
+            conv(f"{p}.proj_out", c, c, k=1)
+        else:
+            lin(f"{p}.proj_out", c, c)
 
-    # embedders stay dense (noquant recipe)
-    for name, o, i in (("time_embed.0", emb, mc), ("time_embed.2", emb, emb),
-                       ("label_emb.0.0", emb, d.adm),
-                       ("label_emb.0.2", emb, emb)):
+    # embedders stay dense (noquant recipe); SD1 has no label_emb
+    dense = [("time_embed.0", emb, mc), ("time_embed.2", emb, emb)]
+    if d.adm is not None:
+        dense += [("label_emb.0.0", emb, d.adm),
+                  ("label_emb.0.2", emb, emb)]
+    for name, o, i in dense:
         sd[f"{name}.weight"] = jnp.asarray(
             (rng.standard_normal((o, i)) * 0.02).astype(np.float32),
             jnp.bfloat16)

@@ -323,9 +323,43 @@ def _sdxl(args, on_tpu, Q, log):
     return sp, fwd, x0, f"sdxl-base dims {args.qtype}, {width}x{height}"
 
 
+def _sd1(args, on_tpu, Q, log):
+    """SD1.5 (860M sgm UNet): mc 320 × (1,2,4,4), depth-1 transformers
+    at every level but the last (8 fixed heads, hd 40/80/160), CLIP-L
+    ctx 768, conv-form proj_in/out. Default 512²."""
+    import jax
+    import jax.numpy as jnp
+
+    from comfyui_gguf_tpu.models import testing, unet
+
+    if on_tpu:
+        d = testing.SD1_DIMS
+        height, width = args.height or 512, args.width or 512
+        ctx_len = 77
+    else:
+        d = testing.SDXLDims(channel_mult=(1, 2, 4), depths=(1, 1, 0),
+                             ctx=48, adm=None)
+        height, width = 64, 64
+        ctx_len = 7
+    H, W = height // 8, width // 8
+    sp = testing.sdxl_random_params(d, qtype=getattr(Q, args.qtype))
+    cfg = unet.UNetConfig.from_state_dict(sp)
+    log(f"sd1 mc {d.model_channels} mult {d.channel_mult} depths "
+        f"{d.depths}, latent ({H},{W}), ctx {ctx_len}")
+    rng = jax.random.key(0)
+    x0 = jax.random.normal(rng, (1, H, W, d.in_ch), jnp.bfloat16)
+    ctx = jax.random.normal(jax.random.fold_in(rng, 1),
+                            (1, ctx_len, d.ctx), jnp.bfloat16)
+
+    def fwd(params, x, ts):
+        return unet.forward(params, cfg, x, ts * 1000.0, ctx, None)
+
+    return sp, fwd, x0, f"sd1.5 dims {args.qtype}, {width}x{height}"
+
+
 ARCHS = {"wan": _wan, "hyvid": _hyvid, "aura": _aura, "lumina2": _lumina2,
          "qwen_image": _qwen_image, "ltxv": _ltxv, "cosmos": _cosmos,
-         "sdxl": _sdxl}
+         "sdxl": _sdxl, "sd1": _sd1}
 
 
 def main():
