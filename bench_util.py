@@ -31,7 +31,13 @@ def timed_reps(fn, x, *, reps, steps, tag, log):
     log(f"{tag} compile+first-run {time.perf_counter() - tc:.1f}s")
     times = []
     for r in range(reps):
-        xr = x + jnp.asarray((r + 1) * 1e-3, x.dtype)
+        if jnp.issubdtype(x.dtype, jnp.integer):
+            # token-id inputs: a 1e-3 nudge casts to +0 (observed: the
+            # tunnel memoized t5-encode reps at 0.000 s). Roll instead —
+            # same values, different arrangement, still valid ids.
+            xr = jnp.roll(x, r + 1, axis=-1)
+        else:
+            xr = x + jnp.asarray((r + 1) * 1e-3, x.dtype)
         jax.block_until_ready(xr)
         tr = time.perf_counter()
         jax.block_until_ready(fn(xr))

@@ -148,17 +148,39 @@ def main():
     jax.block_until_ready(jax.tree_util.tree_leaves(t5p))
     log(f"t5-xxl params in {time.perf_counter()-t0:.1f}s")
 
+    def chained_encode_time(tag, params, encode_fn, ids, n=10):
+        """Per-encode seconds via an N-chained on-device scan, synced
+        with device_get on a scalar: encoder outputs are small enough
+        that block_until_ready returns EARLY through the tunnel
+        (observed 0.000 s reps), and a lone dispatch is RTT-dominated —
+        the round-1 chained-device-timing methodology."""
+        @jax.jit
+        def chain(params, ids):
+            def body(acc, i):
+                out = encode_fn(params, jnp.roll(ids, i, axis=-1))
+                return acc + out.astype(jnp.float32).sum(), None
+
+            acc, _ = jax.lax.scan(body, jnp.float32(0.0), jnp.arange(n))
+            return acc
+
+        jax.device_get(chain(params, ids))  # compile + warm
+        ts = []
+        for r in range(reps):
+            idr = jnp.roll(ids, 100 + r, axis=-1)
+            jax.block_until_ready(idr)
+            tr = time.perf_counter()
+            jax.device_get(chain(params, idr))
+            ts.append((time.perf_counter() - tr) / n)
+        sec = statistics.median(ts)
+        log(f"{tag}: {sec*1e3:.1f} ms/encode (chained n={n}; "
+            f"runs {[round(t*1e3, 2) for t in ts]})")
+        return sec
+
     ids = jnp.asarray(rng.integers(0, t5_cfg.vocab_size,
                                    (1, t5_len)).astype(np.int32))
-
-    @jax.jit
-    def t5_encode(params, ids):
-        return t5_mod.encode(params, t5_cfg, ids, qcfg=qcfg)
-
-    sec, t5_out = timed_reps(lambda x: t5_encode(t5p, x), ids,
-                             reps=reps, steps=1, tag="t5-encode", log=log)
-    results["t5_encode_s"] = sec
-    txt_shape = t5_out.shape
+    results["t5_encode_s"] = chained_encode_time(
+        "t5-encode", t5p,
+        lambda p, i: t5_mod.encode(p, t5_cfg, i, qcfg=qcfg), ids)
     _free(t5p)
     del t5p
 
@@ -194,14 +216,10 @@ def main():
 
     cl_ids = jnp.asarray(rng.integers(0, cl_cfg.vocab_size,
                                       (1, clip_len)).astype(np.int32))
-
-    @jax.jit
-    def clip_encode(params, ids):
-        return clip_mod.encode(params, cl_cfg, ids, qcfg=qcfg)["pooled"]
-
-    sec, pooled = timed_reps(lambda x: clip_encode(clp, x), cl_ids,
-                             reps=reps, steps=1, tag="clip-encode", log=log)
-    results["clip_encode_s"] = sec
+    results["clip_encode_s"] = chained_encode_time(
+        "clip-encode", clp,
+        lambda p, i: clip_mod.encode(p, cl_cfg, i, qcfg=qcfg)["pooled"],
+        cl_ids)
     _free(clp)
     del clp
 
