@@ -19,6 +19,23 @@ import statistics
 import time
 
 
+def _sync(out):
+    """Wait for ``out`` for real. block_until_ready can return EARLY
+    through the remote tunnel for small-output programs (observed: a
+    full-depth 20-step SDXL denoise "completing" in 0.2 ms — its
+    (1,128,128,4) bf16 latent is only 131 KB); device_get must produce
+    the bytes, which forces execution. Only used for sub-4-MB outputs so
+    the D2H transfer doesn't pollute multi-MB timings (which sync fine)."""
+    import jax
+
+    leaves = jax.tree_util.tree_leaves(out)
+    nbytes = sum(getattr(l, "nbytes", 0) for l in leaves)
+    if nbytes < 4 << 20:
+        jax.device_get(out)
+    else:
+        jax.block_until_ready(out)
+
+
 def timed_reps(fn, x, *, reps, steps, tag, log):
     """Time ``fn(x)``: one compile+first-run, then ``reps`` perturbed
     calls. Returns (median_seconds, first_run_output)."""
@@ -27,7 +44,7 @@ def timed_reps(fn, x, *, reps, steps, tag, log):
 
     tc = time.perf_counter()
     out = fn(x)
-    jax.block_until_ready(out)
+    _sync(out)
     log(f"{tag} compile+first-run {time.perf_counter() - tc:.1f}s")
     times = []
     for r in range(reps):
@@ -40,7 +57,7 @@ def timed_reps(fn, x, *, reps, steps, tag, log):
             xr = x + jnp.asarray((r + 1) * 1e-3, x.dtype)
         jax.block_until_ready(xr)
         tr = time.perf_counter()
-        jax.block_until_ready(fn(xr))
+        _sync(fn(xr))
         times.append(time.perf_counter() - tr)
     med = statistics.median(times)
     log(f"{tag} {steps}-step: {med:.3f}s ({med / steps * 1e3:.1f} ms/step; "
