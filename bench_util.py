@@ -24,13 +24,15 @@ def _sync(out):
     through the remote tunnel for small-output programs (observed: a
     full-depth 20-step SDXL denoise "completing" in 0.2 ms — its
     (1,128,128,4) bf16 latent is only 131 KB); device_get must produce
-    the bytes, which forces execution. Only used for sub-4-MB outputs so
-    the D2H transfer doesn't pollute multi-MB timings (which sync fine)."""
+    the bytes, which forces execution. Only used for sub-256-KB outputs:
+    the 512 KB flux latent has always synced correctly (its rows match
+    independently-derived numbers), while SDXL's 131 KB did not — and
+    device_get's D2H would pollute timings that don't need it."""
     import jax
 
     leaves = jax.tree_util.tree_leaves(out)
     nbytes = sum(getattr(l, "nbytes", 0) for l in leaves)
-    if nbytes < 4 << 20:
+    if nbytes < 256 << 10:
         jax.device_get(out)
     else:
         jax.block_until_ready(out)
