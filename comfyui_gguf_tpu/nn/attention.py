@@ -127,6 +127,29 @@ def _pad128(x, L):
     return jax.numpy.pad(x, ((0, 0), (0, 0), (0, pad), (0, 0)))
 
 
+def _pad_target(L: int) -> int:
+    """Padded length for the flash path: the LARGEST block size whose
+    masked-pad overhead stays ≤4%. The kernel's efficiency scales with
+    its block size, and the block must divide the padded length —
+    hyvid's 34,936 joint tokens padded to a 128-multiple (34,944, not
+    divisible by 256/512) forced 128-blocks: measured 56.2 s/forward vs
+    wan's 13.7 at the same scale (wan's 32,760 pads to 32,768 = 512·64).
+    Padding hyvid to 35,328 = 512·69 costs 1.1% extra rows for 4×-wider
+    tiles. Masked pad keys never enter the softmax (segment ids); pad
+    query rows are sliced off after."""
+    for m in (FLASH_BLOCK_Q, 256, _LANE):
+        Lp = -(-L // m) * m
+        if (Lp - L) * 25 <= L or m == _LANE:
+            return Lp
+    return -(-L // _LANE) * _LANE
+
+
+def _pad_to(x, L: int, Lp: int):
+    if Lp == L:
+        return x
+    return jax.numpy.pad(x, ((0, 0), (0, 0), (0, Lp - L), (0, 0)))
+
+
 def _splash_attention(q, k, v, scale: float, interpret: bool = False):
     """Splash kernel path: self-attention, Lq == Lk, D ≤ 128 or D%128==0.
 
@@ -219,8 +242,9 @@ def dot_product_attention(q: jax.Array, k: jax.Array, v: jax.Array,
     if _on_tpu() and _flash_ok(q, k):
         from jax.experimental.pallas.ops.tpu import flash_attention as fa
 
-        qp, kp, vp = _pad128(q, Lq), _pad128(k, Lk), _pad128(v, Lk)
-        Lqp, Lkp = qp.shape[2], kp.shape[2]
+        Lqp, Lkp = _pad_target(Lq), _pad_target(Lk)
+        qp, kp, vp = (_pad_to(q, Lq, Lqp), _pad_to(k, Lk, Lkp),
+                      _pad_to(v, Lk, Lkp))
         seg = None
         if Lqp != Lq or Lkp != Lk:
             q_ids = (jnp.arange(Lqp) < Lq).astype(jnp.int32)[None]
