@@ -195,12 +195,13 @@ def quantize_rows(x2: jax.Array):
 def is_modulation_key(key: str) -> bool:
     """True for adaLN/modulation projection keys across the supported
     arch families (flux img_mod/txt_mod/modulation, sd3/hidream
-    adaLN_modulation, cosmos adaln, wan .modulation). These weights only
-    ever see M=batch activation rows — HBM-bandwidth-bound, where int8's
-    ~8 bpw loses to the 4.5-bpw nib4 planar path — so w8a8 conversion
-    keeps them planar by default."""
+    adaLN_modulation, cosmos adaln, wan .modulation, sgm-UNet resblock
+    emb_layers). These weights only ever see M=batch activation rows —
+    HBM-bandwidth-bound, where int8's ~8 bpw loses to the 4.5-bpw nib4
+    planar path — so w8a8 conversion keeps them planar by default."""
     return any(seg == "modulation" or seg.endswith("mod")
-               or "adaln" in seg.lower() for seg in key.split("."))
+               or seg == "emb_layers" or "adaln" in seg.lower()
+               for seg in key.split("."))
 
 
 def _leaf_bytes(b: PlanarQuant) -> tuple[int, int]:
