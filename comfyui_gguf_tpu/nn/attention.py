@@ -127,21 +127,30 @@ def _pad128(x, L):
     return jax.numpy.pad(x, ((0, 0), (0, 0), (0, pad), (0, 0)))
 
 
+# relative per-unit-work cost of the in-tree flash kernel by block size,
+# measured at the sd3.5 joint geometry (B1 H38 hd64 L4250, 20-chained
+# device timing): 512-blocks 4.91 ms, 256 → 8.30 (×1.9 after the (Lp/L)²
+# work normalization), 128 → 22.9 (×5.2). Block efficiency dominates pad
+# overhead: padding 4250→4608 (+8.4% rows, +17% score work) for
+# 512-blocks still nets 1.69×. The first 4%-pad-cap heuristic left sd3
+# on 256-blocks and (before it existed) hyvid's 34,936 joint tokens on
+# 128-blocks — measured 56.2 s/forward vs 11.7 after.
+_FLASH_BLOCK_COST = {512: 1.0, 256: 1.9, 128: 5.2}
+
+
 def _pad_target(L: int) -> int:
-    """Padded length for the flash path: the LARGEST block size whose
-    masked-pad overhead stays ≤4%. The kernel's efficiency scales with
-    its block size, and the block must divide the padded length —
-    hyvid's 34,936 joint tokens padded to a 128-multiple (34,944, not
-    divisible by 256/512) forced 128-blocks: measured 56.2 s/forward vs
-    wan's 13.7 at the same scale (wan's 32,760 pads to 32,768 = 512·64).
-    Padding hyvid to 35,328 = 512·69 costs 1.1% extra rows for 4×-wider
-    tiles. Masked pad keys never enter the softmax (segment ids); pad
-    query rows are sliced off after."""
+    """Padded length for the flash path: choose the block size (and its
+    multiple) minimizing (Lp/L)² × per-block-cost — the score work grows
+    with Lq·Lk while kernel efficiency grows with block size. Masked pad
+    keys never enter the softmax (segment ids); pad query rows are
+    sliced off after."""
+    best, best_cost = None, None
     for m in (FLASH_BLOCK_Q, 256, _LANE):
         Lp = -(-L // m) * m
-        if (Lp - L) * 25 <= L or m == _LANE:
-            return Lp
-    return -(-L // _LANE) * _LANE
+        cost = (Lp / L) ** 2 * _FLASH_BLOCK_COST.get(m, 1.0)
+        if best is None or cost < best_cost:
+            best, best_cost = Lp, cost
+    return best
 
 
 def _pad_to(x, L: int, Lp: int):

@@ -66,19 +66,18 @@ def test_flash_gate_shapes():
     assert attention._flash_ok(z((1, 2, 520, 128)), z((1, 2, 520, 128)))
 
 
-def test_pad_target_prefers_large_blocks():
-    """Flash pad length: largest block size with ≤4% pad overhead.
-    hyvid's 34,936 joint tokens must land on a 512-multiple (35,328,
-    1.1% overhead — the 128-multiple 34,944 forced 128-blocks: measured
-    4× slowdown vs wan at the same scale); sd3's 4250 keeps the
-    256-block pad (4352; a 512 pad would cost 8.4%); lane-multiples
-    stay unchanged."""
+def test_pad_target_minimizes_padded_cost():
+    """Flash pad length: minimize (Lp/L)² × per-block-cost. hyvid's
+    34,936 joint tokens land on 35,328 = 512·69 (the bare 128-multiple
+    34,944 forced 128-blocks: measured 4.8× slowdown); sd3's 4250 pads
+    all the way to 4608 = 512·9 (kernel A/B: 4.91 ms vs 8.30 on
+    256-blocks despite +8.4% rows); lane/512-multiples stay unchanged;
+    tiny lengths avoid absurd padding."""
     from comfyui_gguf_tpu.nn import attention as A
 
     assert A._pad_target(34936) == 35328 and 35328 % 512 == 0
-    assert A._pad_target(4250) == 4352 and 4352 % 256 == 0
+    assert A._pad_target(4250) == 4608 and 4608 % 512 == 0
     assert A._pad_target(32760) == 32768  # wan: already 512·64
     assert A._pad_target(4608) == 4608    # flux: unchanged
     assert A._pad_target(512) == 512
-    # tiny lengths: fall back to the lane multiple whatever the overhead
-    assert A._pad_target(130) == 256
+    assert A._pad_target(130) == 256  # 512-pad would quadruple the work
