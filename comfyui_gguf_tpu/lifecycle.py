@@ -47,6 +47,20 @@ def to_host(params):
                                   params)
 
 
+def free_tree(params) -> None:
+    """Delete the device buffers of every jax.Array leaf in ``params``.
+
+    Unlike dropping python references, this frees HBM even when the
+    caller (or an engine closure) still holds the tree — the arrays
+    become "deleted" and any later compute on them raises. Use after
+    registering a model with a ResidencyManager (whose host copy is the
+    durable source) or after a stacked/converted copy supersedes the
+    original tree."""
+    for leaf in jax.tree_util.tree_leaves(params):
+        if isinstance(leaf, jax.Array) and hasattr(leaf, "delete"):
+            leaf.delete()
+
+
 def to_device(params, device=None):
     dev = device or jax.devices()[0]
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, dev), params)
@@ -73,13 +87,22 @@ class ResidencyManager:
         self.device = device
         self._models: OrderedDict[str, _Entry] = OrderedDict()
 
-    def register(self, name: str, params, keep_device: bool = False) -> None:
+    def register(self, name: str, params, keep_device: bool = False,
+                 free_source: bool = False) -> None:
         """Add a model. ``params`` may be host- or device-resident; a host
         copy is kept as the durable source. keep_device=True places it
-        immediately (counting against the budget)."""
+        immediately (counting against the budget).
+
+        free_source=True deletes the device buffers of the CALLER'S tree
+        after the host copy is made. Without it, a device-resident source
+        that stays referenced (engine closures, the caller's local) keeps
+        its HBM forever and the budget is not actually enforced — LRU
+        eviction only drops the manager's own copies."""
         if name in self._models:
             raise ValueError(f"model {name!r} already registered")
         host = to_host(params)
+        if free_source:
+            free_tree(params)
         entry = _Entry(host=host, device=None, nbytes=tree_bytes(host))
         self._models[name] = entry
         if keep_device:

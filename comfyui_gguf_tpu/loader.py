@@ -154,6 +154,7 @@ def gguf_sd_loader(
 
     state_dict: dict[str, QTensor] = {}
     qtype_census: dict[str, int] = {}
+    undecodable: list[tuple[str, GGMLQuantizationType]] = []
     for sd_key, t in tensors:
         shape = reader.get_orig_shape(t.name)
         if shape is None:
@@ -169,9 +170,15 @@ def gguf_sd_loader(
         # fail at LOAD, with the actionable message, for formats whose
         # decode needs llama.cpp codebook tables (IQ1/IQ2/IQ3) — the
         # role of the reference's gguf-pkg decode fallback
-        # (reference dequant.py:26-28), which this env cannot bundle
+        # (reference dequant.py:26-28), which this env cannot bundle.
+        # All blocked tensors are collected so ONE error names the full
+        # set (a mixed-quant file shouldn't fail piecemeal); with
+        # GGUF_TPU_SKIP_UNDECODABLE=1 they are skipped with a warning
+        # instead (per-tensor degradation, closest to the reference's
+        # per-tensor fallback behavior).
         if not codecs.can_decode(qt.qtype):
-            codecs.require_decoder(qt.qtype, context=f"tensor {t.name!r}")
+            undecodable.append((t.name, qt.qtype))
+            continue
         # 1-D tensors shouldn't stay quantized — BF16 fix
         # (reference loader.py:122-124)
         if len(shape) <= 1 and t.qtype == Q.BF16:
@@ -179,6 +186,20 @@ def gguf_sd_loader(
                          data=qt.dequantize(np.float32))
         state_dict[sd_key] = qt
         qtype_census[qt.qtype.name] = qtype_census.get(qt.qtype.name, 0) + 1
+
+    if undecodable:
+        names = ", ".join(f"{n!r} [{q.name}]" for n, q in undecodable)
+        if os.environ.get("GGUF_TPU_SKIP_UNDECODABLE", "") not in ("", "0"):
+            log.warning(
+                "skipping %d undecodable tensor(s) "
+                "(GGUF_TPU_SKIP_UNDECODABLE=1): %s — the model will run "
+                "WITHOUT these weights; expect failures unless the arch "
+                "tolerates missing keys", len(undecodable), names)
+        else:
+            codecs.require_decoder(
+                undecodable[0][1],
+                context=f"{len(undecodable)} tensor(s): {names}; set "
+                        "GGUF_TPU_SKIP_UNDECODABLE=1 to load the rest")
 
     log.info("gguf qtypes: %s",
              ", ".join(f"{k} ({v})" for k, v in qtype_census.items()))

@@ -689,8 +689,9 @@ ENCODERS = {
 # decodes these via its gguf-pkg fallback, reference dequant.py:26-28).
 # The formats stay load-blocked with an actionable error until a decoder
 # is dropped in through register_decoder() below; the skipped golden
-# test tests/test_codecs.py::test_iq_codebook_seam documents the
-# expected table shapes and the registration contract.
+# test tests/test_codecs.py::test_iq_codebook_golden documents the
+# expected table shapes, and test_register_decoder_seam exercises the
+# registration contract.
 CODEBOOK_BLOCKED = frozenset({
     Q.IQ1_S, Q.IQ1_M, Q.IQ2_XXS, Q.IQ2_XS, Q.IQ2_S, Q.IQ3_XXS, Q.IQ3_S,
 })

@@ -493,15 +493,23 @@ class ResidentModelServer:
                                         device=device)
         self._engines: dict[str, ContinuousBatchEngine] = {}
 
-    def register(self, name: str, params, engine_factory) -> None:
+    def register(self, name: str, params, engine_factory,
+                 free_source: bool = True) -> None:
         """``engine_factory(params_provider) -> ContinuousBatchEngine``.
 
         The provider returns the CURRENT device tree for ``name``,
         loading (and LRU-evicting others) as needed. Ticks are
         single-threaded through this object, so residency is stable for
         the duration of each engine call.
+
+        free_source (default True): delete the device buffers of the
+        caller's ``params`` once the manager's host copy exists — the
+        engine must only ever touch params through the provider, and a
+        still-referenced device source would keep its HBM resident
+        outside the budget (the whole point of this server). Pass
+        False only if the caller genuinely keeps using its own tree.
         """
-        self.manager.register(name, params)
+        self.manager.register(name, params, free_source=free_source)
 
         def provider(_name=name):
             return self.manager.resident_params(_name)

@@ -46,10 +46,19 @@ def main():
     srv = serving.ResidentModelServer(
         hbm_budget=int(args.hbm_budget_gb * 1e9))
 
+    from comfyui_gguf_tpu.lifecycle import free_tree
+
     pipes = {}
     for name, path in (("a", args.model_a), ("b", args.model_b)):
         pipe = FluxPipeline.load(path, args.t5, args.clip_l)
         model = pipe.model.stack()
+        # stacking COPIES the block leaves (the other keys are shared by
+        # reference): free the unstacked block copies so only the
+        # manager-controlled tree ever occupies HBM
+        free_tree({k: v for k, v in pipe.model.params.items()
+                   if k.startswith(("double_blocks.", "single_blocks."))})
+        # register deletes model.params' device buffers too (free_source
+        # default) — the engine reads params only through the provider
         srv.register(
             name, model.params,
             lambda provider, m=model: flux_engine(

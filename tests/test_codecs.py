@@ -196,6 +196,42 @@ def test_iq_loader_fails_at_load(tmp_path):
     assert "img_attn.proj.weight" in str(ei.value)
 
 
+def test_iq_loader_collects_all_blocked_and_skip_mode(tmp_path,
+                                                      monkeypatch):
+    """A mixed file with TWO blocked tensors must fail with ONE error
+    naming both (not piecemeal on the first), and
+    GGUF_TPU_SKIP_UNDECODABLE=1 must load the decodable remainder with a
+    warning (per-tensor degradation, the reference's fallback shape)."""
+    from comfyui_gguf_tpu import loader as L
+    from comfyui_gguf_tpu.gguf.writer import GGUFWriter
+
+    block, type_size = GGML_QUANT_SIZES[Q.IQ2_XS]
+    pre = "model.diffusion_model."
+    w = GGUFWriter("flux")
+    w.add_tensor(pre + "double_blocks.0.img_attn.proj.weight",
+                 np.zeros((2, type_size), np.uint8), raw_dtype=Q.IQ2_XS,
+                 raw_shape=(2, block))
+    w.add_tensor(pre + "double_blocks.0.img_attn.qkv.weight",
+                 np.zeros((2, type_size), np.uint8), raw_dtype=Q.IQ2_XS,
+                 raw_shape=(2, block))
+    w.add_tensor(pre + "img_in.weight",
+                 np.zeros((4, 8), np.float32))
+    p = tmp_path / "iq2.gguf"
+    w.write_to_file(str(p))
+
+    with pytest.raises(codecs.MissingCodebookError) as ei:
+        L.gguf_sd_loader(str(p))
+    msg = str(ei.value)
+    assert "img_attn.proj.weight" in msg and "img_attn.qkv.weight" in msg
+    assert "2 tensor(s)" in msg and "GGUF_TPU_SKIP_UNDECODABLE" in msg
+
+    monkeypatch.setenv("GGUF_TPU_SKIP_UNDECODABLE", "1")
+    sd = L.gguf_sd_loader(str(p))
+    assert "img_in.weight" in sd
+    assert "double_blocks.0.img_attn.proj.weight" not in sd
+    assert "double_blocks.0.img_attn.qkv.weight" not in sd
+
+
 def test_register_decoder_seam():
     """register_decoder() unblocks a codebook-blocked format for eager
     decode (and planar components when provided)."""

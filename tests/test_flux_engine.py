@@ -144,13 +144,17 @@ def test_resident_model_server_two_models_lru():
     from comfyui_gguf_tpu import serving
     from comfyui_gguf_tpu.lifecycle import tree_bytes, to_host
 
-    dims = testing.TinyFluxDims()
-    models = {}
-    for name, seed in (("m_a", 0), ("m_b", 9)):
+    import jax
+
+    def build(seed):
         sd = testing.flux_state_dict(dims, seed=seed)
         params = testing.quantize_flux_params(sd, qtype=Q.Q8_0)
-        models[name] = pipeline.DiffusionModel(
+        return pipeline.DiffusionModel(
             arch="flux", params=params, config=dims.config(), qcfg=F32)
+
+    dims = testing.TinyFluxDims()
+    seeds = {"m_a": 0, "m_b": 9}
+    models = {name: build(seed) for name, seed in seeds.items()}
 
     per_model = tree_bytes(to_host(models["m_a"].params))
     # budget fits ~one model: serving the other forces an eviction
@@ -161,6 +165,14 @@ def test_resident_model_server_two_models_lru():
             lambda provider, mdl=mdl: pipeline.flux_engine(
                 mdl, H_LAT, W_LAT, TXT_LEN, max_batch=2,
                 params_provider=provider))
+
+    # register (free_source default) must DELETE the caller's device
+    # buffers — otherwise the still-referenced source trees keep their
+    # HBM and the budget is decorative (round-4 advisor finding)
+    for mdl in models.values():
+        assert all(leaf.is_deleted()
+                   for leaf in jax.tree_util.tree_leaves(mdl.params)
+                   if isinstance(leaf, jax.Array))
 
     rng = np.random.default_rng(4)
     L = (H_LAT // 2) * (W_LAT // 2)
@@ -179,8 +191,10 @@ def test_resident_model_server_two_models_lru():
     # the two models are different weights — results must differ
     assert not np.allclose(reqs["m_a"].result, reqs["m_b"].result)
 
-    # standalone single-model engines give the same answers
-    for name, mdl in models.items():
+    # standalone single-model engines give the same answers (fresh param
+    # trees — the registered sources were freed above)
+    for name, seed in seeds.items():
+        mdl = build(seed)
         eng = pipeline.flux_engine(mdl, H_LAT, W_LAT, TXT_LEN, max_batch=2)
         ref = eng.submit(x0, cond, sigmas)
         eng.run_until_drained()

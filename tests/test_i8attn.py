@@ -162,6 +162,32 @@ def test_untileable_raises():
             scale=1.0, interpret=True)
 
 
+def test_i8_dot_product_attention_forced_interpret():
+    """GGUF_TPU_PALLAS_INTERPRET=1 must route i8_dot_product_attention
+    through the Pallas kernel body even off-TPU (round-4 advisor: without
+    this the fast CPU gate only ever validates the XLA same-math path —
+    a silent kernel-coverage regression)."""
+    import os
+
+    rng = np.random.default_rng(11)
+    q, k, v = _rand_qkv(rng, 1, 2, 512, 128)
+    want = _ref(q, k, v, 128 ** -0.5)
+    os.environ["GGUF_TPU_PALLAS_INTERPRET"] = "1"
+    try:
+        got = np.asarray(i8attn.i8_dot_product_attention(
+            jnp.asarray(q), jnp.asarray(k), jnp.asarray(v),
+            scale=128 ** -0.5))
+    finally:
+        del os.environ["GGUF_TPU_PALLAS_INTERPRET"]
+    # kernel and XLA path consume identical integer operands — forced
+    # kernel output must match the XLA same-math path bit-for-bit
+    xla = np.asarray(i8attn.xla_i8_attention(
+        jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), scale=128 ** -0.5))
+    rel = np.linalg.norm(got - want) / np.linalg.norm(want)
+    assert 1e-6 < rel < 0.035, rel  # int8 noise present -> int path taken
+    np.testing.assert_allclose(got, xla, rtol=2e-3, atol=2e-3)
+
+
 def test_dispatcher_context():
     """attention_i8 scope routes eligible shapes through the int8 path
     (interpret-mode kernel on CPU) and leaves ineligible shapes on the

@@ -12,6 +12,39 @@ def _params(mb: float):
     return {"w": jnp.zeros((n,), jnp.float32)}
 
 
+def test_register_free_source_deletes_device_buffers():
+    """free_source=True must delete the caller's device leaves after the
+    host copy exists — the HBM-budget guarantee for callers whose source
+    tree stays referenced (round-4 advisor finding). The host copy must
+    still round-trip to a usable device tree."""
+    import jax
+
+    reg = ResidencyManager()
+    src = _params(1)
+    reg.register("m", src, free_source=True)
+    assert all(leaf.is_deleted()
+               for leaf in jax.tree_util.tree_leaves(src)
+               if isinstance(leaf, jax.Array))
+    with reg.acquire("m") as p:
+        assert float(jnp.sum(p["w"])) == 0.0  # re-placed from host copy
+
+    # default stays non-destructive
+    reg2 = ResidencyManager()
+    src2 = _params(1)
+    reg2.register("m", src2)
+    assert not src2["w"].is_deleted()
+
+
+def test_free_tree_ignores_host_leaves():
+    from comfyui_gguf_tpu.lifecycle import free_tree
+
+    dev = jnp.ones((4,))
+    tree = {"d": dev, "h": np.ones((4,)), "s": 3}
+    free_tree(tree)
+    assert dev.is_deleted()
+    np.testing.assert_array_equal(tree["h"], np.ones((4,)))
+
+
 def test_budget_evicts_lru():
     reg = ResidencyManager(hbm_budget=10 << 20)
     reg.register("a", _params(4))
