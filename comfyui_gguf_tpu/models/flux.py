@@ -357,18 +357,22 @@ def scan_blocks(block_tree: dict, body, carry, length: int):
     slice+copy of every block's bytes before each custom call (~1.1 s of
     a 690 ms-compute forward); this removes it. body(carry, params_dict)
     → carry."""
+    import dataclasses as _dc
+
     from ..lora import PatchedWeight
     from ..quant.i8 import I8Planar
-    from ..quant.planar import IndexedQuant, PlanarQuant
+    from ..quant.planar import IndexedQuant, PlanarQuant, TPShard
 
     packed_types = (PlanarQuant, I8Planar)
-    quant, patched, dense = {}, {}, {}
+    quant, patched, tp_packed, dense = {}, {}, {}, {}
     for k, v in block_tree.items():
         if isinstance(v, packed_types):
             quant[k] = v
         elif (isinstance(v, PatchedWeight)
               and isinstance(v.base, packed_types)):
             patched[k] = v  # packed base stays whole; LoRA factors (tiny)
+        elif isinstance(v, TPShard) and isinstance(v.inner, packed_types):
+            tp_packed[k] = v  # per-shard packed stack stays whole too
         else:
             dense[k] = v
     xs_patches = {k: v.patches for k, v in patched.items()}
@@ -380,6 +384,8 @@ def scan_blocks(block_tree: dict, body, carry, length: int):
             p[k] = IndexedQuant(v, i)
         for k, v in patched.items():
             p[k] = PatchedWeight(IndexedQuant(v.base, i), psl[k])
+        for k, v in tp_packed.items():
+            p[k] = _dc.replace(v, inner=IndexedQuant(v.inner, i))
         return body(c, p), None
 
     carry, _ = jax.lax.scan(step, carry,

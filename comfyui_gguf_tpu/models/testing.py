@@ -394,6 +394,23 @@ def _sd3_block_leaves(dims: TinySD3Dims, packed, dense, pre_only: bool):
     return w
 
 
+def sd3_flat_state_dict(dims: TinySD3Dims, seed: int = 0) -> dict:
+    """Flat f32 numpy sd3 state dict (pre-only final block, real key
+    layout) — the input format the TP sharder / quantize_unsharded
+    exactness pairs consume (parallel/tp_spec)."""
+    rng = np.random.default_rng(seed)
+
+    def dense(*shape):
+        return (rng.standard_normal(shape) * 0.02).astype(np.float32)
+
+    sd = dict(_sd3_nonblock(dims, rng, dense))
+    for i in range(dims.depth):
+        blk = _sd3_block_leaves(dims, packed=dense, dense=dense,
+                                pre_only=(i == dims.depth - 1))
+        sd.update({f"joint_blocks.{i}.{k}": v for k, v in blk.items()})
+    return {k: np.asarray(v, np.float32) for k, v in sd.items()}
+
+
 def sd3_random_quant_params(dims: TinySD3Dims, qtype=Q.Q4_K, seed: int = 0,
                             device=None) -> dict:
     """Flat (joint_blocks.{i}.-keyed) sd3 params with random packed block
@@ -686,6 +703,29 @@ def hidream_random_stacked_params(dims: TinyHiDreamDims, qtype=Q.Q4_K,
 # Generic spec-driven full-depth generators (wan / hyvid / aura / lumina2 /
 # qwen-image / ltxv / cosmos full-dims benches)
 # ---------------------------------------------------------------------------
+
+def random_flat_sd_from_spec(nonblock: dict, groups: dict,
+                             seed: int = 0) -> dict:
+    """Flat f32 numpy state dict from a shape spec — the input format
+    the per-arch TP sharders and exactness baselines share
+    (parallel/tp_spec.shard_stacked_params / quantize_unsharded): keys
+    are ``{out_key}.{i}.{suffix}`` plus the nonblock keys. Norm scales
+    ("norm" in the key) center at 1 like real checkpoints."""
+    rng = np.random.default_rng(seed)
+
+    def t(shape, key):
+        w = (rng.standard_normal(shape) * 0.02).astype(np.float32)
+        if "norm" in key and len(shape) == 1:
+            w = w + 1.0
+        return w
+
+    sd = {k: t(tuple(s), k) for k, s in nonblock.items()}
+    for out_key, (depth, suffixes) in groups.items():
+        for i in range(depth):
+            for suf, s in suffixes.items():
+                sd[f"{out_key}.{i}.{suf}"] = t(tuple(s), suf)
+    return sd
+
 
 def random_stacked_from_spec(nonblock: dict, groups: dict, qtype=Q.Q4_K,
                              seed: int = 0, device=None) -> dict:

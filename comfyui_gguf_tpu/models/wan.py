@@ -43,9 +43,15 @@ class WanConfig:
     text_dim: int = 4096
     patch: tuple[int, int, int] = (1, 2, 2)
     rope_axes: tuple[int, ...] = ()  # filled from head_dim in __post_init__
+    # tensor parallelism divides n_heads per shard; the TRUE head_dim
+    # (and the rope axes derived from it) must survive, so the TP
+    # wrapper pins it here (parallel/tp_spec.tp_wan_forward)
+    head_dim_override: int | None = None
 
     @property
     def head_dim(self) -> int:
+        if self.head_dim_override is not None:
+            return self.head_dim_override
         return self.dim // self.n_heads
 
     @property

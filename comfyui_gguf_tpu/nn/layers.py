@@ -29,8 +29,8 @@ import jax.numpy as jnp
 
 from ..ops.qmatmul import quantized_matmul
 from ..quant.i8 import I8Planar, dequantize_i8
-from ..quant.planar import (IndexedQuant, PlanarQuant,
-                            dequantize as planar_dequantize)
+from ..quant.planar import (IndexedQuant, PlanarQuant, TPNormShard,
+                            TPShard, dequantize as planar_dequantize)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -89,11 +89,30 @@ def materialize(leaf, dtype=jnp.float32) -> jax.Array:
     return jnp.asarray(leaf, dtype)
 
 
+def _tp_linear(x, weight: TPShard, bias, cfg, inner_fn, **inner_kw):
+    """Collective wrapper shared by linear/linear_gelu for TPShard
+    weights (runs INSIDE shard_map; see quant.planar.TPShard)."""
+    if weight.mode == "row":
+        out = jax.lax.psum(inner_fn(x, weight.inner, None, cfg=cfg,
+                                    **inner_kw), weight.axis)
+        if bias is not None:
+            out = out + bias.astype(out.dtype)
+        return out
+    out = inner_fn(x, weight.inner, bias, cfg=cfg, **inner_kw)
+    if weight.mode == "gather":
+        return jax.lax.all_gather(out, weight.axis, axis=-1, tiled=True)
+    if weight.mode != "col":
+        raise ValueError(f"unknown TPShard mode {weight.mode!r}")
+    return out
+
+
 def linear(x: jax.Array, weight, bias=None, *,
            cfg: QuantConfig = DEFAULT_CONFIG) -> jax.Array:
     """x: (..., K) -> (..., R). weight: PlanarQuant, dense (R, K), or
     lora.PatchedWeight — patches apply as a rank-factored output epilogue
     (the patch-on-dequant equivalent of reference ops.py:166-191)."""
+    if isinstance(weight, TPShard):
+        return _tp_linear(x, weight, bias, cfg, linear)
     patches = None
     fac = None  # (h, upᵀ) rank factorization for the fused kernel epilogue
     x_in = x  # epilogue b-branches see the unrewritten input
@@ -172,6 +191,19 @@ def linear_gelu(x: jax.Array, weight, bias=None, *, tail_from: int = 0,
     added on the accumulator BEFORE bias/activation — exactly patching
     W); only dense-delta patches (diff/loha/lokr) fall back to the
     unfused composition."""
+    if isinstance(weight, TPShard):
+        if weight.mode == "row":
+            # GELU after a psum is NOT the sum of per-shard GELUs — take
+            # the unfused composition on the replicated output
+            out = _tp_linear(x, weight, bias, cfg, linear)
+            from ..ops.qmatmul import _host_epilogue
+
+            return _host_epilogue(out, None, tail_from)
+        # col/gather: activation is elementwise on local columns, so the
+        # fused per-shard epilogue is exact. NOTE tail_from is the LOCAL
+        # column index — callers under TP pass shard-local offsets.
+        return _tp_linear(x, weight, bias, cfg, linear_gelu,
+                          tail_from=tail_from)
     base, patches = weight, None
     if hasattr(weight, "patches") and hasattr(weight, "base"):
         base, patches = weight.base, weight.patches
@@ -239,8 +271,24 @@ def embedding(ids: jax.Array, table, *,
 
 def layer_norm(x: jax.Array, weight=None, bias=None, *,
                eps: float = 1e-5) -> jax.Array:
-    """LayerNorm with optional affine, fp32 statistics (VPU-friendly)."""
+    """LayerNorm with optional affine, fp32 statistics (VPU-friendly).
+
+    A ``TPNormShard`` weight marks the input's feature axis as
+    TP-sharded: statistics reduce across the mesh axis against the true
+    full width (see quant.planar.TPNormShard)."""
     xf = x.astype(jnp.float32)
+    if isinstance(weight, TPNormShard):
+        n = jnp.float32(weight.full_dim)
+        s = jax.lax.psum(jnp.sum(xf, axis=-1, keepdims=True), weight.axis)
+        mu = s / n
+        ss = jax.lax.psum(jnp.sum(jnp.square(xf - mu), axis=-1,
+                                  keepdims=True), weight.axis)
+        y = (xf - mu) * jax.lax.rsqrt(ss / n + eps)
+        y = y * materialize(weight.weight, jnp.float32)
+        if bias is not None:
+            b = (bias.weight if isinstance(bias, TPNormShard) else bias)
+            y = y + materialize(b, jnp.float32)
+        return y.astype(x.dtype)
     mu = jnp.mean(xf, axis=-1, keepdims=True)
     var = jnp.mean(jnp.square(xf - mu), axis=-1, keepdims=True)
     y = (xf - mu) * jax.lax.rsqrt(var + eps)
@@ -256,8 +304,16 @@ def rms_norm(x: jax.Array, weight=None, *, eps: float = 1e-6,
     """RMSNorm (T5/Llama style), fp32 statistics.
 
     ``offset=1.0`` supports (1+w) parameterizations (e.g. Gemma-style).
+    A ``TPNormShard`` weight reduces the statistics across the mesh axis
+    (full-width norms over column-sharded activations, e.g. Wan qk-norm).
     """
     xf = x.astype(jnp.float32)
+    if isinstance(weight, TPNormShard):
+        ss = jax.lax.psum(jnp.sum(jnp.square(xf), axis=-1, keepdims=True),
+                          weight.axis)
+        y = xf * jax.lax.rsqrt(ss / jnp.float32(weight.full_dim) + eps)
+        return (y * (materialize(weight.weight, jnp.float32) + offset)
+                ).astype(x.dtype)
     var = jnp.mean(jnp.square(xf), axis=-1, keepdims=True)
     y = xf * jax.lax.rsqrt(var + eps)
     if weight is not None:

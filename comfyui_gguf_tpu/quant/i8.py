@@ -37,7 +37,7 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
-from .planar import PlanarQuant
+from .planar import PlanarQuant, TPShard
 
 log = logging.getLogger(__name__)
 
@@ -255,6 +255,8 @@ def plan_i8_budget(params, *, max_bytes: int, pred=None) -> set:
         b = node
         if hasattr(b, "patches") and hasattr(b, "base"):
             b = b.base
+        if isinstance(b, TPShard):
+            b = b.inner
         if isinstance(b, PlanarQuant):
             pb, ib = _leaf_bytes(b)
             total += pb
@@ -319,15 +321,27 @@ def convert_tree_i8(params, *, free_source: bool = False, pred=None,
         # LoRA-patched leaves: convert the packed base, keep the patches
         if hasattr(v, "patches") and hasattr(v, "base") and is_pq(v.base):
             return v.base
+        # TP-sharded leaves: convert the per-shard packed stack (the
+        # requantize lax.map flattens the (tp, depth) lead axes); scales
+        # come out per shard-column, which is what the per-shard kernels
+        # under shard_map consume
+        if isinstance(v, TPShard) and is_pq(v.inner):
+            return v.inner
         return v if is_pq(v) else None
+
+    def rewrap(v, b, ip):
+        if v is b:
+            return ip
+        if isinstance(v, TPShard):
+            return _dc.replace(v, inner=ip)
+        return _dc.replace(v, base=ip)
 
     if not free_source and pred is None:
         def conv(l):
             b = base_of(l)
             if b is None:
                 return l
-            ip = requantize_i8(b)
-            return ip if l is b else _dc.replace(l, base=ip)
+            return rewrap(l, b, requantize_i8(b))
         is_leaf = lambda l: base_of(l) is not None
         return jax.tree_util.tree_map(conv, params, is_leaf=is_leaf)
 
@@ -337,7 +351,7 @@ def convert_tree_i8(params, *, free_source: bool = False, pred=None,
             for leaf in (b.qs, b.scales, b.offsets):
                 if leaf is not None and hasattr(leaf, "delete"):
                     leaf.delete()
-        return ip if v is b else _dc.replace(v, base=ip)
+        return rewrap(v, b, ip)
 
     def walk(node, path):
         if base_of(node) is not None:

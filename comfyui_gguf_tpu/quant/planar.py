@@ -354,6 +354,61 @@ class IndexedQuant:
     idx: jax.Array
 
 
+@partial(
+    jax.tree_util.register_dataclass,
+    data_fields=["inner"],
+    meta_fields=["mode", "axis"],
+)
+@dataclasses.dataclass(frozen=True)
+class TPShard:
+    """A tensor-parallel-sharded weight leaf (spec-driven TP marker).
+
+    Wraps a packed weight (PlanarQuant / I8Planar / IndexedQuant — or a
+    dense array) whose leaves were pre-split per shard by
+    ``parallel.tp_spec.shard_stacked_params`` and carry a leading mesh
+    axis outside shard_map. ``nn.layers.linear`` dispatches on the
+    wrapper INSIDE shard_map, so unmodified model forwards become
+    Megatron-style TP programs:
+
+    * ``mode="col"`` — out-features split; the local matmul output IS the
+      shard's columns, no collective (qkv / mlp-up; any per-shard bias
+      is pre-split to match).
+    * ``mode="row"`` — in-features split; local contraction over the K
+      chunk, then one ``psum`` over ``axis`` replicates the output
+      (attn-proj / mlp-down; bias added once, after the psum).
+    * ``mode="gather"`` — column split whose output must be replicated
+      (modulation / adaLN projections feeding the whole hidden stream):
+      local matmul (+ local bias) then ``all_gather(tiled=True)``, which
+      restores the ORIGINAL row order for contiguous splits.
+    """
+
+    inner: object
+    mode: str  # "col" | "row" | "gather"
+    axis: str = "tp"
+
+
+@partial(
+    jax.tree_util.register_dataclass,
+    data_fields=["weight"],
+    meta_fields=["axis", "full_dim"],
+)
+@dataclasses.dataclass(frozen=True)
+class TPNormShard:
+    """A norm scale whose INPUT feature axis is TP-sharded.
+
+    Some archs (Wan) apply full-width RMS norms to q/k *before* the head
+    split; under column-parallel q/k the per-shard activation only holds
+    D/tp features, so the norm statistics must be reduced across shards.
+    ``nn.layers.rms_norm``/``layer_norm`` dispatch on this wrapper and
+    compute sum-of-squares (and mean) via ``psum`` over ``axis`` against
+    the true ``full_dim``, then apply the pre-split local scale.
+    """
+
+    weight: jax.Array  # local (D/tp,) slice (possibly with leading axes)
+    axis: str
+    full_dim: int
+
+
 def shard_view(p: PlanarQuant) -> PlanarQuant:
     """Inside shard_map: strip the leading shard axis from a stacked
     PlanarQuant (each device sees a (1, ...) slice)."""
