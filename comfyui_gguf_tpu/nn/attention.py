@@ -29,7 +29,13 @@ _SP_AXIS: contextvars.ContextVar[str | None] = contextvars.ContextVar(
 
 @contextlib.contextmanager
 def sequence_parallel(axis_name: str):
-    """Route attention through parallel.ring for the enclosed calls."""
+    """Route attention through parallel.ring for the enclosed calls.
+
+    Contract inside the scope: calls with Lq == Lk are sequence-sharded
+    self-attention (ring collective over ``axis_name``); calls with
+    Lq != Lk are cross-attention whose k/v are REPLICATED (text states)
+    and compute locally — exact either way for the video-model forwards
+    this serves (wan/ltxv cross-attend to replicated conditioning)."""
     tok = _SP_AXIS.set(axis_name)
     try:
         yield
@@ -228,13 +234,19 @@ def dot_product_attention(q: jax.Array, k: jax.Array, v: jax.Array,
     v = v.astype(q.dtype)
 
     sp = _SP_AXIS.get()
-    if sp is not None:
+    if sp is not None and Lq == Lk:
         from ..parallel.ring import ring_attention_local
 
         out = ring_attention_local(
             q.transpose(0, 2, 1, 3), k.transpose(0, 2, 1, 3),
             v.transpose(0, 2, 1, 3), axis_name=sp, scale=float(scale))
         return out.transpose(0, 2, 1, 3)
+    # SP contract for unequal lengths: q is L-sharded, k/v are
+    # REPLICATED (cross-attention to text states — wan/ltxv) — each
+    # shard's local dense attention over the full k/v IS the exact
+    # global answer, no collective needed. (Ring over replicated k/v
+    # would also be exact — duplicate keys scale numerator and
+    # denominator equally — but costs n_shards× the FLOPs.)
 
     i8_mode = _I8_MODE.get()
     if i8_mode not in ("", "0"):

@@ -140,7 +140,8 @@ class DiffusionModel:
 
     def requantize_i8(self, *, mod_planar: bool = True,
                       free_source: bool = True,
-                      max_bytes: int | None = None) -> "DiffusionModel":
+                      max_bytes: int | None = None,
+                      host_stage: bool | None = None) -> "DiffusionModel":
         """Convert packed planar weights to the w8a8 integer-MXU format
         (quant/i8.py): the MXU runs s8xs8->s32 at ~2x its bf16 rate, and
         DiT denoise is compute-bound at serving shapes — measured ~2x
@@ -163,9 +164,16 @@ class DiffusionModel:
 
         pred = (lambda k, v: not is_modulation_key(k)) if mod_planar \
             else None
+        if host_stage is None:
+            # budget-constrained conversions are exactly the ones whose
+            # on-device transient (tree + largest int8 leaf) OOMs — the
+            # host-staged path caps the device peak at the final
+            # footprint for them (quant.i8.requantize_i8_host)
+            host_stage = max_bytes is not None
         self.params = convert_tree_i8(self.params,
                                       free_source=free_source, pred=pred,
-                                      max_bytes=max_bytes)
+                                      max_bytes=max_bytes,
+                                      host_stage=host_stage)
         self.base_params = None
         return self
 
@@ -658,7 +666,7 @@ class FluxPipeline:
         return np.asarray((jnp.clip(img[0], -1, 1) + 1) / 2)
 
 
-def _jit_cfg_denoise(fwd, sigmas, cfg_scale, sampler=None):
+def _jit_cfg_denoise(fwd, sigmas, cfg_scale, sampler=None, window=None):
     """Shared rectified-flow denoise scaffold for the CFG pipelines.
 
     ``fwd(params, xc, ts, cond)`` — the per-arch forward over ONE
@@ -666,9 +674,22 @@ def _jit_cfg_denoise(fwd, sigmas, cfg_scale, sampler=None):
     *neg)``: with a negative cond it runs both forwards and mixes
     ``v_u + cfg_scale·(v_c − v_u)``; without, the plain conditional
     velocity. One definition of the CFG semantics instead of a copy per
-    pipeline (the engines' analogue is _cfg_mix_velocity)."""
+    pipeline (the engines' analogue is _cfg_mix_velocity).
+
+    ``window``: dispatch-window chunking — run the scan ``window`` steps
+    per jitted dispatch with a host sync between windows, instead of all
+    N steps in one dispatch. Identical math (the euler update carries
+    only the latent), bounded dispatch length: a full Wan denoise is a
+    multi-minute single dispatch that reproducibly wedges the TPU worker
+    (BASELINE round-3/4 "long-dispatch fault") — windows keep every
+    dispatch under the fault horizon. At most two program variants
+    compile (window and the remainder).
+    """
+    sigmas = jnp.asarray(sigmas, jnp.float32)
+    n_steps = int(sigmas.shape[0]) - 1
+
     @jax.jit
-    def denoise(params, x0, cond, *neg):
+    def win(params, x0, sig, cond, *neg):
         def velocity(xc, sigma):
             ts = jnp.full((xc.shape[0],), sigma, jnp.float32)
             v_c = fwd(params, xc, ts, cond)
@@ -676,7 +697,26 @@ def _jit_cfg_denoise(fwd, sigmas, cfg_scale, sampler=None):
                 return v_c
             v_u = fwd(params, xc, ts, neg[0])
             return v_u + cfg_scale * (v_c - v_u)
-        return sample_flow(velocity, x0, sigmas, sampler=sampler)
+        return sample_flow(velocity, x0, sig, sampler=sampler)
+
+    if window is None or window >= n_steps:
+        def denoise(params, x0, cond, *neg):
+            return win(params, x0, sigmas, cond, *neg)
+        return denoise
+
+    if sampler is not None:
+        raise ValueError(
+            "dispatch-window chunking carries only the latent between "
+            "windows; multistep samplers (history-carrying) need "
+            f"window=None, got sampler={sampler!r}")
+
+    def denoise(params, x0, cond, *neg):
+        x = x0
+        for s in range(0, n_steps, window):
+            k = min(window, n_steps - s)
+            x = win(params, x, sigmas[s: s + k + 1], cond, *neg)
+            x.block_until_ready()  # bound the in-flight dispatch
+        return x
 
     return denoise
 
@@ -1354,7 +1394,13 @@ class WanPipeline:
                  latent_frames: int = 21, latent_height: int = 60,
                  latent_width: int = 104, steps: int = 30,
                  cfg_scale: float = 5.0, seed: int = 0,
-                 max_t5_len: int = 512) -> np.ndarray:
+                 max_t5_len: int = 512,
+                 dispatch_window: int | None = 4) -> np.ndarray:
+        """dispatch_window: steps per jitted dispatch (host sync between
+        windows) — a full 30-step Wan denoise in ONE dispatch is minutes
+        of queued device work and wedges the worker (the round-3/4
+        long-dispatch fault); 4 CFG steps ≈ 2 min worst case on the 14B
+        at 480p. None = single dispatch (identical math)."""
         from .models import wan as wan_model
 
         def cond(text):
@@ -1383,7 +1429,8 @@ class WanPipeline:
 
         denoise = _jit_cfg_denoise(
             lambda p, xc, ts, c: fwd(p, model.config, xc, c, ts,
-                                     qcfg=model.qcfg), sigmas, cfg_scale)
+                                     qcfg=model.qcfg), sigmas, cfg_scale,
+            window=dispatch_window)
 
         args = (nctx,) if use_cfg else ()
         lat = denoise(model.params, x, ctx, *args)
@@ -1414,7 +1461,11 @@ class HyVidPipeline:
     def generate(self, prompt: str, latent_frames: int = 9,
                  latent_height: int = 60, latent_width: int = 104,
                  steps: int = 20, guidance: float = 6.0, seed: int = 0,
-                 max_len: int = 256) -> np.ndarray:
+                 max_len: int = 256,
+                 dispatch_window: int | None = 4) -> np.ndarray:
+        """dispatch_window: steps per jitted dispatch with a host sync
+        between windows (see WanPipeline.generate — the long-dispatch
+        worker fault); None = one dispatch, identical math."""
         from .models import hyvid as hyvid_model
 
         ids, mask = self.text.tokenizer.encode_batch([prompt],
@@ -1437,7 +1488,8 @@ class HyVidPipeline:
 
         denoise = _jit_cfg_denoise(
             lambda p, xc, ts, c: fwd(p, model.config, xc, c, ts, g,
-                                     qcfg=model.qcfg), sigmas, 1.0)
+                                     qcfg=model.qcfg), sigmas, 1.0,
+            window=dispatch_window)
 
         lat = denoise(model.params, x, txt)
         if self.vae_params is None:

@@ -167,6 +167,85 @@ def requantize_i8(pq: PlanarQuant) -> I8Planar:
     return I8Planar(qs=wq, scales=ws, qtype=pq.qtype, shape=pq.shape)
 
 
+def _req_slice_host(qs, scales, offsets, *, layout, gs, zero_point):
+    """Numpy mirror of _req_slice. Bit-identical to the device path for
+    offset-free formats; for offset formats (Q4_1/Q4_K/Q5_K) XLA fuses
+    ``s·q + o`` into an FMA whose single rounding differs from numpy's
+    two-step by ≤1 ulp — scales match to ~1e-7 rel and codes may flip by
+    ±1 ls exactly on rounding boundaries (asserted in tests/test_i8.py;
+    both deltas are far below the int8 quantization noise itself)."""
+    import numpy as np
+
+    if layout == "nib4":
+        q = np.concatenate([qs & 0x0F, qs >> 4], axis=0).astype(np.float32)
+    else:
+        q = qs.astype(np.float32)
+    if zero_point:
+        q = q - np.float32(zero_point)
+    kp = q.shape[0]
+    s = np.repeat(scales.astype(np.float32), gs, axis=0)[:kp]
+    w = s * q
+    if offsets is not None:
+        w = w + np.repeat(offsets.astype(np.float32), gs, axis=0)[:kp]
+    ws = np.maximum(np.max(np.abs(w), axis=0, keepdims=True),
+                    np.float32(_SCALE_FLOOR)) / np.float32(127.0)
+    wq = np.rint(w / ws).astype(np.int8)  # rint = round-half-even = jnp.round
+    return wq, ws.astype(np.float32)
+
+
+def requantize_i8_host(pq: PlanarQuant, *, free_source: bool = False,
+                       device=None) -> I8Planar:
+    """PlanarQuant -> I8Planar via HOST-staged conversion.
+
+    The on-device path (requantize_i8) holds the full planar tree PLUS
+    the leaf being converted in HBM: on HiDream-I1 that transient
+    (13.51 GB tree + the 2.35 GB single-stream-expert int8 copy) pushed
+    the 14.4 GB budget plan over a 16 GB chip (round-4 verdict item 3).
+    Here the planar components move to host RAM FIRST, their device
+    buffers are freed (free_source=True), the dequant+requant math runs
+    in numpy slice-by-slice (same f32 math; see _req_slice_host for the
+    ≤1-ulp FMA caveat on offset formats), and only the final int8
+    leaf is placed — so the device peak per leaf is
+    (tree − planar_leaf + i8_leaf) ≤ the final converted footprint, i.e.
+    exactly the budget the planner already enforces.
+
+    Cost: host-side numpy throughput (~1-2 GB/s) instead of the MXU —
+    seconds per GB at load time, paid only on budget-constrained models.
+    """
+    import numpy as np
+
+    host_qs = np.asarray(jax.device_get(pq.qs))
+    host_scales = np.asarray(jax.device_get(pq.scales))
+    host_offsets = (None if pq.offsets is None
+                    else np.asarray(jax.device_get(pq.offsets)))
+    if free_source:
+        for leaf in (pq.qs, pq.scales, pq.offsets):
+            if leaf is not None and hasattr(leaf, "delete"):
+                leaf.delete()
+
+    kw = dict(layout=pq.layout, gs=pq.group_size, zero_point=pq.zero_point)
+    if host_qs.ndim == 2:
+        wq, ws = _req_slice_host(host_qs, host_scales, host_offsets, **kw)
+    else:
+        lead = host_qs.shape[:-2]
+        n = int(np.prod(lead))
+        fq = host_qs.reshape(n, *host_qs.shape[len(lead):])
+        fs = host_scales.reshape(n, *host_scales.shape[len(lead):])
+        fo = (None if host_offsets is None
+              else host_offsets.reshape(n, *host_offsets.shape[len(lead):]))
+        kp = fq.shape[1] * (2 if pq.layout == "nib4" else 1)
+        wq = np.empty((n, kp, fq.shape[2]), np.int8)
+        ws = np.empty((n, 1, fq.shape[2]), np.float32)
+        for i in range(n):
+            wq[i], ws[i] = _req_slice_host(
+                fq[i], fs[i], None if fo is None else fo[i], **kw)
+        wq = wq.reshape(*lead, *wq.shape[1:])
+        ws = ws.reshape(*lead, *ws.shape[1:])
+    put = partial(jax.device_put, device=device) if device else jnp.asarray
+    return I8Planar(qs=put(wq), scales=put(ws), qtype=pq.qtype,
+                    shape=pq.shape)
+
+
 def dequantize_kmajor_i8(ip: I8Planar, dtype=jnp.float32) -> jax.Array:
     """Dense (K, R) logical-domain weight (oracle / fallback path)."""
     w = ip.qs.astype(jnp.float32) * ip.scales.astype(jnp.float32)
@@ -289,7 +368,8 @@ def plan_i8_budget(params, *, max_bytes: int, pred=None) -> set:
 
 
 def convert_tree_i8(params, *, free_source: bool = False, pred=None,
-                    max_bytes: int | None = None):
+                    max_bytes: int | None = None,
+                    host_stage: bool = False):
     """Replace PlanarQuant leaves in a pytree with their I8Planar
     requantization (the w8a8 model-conversion entry point).
 
@@ -308,6 +388,12 @@ def convert_tree_i8(params, *, free_source: bool = False, pred=None,
     leaves are converted greedily (plan_i8_budget; experts last) until
     the next one would exceed the cap, the rest stay planar. Use for
     models whose full int8 form doesn't fit HBM (HiDream on 16 GB).
+
+    host_stage: route each leaf through requantize_i8_host — the planar
+    source moves to host and frees BEFORE the int8 copy exists, so the
+    device peak never exceeds the final converted footprint (vs the
+    on-device path's tree+largest-leaf transient that OOM'd HiDream's
+    14.4 GB plan). Slower (host numpy), bit-identical output.
     """
     import dataclasses as _dc
 
@@ -336,7 +422,7 @@ def convert_tree_i8(params, *, free_source: bool = False, pred=None,
             return _dc.replace(v, inner=ip)
         return _dc.replace(v, base=ip)
 
-    if not free_source and pred is None:
+    if not free_source and pred is None and not host_stage:
         def conv(l):
             b = base_of(l)
             if b is None:
@@ -346,11 +432,14 @@ def convert_tree_i8(params, *, free_source: bool = False, pred=None,
         return jax.tree_util.tree_map(conv, params, is_leaf=is_leaf)
 
     def convert_one(v, b):
-        ip = requantize_i8(b)
-        if free_source:
-            for leaf in (b.qs, b.scales, b.offsets):
-                if leaf is not None and hasattr(leaf, "delete"):
-                    leaf.delete()
+        if host_stage:
+            ip = requantize_i8_host(b, free_source=free_source)
+        else:
+            ip = requantize_i8(b)
+            if free_source:
+                for leaf in (b.qs, b.scales, b.offsets):
+                    if leaf is not None and hasattr(leaf, "delete"):
+                        leaf.delete()
         return rewrap(v, b, ip)
 
     def walk(node, path):

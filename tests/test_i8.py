@@ -24,6 +24,58 @@ def make_pq(R, K, qtype=Q.Q4_K, seed=0, scale=1.0):
 # requantization
 # ---------------------------------------------------------------------------
 
+def _assert_req_parity(dev, host, qtype):
+    """Bit-identical for offset-free formats; ≤1-ulp scales and ≤1-ls
+    sparse code flips for offset formats (XLA FMA vs numpy two-step
+    rounding of s·q+o — see quant.i8._req_slice_host)."""
+    dq, hq = np.asarray(dev.qs, np.int32), np.asarray(host.qs, np.int32)
+    ds, hs = np.asarray(dev.scales), np.asarray(host.scales)
+    has_offsets = qtype in (Q.Q4_1, Q.Q5_1, Q.Q8_1, Q.Q4_K, Q.Q5_K)
+    if not has_offsets:
+        np.testing.assert_array_equal(dq, hq)
+        np.testing.assert_array_equal(ds, hs)
+        return
+    np.testing.assert_allclose(hs, ds, rtol=2e-7, atol=0)
+    diff = np.abs(dq - hq)
+    assert diff.max() <= 1, diff.max()
+    assert (diff > 0).mean() < 1e-3, (diff > 0).mean()  # boundary-only
+
+
+@pytest.mark.parametrize("qtype", [Q.Q4_K, Q.Q8_0, Q.Q4_1, Q.Q6_K],
+                         ids=lambda q: q.name)
+def test_host_staged_requantize_matches_device(qtype):
+    """requantize_i8_host (the transient-free HiDream conversion path,
+    round-4 verdict item 3) must produce the same int8 model as the
+    on-device path, for 2-D and depth-stacked leaves, and free the
+    planar source device buffers."""
+    # 2-D
+    pq, _ = make_pq(96, 512, qtype, seed=5)
+    _assert_req_parity(i8.requantize_i8(pq), i8.requantize_i8_host(pq),
+                       qtype)
+
+    # depth-stacked + free_source
+    pqs = [make_pq(96, 512, qtype, seed=10 + i)[0] for i in range(3)]
+    stacked = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *pqs)
+    dev = i8.requantize_i8(stacked)
+    host = i8.requantize_i8_host(stacked, free_source=True)
+    _assert_req_parity(dev, host, qtype)
+    assert stacked.qs.is_deleted() and stacked.scales.is_deleted()
+
+
+def test_convert_tree_host_stage_matches_device():
+    """convert_tree_i8(host_stage=True) under a pred equals the
+    on-device conversion leaf-for-leaf (within the FMA caveat)."""
+    tree_a = {"blk": {"w": make_pq(64, 512, Q.Q4_K, seed=1)[0],
+                      "mod.w": make_pq(64, 512, Q.Q4_K, seed=2)[0]}}
+    tree_b = jax.tree_util.tree_map(lambda x: x, tree_a)  # same leaves
+    pred = lambda k, v: not i8.is_modulation_key(k)
+    a = i8.convert_tree_i8(tree_a, pred=pred)
+    b = i8.convert_tree_i8(tree_b, pred=pred, host_stage=True)
+    assert isinstance(a["blk"]["w"], i8.I8Planar)
+    assert isinstance(b["blk"]["w"], i8.I8Planar)
+    assert isinstance(b["blk"]["mod.w"], planar.PlanarQuant)  # kept
+    _assert_req_parity(a["blk"]["w"], b["blk"]["w"], Q.Q4_K)
+
 @pytest.mark.parametrize("qtype", [Q.Q4_K, Q.Q8_0, Q.Q4_1, Q.Q6_K],
                          ids=lambda q: q.name)
 def test_requantize_error_bound(qtype):

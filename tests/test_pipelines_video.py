@@ -60,6 +60,36 @@ def test_hyvid_pipeline_latent():
     assert np.isfinite(out).all()
 
 
+def test_wan_pipeline_dispatch_window_identical():
+    """Dispatch-window chunking (the long-dispatch-fault fix: sync every
+    K steps instead of one multi-minute scan dispatch) must be pure
+    scheduling — the chunked denoise equals the single-dispatch denoise,
+    including a remainder window (5 steps, window 2 → 2+2+1)."""
+    from comfyui_gguf_tpu.models import testing, wan
+
+    d = testing.WanDims()
+    nonblock, groups = testing.wan_shape_spec(d)
+    sd = testing.random_flat_sd_from_spec(nonblock, groups, seed=2)
+    params = {k: jnp.asarray(v) for k, v in sd.items()}
+    model = pipeline.DiffusionModel(arch="wan", params=params,
+                                    config=d.config(), qcfg=F32)
+    pipe = pipeline.WanPipeline(model, t5=StubT5(d.text_dim))
+
+    kw = dict(latent_frames=2, latent_height=4, latent_width=4, steps=5,
+              cfg_scale=3.0, seed=1, max_t5_len=6)
+    full = pipe.generate("a fox", dispatch_window=None, **kw)
+    win = pipe.generate("a fox", dispatch_window=2, **kw)
+    assert full.shape == (2, 4, 4, d.in_ch)
+    np.testing.assert_allclose(win, full, rtol=1e-6, atol=1e-6)
+
+    # multistep samplers carry history across steps — chunking must
+    # refuse rather than silently reset it
+    with pytest.raises(ValueError, match="window"):
+        pipeline._jit_cfg_denoise(lambda p, xc, ts, c: xc,
+                                  np.linspace(1, 0, 6), 1.0,
+                                  sampler="dpmpp_2m", window=2)
+
+
 def test_ltxv_pipeline_latent():
     from tests.test_ltxv import _tiny_ltxv
     from comfyui_gguf_tpu.models import ltxv

@@ -98,3 +98,49 @@ def test_sequence_parallel_context_routes_dispatcher(mesh):
                   v.transpose(0, 2, 1, 3), D ** -0.5).transpose(0, 2, 1, 3)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=2e-5, atol=2e-5)
+
+
+def test_wan_block_under_sp(mesh):
+    """A REAL Wan video block runs unmodified under `sequence_parallel`
+    on the 8-device mesh — self-attention rings over the sharded 192
+    tokens (24/shard, a lane-odd per-shard length), cross-attention to
+    the replicated text states computes locally — and matches the dense
+    single-device block (round-4 verdict item 5: SP meets a model)."""
+    from jax.sharding import PartitionSpec as P
+
+    from comfyui_gguf_tpu.models import testing, wan
+    from comfyui_gguf_tpu.models.flux import block_subtree
+    from comfyui_gguf_tpu.nn import attention as att
+    from comfyui_gguf_tpu.nn.layers import QuantConfig
+
+    F32 = QuantConfig(dequant_dtype=jnp.float32, compute_dtype=jnp.float32,
+                      prefer_pallas=False)
+    d = testing.WanDims()  # dim 128, 2 heads, hd 64
+    nonblock, groups = testing.wan_shape_spec(d)
+    sd = testing.random_flat_sd_from_spec(nonblock, groups, seed=9)
+    params = {k: jnp.asarray(v) for k, v in sd.items()}
+    cfg = d.config()
+    bp = block_subtree(params, "blocks.0.")
+
+    rng = np.random.default_rng(3)
+    B, L, Lc = 1, 192, 6  # 192 = 8 shards x 24 tokens
+    x = jnp.asarray(rng.standard_normal((B, L, d.dim)), jnp.float32)
+    ctx = jnp.asarray(rng.standard_normal((B, Lc, d.dim)), jnp.float32)
+    e0 = jnp.asarray(rng.standard_normal((B, 6 * d.dim)) * 0.1,
+                     jnp.float32)
+    pe = wan.rope_3d(3, 8, 8, cfg.axes_dim)  # (192, hd/2, 2)
+
+    want = np.asarray(wan._block(bp, x, e0, ctx, pe, cfg, F32), np.float32)
+
+    def local_fn(bp, x_l, e0, ctx, pe_l):
+        with att.sequence_parallel("sp"):
+            return wan._block(bp, x_l, e0, ctx, pe_l, cfg, F32)
+
+    spec = lambda tree, s: jax.tree_util.tree_map(lambda _: s, tree)
+    fn = jax.shard_map(
+        local_fn, mesh=mesh,
+        in_specs=(spec(bp, P()), P(None, "sp"), P(), P(), P("sp")),
+        out_specs=P(None, "sp"), check_vma=False)
+    got = np.asarray(fn(bp, x, e0, ctx, pe), np.float32)
+
+    np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)

@@ -379,6 +379,13 @@ def main():
                     help="time one jitted forward instead of the N-step "
                          "scan (workaround: very long single dispatches "
                          "hit device faults on the shared tunnel)")
+    ap.add_argument("--window", type=int, default=0,
+                    help="steps per jitted dispatch (0 = whole scan in "
+                         "one dispatch). Bounds dispatch length for the "
+                         "video archs whose full N-step scan wedges the "
+                         "worker (the round-3/4 long-dispatch fault) — "
+                         "the PRODUCT multi-step path, unlike "
+                         "--single-fwd which never integrates")
     ap.add_argument("--i8-budget", type=float, default=13.5e9,
                     help="total packed-weight byte cap for --i8 (14B+ "
                          "models exceed the 16 GB chip fully-int8; "
@@ -448,12 +455,36 @@ def main():
                            reps=reps, steps=1, tag=f"{args.arch}(fwd)",
                            log=log)
         sec = ms * steps
+    elif args.window:
+        @jax.jit
+        def denoise_win(params, x, sig):
+            def step(x, i):
+                s, sn = sig[i], sig[i + 1]
+                ts = jnp.full((x.shape[0],), s, jnp.float32)
+                v = fwd(params, x, ts)
+                return (x.astype(jnp.float32)
+                        + (sn - s) * v.astype(jnp.float32)
+                        ).astype(x.dtype), None
+
+            x, _ = jax.lax.scan(step, x, jnp.arange(sig.shape[0] - 1))
+            return x
+
+        def denoise_chunked(x):
+            for s in range(0, steps, args.window):
+                k = min(args.window, steps - s)
+                x = denoise_win(sp, x, sigmas[s: s + k + 1])
+                x.block_until_ready()  # sync between dispatch windows
+            return x
+
+        sec, _ = timed_reps(denoise_chunked, x0, reps=reps, steps=steps,
+                            tag=f"{args.arch}(win{args.window})", log=log)
     else:
         sec, _ = timed_reps(lambda xr: denoise(sp, xr), x0,
                             reps=reps, steps=steps, tag=args.arch, log=log)
     print(json.dumps({
         "metric": (f"ms/step MEASURED full-depth denoise ({label}"
                    f"{', per-forward' if args.single_fwd else ''}"
+                   f"{f', window={args.window}' if args.window else ''}"
                    f"{'' if on_tpu else ', cpu-smoke'})"),
         "value": round(sec / steps * 1e3, 1),
         "unit": "ms/step",
