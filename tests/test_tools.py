@@ -405,3 +405,137 @@ def test_qwen_image_order_keeps_diffusers_bans():
         archs.detect_arch({
             "transformer_blocks.0.attn.add_q_proj.weight",
             "joint_blocks.0.x_block.attn.qkv.weight"})
+
+
+# --------------------------------------------------------------------------
+# checkpoint pre-flight validator (tools/validate_checkpoint.py)
+# --------------------------------------------------------------------------
+
+def _write_flux_gguf(tmp_path, name, sd, extra=None, drop=(),
+                     misshape=None):
+    from comfyui_gguf_tpu.gguf.writer import GGUFWriter
+
+    w = GGUFWriter("flux")
+    for k, v in sd.items():
+        if k in drop:
+            continue
+        if misshape and k == misshape:
+            v = np.zeros((v.shape[0], v.shape[1] + 16)
+                         if v.ndim == 2 else (v.shape[0] + 8,), np.float32)
+        w.add_tensor("model.diffusion_model." + k,
+                     np.asarray(v, np.float32))
+    if extra:
+        for k, v in extra.items():
+            w.add_tensor("model.diffusion_model." + k,
+                         np.asarray(v, np.float32))
+    p = tmp_path / name
+    w.write_to_file(str(p))
+    return str(p)
+
+
+def test_shape_specs_match_state_dict_builders():
+    """The validator's expected-key source must agree with the state
+    dicts the rest of the suite trains against."""
+    from comfyui_gguf_tpu.models import testing
+
+    dims = testing.TinyFluxDims()
+    sd = testing.flux_state_dict(dims)
+    nonblock, groups = testing.flux_shape_spec(dims)
+    flat = dict(nonblock)
+    for ok, (depth, suf) in groups.items():
+        for i in range(depth):
+            flat.update({f"{ok}.{i}.{s}": sh for s, sh in suf.items()})
+    assert set(flat) == set(sd)
+    for k in sd:
+        assert tuple(flat[k]) == tuple(sd[k].shape), k
+
+    sdims = testing.TinySD3Dims()
+    ssd = testing.sd3_flat_state_dict(sdims)
+    want = testing.sd3_shape_spec(sdims)
+    assert set(want) == set(ssd)
+    for k in ssd:
+        assert tuple(want[k]) == tuple(ssd[k].shape), k
+
+
+def test_validate_checkpoint_clean_and_injected_errors(tmp_path):
+    from comfyui_gguf_tpu.models import testing
+    from comfyui_gguf_tpu.tools import validate_checkpoint as V
+
+    dims = testing.TinyFluxDims()
+    sd = testing.flux_state_dict(dims, seed=0)
+
+    rep = V.validate(_write_flux_gguf(tmp_path, "clean.gguf", sd))
+    assert rep.ok and rep.arch == "flux" and rep.spec == "full"
+    assert not (rep.missing or rep.unexpected or rep.misshaped
+                or rep.blocked)
+
+    bad = V.validate(_write_flux_gguf(
+        tmp_path, "bad.gguf", sd,
+        drop=("double_blocks.0.img_attn.proj.weight",
+              "single_blocks.1.linear2.bias"),
+        extra={"double_blocks.0.bogus.weight": np.zeros((4, 4))},
+        misshape="double_blocks.1.txt_mlp.0.weight"))
+    assert not bad.ok
+    assert bad.missing == ["double_blocks.0.img_attn.proj.weight"]
+    assert bad.missing_bias == ["single_blocks.1.linear2.bias"]
+    assert bad.unexpected == ["double_blocks.0.bogus.weight"]
+    assert [m[0] for m in bad.misshaped] == [
+        "double_blocks.1.txt_mlp.0.weight"]
+
+    # CLI exit codes: clean=0, broken=1
+    assert V.main([_write_flux_gguf(tmp_path, "c2.gguf", sd)]) == 0
+    assert V.main([_write_flux_gguf(
+        tmp_path, "b2.gguf", sd,
+        drop=("double_blocks.0.img_attn.proj.weight",)), "--json"]) == 1
+
+
+def test_validate_checkpoint_blocked_iq(tmp_path):
+    """IQ-blocked tensors are REPORTED (not raised) before any load."""
+    from comfyui_gguf_tpu.gguf.constants import GGML_QUANT_SIZES
+    from comfyui_gguf_tpu.models import testing
+    from comfyui_gguf_tpu.gguf.writer import GGUFWriter
+    from comfyui_gguf_tpu.tools import validate_checkpoint as V
+
+    dims = testing.TinyFluxDims()
+    sd = testing.flux_state_dict(dims, seed=1)
+    key = "double_blocks.0.img_attn.qkv.weight"
+    block, type_size = GGML_QUANT_SIZES[Q.IQ2_XS]
+
+    w = GGUFWriter("flux")
+    for k, v in sd.items():
+        if k == key:
+            R = v.shape[0]
+            w.add_tensor("model.diffusion_model." + k,
+                         np.zeros((R * v.shape[1] // block, type_size),
+                                  np.uint8),
+                         raw_dtype=Q.IQ2_XS, raw_shape=v.shape)
+        else:
+            w.add_tensor("model.diffusion_model." + k,
+                         np.asarray(v, np.float32))
+    p = tmp_path / "iqflux.gguf"
+    w.write_to_file(str(p))
+
+    rep = V.validate(str(p))
+    assert rep.blocked == [(key, "IQ2_XS")]
+    assert not rep.ok and not rep.missing and not rep.misshaped
+
+
+def test_validate_checkpoint_qwen_spec(tmp_path):
+    """A spec-covered non-flux arch validates through its own shape
+    spec (qwen_image; config introspected from the file's shapes)."""
+    from comfyui_gguf_tpu.gguf.writer import GGUFWriter
+    from comfyui_gguf_tpu.models import testing
+    from comfyui_gguf_tpu.tools import validate_checkpoint as V
+
+    d = testing.QwenImageDims()
+    nonblock, groups = testing.qwen_image_shape_spec(d)
+    sd = testing.random_flat_sd_from_spec(nonblock, groups, seed=2)
+    w = GGUFWriter("qwen_image")
+    for k, v in sd.items():
+        w.add_tensor("model.diffusion_model." + k,
+                     np.asarray(v, np.float32))
+    p = tmp_path / "qwen.gguf"
+    w.write_to_file(str(p))
+
+    rep = V.validate(str(p))
+    assert rep.ok and rep.arch == "qwen_image" and rep.spec == "full"
