@@ -34,9 +34,14 @@ class CosmosConfig:
     in_channels: int = 16
     text_dim: int = 1024
     patch: tuple[int, int, int] = (1, 2, 2)
+    # TP divides n_heads per shard; the true head_dim (and the rope axes
+    # derived from it) must survive (parallel/tp_spec.tp_cosmos_forward)
+    head_dim_override: int | None = None
 
     @property
     def head_dim(self) -> int:
+        if self.head_dim_override is not None:
+            return self.head_dim_override
         return self.dim // self.n_heads
 
     @property

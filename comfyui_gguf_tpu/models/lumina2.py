@@ -37,9 +37,14 @@ class Lumina2Config:
     cap_dim: int = 2304
     axes_dim: tuple[int, ...] = (32, 32, 32)  # (t, h, w) of head_dim 96? set
     # from head_dim at detection
+    # TP divides n_heads per shard; the true head_dim must survive
+    # (parallel/tp_spec.tp_lumina2_forward)
+    head_dim_override: int | None = None
 
     @property
     def head_dim(self) -> int:
+        if self.head_dim_override is not None:
+            return self.head_dim_override
         return self.dim // self.n_heads
 
     @staticmethod

@@ -161,13 +161,15 @@ def shard_flat_block(sub: dict, rules: dict, tp: int, qtype,
 
 
 def quantize_unsharded(sd: dict, *, block_groups, rules: dict,
-                       qtype) -> dict:
+                       qtype, flat_block_prefixes=()) -> dict:
     """The UNSHARDED twin of shard_stacked_params: quantizes exactly the
     rule-named weights from the same f32 state dict with the same codec
     blocks, so a TP forward can be exactness-tested against the plain
     forward (flat tree; run through the model's stack fn for the scanned
-    form)."""
-    prefixes = tuple(f"{g[0]}." for g in block_groups)
+    form). ``flat_block_prefixes``: extra ``{prefix}.{i}.``-style block
+    families living outside the homogeneous groups (lumina2 refiners)."""
+    prefixes = (tuple(f"{g[0]}." for g in block_groups)
+                + tuple(flat_block_prefixes))
     out = {}
     for k, v in sd.items():
         suffix = None
@@ -302,6 +304,138 @@ def tp_wan_forward(params: dict, cfg, latent, context, timesteps, *,
     return tp_run(wan.forward_stacked, params, local,
                   (latent, context, timesteps),
                   mesh=mesh, block_keys=("blocks",), qcfg=qcfg)
+
+
+def aura_rules() -> dict:
+    """AuraFlow (models/aura.py): separate per-stream q/k/v column
+    splits, o-projections row, gathered 6-chunk modulations, SwiGLU-ish
+    gated MLP (c_fc1/c_fc2 column with the SAME split so the local gate
+    product aligns; c_proj row). Per-head qk layer_norm is affine-free —
+    nothing to shard."""
+    r = {}
+    for mod in ("modC.1.weight", "modX.1.weight", "modCX.1.weight",
+                "modF.1.weight"):
+        r[mod] = ShardRule("gather")
+    for w in ("w1q", "w1k", "w1v", "w2q", "w2k", "w2v"):
+        r[f"attn.{w}.weight"] = ShardRule("col")
+    r["attn.w1o.weight"] = ShardRule("row")
+    r["attn.w2o.weight"] = ShardRule("row")
+    for m in ("mlpC", "mlpX", "mlp"):
+        r[f"{m}.c_fc1.weight"] = ShardRule("col")
+        r[f"{m}.c_fc2.weight"] = ShardRule("col")
+        r[f"{m}.c_proj.weight"] = ShardRule("row")
+    return r
+
+
+def shard_aura_params(sd: dict, cfg, tp: int, qtype) -> dict:
+    return shard_stacked_params(
+        sd, block_groups=[("double_layers", cfg.depth_double),
+                          ("single_layers", cfg.depth_single)],
+        rules=aura_rules(), tp=tp, qtype=qtype)
+
+
+def tp_aura_forward(params: dict, cfg, latent, cond, timesteps, *,
+                    mesh: Mesh, qcfg):
+    from ..models import aura
+
+    tp = mesh.shape[AXIS]
+    local = dataclasses.replace(cfg, n_heads=cfg.n_heads // tp)
+    return tp_run(aura.forward_stacked, params, local,
+                  (latent, cond, timesteps), mesh=mesh,
+                  block_keys=("double_layers", "single_layers"), qcfg=qcfg)
+
+
+def cosmos_rules() -> dict:
+    """Cosmos diffusion DiT (models/cosmos.py): q/k/v column (cross k/v
+    consume the replicated text states), output row, mlp col→row,
+    3-chunk adaLN modulations gathered; per-head RMS qk-norms (hd,)
+    replicate."""
+    r = {}
+    for m in ("self_attn", "cross_attn", "mlp"):
+        r[f"adaln_modulation_{m}.1.weight"] = ShardRule("gather")
+    for a in ("self_attn", "cross_attn"):
+        for n in ("q_proj", "k_proj", "v_proj"):
+            r[f"{a}.{n}.weight"] = ShardRule("col")
+        r[f"{a}.output_proj.weight"] = ShardRule("row")
+    r["mlp.layer1.weight"] = ShardRule("col")
+    r["mlp.layer2.weight"] = ShardRule("row")
+    return r
+
+
+def shard_cosmos_params(sd: dict, cfg, tp: int, qtype) -> dict:
+    return shard_stacked_params(
+        sd, block_groups=[("blocks", cfg.n_layers)],
+        rules=cosmos_rules(), tp=tp, qtype=qtype)
+
+
+def tp_cosmos_forward(params: dict, cfg, latent, context, timesteps, *,
+                      mesh: Mesh, qcfg):
+    from ..models import cosmos
+
+    tp = mesh.shape[AXIS]
+    local = dataclasses.replace(cfg, n_heads=cfg.n_heads // tp,
+                                head_dim_override=cfg.head_dim)
+    return tp_run(cosmos.forward_stacked, params, local,
+                  (latent, context, timesteps), mesh=mesh,
+                  block_keys=("blocks",), qcfg=qcfg)
+
+
+def lumina2_rules(dim: int) -> dict:
+    """Lumina-Image-2.0 NextDiT (models/lumina2.py): fused qkv splits
+    head-uniformly, SwiGLU w1/w3 column (same split → the local silu
+    gate aligns) and w2 row, 4-chunk adaLN gathered. Per-head RMS
+    qk-norms (hd,) and the stream-wide attention/ffn norms (applied to
+    replicated or psum'd-replicated activations) replicate."""
+    return {
+        "attention.qkv.weight": ShardRule("col", (dim, dim, dim)),
+        "attention.out.weight": ShardRule("row"),
+        "feed_forward.w1.weight": ShardRule("col"),
+        "feed_forward.w3.weight": ShardRule("col"),
+        "feed_forward.w2.weight": ShardRule("row"),
+        "adaLN_modulation.1.weight": ShardRule("gather"),
+    }
+
+
+def lumina2_tp_block_keys(params: dict) -> tuple:
+    """The TP-sharded top-level keys of a lumina2 tree: the stacked main
+    layers plus every (flat-keyed) refiner-block leaf."""
+    return tuple(k for k in params
+                 if k == "layers"
+                 or k.startswith(("noise_refiner.", "context_refiner.")))
+
+
+def shard_lumina2_params(sd: dict, cfg, tp: int, qtype) -> dict:
+    """Main layers depth-stack; the noise/context refiner blocks run
+    unrolled in the prelude (flat keys), so they shard through
+    shard_flat_block under their original flat key names — the model's
+    _count/block_subtree discovery sees the same key layout."""
+    rules = lumina2_rules(cfg.dim)
+    is_ref = lambda k: k.startswith(("noise_refiner.", "context_refiner."))
+    main = {k: v for k, v in sd.items() if not is_ref(k)}
+    params = shard_stacked_params(
+        main, block_groups=[("layers", cfg.n_layers)],
+        rules=rules, tp=tp, qtype=qtype)
+    prefixes = sorted({".".join(k.split(".")[:2]) + "."
+                       for k in sd if is_ref(k)})  # e.g. "noise_refiner.0."
+    for pre in prefixes:
+        sub = shard_flat_block(
+            {k[len(pre):]: v for k, v in sd.items() if k.startswith(pre)},
+            rules, tp, qtype)
+        for s, v in sub.items():
+            params[pre + s] = v
+    return params
+
+
+def tp_lumina2_forward(params: dict, cfg, latent, cap, timesteps, *,
+                       mesh: Mesh, qcfg):
+    from ..models import lumina2
+
+    tp = mesh.shape[AXIS]
+    local = dataclasses.replace(cfg, n_heads=cfg.n_heads // tp,
+                                head_dim_override=cfg.head_dim)
+    return tp_run(lumina2.forward_stacked, params, local,
+                  (latent, cap, timesteps), mesh=mesh,
+                  block_keys=lumina2_tp_block_keys(params), qcfg=qcfg)
 
 
 def sd3_rules(hidden: int) -> dict:

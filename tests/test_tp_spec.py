@@ -227,6 +227,127 @@ def test_tp_wan_matches_unsharded():
 
 
 # --------------------------------------------------------------------------
+# aura (gated SwiGLU-ish MLP, separate per-stream projections)
+# --------------------------------------------------------------------------
+
+def test_tp_aura_matches_unsharded():
+    from comfyui_gguf_tpu.models import aura
+
+    d = testing.AuraDims(hidden=512, depth_double=1, depth_single=1,
+                         mlp=1024, in_ch=4, cond_dim=64,
+                         n_register_tokens=3, max_tokens=64)
+    nonblock, groups = testing.aura_shape_spec(d)
+    sd = testing.random_flat_sd_from_spec(nonblock, groups, seed=11)
+    cfg = d.config()
+    rng = np.random.default_rng(12)
+    latent = jnp.asarray(rng.standard_normal((1, 8, 8, d.in_ch)),
+                         jnp.float32)
+    cond = jnp.asarray(rng.standard_normal((1, 6, d.cond_dim)),
+                       jnp.float32)
+    t = jnp.full((1,), 0.5, jnp.float32)
+    inputs = (latent, cond, t)
+
+    bg = [("double_layers", d.depth_double),
+          ("single_layers", d.depth_single)]
+    ref = tp_spec.quantize_unsharded(sd, block_groups=bg,
+                                     rules=tp_spec.aura_rules(),
+                                     qtype=Q.Q8_0)
+    want = np.asarray(jax.jit(
+        lambda p, *a: aura.forward(p, cfg, *a, qcfg=F32))(ref, *inputs),
+        np.float32)
+
+    mesh = _mesh()
+    sharded = tp_spec.place_tp_params(
+        tp_spec.shard_aura_params(sd, cfg, TP, Q.Q8_0), mesh,
+        ("double_layers", "single_layers"))
+    got = np.asarray(jax.jit(
+        lambda p, *a: tp_spec.tp_aura_forward(
+            p, cfg, *a, mesh=mesh, qcfg=F32_PALLAS))(sharded, *inputs),
+        np.float32)
+    np.testing.assert_allclose(got, want, rtol=2e-3, atol=2e-3)
+
+
+# --------------------------------------------------------------------------
+# cosmos (cross-attention to replicated text, head_dim-derived rope)
+# --------------------------------------------------------------------------
+
+def test_tp_cosmos_matches_unsharded():
+    from comfyui_gguf_tpu.models import cosmos
+
+    d = testing.CosmosDims(dim=512, n_heads=4, n_layers=2, in_ch=16,
+                           text_dim=64)
+    nonblock, groups = testing.cosmos_shape_spec(d)
+    sd = testing.random_flat_sd_from_spec(nonblock, groups, seed=13)
+    cfg = d.config()
+    rng = np.random.default_rng(14)
+    latent = jnp.asarray(rng.standard_normal((1, 2, 8, 8, d.in_ch)),
+                         jnp.float32)
+    ctx = jnp.asarray(rng.standard_normal((1, 6, d.text_dim)),
+                      jnp.float32)
+    t = jnp.full((1,), 0.5, jnp.float32)
+    inputs = (latent, ctx, t)
+
+    bg = [("blocks", d.n_layers)]
+    ref = tp_spec.quantize_unsharded(sd, block_groups=bg,
+                                     rules=tp_spec.cosmos_rules(),
+                                     qtype=Q.Q8_0)
+    want = np.asarray(jax.jit(
+        lambda p, *a: cosmos.forward(p, cfg, *a, qcfg=F32))(ref, *inputs),
+        np.float32)
+
+    mesh = _mesh()
+    sharded = tp_spec.place_tp_params(
+        tp_spec.shard_cosmos_params(sd, cfg, TP, Q.Q8_0), mesh,
+        ("blocks",))
+    got = np.asarray(jax.jit(
+        lambda p, *a: tp_spec.tp_cosmos_forward(
+            p, cfg, *a, mesh=mesh, qcfg=F32_PALLAS))(sharded, *inputs),
+        np.float32)
+    np.testing.assert_allclose(got, want, rtol=2e-3, atol=2e-3)
+
+
+# --------------------------------------------------------------------------
+# lumina2 (fused qkv groups + flat-keyed refiner blocks sharded too)
+# --------------------------------------------------------------------------
+
+def test_tp_lumina2_matches_unsharded():
+    from comfyui_gguf_tpu.models import lumina2
+
+    d = testing.Lumina2Dims(dim=512, n_heads=4, n_layers=2, n_refiner=1,
+                            n_context_refiner=1, ffn=1024, in_ch=4,
+                            cap_dim=64)
+    nonblock, groups = testing.lumina2_shape_spec(d)
+    sd = testing.random_flat_sd_from_spec(nonblock, groups, seed=15)
+    cfg = d.config()
+    rng = np.random.default_rng(16)
+    latent = jnp.asarray(rng.standard_normal((1, 8, 8, d.in_ch)),
+                         jnp.float32)
+    cap = jnp.asarray(rng.standard_normal((1, 6, d.cap_dim)), jnp.float32)
+    t = jnp.full((1,), 0.5, jnp.float32)
+    inputs = (latent, cap, t)
+
+    bg = [("layers", d.n_layers)]
+    ref = tp_spec.quantize_unsharded(
+        sd, block_groups=bg, rules=tp_spec.lumina2_rules(d.dim),
+        qtype=Q.Q8_0,
+        flat_block_prefixes=("noise_refiner.", "context_refiner."))
+    want = np.asarray(jax.jit(
+        lambda p, *a: lumina2.forward(p, cfg, *a, qcfg=F32))(
+        ref, *inputs), np.float32)
+
+    mesh = _mesh()
+    sharded = tp_spec.shard_lumina2_params(sd, cfg, TP, Q.Q8_0)
+    keys = tp_spec.lumina2_tp_block_keys(sharded)
+    assert any(k.startswith("noise_refiner.") for k in keys)
+    sharded = tp_spec.place_tp_params(sharded, mesh, keys)
+    got = np.asarray(jax.jit(
+        lambda p, *a: tp_spec.tp_lumina2_forward(
+            p, cfg, *a, mesh=mesh, qcfg=F32_PALLAS))(sharded, *inputs),
+        np.float32)
+    np.testing.assert_allclose(got, want, rtol=2e-3, atol=2e-3)
+
+
+# --------------------------------------------------------------------------
 # sd3 (fused qkv head groups + pre-only tail block)
 # --------------------------------------------------------------------------
 
