@@ -170,3 +170,33 @@ def test_sd3_engine_dp_mesh_matches_unsharded(model):
     # pad never goes negative (6 % 2 == 0, but 6 is not dp*2^k)
     eng6 = pipeline.sd3_engine(mdl, max_batch=6, dp_mesh=mesh)
     assert eng6.batch_sizes[-1] == 6
+
+
+def test_sd3_engine_dp4_mixed_progress(model):
+    """dp=4 with a MIXED-PROGRESS pool: four requests on different-length
+    schedules finish at different ticks, so the pooled batch shrinks
+    mid-flight and pads back to the dp-snapped bucket — results must
+    equal the unsharded engine per request (round-4 verdict item 2)."""
+    import jax
+    from jax.sharding import Mesh
+
+    mdl, dims = model
+    mesh = Mesh(np.array(jax.devices()[:4]), ("dp",))
+
+    def mk(seed, steps):
+        rng = np.random.default_rng(seed)
+        return (rng.standard_normal((H_LAT, W_LAT, dims.in_ch)).astype(
+            np.float32), _cond(dims, seed), linear_schedule(steps))
+
+    reqs_in = [mk(90 + i, steps) for i, steps in enumerate((2, 3, 4, 5))]
+
+    results = []
+    for dp in (None, mesh):
+        eng = pipeline.sd3_engine(mdl, max_batch=4, dp_mesh=dp)
+        rs = [eng.submit(x.copy(), c, s) for x, c, s in reqs_in]
+        eng.run_until_drained()
+        assert all(r.finished and r.error is None for r in rs)
+        results.append([r.result.astype(np.float32) for r in rs])
+
+    for a, b in zip(*results):
+        np.testing.assert_allclose(b, a, rtol=2e-2, atol=2e-2)

@@ -41,6 +41,10 @@ def main():
     argv = [a for a in sys.argv[1:] if not a.startswith("--")]
     use_i8 = "--i8" in sys.argv[1:]
     dense_only = "--dense-only" in sys.argv[1:]
+    i8_budget = 14.0e9
+    for a in sys.argv[1:]:
+        if a.startswith("--i8-budget="):
+            i8_budget = float(a.split("=", 1)[1])
     steps = int(argv[0]) if len(argv) > 0 else 20
     reps = int(argv[1]) if len(argv) > 1 else 3
 
@@ -78,17 +82,20 @@ def main():
         # 18 GB fully-int8 > 16 GB HBM (measured OOM), and the PLANAR
         # tree is already 13.51 GB packed — the first campaign used a
         # 13.5 GB budget, which converted NOTHING (plan_i8_budget now
-        # warns). With a WORKING planner: 14.4 GB (10 leaves, 19.8% of
-        # tree bytes) OOM'd at first run — only ~1.6 GB left for
-        # activations + XLA workspace at 1024² dims. 14.0 GB (5 stacked
-        # leaves, 11.0% of tree bytes — the single-stream expert ffn
-        # stack) leaves the 2 GB headroom the known-good planar run had.
+        # warns). Round-4: 14.4 GB (10 leaves, 19.8% of tree bytes)
+        # OOM'd because the ON-DEVICE conversion transient held the full
+        # planar tree + the 2.35 GB expert-stack int8 copy (~15.9 GB
+        # peak); 14.0 GB (5 leaves, 11.0%) fit. Round-5: host_stage
+        # frees each planar source leaf BEFORE its int8 copy exists, so
+        # the device peak = the final converted footprint and the 14.4
+        # budget becomes the default campaign (--i8-budget= overrides).
         sparams = convert_tree_i8(
             sparams, free_source=True,
             pred=lambda k, v: not is_modulation_key(k),
-            max_bytes=int(14.0e9))
+            max_bytes=int(i8_budget), host_stage=on_tpu)
         jax.block_until_ready(jax.tree_util.tree_leaves(sparams))
-        log(f"requantize_i8 in {time.perf_counter()-t0:.1f}s")
+        log(f"requantize_i8 (budget {i8_budget / 1e9:.1f} GB, "
+            f"host_stage={on_tpu}) in {time.perf_counter()-t0:.1f}s")
 
     cfg = dims.config()
     qcfg = QuantConfig()
