@@ -42,6 +42,16 @@ SLOW_MODULES = {
 SLOW_TESTS = {
     "test_tp_flux_i8_close_to_unsharded",      # 45 s
     "test_flux_forward_through_gguf",          # 16 s
+    # spec-driven TP full-forward exactness pairs (~10-30 s each); the
+    # cheap structural checks in test_tp_spec stay in the fast gate
+    "test_tp_qwen_image_matches_unsharded",
+    "test_tp_qwen_image_i8_close_to_unsharded",
+    "test_tp_wan_matches_unsharded",
+    "test_tp_sd3_matches_unsharded",
+    "test_tp_aura_matches_unsharded",
+    "test_tp_cosmos_matches_unsharded",
+    "test_tp_lumina2_matches_unsharded",
+    "test_wan_block_under_sp",                 # 8-dev ring + real block
 }
 
 
