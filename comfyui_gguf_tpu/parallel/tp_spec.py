@@ -60,8 +60,16 @@ class ShardRule:
     groups: tuple[int, ...] | None = None
 
 
-def _split_dense(w: np.ndarray, tp: int, groups=None) -> np.ndarray:
+def _as_f32(w) -> np.ndarray:
+    """Dense f32 view of a leaf — loader.QTensor or array-like."""
+    if hasattr(w, "is_quantized"):  # loader.QTensor
+        return w.dequantize(np.float32)
+    return np.asarray(w, np.float32)
+
+
+def _split_dense(w, tp: int, groups=None) -> np.ndarray:
     """(R, ...) dense → (tp, R/tp, ...) honoring segment groups on R."""
+    w = _as_f32(w)
     if groups is None:
         return np.stack(np.split(w, tp, axis=0))
     parts, base = [], 0
@@ -72,12 +80,20 @@ def _split_dense(w: np.ndarray, tp: int, groups=None) -> np.ndarray:
                      for s in range(tp)])
 
 
-def _pack_shards(w: np.ndarray, qtype, tp: int, mode: str,
-                 groups) -> PlanarQuant:
-    blocks = codecs.quantize(np.asarray(w, np.float32), qtype)
+def _pack_shards(w, qtype, tp: int, mode: str, groups) -> PlanarQuant:
+    """Shard-planarize one weight. A QUANTIZED loader.QTensor shards its
+    existing packed blocks directly (no decode/re-encode — the real-
+    checkpoint path, same codec values as the single-chip load); f32
+    arrays (and unquantized QTensors) encode with ``qtype`` first."""
     axis = "k" if mode == "row" else "r"
+    glist = None if groups is None else list(groups)
+    if hasattr(w, "is_quantized") and w.is_quantized:
+        return planarize_shards(w.data, w.qtype, w.shape, tp, axis=axis,
+                                groups=glist)
+    w = _as_f32(w)
+    blocks = codecs.quantize(w, qtype)
     return planarize_shards(blocks, qtype, w.shape, tp, axis=axis,
-                            groups=None if groups is None else list(groups))
+                            groups=glist)
 
 
 def shard_stacked_params(sd: dict, *, block_groups, rules: dict,
@@ -96,7 +112,7 @@ def shard_stacked_params(sd: dict, *, block_groups, rules: dict,
     model's own ``forward_stacked`` consumes it inside shard_map.
     """
     prefixes = tuple(f"{g[0]}." for g in block_groups)
-    params = {k: jnp.asarray(np.asarray(v, np.float32))
+    params = {k: jnp.asarray(_as_f32(v))
               for k, v in sd.items() if not k.startswith(prefixes)}
 
     for out_key, depth in block_groups:
@@ -104,8 +120,7 @@ def shard_stacked_params(sd: dict, *, block_groups, rules: dict,
                            for k in sd if k.startswith(f"{out_key}.0.")})
         sub = {}
         for suffix in suffixes:
-            per = [np.asarray(sd[f"{out_key}.{i}.{suffix}"], np.float32)
-                   for i in range(depth)]
+            per = [sd[f"{out_key}.{i}.{suffix}"] for i in range(depth)]
             rule = rules.get(suffix)
             wrule = (rules.get(suffix[: -len(".bias")] + ".weight")
                      if suffix.endswith(".bias") else None)
@@ -113,7 +128,7 @@ def shard_stacked_params(sd: dict, *, block_groups, rules: dict,
                 st = np.stack([_split_dense(w, tp) for w in per], axis=1)
                 sub[suffix] = TPNormShard(
                     weight=jnp.asarray(st), axis=axis,
-                    full_dim=int(per[0].shape[0]))
+                    full_dim=int(_as_f32(per[0]).shape[0]))
             elif rule is not None:
                 shards = [_pack_shards(w, qtype, tp, rule.mode, rule.groups)
                           for w in per]
@@ -126,7 +141,7 @@ def shard_stacked_params(sd: dict, *, block_groups, rules: dict,
                                for w in per], axis=1)  # (tp, depth, R/tp)
                 sub[suffix] = jnp.asarray(st)
             else:  # replicated (incl. biases of row-parallel weights)
-                st = np.stack(per)
+                st = np.stack([_as_f32(w) for w in per])
                 sub[suffix] = jnp.broadcast_to(
                     jnp.asarray(st)[None], (tp, *st.shape))
         params[out_key] = sub
@@ -140,21 +155,22 @@ def shard_flat_block(sub: dict, rules: dict, tp: int, qtype,
     (sd3's pre-only tail)."""
     out = {}
     for suffix, v in sub.items():
-        w = np.asarray(v, np.float32)
         rule = rules.get(suffix)
         wrule = (rules.get(suffix[: -len(".bias")] + ".weight")
                  if suffix.endswith(".bias") else None)
         if rule is not None and rule.mode == "normshard":
+            w = _as_f32(v)
             out[suffix] = TPNormShard(
                 weight=jnp.asarray(_split_dense(w, tp)), axis=axis,
                 full_dim=int(w.shape[0]))
         elif rule is not None:
             out[suffix] = TPShard(
-                inner=_pack_shards(w, qtype, tp, rule.mode, rule.groups),
+                inner=_pack_shards(v, qtype, tp, rule.mode, rule.groups),
                 mode=rule.mode, axis=axis)
         elif wrule is not None and wrule.mode in ("col", "gather"):
-            out[suffix] = jnp.asarray(_split_dense(w, tp, wrule.groups))
+            out[suffix] = jnp.asarray(_split_dense(v, tp, wrule.groups))
         else:
+            w = _as_f32(v)
             out[suffix] = jnp.broadcast_to(jnp.asarray(w)[None],
                                            (tp, *w.shape))
     return out

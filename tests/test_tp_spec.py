@@ -155,6 +155,45 @@ def test_tp_qwen_image_i8_close_to_unsharded():
     assert np.all(np.isfinite(got))
 
 
+def test_tp_qwen_image_from_real_gguf(tmp_path):
+    """The REAL-checkpoint TP path: a quantized GGUF loads to QTensors
+    and the sharder splits the EXISTING packed blocks (no decode/
+    re-encode), so the TP forward matches the single-chip load of the
+    same file."""
+    from comfyui_gguf_tpu import loader as L
+    from comfyui_gguf_tpu.gguf.writer import GGUFWriter
+    from comfyui_gguf_tpu.quant import codecs
+
+    sd, cfg, inputs = _qwen_setup(seed=21)
+    rules = tp_spec.qwen_image_rules()
+
+    w = GGUFWriter("qwen_image")
+    for k, v in sd.items():
+        suffix = k.split(".", 2)[2] if k.startswith(
+            "transformer_blocks.") else None
+        if suffix in rules:
+            blocks = codecs.quantize(np.asarray(v, np.float32), Q.Q4_K)
+            w.add_tensor("model.diffusion_model." + k, blocks,
+                         raw_dtype=Q.Q4_K, raw_shape=v.shape)
+        else:
+            w.add_tensor("model.diffusion_model." + k,
+                         np.asarray(v, np.float32))
+    p = tmp_path / "qwen.gguf"
+    w.write_to_file(str(p))
+
+    sd_qt = L.gguf_sd_loader(str(p))
+    want = np.asarray(qwen_image.forward(
+        L.to_jax_params(sd_qt), cfg, *inputs, qcfg=F32), np.float32)
+
+    mesh = _mesh()
+    sharded = tp_spec.place_tp_params(
+        tp_spec.shard_qwen_image_params(sd_qt, cfg, TP, Q.Q4_K), mesh,
+        ("transformer_blocks",))
+    got = np.asarray(tp_spec.tp_qwen_image_forward(
+        sharded, cfg, *inputs, mesh=mesh, qcfg=F32_PALLAS), np.float32)
+    np.testing.assert_allclose(got, want, rtol=2e-3, atol=2e-3)
+
+
 def test_qwen_image_20b_fits_int8_at_tp2():
     """The round-4 blocker: qwen_image-20B's planar tree (15.29 GB
     measured) exceeds any single-chip int8 budget. The tp=2 byte plan
