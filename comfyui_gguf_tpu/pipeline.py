@@ -910,21 +910,36 @@ def flux_engine(model: DiffusionModel, h_lat: int, w_lat: int,
 def qwen_image_engine(model: DiffusionModel, h_tok: int, w_tok: int,
                       txt_len: int, max_batch: int = 4,
                       pipeline_depth: int = 1, sampler: str = "euler",
-                      dp_mesh=None):
+                      dp_mesh=None, mesh=None):
     """Continuous-batching engine for a loaded Qwen-Image model.
 
     Requests carry patchified latent tokens (L_img, in_channels) + cond
     {"txt"}; flux-style 3-axis RoPE ids are engine-fixed (one resolution
     bucket per engine). Stacked param trees (DiffusionModel.stack) take
     the scanned zero-copy forward; same pipeline_depth dispatch-window
-    semantics as flux_engine."""
+    semantics as flux_engine.
+
+    ``mesh``: a ``jax.sharding.Mesh`` with a ``"tp"`` axis serves every
+    tick tensor-parallel through the spec-driven sharding
+    (parallel.tp_spec.tp_qwen_image_forward); ``model.params`` must then
+    be the TP tree from ``tp_spec.shard_qwen_image_params`` placed with
+    ``tp_spec.place_tp_params`` — the qwen_image-20B configuration (the
+    model the single chip cannot hold int8)."""
+    import functools
+
     from .models import qwen_image as qi_model
     from .serving import ContinuousBatchEngine
 
     img_ids = jnp.asarray(flux_model.make_img_ids(h_tok, w_tok, 1))[0]
     txt_ids = jnp.zeros((txt_len, 3), jnp.int32)
-    fwd = (qi_model.forward_stacked
-           if "transformer_blocks" in model.params else qi_model.forward)
+    if mesh is not None:
+        from .parallel import tp_spec
+
+        fwd = functools.partial(tp_spec.tp_qwen_image_forward, mesh=mesh)
+    else:
+        fwd = (qi_model.forward_stacked
+               if "transformer_blocks" in model.params
+               else qi_model.forward)
 
     def velocity(params, x, s_cur, cond):
         B = x.shape[0]

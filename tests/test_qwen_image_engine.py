@@ -105,3 +105,52 @@ def test_qwen_image_engine_stacked_serves_same(model):
         eng.run_until_drained()
         outs.append(req.result.astype(np.float32))
     np.testing.assert_allclose(outs[1], outs[0], rtol=0.05, atol=0.05)
+
+
+def test_qwen_image_engine_tp_mesh_matches_unsharded():
+    """qwen_image_engine(mesh=...) serves through the spec-driven TP
+    forward; pooled results must match the unsharded engine over the
+    SAME quantized values (the qwen_image-20B serving configuration)."""
+    import jax
+    from jax.sharding import Mesh
+
+    from comfyui_gguf_tpu.gguf.constants import GGMLQuantizationType as Q
+    from comfyui_gguf_tpu.parallel import tp_spec
+
+    rng = np.random.default_rng(31)
+    sd = _tiny_qwen(rng)
+    cfg = qwen_image.QwenImageConfig.from_state_dict(
+        {k: jnp.asarray(v) for k, v in sd.items()})
+    mesh = Mesh(np.array(jax.devices()[:2]), (tp_spec.AXIS,))
+
+    ref = tp_spec.quantize_unsharded(
+        sd, block_groups=[("transformer_blocks", cfg.n_layers)],
+        rules=tp_spec.qwen_image_rules(), qtype=Q.Q8_0)
+    m_ref = pipeline.DiffusionModel(arch="qwen_image", params=ref,
+                                    config=cfg, qcfg=QCFG)
+
+    sharded = tp_spec.place_tp_params(
+        tp_spec.shard_qwen_image_params(sd, cfg, 2, Q.Q8_0), mesh,
+        ("transformer_blocks",))
+    m_tp = pipeline.DiffusionModel(arch="qwen_image", params=sharded,
+                                   config=cfg, qcfg=QCFG)
+
+    x1 = rng.standard_normal((L_IMG, cfg.in_channels)).astype(np.float32)
+    x2 = rng.standard_normal((L_IMG, cfg.in_channels)).astype(np.float32)
+    c1, c2 = _cond(cfg, 32), _cond(cfg, 33)
+    s1, s2 = linear_schedule(3), linear_schedule(4)  # mixed progress
+
+    results = []
+    for mdl, kw in ((m_ref, {}), (m_tp, {"mesh": mesh})):
+        eng = pipeline.qwen_image_engine(mdl, H_TOK, W_TOK, TXT_LEN,
+                                         max_batch=2, **kw)
+        r1 = eng.submit(x1.copy(), c1, s1)
+        r2 = eng.submit(x2.copy(), c2, s2)
+        eng.run_until_drained()
+        assert r1.finished and r2.finished and r1.error is None
+        results.append((np.asarray(r1.result, np.float32),
+                        np.asarray(r2.result, np.float32)))
+
+    (a1, a2), (b1, b2) = results
+    np.testing.assert_allclose(b1, a1, rtol=2e-2, atol=2e-2)
+    np.testing.assert_allclose(b2, a2, rtol=2e-2, atol=2e-2)
