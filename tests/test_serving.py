@@ -215,3 +215,45 @@ def test_non_pow2_max_batch_bucket():
     for i, r in enumerate(reqs):
         np.testing.assert_allclose(r.result, -(i + 1), atol=1e-6)
     assert eng.stats.total_padding_lanes >= 0
+
+
+def test_snapshot_restore_resumes_exactly():
+    """Failure recovery: an engine interrupted mid-pool snapshots its
+    unfinished requests (host numpy), a FRESH engine restores them, and
+    the drained results equal an uninterrupted run — the recovery path
+    for the wedged-worker fault (kill process, relaunch, resume)."""
+    def run_uninterrupted():
+        eng = ContinuousBatchEngine(_linear_step, max_batch=2)
+        reqs = [eng.submit(np.full((2, 2, 1), float(i), np.float32),
+                           {"c": np.float32(i + 1)},
+                           linear_schedule(steps))
+                for i, steps in enumerate((4, 6, 3))]
+        eng.run_until_drained()
+        return [np.asarray(r.result) for r in reqs]
+
+    want = run_uninterrupted()
+
+    eng1 = ContinuousBatchEngine(_linear_step, max_batch=2)
+    reqs1 = [eng1.submit(np.full((2, 2, 1), float(i), np.float32),
+                         {"c": np.float32(i + 1)}, linear_schedule(steps))
+             for i, steps in enumerate((4, 6, 3))]
+    eng1.tick()
+    eng1.tick()  # partial progress; request 2 still queued (max_batch 2)
+    snap = eng1.snapshot()
+    assert len(snap) == 3 and any(s["step"] > 0 for s in snap)
+    assert all(isinstance(s["latent"], np.ndarray) for s in snap)
+
+    # snapshot round-trips through a file (cross-process persistence)
+    import tempfile, os
+    with tempfile.TemporaryDirectory() as td:
+        p = os.path.join(td, "snap.npy")
+        np.save(p, np.asarray(snap, dtype=object), allow_pickle=True)
+        snap = list(np.load(p, allow_pickle=True))
+
+    # "new process": a fresh engine picks the pool up mid-denoise
+    eng2 = ContinuousBatchEngine(_linear_step, max_batch=2)
+    reqs2 = eng2.restore(snap)
+    eng2.run_until_drained()
+    assert all(r.finished for r in reqs2)
+    for got, ref in zip((np.asarray(r.result) for r in reqs2), want):
+        np.testing.assert_allclose(got, ref, rtol=1e-6, atol=1e-6)
