@@ -40,9 +40,14 @@ class HyVidConfig:
     text_dim: int = 4096
     patch: tuple[int, int, int] = (1, 2, 2)
     guidance_embed: bool = True
+    # TP divides n_heads per shard; the true head_dim (and the rope axes
+    # derived from it) must survive (parallel/tp_spec.tp_hyvid_forward)
+    head_dim_override: int | None = None
 
     @property
     def head_dim(self) -> int:
+        if self.head_dim_override is not None:
+            return self.head_dim_override
         return self.hidden // self.n_heads
 
     @property
@@ -201,15 +206,22 @@ def _double_block(p, img, txt, vec, pe, cfg: HyVidConfig, qcfg):
 def _single_block(p, x, vec, pe, L_img, cfg: HyVidConfig, qcfg):
     """One single block over its UNPREFIXED param subtree ``p`` (scan-compatible)."""
     H = cfg.n_heads
-    hid = cfg.hidden
-    mlp = int(hid * cfg.mlp_ratio)
+    # linear1 fuses [q|k|v|mlp]; the qkv/mlp boundary derives from the
+    # WEIGHT's out-features (3/(3+mlp_ratio) of them) instead of
+    # cfg.hidden — identical on a single chip, and correct per shard
+    # under head-uniform TP column splits (parallel/tp_spec) where the
+    # local width is (3·h + mlp)/tp
+    from ..nn.layers import out_features
+
+    hid3 = round(out_features(p["linear1.weight"]) * 3
+                 / (3 + cfg.mlp_ratio))
     shift, scale, gate = _mod(p, "modulation", vec, 3, qcfg)
     x_mod = layer_norm(x, eps=1e-6) * (1 + scale) + shift
     # fused linear1: GELU applied in the kernel epilogue from the mlp
     # tail columns (>= 3*hid)
     h = linear_gelu(x_mod, p["linear1.weight"],
-                    p.get("linear1.bias"), tail_from=3 * hid, cfg=qcfg)
-    qkv, act = h[..., : 3 * hid], h[..., 3 * hid:]
+                    p.get("linear1.bias"), tail_from=hid3, cfg=qcfg)
+    qkv, act = h[..., :hid3], h[..., hid3:]
     q, k, v = (_heads(a, H) for a in jnp.split(qkv, 3, -1))
     q = rms_norm(q, p["q_norm.weight"], eps=1e-6)
     k = rms_norm(k, p["k_norm.weight"], eps=1e-6)

@@ -59,6 +59,21 @@ def is_quantized(leaf) -> bool:
     return isinstance(leaf, (PlanarQuant, I8Planar))
 
 
+def out_features(weight) -> int:
+    """Logical out-features (R) of any linear weight leaf — dense,
+    packed, LoRA-patched, scan-indexed, or TP-sharded (for TPShard the
+    PER-SHARD width, which is what the local matmul produces)."""
+    if isinstance(weight, TPShard):
+        return out_features(weight.inner)
+    if isinstance(weight, IndexedQuant):
+        return out_features(weight.pq)
+    if isinstance(weight, (PlanarQuant, I8Planar)):
+        return weight.out_features
+    if hasattr(weight, "patches") and hasattr(weight, "base"):
+        return out_features(weight.base)
+    return int(weight.shape[-2])  # dense (…, R, K)
+
+
 def materialize(leaf, dtype=jnp.float32) -> jax.Array:
     """Dense logical-shape weight from any leaf (debug / fallback path).
     PatchedWeight leaves fold their LoRA deltas into the dense result."""

@@ -396,6 +396,49 @@ def tp_cosmos_forward(params: dict, cfg, latent, context, timesteps, *,
                   block_keys=("blocks",), qcfg=qcfg)
 
 
+def hyvid_rules(hidden: int, mlp_ratio: float = 4.0) -> dict:
+    """HunyuanVideo (models/hyvid.py): flux-lineage double blocks (fused
+    qkv head-groups, row proj/mlp-down, gathered 6-chunk mods) + single
+    blocks whose linear1 fuses [q|k|v|mlp] (head-uniform groups incl.
+    the mlp segment; the model derives the LOCAL qkv/mlp boundary from
+    the per-shard weight width) and linear2 contracts [attn|mlp] with
+    matching row groups. The token-refiner blocks (txt_in.*) are
+    nonblock and run replicated — their head count derives from their
+    own width, not cfg.n_heads."""
+    h, m = hidden, int(hidden * mlp_ratio)
+    r = {}
+    for s in ("img", "txt"):
+        r[f"{s}_mod.linear.weight"] = ShardRule("gather")
+        r[f"{s}_attn_qkv.weight"] = ShardRule("col", (h, h, h))
+        r[f"{s}_attn_proj.weight"] = ShardRule("row")
+        r[f"{s}_mlp.fc1.weight"] = ShardRule("col")
+        r[f"{s}_mlp.fc2.weight"] = ShardRule("row")
+    r["modulation.linear.weight"] = ShardRule("gather")
+    r["linear1.weight"] = ShardRule("col", (h, h, h, m))
+    r["linear2.weight"] = ShardRule("row", (h, m))
+    return r
+
+
+def shard_hyvid_params(sd: dict, cfg, tp: int, qtype) -> dict:
+    return shard_stacked_params(
+        sd, block_groups=[("double_blocks", cfg.depth_double),
+                          ("single_blocks", cfg.depth_single)],
+        rules=hyvid_rules(cfg.hidden, cfg.mlp_ratio), tp=tp, qtype=qtype)
+
+
+def tp_hyvid_forward(params: dict, cfg, latent, txt, timesteps, guidance,
+                     *, mesh: Mesh, qcfg):
+    from ..models import hyvid
+
+    tp = mesh.shape[AXIS]
+    local = dataclasses.replace(cfg, n_heads=cfg.n_heads // tp,
+                                head_dim_override=cfg.head_dim)
+    return tp_run(hyvid.forward_stacked, params, local,
+                  (latent, txt, timesteps, guidance), mesh=mesh,
+                  block_keys=("double_blocks", "single_blocks"),
+                  qcfg=qcfg)
+
+
 def lumina2_rules(dim: int) -> dict:
     """Lumina-Image-2.0 NextDiT (models/lumina2.py): fused qkv splits
     head-uniformly, SwiGLU w1/w3 column (same split → the local silu

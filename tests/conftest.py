@@ -51,6 +51,8 @@ SLOW_TESTS = {
     "test_tp_aura_matches_unsharded",
     "test_tp_cosmos_matches_unsharded",
     "test_tp_lumina2_matches_unsharded",
+    "test_tp_hyvid_matches_unsharded",
+    "test_tp_qwen_image_from_real_gguf",
     "test_wan_block_under_sp",                 # 8-dev ring + real block
 }
 

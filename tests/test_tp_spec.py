@@ -346,6 +346,49 @@ def test_tp_cosmos_matches_unsharded():
 
 
 # --------------------------------------------------------------------------
+# hyvid (fused [q|k|v|mlp] single trunk; shape-derived local boundary)
+# --------------------------------------------------------------------------
+
+def test_tp_hyvid_matches_unsharded():
+    from comfyui_gguf_tpu.models import hyvid
+
+    d = testing.HyVidDims(hidden=512, n_heads=4, depth_double=1,
+                          depth_single=1, refiner_depth=1, in_ch=16,
+                          text_dim=64)
+    nonblock, groups = testing.hyvid_shape_spec(d)
+    sd = testing.random_flat_sd_from_spec(nonblock, groups, seed=17)
+    cfg = d.config()
+    rng = np.random.default_rng(18)
+    latent = jnp.asarray(rng.standard_normal((1, 2, 4, 4, d.in_ch)),
+                         jnp.float32)
+    txt = jnp.asarray(rng.standard_normal((1, 6, d.text_dim)),
+                      jnp.float32)
+    t = jnp.full((1,), 0.5, jnp.float32)
+    g = jnp.full((1,), 6000.0, jnp.float32)
+    inputs = (latent, txt, t, g)
+
+    bg = [("double_blocks", d.depth_double),
+          ("single_blocks", d.depth_single)]
+    ref = tp_spec.quantize_unsharded(
+        sd, block_groups=bg,
+        rules=tp_spec.hyvid_rules(cfg.hidden, cfg.mlp_ratio),
+        qtype=Q.Q8_0)
+    want = np.asarray(jax.jit(
+        lambda p, *a: hyvid.forward(p, cfg, *a, qcfg=F32))(ref, *inputs),
+        np.float32)
+
+    mesh = _mesh()
+    sharded = tp_spec.place_tp_params(
+        tp_spec.shard_hyvid_params(sd, cfg, TP, Q.Q8_0), mesh,
+        ("double_blocks", "single_blocks"))
+    got = np.asarray(jax.jit(
+        lambda p, *a: tp_spec.tp_hyvid_forward(
+            p, cfg, *a, mesh=mesh, qcfg=F32_PALLAS))(sharded, *inputs),
+        np.float32)
+    np.testing.assert_allclose(got, want, rtol=2e-3, atol=2e-3)
+
+
+# --------------------------------------------------------------------------
 # lumina2 (fused qkv groups + flat-keyed refiner blocks sharded too)
 # --------------------------------------------------------------------------
 
