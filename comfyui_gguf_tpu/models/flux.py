@@ -240,7 +240,14 @@ def _double_block(p: dict, img, txt, vec, pe, cfg: FluxConfig, qcfg):
 def _single_block(p: dict, x, vec, pe, cfg: FluxConfig, qcfg):
     """One single-stream block over its unprefixed param subtree."""
     H = cfg.n_heads
-    hidden = cfg.hidden
+    # linear1 fuses [q|k|v|mlp]; the boundary derives from the WEIGHT's
+    # out-features (3/(3+mlp_ratio) of them) instead of cfg.hidden —
+    # identical single-chip, correct per shard under head-uniform TP
+    # column splits (parallel/tp_spec flux rules)
+    from ..nn.layers import out_features
+
+    hid3 = round(out_features(p["linear1.weight"]) * 3
+                 / (3 + cfg.mlp_ratio))
 
     shift, scale, gate = _modulation(p, "modulation", vec, 3, qcfg)
     x_mod = layer_norm(x, eps=1e-6) * (1 + scale) + shift
@@ -248,8 +255,8 @@ def _single_block(p: dict, x, vec, pe, cfg: FluxConfig, qcfg):
     # fused linear1: qkv columns pass through, mlp columns get the
     # GELU applied in the kernel epilogue (3·hidden is r-tile aligned)
     h = linear_gelu(x_mod, p["linear1.weight"], p.get("linear1.bias"),
-                    tail_from=3 * hidden, cfg=qcfg)
-    qkv, act = h[..., : 3 * hidden], h[..., 3 * hidden:]
+                    tail_from=hid3, cfg=qcfg)
+    qkv, act = h[..., :hid3], h[..., hid3:]
     q, k, v = _split_heads(qkv, H)
     q, k = _qknorm(p, "norm", q, k)
     attn = _attention(q, k, v, pe)

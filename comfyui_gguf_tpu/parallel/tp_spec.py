@@ -396,6 +396,46 @@ def tp_cosmos_forward(params: dict, cfg, latent, context, timesteps, *,
                   block_keys=("blocks",), qcfg=qcfg)
 
 
+def flux_rules(hidden: int, mlp_ratio: float = 4.0) -> dict:
+    """Flux via the generic table (the hand layout in tp_flux.py
+    predates this subsystem and remains the kernel-level reference;
+    this table serves the unified spec path). Same structure as hyvid:
+    fused qkv head-groups on the doubles, fused [q|k|v|mlp] single
+    trunk with a shape-derived local boundary, gathered modulations."""
+    h, m = hidden, int(hidden * mlp_ratio)
+    r = {}
+    for s in ("img", "txt"):
+        r[f"{s}_mod.lin.weight"] = ShardRule("gather")
+        r[f"{s}_attn.qkv.weight"] = ShardRule("col", (h, h, h))
+        r[f"{s}_attn.proj.weight"] = ShardRule("row")
+        r[f"{s}_mlp.0.weight"] = ShardRule("col")
+        r[f"{s}_mlp.2.weight"] = ShardRule("row")
+    r["modulation.lin.weight"] = ShardRule("gather")
+    r["linear1.weight"] = ShardRule("col", (h, h, h, m))
+    r["linear2.weight"] = ShardRule("row", (h, m))
+    return r
+
+
+def shard_flux_params(sd: dict, cfg, tp: int, qtype) -> dict:
+    return shard_stacked_params(
+        sd, block_groups=[("double_blocks", cfg.depth_double),
+                          ("single_blocks", cfg.depth_single)],
+        rules=flux_rules(cfg.hidden, cfg.mlp_ratio), tp=tp, qtype=qtype)
+
+
+def tp_flux_forward(params: dict, cfg, img, img_ids, txt, txt_ids,
+                    timesteps, y, guidance=None, *, mesh: Mesh, qcfg):
+    from ..models import flux
+
+    tp = mesh.shape[AXIS]
+    local = dataclasses.replace(cfg, n_heads=cfg.n_heads // tp)
+    return tp_run(flux.forward_stacked, params, local,
+                  (img, img_ids, txt, txt_ids, timesteps, y)
+                  + ((guidance,) if guidance is not None else ()),
+                  mesh=mesh, block_keys=("double_blocks", "single_blocks"),
+                  qcfg=qcfg)
+
+
 def hyvid_rules(hidden: int, mlp_ratio: float = 4.0) -> dict:
     """HunyuanVideo (models/hyvid.py): flux-lineage double blocks (fused
     qkv head-groups, row proj/mlp-down, gathered 6-chunk mods) + single

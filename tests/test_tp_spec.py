@@ -476,3 +476,39 @@ def test_shard_rule_validation():
     w = TPShard(inner=jnp.zeros((4, 8)), mode="bogus")
     with pytest.raises(ValueError, match="TPShard mode"):
         linear(jnp.zeros((2, 8)), w)
+
+
+# --------------------------------------------------------------------------
+# flux through the generic table (vs its own unsharded forward)
+# --------------------------------------------------------------------------
+
+def test_tp_flux_spec_matches_unsharded():
+    from comfyui_gguf_tpu.models import flux
+
+    dims = testing.TinyFluxDims(
+        hidden=512, heads=4, ctx=256, vec=64, in_ch=16,
+        depth_double=1, depth_single=1, axes_dim=(32, 48, 48))
+    sd = testing.flux_state_dict(dims, seed=19)
+    cfg = dims.config()
+    inputs = testing.flux_example_inputs(dims, batch=1, h_lat=8, w_lat=8,
+                                         txt_len=8, dtype=jnp.float32)
+
+    bg = [("double_blocks", dims.depth_double),
+          ("single_blocks", dims.depth_single)]
+    ref = tp_spec.quantize_unsharded(
+        sd, block_groups=bg,
+        rules=tp_spec.flux_rules(cfg.hidden, cfg.mlp_ratio), qtype=Q.Q8_0)
+    want = np.asarray(jax.jit(
+        lambda p, *a: flux.forward(p, cfg, *a, qcfg=F32))(ref, *inputs),
+        np.float32)
+
+    mesh = _mesh()
+    sharded = tp_spec.place_tp_params(
+        tp_spec.shard_flux_params(sd, cfg, TP, Q.Q8_0), mesh,
+        ("double_blocks", "single_blocks"))
+    img, img_ids, txt, txt_ids, t, y, g = inputs
+    got = np.asarray(jax.jit(
+        lambda p, *a: tp_spec.tp_flux_forward(
+            p, cfg, *a, mesh=mesh, qcfg=F32_PALLAS))(
+        sharded, img, img_ids, txt, txt_ids, t, y, g), np.float32)
+    np.testing.assert_allclose(got, want, rtol=2e-3, atol=2e-3)
