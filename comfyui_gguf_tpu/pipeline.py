@@ -955,7 +955,7 @@ def qwen_image_engine(model: DiffusionModel, h_tok: int, w_tok: int,
 
 def wan_engine(model: DiffusionModel, max_batch: int = 2,
                pipeline_depth: int = 1, sampler: str = "euler",
-               dp_mesh=None):
+               dp_mesh=None, mesh=None):
     """Continuous-batching engine for a loaded Wan 2.1 t2v model — video
     serving: requests carry (F, H, W, C) latent video + cond {"ctx",
     "nctx", "cfg_scale"}; each tick runs the conditional AND
@@ -963,12 +963,24 @@ def wan_engine(model: DiffusionModel, max_batch: int = 2,
     requests with different guidance scales pool into one batch
     (cfg_scale 1.0 degrades to the pure conditional velocity). Stacked
     param trees (DiffusionModel.stack) take the scanned zero-copy
-    forward."""
+    forward.
+
+    ``mesh``: a ``jax.sharding.Mesh`` with a ``"tp"`` axis serves every
+    tick tensor-parallel (parallel.tp_spec.tp_wan_forward);
+    ``model.params`` must then be the tree from
+    ``tp_spec.shard_wan_params`` placed with ``place_tp_params``."""
+    import functools
+
     from .models import wan as wan_model
     from .serving import ContinuousBatchEngine
 
-    fwd = (wan_model.forward_stacked if "blocks" in model.params
-           else wan_model.forward)
+    if mesh is not None:
+        from .parallel import tp_spec
+
+        fwd = functools.partial(tp_spec.tp_wan_forward, mesh=mesh)
+    else:
+        fwd = (wan_model.forward_stacked if "blocks" in model.params
+               else wan_model.forward)
 
     velocity = _cfg_mix_velocity(fwd, model)
 
@@ -981,18 +993,30 @@ def wan_engine(model: DiffusionModel, max_batch: int = 2,
 
 def hyvid_engine(model: DiffusionModel, max_batch: int = 2,
                  pipeline_depth: int = 1, sampler: str = "euler",
-                 dp_mesh=None):
+                 dp_mesh=None, mesh=None):
     """Continuous-batching engine for a loaded HunyuanVideo model —
     guidance-distilled video serving: requests carry (F, H, W, C) latent
     video + cond {"txt", "guidance"}; one conditional forward per tick
     with per-request embedded-guidance scales (in units of 1.0, embedded
     ×1000 like HyVidPipeline). Stacked param trees (DiffusionModel.stack)
-    take the scanned zero-copy forward."""
+    take the scanned zero-copy forward.
+
+    ``mesh``: serve tensor-parallel through
+    parallel.tp_spec.tp_hyvid_forward (params from shard_hyvid_params +
+    place_tp_params)."""
+    import functools
+
     from .models import hyvid as hyvid_model
     from .serving import ContinuousBatchEngine
 
-    fwd = (hyvid_model.forward_stacked
-           if "double_blocks" in model.params else hyvid_model.forward)
+    if mesh is not None:
+        from .parallel import tp_spec
+
+        fwd = functools.partial(tp_spec.tp_hyvid_forward, mesh=mesh)
+    else:
+        fwd = (hyvid_model.forward_stacked
+               if "double_blocks" in model.params
+               else hyvid_model.forward)
 
     def velocity(params, x, s_cur, cond):
         return fwd(params, model.config, x, cond["txt"], s_cur,

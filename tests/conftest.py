@@ -53,6 +53,8 @@ SLOW_TESTS = {
     "test_tp_lumina2_matches_unsharded",
     "test_tp_hyvid_matches_unsharded",
     "test_tp_qwen_image_from_real_gguf",
+    "test_wan_engine_tp_mesh_matches_unsharded",
+    "test_tp_flux_spec_matches_unsharded",
     "test_wan_block_under_sp",                 # 8-dev ring + real block
 }
 

@@ -512,3 +512,48 @@ def test_tp_flux_spec_matches_unsharded():
             p, cfg, *a, mesh=mesh, qcfg=F32_PALLAS))(
         sharded, img, img_ids, txt, txt_ids, t, y, g), np.float32)
     np.testing.assert_allclose(got, want, rtol=2e-3, atol=2e-3)
+
+
+def test_wan_engine_tp_mesh_matches_unsharded():
+    """wan_engine(mesh=...): video continuous-batch serving through the
+    spec-driven TP forward equals the unsharded engine over the same
+    quantized values (CFG-mixed velocities, mixed guidance scales)."""
+    from comfyui_gguf_tpu import pipeline
+    from comfyui_gguf_tpu.sampling import linear_schedule
+
+    sd, cfg, _ = _wan_setup(seed=23)
+    rules = tp_spec.wan_rules()
+    ref = tp_spec.quantize_unsharded(
+        sd, block_groups=[("blocks", cfg.n_layers)], rules=rules,
+        qtype=Q.Q8_0)
+    m_ref = pipeline.DiffusionModel(arch="wan", params=ref, config=cfg,
+                                    qcfg=F32)
+    mesh = _mesh()
+    sharded = tp_spec.place_tp_params(
+        tp_spec.shard_wan_params(sd, cfg, TP, Q.Q8_0), mesh, ("blocks",))
+    m_tp = pipeline.DiffusionModel(arch="wan", params=sharded, config=cfg,
+                                   qcfg=F32)
+
+    rng = np.random.default_rng(24)
+    x1 = rng.standard_normal((2, 8, 8, cfg.in_channels)).astype(
+        np.float32)
+    x2 = rng.standard_normal((2, 8, 8, cfg.in_channels)).astype(
+        np.float32)
+    mk_cond = lambda s, scale: {
+        "ctx": rng.standard_normal((6, cfg.text_dim)).astype(np.float32),
+        "nctx": rng.standard_normal((6, cfg.text_dim)).astype(np.float32),
+        "cfg_scale": np.float32(scale)}
+    c1, c2 = mk_cond(1, 3.0), mk_cond(2, 1.0)
+
+    results = []
+    for mdl, kw in ((m_ref, {}), (m_tp, {"mesh": mesh})):
+        eng = pipeline.wan_engine(mdl, max_batch=2, **kw)
+        r1 = eng.submit(x1.copy(), c1, linear_schedule(2))
+        r2 = eng.submit(x2.copy(), c2, linear_schedule(3))
+        eng.run_until_drained()
+        assert r1.finished and r2.finished and r1.error is None
+        results.append((np.asarray(r1.result, np.float32),
+                        np.asarray(r2.result, np.float32)))
+    (a1, a2), (b1, b2) = results
+    np.testing.assert_allclose(b1, a1, rtol=2e-2, atol=2e-2)
+    np.testing.assert_allclose(b2, a2, rtol=2e-2, atol=2e-2)
