@@ -43,7 +43,11 @@ def _label(op_name: str) -> str:
     for pat, lab in (
         (r"pallas|custom-call", "pallas/custom-call"),
         (r"^fusion|_fusion", "fusion"),
-        (r"^copy|copy-start|copy-done", "copy"),
+        # async DMA issue/rendezvous (copy-start/copy-done) OVERLAPS
+        # compute on the other line events — separate it from sync
+        # copies so an op-sum > wall reads correctly
+        (r"copy-start|copy-done", "copy-async(dma)"),
+        (r"^copy", "copy"),
         (r"^slice|dynamic-slice", "slice"),
         (r"^while", "while-wrapper"),
         (r"convolution|conv", "convolution"),
