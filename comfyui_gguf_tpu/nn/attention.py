@@ -191,12 +191,37 @@ def _splash_attention(q, k, v, scale: float, interpret: bool = False):
     # splash's block-sparse mask info additionally SKIPS fully-padded
     # key blocks, so pad FLOPs are mostly free.
     Lkp = _pad_target(Lk)
+    out_d = D
     if Lkp != Lk:
         qs = _pad_to(qs, Lq, Lkp)
         k, v = _pad_to(k, Lk, Lkp), _pad_to(v, Lk, Lkp)
-        m = np.zeros((Lkp, Lkp), bool)
-        m[:Lq, :Lk] = True
-        head_mask = sa.NumpyMask(m)
+        if D < _LANE:
+            # SINK-DIMENSION masking (round 5): NumpyMask's block-sparse
+            # mask info materializes a dense s32 operand (~19 MB at sd3
+            # scale) that VMEM-OOMs inside scanned forwards — the
+            # round-4 dead end. Instead append ONE feature dim:
+            # q_extra = 1 (after pre-scaling, so the bias is unscaled),
+            # k_extra = 0 for real keys and -1e9 for pad keys → pad
+            # logits are -1e9 and exp to exactly 0 in the f32 online
+            # softmax. FullMask → zero mask-info operands. Only for
+            # D < 128: the extra dim rides the same lane bucket (sd3
+            # hd64→65, lumina2 hd96→97); at D=128 it would spill to a
+            # second 128-lane tile.
+            jnp_ = jax.numpy
+            B_, H_ = qs.shape[:2]
+            qs = jnp_.concatenate(
+                [qs, jnp_.ones((B_, H_, Lkp, 1), qs.dtype)], axis=-1)
+            kex = jnp_.concatenate(
+                [jnp_.zeros((B_, H_, Lk, 1), k.dtype),
+                 jnp_.full((B_, H_, Lkp - Lk, 1), -1e9, k.dtype)], axis=2)
+            k = jnp_.concatenate([k, kex], axis=-1)
+            v = jnp_.concatenate(
+                [v, jnp_.zeros((B_, H_, Lkp, 1), v.dtype)], axis=-1)
+            head_mask = sa.FullMask((Lkp, Lkp))
+        else:
+            m = np.zeros((Lkp, Lkp), bool)
+            m[:Lq, :Lk] = True
+            head_mask = sa.NumpyMask(m)
     else:
         head_mask = sa.FullMask((Lq, Lk))
     bq = next(b for b in (SPLASH_BLOCK_Q, 256, 128) if Lkp % b == 0)
@@ -207,7 +232,9 @@ def _splash_attention(q, k, v, scale: float, interpret: bool = False):
     kernel = sa.make_splash_mha_single_device(
         mask, block_sizes=bs, interpret=interpret)
     out = jax.vmap(kernel)(qs, k, v)
-    return out[:, :, :Lq] if Lkp != Lk else out
+    if Lkp != Lk:
+        out = out[:, :, :Lq, :out_d]  # drop pad rows + the sink channel
+    return out
 
 
 def dot_product_attention(q: jax.Array, k: jax.Array, v: jax.Array,

@@ -35,12 +35,15 @@ def test_custom_scale():
 
 
 def test_splash_lane_odd_sublane_hd_interpret():
-    """Widened splash path (lane-odd L via static NumpyMask padding +
-    sub-lane head dim) matches the softmax reference exactly — the
-    interpret-mode proof behind GGUF_TPU_SPLASH_WIDE (sd3.5-large's
-    4250-token hd=64 joint attention, lumina2 hd=96)."""
+    """Widened splash path matches the softmax reference exactly.
+
+    Lane-odd L with D < 128 takes SINK-DIMENSION masking (round 5: one
+    extra feature dim biases pad-key logits to -1e9 — no mask-info
+    operand, the fix for the NumpyMask VMEM OOM); D = 128 keeps the
+    static NumpyMask. Covers sd3.5-large's 4250-token hd=64 joint
+    attention, lumina2 hd=96, and the hd=128 NumpyMask fallback."""
     rng = np.random.default_rng(2)
-    for L, D in ((650, 64), (640, 96)):
+    for L, D in ((650, 64), (640, 96), (650, 128)):
         q = rng.standard_normal((1, 2, L, D)).astype(np.float32)
         k = rng.standard_normal((1, 2, L, D)).astype(np.float32)
         v = rng.standard_normal((1, 2, L, D)).astype(np.float32)
