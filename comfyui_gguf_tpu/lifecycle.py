@@ -102,6 +102,9 @@ class ResidencyManager:
             raise ValueError(f"model {name!r} already registered")
         host = to_host(params)
         if free_source:
+            log.info("register(%r): freeing the caller's device buffers "
+                     "(free_source=True) — further use of the source "
+                     "tree will raise; read through the manager", name)
             free_tree(params)
         entry = _Entry(host=host, device=None, nbytes=tree_bytes(host))
         self._models[name] = entry

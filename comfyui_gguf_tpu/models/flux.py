@@ -240,14 +240,16 @@ def _double_block(p: dict, img, txt, vec, pe, cfg: FluxConfig, qcfg):
 def _single_block(p: dict, x, vec, pe, cfg: FluxConfig, qcfg):
     """One single-stream block over its unprefixed param subtree."""
     H = cfg.n_heads
-    # linear1 fuses [q|k|v|mlp]; the boundary derives from the WEIGHT's
-    # out-features (3/(3+mlp_ratio) of them) instead of cfg.hidden —
-    # identical single-chip, correct per shard under head-uniform TP
-    # column splits (parallel/tp_spec flux rules)
-    from ..nn.layers import out_features
+    # linear1 fuses [q|k|v|mlp]; derive the boundary EXACTLY from the
+    # weights instead of cfg.hidden: linear1 out = 3h+m and linear2
+    # in = h+m (full or per-shard alike), so 3h = 3·(W1−K2)/2 — no
+    # mlp_ratio assumption, correct for pruned/fine-tuned mlp widths
+    # and per shard under head-uniform TP column splits
+    # (parallel/tp_spec flux rules)
+    from ..nn.layers import in_features, out_features
 
-    hid3 = round(out_features(p["linear1.weight"]) * 3
-                 / (3 + cfg.mlp_ratio))
+    hid3 = 3 * (out_features(p["linear1.weight"])
+                - in_features(p["linear2.weight"])) // 2
 
     shift, scale, gate = _modulation(p, "modulation", vec, 3, qcfg)
     x_mod = layer_norm(x, eps=1e-6) * (1 + scale) + shift

@@ -206,15 +206,15 @@ def _double_block(p, img, txt, vec, pe, cfg: HyVidConfig, qcfg):
 def _single_block(p, x, vec, pe, L_img, cfg: HyVidConfig, qcfg):
     """One single block over its UNPREFIXED param subtree ``p`` (scan-compatible)."""
     H = cfg.n_heads
-    # linear1 fuses [q|k|v|mlp]; the qkv/mlp boundary derives from the
-    # WEIGHT's out-features (3/(3+mlp_ratio) of them) instead of
-    # cfg.hidden — identical on a single chip, and correct per shard
-    # under head-uniform TP column splits (parallel/tp_spec) where the
-    # local width is (3·h + mlp)/tp
-    from ..nn.layers import out_features
+    # linear1 fuses [q|k|v|mlp]; derive the boundary EXACTLY from the
+    # weights: linear1 out = 3h+m, linear2 in = h+m (full or per-shard
+    # alike) → 3h = 3·(W1−K2)/2 — no mlp_ratio assumption, correct for
+    # pruned mlp widths and per shard under head-uniform TP column
+    # splits (parallel/tp_spec)
+    from ..nn.layers import in_features, out_features
 
-    hid3 = round(out_features(p["linear1.weight"]) * 3
-                 / (3 + cfg.mlp_ratio))
+    hid3 = 3 * (out_features(p["linear1.weight"])
+                - in_features(p["linear2.weight"])) // 2
     shift, scale, gate = _mod(p, "modulation", vec, 3, qcfg)
     x_mod = layer_norm(x, eps=1e-6) * (1 + scale) + shift
     # fused linear1: GELU applied in the kernel epilogue from the mlp

@@ -74,6 +74,20 @@ def out_features(weight) -> int:
     return int(weight.shape[-2])  # dense (…, R, K)
 
 
+def in_features(weight) -> int:
+    """Logical in-features (K) of any linear weight leaf (per-shard
+    width for TPShard — see out_features)."""
+    if isinstance(weight, TPShard):
+        return in_features(weight.inner)
+    if isinstance(weight, IndexedQuant):
+        return in_features(weight.pq)
+    if isinstance(weight, (PlanarQuant, I8Planar)):
+        return weight.in_features
+    if hasattr(weight, "patches") and hasattr(weight, "base"):
+        return in_features(weight.base)
+    return int(weight.shape[-1])  # dense (…, R, K)
+
+
 def materialize(leaf, dtype=jnp.float32) -> jax.Array:
     """Dense logical-shape weight from any leaf (debug / fallback path).
     PatchedWeight leaves fold their LoRA deltas into the dense result."""
@@ -208,6 +222,15 @@ def linear_gelu(x: jax.Array, weight, bias=None, *, tail_from: int = 0,
     unfused composition."""
     if isinstance(weight, TPShard):
         if weight.mode == "row":
+            if tail_from:
+                # col/gather callers pass SHARD-LOCAL tail_from; a row
+                # weight's output is full-width after the psum, so the
+                # local offset would activate the wrong columns — no
+                # shipped table does this; refuse rather than corrupt
+                raise ValueError(
+                    "linear_gelu(tail_from>0) is unsupported for "
+                    "row-parallel TPShard weights (local offset vs "
+                    "full-width output)")
             # GELU after a psum is NOT the sum of per-shard GELUs — take
             # the unfused composition on the replicated output
             out = _tp_linear(x, weight, bias, cfg, linear)

@@ -110,6 +110,12 @@ def shard_stacked_params(sd: dict, *, block_groups, rules: dict,
 
     Output layout = stack_block_groups + a leading shard axis, so the
     model's own ``forward_stacked`` consumes it inside shard_map.
+
+    NOTE: leaves are built on the DEFAULT jax device. For models whose
+    whole tree exceeds one chip (the 20B case TP exists for), wrap the
+    build in ``jax.default_device(jax.devices("cpu")[0])`` and let
+    ``place_tp_params`` stream shards to the mesh — see
+    examples/serve_qwen_tp.py.
     """
     prefixes = tuple(f"{g[0]}." for g in block_groups)
     params = {k: jnp.asarray(_as_f32(v))
@@ -136,6 +142,14 @@ def shard_stacked_params(sd: dict, *, block_groups, rules: dict,
                     lambda *leaves: jnp.stack(leaves, axis=1), *shards)
                 sub[suffix] = TPShard(inner=stacked, mode=rule.mode,
                                       axis=axis)
+            elif wrule is not None and wrule.mode == "normshard":
+                # bias sibling of a full-width sharded norm: split like
+                # the scale and keep the marker so the norm adds the
+                # matching local slice (layer_norm's TPNormShard branch)
+                st = np.stack([_split_dense(w, tp) for w in per], axis=1)
+                sub[suffix] = TPNormShard(
+                    weight=jnp.asarray(st), axis=axis,
+                    full_dim=int(_as_f32(per[0]).shape[0]))
             elif wrule is not None and wrule.mode in ("col", "gather"):
                 st = np.stack([_split_dense(w, tp, wrule.groups)
                                for w in per], axis=1)  # (tp, depth, R/tp)
@@ -158,7 +172,8 @@ def shard_flat_block(sub: dict, rules: dict, tp: int, qtype,
         rule = rules.get(suffix)
         wrule = (rules.get(suffix[: -len(".bias")] + ".weight")
                  if suffix.endswith(".bias") else None)
-        if rule is not None and rule.mode == "normshard":
+        if rule is not None and rule.mode == "normshard" or (
+                wrule is not None and wrule.mode == "normshard"):
             w = _as_f32(v)
             out[suffix] = TPNormShard(
                 weight=jnp.asarray(_split_dense(w, tp)), axis=axis,

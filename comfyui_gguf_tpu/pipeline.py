@@ -687,6 +687,15 @@ def _jit_cfg_denoise(fwd, sigmas, cfg_scale, sampler=None, window=None):
     """
     sigmas = jnp.asarray(sigmas, jnp.float32)
     n_steps = int(sigmas.shape[0]) - 1
+    # resolve the EFFECTIVE sampler now (sampler=None means the live
+    # process default, sampling.flow_match.DEFAULT_FLOW_SAMPLER) and pin
+    # it, so the window-safety check below and the traced execution
+    # cannot disagree if the global changes later
+    from .sampling import flow_match as _fm
+
+    windowed = bool(window) and window < n_steps  # 0/None = one dispatch
+    eff_sampler = sampler if not windowed \
+        else (sampler or _fm.DEFAULT_FLOW_SAMPLER)
 
     @jax.jit
     def win(params, x0, sig, cond, *neg):
@@ -697,18 +706,19 @@ def _jit_cfg_denoise(fwd, sigmas, cfg_scale, sampler=None, window=None):
                 return v_c
             v_u = fwd(params, xc, ts, neg[0])
             return v_u + cfg_scale * (v_c - v_u)
-        return sample_flow(velocity, x0, sig, sampler=sampler)
+        return sample_flow(velocity, x0, sig, sampler=eff_sampler)
 
-    if window is None or window >= n_steps:
+    if not windowed:
         def denoise(params, x0, cond, *neg):
             return win(params, x0, sigmas, cond, *neg)
         return denoise
 
-    if sampler is not None:
+    if eff_sampler != "euler":
         raise ValueError(
             "dispatch-window chunking carries only the latent between "
-            "windows; multistep samplers (history-carrying) need "
-            f"window=None, got sampler={sampler!r}")
+            "windows; history-carrying samplers need window=None — "
+            f"effective sampler is {eff_sampler!r} (explicit argument or "
+            "the process-default flow sampler)")
 
     def denoise(params, x0, cond, *neg):
         x = x0

@@ -59,16 +59,37 @@ def main():
 
     sd = loader.gguf_sd_loader(args.unet)
     cfg = QwenImageConfig.from_state_dict(sd)
-    # the sharder consumes the QTensors directly: quantized weights
-    # split their existing packed blocks, no decode/re-encode
-    params = tp_spec.shard_qwen_image_params(sd, cfg, args.tp, Q.Q4_K)
-    if args.i8:
-        from comfyui_gguf_tpu.quant.i8 import (convert_tree_i8,
-                                               is_modulation_key)
+    # Build (and optionally convert) the sharded tree on the HOST cpu
+    # backend: the whole point of tp=2 is that one chip cannot hold the
+    # 20B (~15.3 GB planar / ~20 GB int8) — the default-device build
+    # would land it all on device 0 before placement. place_tp_params
+    # then streams each shard to its mesh device; the per-chip peak is
+    # the final per-shard footprint.
+    try:
+        cpu = jax.devices("cpu")[0]
+    except RuntimeError:
+        cpu = None
+        print("warning: no cpu backend — building on the default device "
+              "(fine for small models, OOMs at 20B/tp<4)",
+              file=sys.stderr)
+    import contextlib
 
-        params = convert_tree_i8(
-            params, free_source=True,
-            pred=lambda k, v: not is_modulation_key(k))
+    with (jax.default_device(cpu) if cpu is not None
+          else contextlib.nullcontext()):
+        # the sharder consumes the QTensors directly: quantized weights
+        # split their existing packed blocks, no decode/re-encode
+        params = tp_spec.shard_qwen_image_params(sd, cfg, args.tp,
+                                                 Q.Q4_K)
+        if args.i8:
+            from comfyui_gguf_tpu.quant.i8 import (convert_tree_i8,
+                                                   is_modulation_key)
+
+            # host_stage keeps the dequant+requant in numpy and the
+            # results on the host until placement
+            params = convert_tree_i8(
+                params, free_source=True,
+                pred=lambda k, v: not is_modulation_key(k),
+                host_stage=True)
     params = tp_spec.place_tp_params(params, mesh,
                                      ("transformer_blocks",))
 

@@ -82,12 +82,28 @@ def test_wan_pipeline_dispatch_window_identical():
     assert full.shape == (2, 4, 4, d.in_ch)
     np.testing.assert_allclose(win, full, rtol=1e-6, atol=1e-6)
 
-    # multistep samplers carry history across steps — chunking must
-    # refuse rather than silently reset it
+    # window=0 means "one dispatch" (the bench/warmup CLI convention),
+    # not range(.., 0) — must behave exactly like None
+    win0 = pipe.generate("a fox", dispatch_window=0, **kw)
+    np.testing.assert_allclose(win0, full, rtol=1e-6, atol=1e-6)
+
+    # history-carrying samplers refuse chunking — including when they
+    # arrive via the PROCESS-DEFAULT flow sampler, not the explicit
+    # argument (round-5 review finding)
     with pytest.raises(ValueError, match="window"):
         pipeline._jit_cfg_denoise(lambda p, xc, ts, c: xc,
                                   np.linspace(1, 0, 6), 1.0,
-                                  sampler="dpmpp_2m", window=2)
+                                  sampler="multistep", window=2)
+    from comfyui_gguf_tpu.sampling import flow_match as fm
+
+    fm.set_flow_sampler("multistep")
+    try:
+        with pytest.raises(ValueError, match="process-default"):
+            pipeline._jit_cfg_denoise(lambda p, xc, ts, c: xc,
+                                      np.linspace(1, 0, 6), 1.0,
+                                      window=2)
+    finally:
+        fm.set_flow_sampler("euler")
 
 
 def test_ltxv_pipeline_latent():

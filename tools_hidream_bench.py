@@ -41,7 +41,8 @@ def main():
     argv = [a for a in sys.argv[1:] if not a.startswith("--")]
     use_i8 = "--i8" in sys.argv[1:]
     dense_only = "--dense-only" in sys.argv[1:]
-    i8_budget = 14.0e9
+    i8_budget = 14.4e9  # round-5 default: the f=19.8% plan, OOM-free
+    # under the host-staged conversion (BASELINE.md round 5)
     for a in sys.argv[1:]:
         if a.startswith("--i8-budget="):
             i8_budget = float(a.split("=", 1)[1])
