@@ -446,12 +446,213 @@ def uni_pc_sample_sigma(denoiser, x: jax.Array, sigmas,
     return x_out
 
 
+def dpm_2_sample_sigma(denoiser, x: jax.Array, sigmas) -> jax.Array:
+    """DPM-Solver-2 (deterministic midpoint, k-diffusion sample_dpm_2):
+    evaluate d at σ, take a half step to the log-cubic midpoint
+    σ_mid = ((σ^⅓+σ'^⅓)/2)³, re-evaluate, full step with d_mid. Two
+    model calls per step; plain Euler on the final σ→0 step."""
+    sigmas = jnp.asarray(sigmas, jnp.float32)
+
+    def step(x, i):
+        s, s_next = sigmas[i], sigmas[i + 1]
+        xf = x.astype(jnp.float32)
+        d = (xf - denoiser(x, s).astype(jnp.float32)) / s
+
+        def midpoint(_):
+            s_mid = ((s ** (1 / 3) + s_next ** (1 / 3)) / 2) ** 3
+            x2 = xf + (s_mid - s) * d
+            d2 = (x2 - denoiser(x2.astype(x.dtype), s_mid)
+                  .astype(jnp.float32)) / s_mid
+            return xf + (s_next - s) * d2
+
+        out = jax.lax.cond(s_next > 0, midpoint,
+                           lambda _: xf + (s_next - s) * d, operand=None)
+        return out.astype(x.dtype), None
+
+    x, _ = jax.lax.scan(step, x, jnp.arange(sigmas.shape[0] - 1))
+    return x
+
+
+def dpm_2_ancestral_sample_sigma(denoiser, x: jax.Array, sigmas, key,
+                                 eta: float = 1.0) -> jax.Array:
+    """DPM-Solver-2 ancestral (k-diffusion sample_dpm_2_ancestral): the
+    midpoint step integrates to the ancestral σ_down, fresh noise at
+    σ_up re-inflates. eta=0 degrades exactly to dpm_2."""
+    sigmas = jnp.asarray(sigmas, jnp.float32)
+
+    def step(carry, i):
+        x, key = carry
+        s, s_next = sigmas[i], sigmas[i + 1]
+        su2 = (eta ** 2 * s_next ** 2 * (s ** 2 - s_next ** 2)
+               / jnp.maximum(s ** 2, 1e-12))
+        su = jnp.minimum(jnp.sqrt(jnp.maximum(su2, 0.0)), s_next)
+        sd = jnp.sqrt(jnp.maximum(s_next ** 2 - su ** 2, 0.0))
+        xf = x.astype(jnp.float32)
+        d = (xf - denoiser(x, s).astype(jnp.float32)) / s
+
+        def midpoint(_):
+            s_mid = ((s ** (1 / 3) + sd ** (1 / 3)) / 2) ** 3
+            x2 = xf + (s_mid - s) * d
+            d2 = (x2 - denoiser(x2.astype(x.dtype), s_mid)
+                  .astype(jnp.float32)) / s_mid
+            return xf + (sd - s) * d2
+
+        out = jax.lax.cond(sd > 0, midpoint,
+                           lambda _: xf + (sd - s) * d, operand=None)
+        key, sub = jax.random.split(key)
+        noise = jax.random.normal(sub, x.shape, jnp.float32)
+        out = jnp.where(s_next > 0, out + noise * su, out)
+        return (out.astype(x.dtype), key), None
+
+    (x, _), _ = jax.lax.scan(step, (x, key),
+                             jnp.arange(sigmas.shape[0] - 1))
+    return x
+
+
+def ipndm_sample_sigma(denoiser, x: jax.Array, sigmas) -> jax.Array:
+    """iPNDM: 4th-order Adams–Bashforth on d over σ (ComfyUI/k-diffusion
+    sampler_ipndm), warming up through orders 1→4 — one model call per
+    step, multistep history in the scan carry."""
+    sigmas = jnp.asarray(sigmas, jnp.float32)
+
+    def step(carry, i):
+        x, d1, d2, d3 = carry
+        s, s_next = sigmas[i], sigmas[i + 1]
+        xf = x.astype(jnp.float32)
+        d = (xf - denoiser(x, s).astype(jnp.float32)) / s
+        dt = s_next - s
+        o1 = d
+        o2 = (3 * d - d1) / 2
+        o3 = (23 * d - 16 * d1 + 5 * d2) / 12
+        o4 = (55 * d - 59 * d1 + 37 * d2 - 9 * d3) / 24
+        upd = jnp.where(i >= 3, o4,
+                        jnp.where(i == 2, o3, jnp.where(i == 1, o2, o1)))
+        out = xf + dt * upd
+        return (out.astype(x.dtype), d, d1, d2), None
+
+    z = jnp.zeros_like(x, jnp.float32)
+    (x, _, _, _), _ = jax.lax.scan(step, (x, z, z, z),
+                                   jnp.arange(sigmas.shape[0] - 1))
+    return x
+
+
+def _lms_coeffs(sigmas: np.ndarray, order: int = 4) -> np.ndarray:
+    """(n_steps, order) exact Lagrange-basis integral coefficients for
+    linear multistep over the σ grid: coeff[i, j] = ∫_{σ_i}^{σ_{i+1}}
+    Π_{k≠j} (τ−σ_{i−k})/(σ_{i−j}−σ_{i−k}) dτ — computed with exact
+    polynomial integration (np.poly1d), not quadrature."""
+    n = len(sigmas) - 1
+    # always 4 columns so the scan body's fixed 4-term sum stays in
+    # bounds for lower orders (extra columns are exact zeros)
+    out = np.zeros((n, max(order, 4)), np.float64)
+    for i in range(n):
+        cur = min(i + 1, order)
+        for j in range(cur):
+            p = np.poly1d([1.0])
+            for k in range(cur):
+                if k == j:
+                    continue
+                p *= np.poly1d(
+                    [1.0, -sigmas[i - k]]) / (sigmas[i - j] - sigmas[i - k])
+            ip = p.integ()
+            out[i, j] = ip(sigmas[i + 1]) - ip(sigmas[i])
+    return out.astype(np.float32)
+
+
+def _lms_coeffs_jnp(sigmas, order: int = 4):
+    """Traced-compatible closed-form twin of _lms_coeffs: the Lagrange
+    basis of ≤3 roots expands to a cubic whose integral is analytic, so
+    the (n_steps, 4) coefficient matrix builds from jnp arithmetic —
+    needed because pipelines jit the whole sampler (sigmas arrive as
+    tracers, the np.poly1d path cannot run)."""
+    sigmas = jnp.asarray(sigmas, jnp.float32)
+    n = sigmas.shape[0] - 1
+
+    def poly_int(lo, hi, roots):
+        # ∫ Π (τ − r) dτ over [lo, hi] for 0..3 roots (padded with None)
+        a = [r for r in roots if r is not None]
+        e1 = sum(a) if a else 0.0
+        e2 = (a[0] * a[1] + (a[0] + a[1]) * a[2] if len(a) == 3 else
+              a[0] * a[1] if len(a) == 2 else 0.0)
+        e3 = a[0] * a[1] * a[2] if len(a) == 3 else 0.0
+        deg = len(a)
+        def F(t):
+            if deg == 0:
+                return t
+            if deg == 1:
+                return t ** 2 / 2 - e1 * t
+            if deg == 2:
+                return t ** 3 / 3 - e1 * t ** 2 / 2 + e2 * t
+            return (t ** 4 / 4 - e1 * t ** 3 / 3 + e2 * t ** 2 / 2
+                    - e3 * t)
+        return F(hi) - F(lo)
+
+    def row(i):
+        cur = jnp.minimum(i + 1, order)
+        s = [sigmas[jnp.maximum(i - k, 0)] for k in range(4)]
+        lo, hi = sigmas[i], sigmas[i + 1]
+        cols = []
+        for j in range(4):
+            # coefficient of d_{i-j} at each possible order; select the
+            # active order's value (0 when j >= order)
+            variants = []
+            for o in range(1, 5):
+                if j >= o:
+                    variants.append(jnp.float32(0))
+                    continue
+                roots = [s[k] if k != j else None for k in range(o)]
+                den = 1.0
+                for k in range(o):
+                    if k != j:
+                        den = den * (s[j] - s[k])
+                variants.append(poly_int(lo, hi, roots) / den)
+        # jnp.select over the order warmup
+            cols.append(jnp.select([cur == o for o in range(1, 5)],
+                                   variants))
+        return jnp.stack(cols)
+
+    return jax.vmap(row)(jnp.arange(n))
+
+
+def lms_sample_sigma(denoiser, x: jax.Array, sigmas,
+                     order: int = 4) -> jax.Array:
+    """Linear multistep (k-diffusion sample_lms, default order 4): the
+    per-step coefficients are exact integrals of the Lagrange basis over
+    each σ interval — computed host-side in float64 when the schedule is
+    concrete (the usual case), or via the closed-form jnp twin when the
+    sampler is traced with the rest of a pipeline."""
+    sig_in = jnp.asarray(sigmas)
+    if isinstance(sig_in, jax.core.Tracer):
+        coeffs = _lms_coeffs_jnp(sig_in, order)
+    else:
+        sig_np = np.asarray(jax.device_get(sig_in), np.float64)
+        coeffs = jnp.asarray(_lms_coeffs(sig_np, order))
+    sigmas = jnp.asarray(sigmas, jnp.float32)
+
+    def step(carry, i):
+        x, d1, d2, d3 = carry
+        s = sigmas[i]
+        xf = x.astype(jnp.float32)
+        d = (xf - denoiser(x, s).astype(jnp.float32)) / s
+        c = coeffs[i]
+        out = xf + c[0] * d + c[1] * d1 + c[2] * d2 + c[3] * d3
+        return (out.astype(x.dtype), d, d1, d2), None
+
+    z = jnp.zeros_like(x, jnp.float32)
+    (x, _, _, _), _ = jax.lax.scan(step, (x, z, z, z),
+                                   jnp.arange(sigmas.shape[0] - 1))
+    return x
+
+
 SAMPLERS = {
     "euler": euler_sample_sigma,
     "heun": heun_sample_sigma,
     "dpmpp_2m": dpmpp_2m_sample_sigma,
     "ddim": ddim_sample_sigma,
     "uni_pc": uni_pc_sample_sigma,
+    "dpm_2": dpm_2_sample_sigma,
+    "ipndm": ipndm_sample_sigma,
+    "lms": lms_sample_sigma,
 }
 
 # stochastic samplers take (denoiser, x, sigmas, key, **knobs)
@@ -460,6 +661,7 @@ STOCHASTIC_SAMPLERS = {
     "lcm": lcm_sample_sigma,
     "dpmpp_2m_sde": dpmpp_2m_sde_sample_sigma,
     "dpmpp_sde": dpmpp_sde_sample_sigma,
+    "dpm_2_ancestral": dpm_2_ancestral_sample_sigma,
 }
 
 

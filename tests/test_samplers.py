@@ -307,3 +307,94 @@ def test_ancestral_eta2_clamped_still_converges():
                                      eta=2.0)
     np.testing.assert_allclose(np.asarray(out2), np.asarray(c), rtol=1e-4,
                                atol=1e-4)
+
+
+def test_dpm2_ipndm_lms_reach_or_approach_clean_target():
+    """Perfect denoiser: dpm_2 lands exactly (final σ→0 step is Euler
+    with d = (x−c)/σ); ipndm/lms approach c tightly (their multistep
+    tails don't collapse the last step to pure Euler, matching
+    k-diffusion)."""
+    c = jnp.full((2, 8), 3.5, jnp.float32)
+    den = lambda x, s: c
+    x0 = jnp.asarray(np.random.default_rng(3).standard_normal((2, 8)) * 10,
+                     jnp.float32)
+    sig = _sched(10)
+    np.testing.assert_allclose(np.asarray(kd.dpm_2_sample_sigma(
+        den, x0, sig)), np.asarray(c), rtol=1e-4, atol=1e-4)
+    for fn in (kd.ipndm_sample_sigma, kd.lms_sample_sigma):
+        out = np.asarray(fn(den, x0, sig))
+        assert np.abs(out - 3.5).max() < 0.2, fn
+
+
+def test_new_multistep_samplers_beat_euler_on_power_ode():
+    den = lambda x, s: 0.5 * x
+    x0 = jnp.full((4,), 8.0, jnp.float32)
+    sig = _sched(8, smax=10.0, smin=0.5, end_zero=False)
+    exact = 8.0 * np.sqrt(float(sig[-1]) / float(sig[0]))
+
+    def err(fn):
+        return abs(float(fn(den, x0, sig)[0]) - exact)
+
+    e_eul = err(kd.euler_sample_sigma)
+    for fn in (kd.dpm_2_sample_sigma, kd.ipndm_sample_sigma,
+               kd.lms_sample_sigma):
+        assert err(fn) < e_eul, (fn, err(fn), e_eul)
+
+
+def test_dpm2_ancestral_eta0_equals_dpm2():
+    den = lambda x, s: 0.3 * x
+    x0 = jnp.asarray(np.random.default_rng(5).standard_normal((3, 5)),
+                     jnp.float32)
+    sig = _sched(7)
+    a = kd.dpm_2_ancestral_sample_sigma(den, x0, sig, jax.random.key(2),
+                                        eta=0.0)
+    b = kd.dpm_2_sample_sigma(den, x0, sig)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5,
+                               atol=1e-6)
+
+
+def test_lms_coeffs_order1_is_euler():
+    """With order=1 the Lagrange integral degenerates to Δσ — LMS must
+    equal Euler exactly on any grid."""
+    sig = np.asarray(_sched(6), np.float64)
+    c = kd._lms_coeffs(sig, order=1)
+    np.testing.assert_allclose(c[:, 0], np.diff(sig), rtol=1e-6)
+    den = lambda x, s: 0.4 * x
+    x0 = jnp.asarray(np.random.default_rng(6).standard_normal((4,)),
+                     jnp.float32)
+    a = kd.lms_sample_sigma(den, x0, jnp.asarray(sig, jnp.float32),
+                            order=1)
+    b = kd.euler_sample_sigma(den, x0, jnp.asarray(sig, jnp.float32))
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5,
+                               atol=1e-6)
+
+
+def test_run_sampler_dispatch_new_names():
+    den = lambda x, s: jnp.zeros_like(x)
+    x0 = jnp.ones((2, 2), jnp.float32)
+    sig = _sched(4)
+    for name in ("dpm_2", "ipndm", "lms"):
+        out = kd.run_sampler(name, den, x0, sig)
+        assert np.isfinite(np.asarray(out)).all()
+    out = kd.run_sampler("dpm_2_ancestral", den, x0, sig,
+                         key=jax.random.key(0))
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_lms_jnp_coeffs_match_host_and_traced_pipeline_path():
+    """The closed-form traced coefficient path must match the float64
+    host integrals, and lms must run under jit with traced sigmas (the
+    pipelines jit the whole sampler)."""
+    sig = np.asarray(_sched(7), np.float64)
+    a = kd._lms_coeffs(sig, order=4)
+    b = np.asarray(kd._lms_coeffs_jnp(jnp.asarray(sig, jnp.float32)))
+    np.testing.assert_allclose(b, a, rtol=2e-4, atol=2e-5)
+
+    den = lambda x, s: 0.4 * x
+    x0 = jnp.asarray(np.random.default_rng(7).standard_normal((4,)),
+                     jnp.float32)
+    f = jax.jit(lambda sig: kd.lms_sample_sigma(den, x0, sig))
+    got = np.asarray(f(jnp.asarray(sig, jnp.float32)))
+    want = np.asarray(kd.lms_sample_sigma(den, x0,
+                                          jnp.asarray(sig, jnp.float32)))
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-5)
