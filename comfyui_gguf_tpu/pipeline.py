@@ -1920,6 +1920,7 @@ class SD1Pipeline:
                           width: int = 512, height: int = 512,
                           steps: int = 20, cfg_scale: float = 7.0,
                           seed: int = 0, sampler: str = "euler",
+                          scheduler: str = "normal",
                           init_image: np.ndarray | None = None,
                           denoise: float = 1.0):
         from .models import unet as unet_model
@@ -1931,7 +1932,7 @@ class SD1Pipeline:
             nctx = self.clip_l.encode(neg_clip_l_ids)["last_hidden"]
 
         table = kd.ddpm_sigmas()
-        sigmas = kd.normal_schedule(steps, table)
+        sigmas = kd.make_schedule(scheduler, steps, table)
         h_lat, w_lat = height // 8, width // 8
         key = jax.random.key(seed)
         if init_image is not None:
@@ -1993,6 +1994,7 @@ class SDXLPipeline:
                           width: int = 1024, height: int = 1024,
                           steps: int = 20, cfg_scale: float = 7.0,
                           seed: int = 0, sampler: str = "euler",
+                          scheduler: str = "normal",
                           init_image: np.ndarray | None = None,
                           denoise: float = 1.0,
                           inpaint_mask: np.ndarray | None = None):
@@ -2027,7 +2029,7 @@ class SDXLPipeline:
             nctx, ny = cond(neg_clip_l_ids, neg_clip_g_ids)
 
         table = kd.ddpm_sigmas()
-        sigmas = kd.normal_schedule(steps, table)
+        sigmas = kd.make_schedule(scheduler, steps, table)
         h_lat, w_lat = height // 8, width // 8
         key = jax.random.key(seed)
         z0 = mask = None
@@ -2090,7 +2092,8 @@ class SDXLPipeline:
                         aesthetic_score: float = 6.0,
                         negative_aesthetic_score: float = 2.5,
                         seed: int = 0, decode: bool = True,
-                        sampler: str = "euler"):
+                        sampler: str = "euler",
+                        scheduler: str = "normal"):
         """SDXL refiner pass (ensemble-of-experts second stage).
 
         The refiner UNet conditions on CLIP-G only (1280-wide context) and
@@ -2119,7 +2122,7 @@ class SDXLPipeline:
             nctx, ny = cond(neg_clip_g_ids, negative_aesthetic_score)
 
         table = kd.ddpm_sigmas()
-        sigmas = kd.normal_schedule(steps, table)
+        sigmas = kd.make_schedule(scheduler, steps, table)
         first = min(int(round((1.0 - denoise) * steps)), steps - 1)
         sigmas = sigmas[first:]
         lat = jnp.asarray(latent, jnp.bfloat16)

@@ -60,6 +60,100 @@ def sgm_uniform_schedule(num_steps: int,
     return np.concatenate([sigma_table[idx], [0.0]]).astype(np.float32)
 
 
+def ddim_uniform_schedule(num_steps: int,
+                          sigma_table: np.ndarray) -> np.ndarray:
+    """Host 'ddim_uniform' scheduler: stride the discrete table by
+    T//steps from the top (the original DDIM timestep subset) + σ=0."""
+    T = len(sigma_table)
+    stride = max(T // num_steps, 1)
+    idx = np.arange(1, num_steps * stride + 1, stride)[::-1]
+    idx = np.clip(idx, 0, T - 1)
+    return np.concatenate([sigma_table[idx], [0.0]]).astype(np.float32)
+
+
+def beta_schedule(num_steps: int, sigma_table: np.ndarray,
+                  alpha: float = 0.6, beta: float = 0.6) -> np.ndarray:
+    """Host 'beta' scheduler (Beta(0.6, 0.6)-distributed timestep
+    quantiles over the discrete table) + σ=0."""
+    import scipy.stats
+
+    T = len(sigma_table)
+    ts = 1.0 - np.linspace(0.0, 1.0, num_steps, endpoint=False)
+    ts = np.rint(scipy.stats.beta.ppf(ts, alpha, beta) * (T - 1))
+    out, last = [], -1
+    for t in ts:
+        if t != last:
+            out.append(sigma_table[int(t)])
+        last = t
+    return np.concatenate([out, [0.0]]).astype(np.float32)
+
+
+def kl_optimal_schedule(num_steps: int, sigma_min: float,
+                        sigma_max: float) -> np.ndarray:
+    """'kl_optimal' (Align-Your-Steps paper, eq. 33): σ interpolates in
+    arctan space + σ=0."""
+    t = np.linspace(0.0, 1.0, num_steps, dtype=np.float64)
+    sig = np.tan((1.0 - t) * np.arctan(sigma_max)
+                 + t * np.arctan(sigma_min))
+    return np.concatenate([sig, [0.0]]).astype(np.float32)
+
+
+def linear_quadratic_schedule(num_steps: int, sigma_max: float = 1.0,
+                              threshold_noise: float = 0.025,
+                              linear_steps: int | None = None
+                              ) -> np.ndarray:
+    """Host 'linear_quadratic' scheduler (LTX-Video recipe): linear ramp
+    to ``threshold_noise`` over the first half, quadratic tail after,
+    scaled to σ_max, descending + σ=0."""
+    if num_steps == 1:
+        return np.asarray([sigma_max, 0.0], np.float32)
+    lin = num_steps // 2 if linear_steps is None else linear_steps
+    lin = min(max(lin, 1), num_steps - 1)
+    sigma_schedule = [i * threshold_noise / lin for i in range(lin)]
+    quad_steps = num_steps - lin
+    # quadratic tail solving f(lin)=τ, f(n)=1, f'(lin)=τ/lin (C¹ join
+    # with the linear ramp)
+    threshold_noise_step_diff = lin - threshold_noise * num_steps
+    quadratic_coef = threshold_noise_step_diff / (lin * quad_steps ** 2)
+    linear_coef = (threshold_noise / lin
+                   - 2 * threshold_noise_step_diff / (quad_steps ** 2))
+    const = (threshold_noise - quadratic_coef * lin ** 2
+             - linear_coef * lin)
+    for i in range(lin, num_steps):
+        sigma_schedule.append(quadratic_coef * i ** 2 + linear_coef * i
+                              + const)
+    sigma_schedule.append(1.0)
+    sig = (1.0 - np.asarray(sigma_schedule, np.float64)) * sigma_max
+    return np.concatenate([sig[:-1], [0.0]]).astype(np.float32)
+
+
+def make_schedule(name: str, num_steps: int,
+                  sigma_table: np.ndarray) -> np.ndarray:
+    """Scheduler menu (host UI parity): name → (num_steps+1,) descending
+    sigmas ending at 0, derived from the model's discrete table."""
+    smin, smax = float(sigma_table[0]), float(sigma_table[-1])
+    if name == "normal":
+        return normal_schedule(num_steps, sigma_table)
+    if name == "karras":
+        return karras_schedule(num_steps, smin, smax)
+    if name == "exponential":
+        return exponential_schedule(num_steps, smin, smax)
+    if name == "sgm_uniform":
+        return sgm_uniform_schedule(num_steps, sigma_table)
+    if name == "ddim_uniform":
+        return ddim_uniform_schedule(num_steps, sigma_table)
+    if name == "beta":
+        return beta_schedule(num_steps, sigma_table)
+    if name == "kl_optimal":
+        return kl_optimal_schedule(num_steps, smin, smax)
+    if name == "linear_quadratic":
+        return linear_quadratic_schedule(num_steps, smax)
+    raise ValueError(
+        f"unknown scheduler {name!r}; have ['normal', 'karras', "
+        "'exponential', 'sgm_uniform', 'ddim_uniform', 'beta', "
+        "'kl_optimal', 'linear_quadratic']")
+
+
 def sigma_to_t(sigma, sigma_table) -> jax.Array:
     """Continuous timestep by log-linear interpolation into the table."""
     log_s = jnp.log(jnp.maximum(sigma, 1e-10))

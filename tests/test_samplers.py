@@ -398,3 +398,24 @@ def test_lms_jnp_coeffs_match_host_and_traced_pipeline_path():
     want = np.asarray(kd.lms_sample_sigma(den, x0,
                                           jnp.asarray(sig, jnp.float32)))
     np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-5)
+
+
+def test_new_schedulers_shapes_and_monotonicity():
+    """ddim_uniform / beta / kl_optimal / linear_quadratic: descending,
+    end at exactly 0, start near the table max, registry-dispatched."""
+    table = kd.ddpm_sigmas()
+    for name in ("normal", "karras", "exponential", "sgm_uniform",
+                 "ddim_uniform", "beta", "kl_optimal",
+                 "linear_quadratic"):
+        sig = kd.make_schedule(name, 12, table)
+        assert sig[-1] == 0.0, name
+        assert np.all(np.diff(sig) < 0), (name, sig)
+        assert sig[0] > 1.0, name  # starts high in the table range
+    # linear_quadratic: linear ramp first, ends exactly at 0
+    lq = kd.linear_quadratic_schedule(10, sigma_max=14.6)
+    d = np.diff(lq[:5])
+    np.testing.assert_allclose(d, d[0], rtol=1e-4)  # linear segment
+    import pytest
+
+    with pytest.raises(ValueError, match="scheduler"):
+        kd.make_schedule("bogus", 10, table)
