@@ -523,6 +523,59 @@ def flow_multistep_aux_init(latent):
             jnp.float32(0.0), jnp.asarray(False))
 
 
+class BucketRouter:
+    """Multi-RESOLUTION serving front: one ContinuousBatchEngine per
+    shape bucket, created lazily from a factory.
+
+    jit is shape-static, so a pooled batch can only hold one latent
+    shape; production traffic mixes resolutions. The router keys
+    engines by the latent's shape tuple — same model params (and
+    compiled block kernels) behind every bucket, one extra whole-program
+    compile per NEW bucket, zero cost for shapes already seen. Snap
+    incoming requests to a fixed bucket list upstream if unbounded
+    resolutions would compile-storm.
+
+        router = BucketRouter(lambda shape: flux_engine(model,
+                              shape[0] // 2, shape[1] // 2, txt_len))
+        r = router.submit(latent_1024, cond, sigmas)   # routes by shape
+        router.run_until_drained()
+    """
+
+    def __init__(self, engine_factory):
+        self.engine_factory = engine_factory
+        self.engines: dict[tuple, ContinuousBatchEngine] = {}
+
+    def engine_for(self, shape: tuple) -> "ContinuousBatchEngine":
+        shape = tuple(int(s) for s in shape)
+        eng = self.engines.get(shape)
+        if eng is None:
+            log.info("BucketRouter: new shape bucket %s", shape)
+            eng = self.engine_factory(shape)
+            self.engines[shape] = eng
+        return eng
+
+    def submit(self, latent, cond, sigmas) -> GenRequest:
+        return self.engine_for(np.asarray(latent).shape).submit(
+            latent, cond, sigmas)
+
+    def run_until_drained(self, timeout_s: float = 600.0) -> None:
+        deadline = time.monotonic() + timeout_s
+        # round-robin the buckets so no bucket starves while another
+        # drains; each tick advances one bucket's whole pool by one step
+        while any(e.active or not e.queue.empty()
+                  for e in self.engines.values()):
+            if time.monotonic() > deadline:
+                raise TimeoutError("bucket router drain timed out")
+            for eng in list(self.engines.values()):
+                if eng.active or not eng.queue.empty():
+                    eng.tick()
+
+    @property
+    def stats(self) -> dict:
+        return {str(shape): eng.stats.snapshot()
+                for shape, eng in self.engines.items()}
+
+
 class ResidentModelServer:
     """Multi-MODEL serving on one chip under an HBM budget.
 

@@ -257,3 +257,34 @@ def test_snapshot_restore_resumes_exactly():
     assert all(r.finished for r in reqs2)
     for got, ref in zip((np.asarray(r.result) for r in reqs2), want):
         np.testing.assert_allclose(got, ref, rtol=1e-6, atol=1e-6)
+
+
+def test_bucket_router_mixed_resolutions():
+    """BucketRouter: requests of different latent shapes route to
+    per-shape engines (jit is shape-static), results are exact, and
+    same-shape requests POOL in one engine."""
+    from comfyui_gguf_tpu.serving import BucketRouter
+
+    made = []
+
+    def factory(shape):
+        made.append(shape)
+        return ContinuousBatchEngine(_linear_step, max_batch=4)
+
+    router = BucketRouter(factory)
+    r_small = [router.submit(np.full((2, 2, 1), float(i), np.float32),
+                             {"c": np.float32(i + 1)}, linear_schedule(4))
+               for i in range(2)]
+    r_big = router.submit(np.zeros((4, 4, 1), np.float32),
+                          {"c": np.float32(5)}, linear_schedule(3))
+    router.run_until_drained()
+
+    assert made == [(2, 2, 1), (4, 4, 1)]  # lazily created, reused
+    for i, r in enumerate(r_small):
+        np.testing.assert_allclose(r.result, float(i) - (i + 1),
+                                   atol=1e-6)
+    np.testing.assert_allclose(r_big.result, -5.0, atol=1e-6)
+    # same-shape requests shared one pooled engine
+    small = router.engines[(2, 2, 1)]
+    assert small.stats.batches_executed < small.stats.steps_executed
+    assert set(router.stats) == {"(2, 2, 1)", "(4, 4, 1)"}
