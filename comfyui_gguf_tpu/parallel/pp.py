@@ -152,3 +152,37 @@ def pp_flux_single_trunk(single_stacked: dict, x, vec, pe, cfg, qcfg,
     out, _, _ = pp_trunk(stage_fn, staged, (x, vec, pe), mesh, axis=axis,
                          n_micro=n_micro)
     return out
+
+
+def pp_qwen_image_trunk(blocks_stacked: dict, img, txt, vec, pe, cfg,
+                        qcfg, mesh: Mesh, axis: str = "pp",
+                        n_micro: int | None = None):
+    """Pipeline the Qwen-Image transformer_blocks stack (60 homogeneous
+    MMDiT blocks at 20B — the depth-dominant trunk in the allowlist)
+    over pp stages: each stage scans depth/n_stages real blocks; the
+    dual-stream (img, txt) state plus (vec, pe) conditioning ride the
+    microbatch ring. Exact vs the sequential scan (tests/test_pp.py)."""
+    from ..models.flux import scan_blocks
+    from ..models.qwen_image import _block
+
+    n_stages = mesh.shape[axis]
+    depth = jax.tree_util.tree_leaves(blocks_stacked)[0].shape[0]
+    if depth % n_stages:
+        raise ValueError(f"depth {depth} not divisible by {n_stages} stages")
+    staged = jax.tree_util.tree_map(
+        lambda a: a.reshape(n_stages, depth // n_stages, *a.shape[1:]),
+        blocks_stacked)
+
+    def stage_fn(stage_params, payload):
+        im, tx, vecm, pem = payload
+
+        def body(carry, bp):
+            return _block(bp, carry[0], carry[1], vecm, pem, cfg, qcfg)
+
+        im, tx = scan_blocks(stage_params, body, (im, tx),
+                             depth // n_stages)
+        return (im, tx, vecm, pem)
+
+    im, tx, _, _ = pp_trunk(stage_fn, staged, (img, txt, vec, pe), mesh,
+                            axis=axis, n_micro=n_micro)
+    return im, tx

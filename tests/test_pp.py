@@ -87,3 +87,49 @@ def test_pp_flux_single_trunk_matches_scan(mesh):
                                qcfg, mesh, n_micro=2)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                rtol=1e-4, atol=1e-4)
+
+
+def test_pp_qwen_image_trunk_matches_scan(mesh):
+    """Qwen-Image MMDiT blocks pipelined over 4 stages == the sequential
+    scan — pp over the depth-dominant (60-block at 20B) trunk, dual
+    (img, txt) stream riding the microbatch ring."""
+    from comfyui_gguf_tpu.models import flux, qwen_image, testing
+    from comfyui_gguf_tpu.models.flux import scan_blocks
+    from comfyui_gguf_tpu.nn.layers import QuantConfig
+    from comfyui_gguf_tpu.parallel.pp import pp_qwen_image_trunk
+
+    d = testing.QwenImageDims(n_layers=4)
+    nonblock, groups = testing.qwen_image_shape_spec(d)
+    sd = testing.random_flat_sd_from_spec(nonblock, groups, seed=8)
+    params = {k: jnp.asarray(v) for k, v in sd.items()}
+    cfg = d.config()
+    sparams = qwen_image.stack_qwen_params(params, cfg)
+    qcfg = QuantConfig(prefer_pallas=False, dequant_dtype=jnp.float32,
+                      compute_dtype=jnp.float32)
+
+    rng = np.random.default_rng(9)
+    B, Li, Lt = 4, 12, 4
+    img = jnp.asarray(rng.standard_normal((B, Li, d.hidden)) * 0.3,
+                      jnp.float32)
+    txt = jnp.asarray(rng.standard_normal((B, Lt, d.hidden)) * 0.3,
+                      jnp.float32)
+    vec = jnp.asarray(rng.standard_normal((B, d.hidden)) * 0.3,
+                      jnp.float32)
+    ids = jnp.zeros((B, Lt + Li, 3), jnp.int32)
+    pe = flux.rope_freqs(ids.at[:, Lt:, 1].set(1), cfg.axes_dim,
+                         cfg.theta)
+
+    def body(carry, bp):
+        return qwen_image._block(bp, carry[0], carry[1], vec, pe, cfg,
+                                 qcfg)
+
+    ref_i, ref_t = scan_blocks(sparams["transformer_blocks"], body,
+                               (img, txt), d.n_layers)
+
+    got_i, got_t = pp_qwen_image_trunk(
+        sparams["transformer_blocks"], img, txt, vec, pe, cfg, qcfg,
+        mesh, n_micro=2)
+    np.testing.assert_allclose(np.asarray(got_i), np.asarray(ref_i),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(got_t), np.asarray(ref_t),
+                               rtol=1e-4, atol=1e-4)
