@@ -288,3 +288,41 @@ def test_bucket_router_mixed_resolutions():
     small = router.engines[(2, 2, 1)]
     assert small.stats.batches_executed < small.stats.steps_executed
     assert set(router.stats) == {"(2, 2, 1)", "(4, 4, 1)"}
+
+
+def test_threaded_engine_concurrent_producers():
+    """The background-thread mode (engine.start()/_loop) under real
+    concurrency: four producer threads submit interleaved while the
+    engine thread ticks; every request completes with the exact
+    integral, stats totals are consistent, and stop() flushes cleanly.
+    (SURVEY §5 'race detection': the serving queue + done_event
+    handshake is the framework's one threaded surface — this is its
+    sanitizer.)"""
+    import threading
+
+    eng = ContinuousBatchEngine(_linear_step, max_batch=4)
+    eng.start()
+    results = {}
+
+    def producer(tid):
+        for i in range(8):
+            c = float(tid * 8 + i + 1)
+            r = eng.submit(np.zeros((2, 2, 1), np.float32),
+                           {"c": np.float32(c)},
+                           linear_schedule(2 + (i % 3)))
+            results[(tid, i)] = (r, c)
+
+    threads = [threading.Thread(target=producer, args=(t,))
+               for t in range(4)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    for r, _c in results.values():
+        assert r.done_event.wait(timeout=60.0)
+    eng.stop()
+
+    assert eng.stats.completed == 32 and eng.stats.failed == 0
+    for (tid, i), (r, c) in results.items():
+        assert r.finished and r.error is None
+        np.testing.assert_allclose(r.result, -c, atol=1e-5)
