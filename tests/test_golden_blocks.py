@@ -1610,3 +1610,139 @@ def test_cosmos_forward_golden():
                                 qcfg=F32)
     np.testing.assert_allclose(np.asarray(js), out.numpy(), rtol=3e-4,
                                atol=3e-4)
+
+
+def test_qwen_image_forward_golden():
+    """FULL qwen_image forward vs an independent torch derivation:
+    prelude (img_in, RMS txt_norm → txt_in, 256-dim sinusoidal t-embed →
+    two-linear embedder with mid-silu), 3-axis rope over the
+    [txt | img] id concat, N blocks (the block-golden math), and the
+    AdaLayerNormContinuous head with (scale, shift) chunk ORDER +
+    proj_out — end-to-end convention pinning for the TP flagship."""
+    from comfyui_gguf_tpu.models import qwen_image, testing
+
+    rng = np.random.default_rng(52)
+    d = testing.QwenImageDims(hidden=64, n_heads=2, n_layers=2, in_ch=8,
+                              context_dim=24)
+    nonblock, groups = testing.qwen_image_shape_spec(d)
+    sd = testing.random_flat_sd_from_spec(nonblock, groups, seed=53)
+    cfg = d.config()
+    params = {k: jnp.asarray(v) for k, v in sd.items()}
+
+    B, h_tok, w_tok, Lt = 1, 4, 4, 5
+    img = rng.standard_normal((B, h_tok * w_tok, d.in_ch)).astype(
+        np.float32)
+    txt = rng.standard_normal((B, Lt, d.context_dim)).astype(np.float32)
+    img_ids = flux.make_img_ids(h_tok, w_tok, B)
+    txt_ids = np.zeros((B, Lt, 3), np.int32)
+    tval = np.asarray([0.35], np.float32)
+
+    got = np.asarray(qwen_image.forward(
+        params, cfg, jnp.asarray(img), jnp.asarray(img_ids),
+        jnp.asarray(txt), jnp.asarray(txt_ids), jnp.asarray(tval),
+        qcfg=F32), np.float32)
+
+    # ---- independent torch derivation ------------------------------
+    W = {k: _t(v) for k, v in sd.items()}
+
+    def lin(name, x):
+        y = x @ W[f"{name}.weight"].T
+        if f"{name}.bias" in W:
+            y = y + W[f"{name}.bias"]
+        return y
+
+    it = _t(img)
+    tt = _t(txt)
+
+    x = lin("img_in", it)
+    c = _rms(tt, W["txt_norm.weight"])
+    c = lin("txt_in", c)
+
+    # BFL sinusoidal: t·1000, half log-spaced freqs, cos|sin concat
+    tf = torch.tensor(tval) * 1000.0
+    half = 128
+    freqs = torch.exp(-np.log(10000.0)
+                      * torch.arange(half, dtype=torch.float32) / half)
+    targ = tf[:, None] * freqs[None]
+    temb = torch.cat([torch.cos(targ), torch.sin(targ)], dim=-1)
+    pre = "time_text_embed.timestep_embedder."
+    vec = lin(pre + "linear_1", temb)
+    vec = lin(pre + "linear_2", torch.nn.functional.silu(vec))
+
+    # rope table over [txt | img] ids, per-axis even-stride freqs
+    ids = np.concatenate([txt_ids, img_ids], axis=1)
+    cos_parts, sin_parts = [], []
+    for ax, dim_ax in enumerate(cfg.axes_dim):
+        pos = torch.tensor(ids[..., ax], dtype=torch.float32)
+        omega = 1.0 / (10000.0 ** (
+            torch.arange(0, dim_ax, 2, dtype=torch.float32) / dim_ax))
+        ang = pos[..., None] * omega
+        cos_parts.append(torch.cos(ang))
+        sin_parts.append(torch.sin(ang))
+    pcos = torch.cat(cos_parts, dim=-1)  # (B, L, D/2)
+    psin = torch.cat(sin_parts, dim=-1)
+
+    def rope(q):  # (B, H, L, D) pair rotation
+        Bq, Hq, Lq, Dq = q.shape
+        qp = q.reshape(Bq, Hq, Lq, Dq // 2, 2)
+        r = qp[..., 0] * pcos[:, None] - qp[..., 1] * psin[:, None]
+        i = qp[..., 0] * psin[:, None] + qp[..., 1] * pcos[:, None]
+        return torch.stack([r, i], dim=-1).reshape(Bq, Hq, Lq, Dq)
+
+    Hn = cfg.n_heads
+    hd = d.hidden // Hn
+
+    def heads(a):
+        Bq, Lq, Dq = a.shape
+        return a.reshape(Bq, Lq, Hn, hd).permute(0, 2, 1, 3)
+
+    for i in range(cfg.n_layers):
+        p = f"transformer_blocks.{i}."
+
+        def mod(name):
+            o = lin(f"{p}{name}.1",
+                    torch.nn.functional.silu(vec))
+            return [cc[:, None, :] for cc in o.chunk(6, dim=-1)]
+
+        im = mod("img_mod")
+        tm = mod("txt_mod")
+        xm = _ln(x) * (1 + im[1]) + im[0]
+        cm = _ln(c) * (1 + tm[1]) + tm[0]
+
+        iq = _rms(heads(lin(f"{p}attn.to_q", xm)),
+                  W[f"{p}attn.norm_q.weight"])
+        ik = _rms(heads(lin(f"{p}attn.to_k", xm)),
+                  W[f"{p}attn.norm_k.weight"])
+        iv = heads(lin(f"{p}attn.to_v", xm))
+        tq = _rms(heads(lin(f"{p}attn.add_q_proj", cm)),
+                  W[f"{p}attn.norm_added_q.weight"])
+        tk = _rms(heads(lin(f"{p}attn.add_k_proj", cm)),
+                  W[f"{p}attn.norm_added_k.weight"])
+        tv = heads(lin(f"{p}attn.add_v_proj", cm))
+
+        q = rope(torch.cat([tq, iq], dim=2))
+        k = rope(torch.cat([tk, ik], dim=2))
+        v = torch.cat([tv, iv], dim=2)
+        a = torch.nn.functional.scaled_dot_product_attention(q, k, v)
+        a = a.permute(0, 2, 1, 3).reshape(B, -1, d.hidden)
+        ta, ia = a[:, :Lt], a[:, Lt:]
+
+        x = x + im[2] * lin(f"{p}attn.to_out.0", ia)
+        c = c + tm[2] * lin(f"{p}attn.to_add_out", ta)
+
+        h = _ln(x) * (1 + im[4]) + im[3]
+        h = torch.nn.functional.gelu(
+            lin(f"{p}img_mlp.net.0.proj", h), approximate="tanh")
+        x = x + im[5] * lin(f"{p}img_mlp.net.2", h)
+        h = _ln(c) * (1 + tm[4]) + tm[3]
+        h = torch.nn.functional.gelu(
+            lin(f"{p}txt_mlp.net.0.proj", h), approximate="tanh")
+        c = c + tm[5] * lin(f"{p}txt_mlp.net.2", h)
+
+    # head: AdaLayerNormContinuous chunk order is (scale, shift)
+    mo = lin("norm_out.linear", torch.nn.functional.silu(vec))
+    sc, sh = mo.chunk(2, dim=-1)
+    x = _ln(x) * (1 + sc[:, None]) + sh[:, None]
+    want = lin("proj_out", x).numpy()
+
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
