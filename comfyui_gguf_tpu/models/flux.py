@@ -372,6 +372,12 @@ def scan_blocks(block_tree: dict, body, carry, length: int):
     from ..quant.i8 import I8Planar
     from ..quant.planar import IndexedQuant, PlanarQuant, TPShard
 
+    if length == 0:
+        # lax.scan TRACES the body even at length 0; an empty group
+        # (e.g. sd3.5-medium when every non-last block is dual) must be
+        # a no-op, not a KeyError inside the traced body
+        return carry
+
     packed_types = (PlanarQuant, I8Planar)
     quant, patched, tp_packed, dense = {}, {}, {}, {}
     for k, v in block_tree.items():

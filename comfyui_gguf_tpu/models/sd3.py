@@ -252,22 +252,40 @@ def forward(params, cfg: SD3Config, latent: jax.Array, context: jax.Array,
 
 
 def stack_sd3_params(params: dict, cfg: SD3Config) -> dict:
-    """Flat GGUF-keyed params → {non-block keys, "joint_blocks": stacked
-    subtree over the homogeneous depth-1 prefix, "joint_blocks_last":
-    the final (pre-only context) block kept flat}.
+    """Flat GGUF-keyed params → {non-block keys, stacked block groups,
+    "joint_blocks_last": the final (pre-only context) block kept flat}.
 
-    Requires a homogeneous prefix: dual-attention layers (sd3.5-medium)
-    have extra ``attn2`` keys and cannot be depth-stacked — use the
-    unrolled forward() for those checkpoints."""
+    sd3 / sd3.5-large: one homogeneous "joint_blocks" group of depth−1.
+    sd3.5-medium: the dual-attention blocks (extra ``attn2`` keys) form
+    a CONTIGUOUS PREFIX in the published checkpoints, so they stack as
+    their own "joint_blocks_dual" group ahead of the plain group — two
+    scans instead of one, still O(1)-in-depth compile. Non-contiguous
+    dual layouts (none known) fall back to the unrolled forward()."""
     from .flux import block_subtree, stack_block_groups
 
-    if cfg.dual_attn_layers:
-        raise ValueError("dual-attention layers break block homogeneity; "
-                         "use forward() for sd3.5-medium checkpoints")
-    out = stack_block_groups(
-        {k: v for k, v in params.items()
-         if not k.startswith(f"joint_blocks.{cfg.depth - 1}.")},
-        [("joint_blocks", cfg.depth - 1)], arch="sd3")
+    dual = cfg.dual_attn_layers
+    if dual and dual != tuple(range(len(dual))):
+        raise ValueError(
+            "dual-attention layers are not a contiguous prefix "
+            f"({dual}); use forward() for this checkpoint")
+    n_dual = len(dual)
+    n_plain = cfg.depth - 1 - n_dual
+
+    def renamed(out_key, lo, hi):
+        return {f"{out_key}.{i - lo}.{k.split('.', 2)[2]}": v
+                for i in range(lo, hi)
+                for k, v in params.items()
+                if k.startswith(f"joint_blocks.{i}.")}
+
+    nonblock = {k: v for k, v in params.items()
+                if not k.startswith("joint_blocks.")}
+    groups = [("joint_blocks", n_plain)]
+    flat = dict(nonblock)
+    flat.update(renamed("joint_blocks", n_dual, cfg.depth - 1))
+    if n_dual:
+        groups.insert(0, ("joint_blocks_dual", n_dual))
+        flat.update(renamed("joint_blocks_dual", 0, n_dual))
+    out = stack_block_groups(flat, groups, arch="sd3")
     out["joint_blocks_last"] = block_subtree(params,
                                              f"joint_blocks.{cfg.depth - 1}.")
     return out
@@ -290,8 +308,15 @@ def forward_stacked(sparams: dict, cfg: SD3Config, latent: jax.Array,
         c, t = carry
         return _joint_block(bp, c, t, vec, cfg, qcfg)
 
-    ctx, x = scan_blocks(sparams["joint_blocks"], body, (ctx, x),
-                         cfg.depth - 1)
+    if "joint_blocks_dual" in sparams:  # sd3.5-medium prefix group
+        n_dual = len(cfg.dual_attn_layers)
+        ctx, x = scan_blocks(sparams["joint_blocks_dual"], body, (ctx, x),
+                             n_dual)
+        ctx, x = scan_blocks(sparams["joint_blocks"], body, (ctx, x),
+                             cfg.depth - 1 - n_dual)
+    else:
+        ctx, x = scan_blocks(sparams["joint_blocks"], body, (ctx, x),
+                             cfg.depth - 1)
     _, x = _joint_block(sparams["joint_blocks_last"], ctx, x, vec, cfg,
                         qcfg)
     return _final(sparams, cfg, x, vec, toks, qcfg)

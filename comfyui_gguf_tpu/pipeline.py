@@ -185,16 +185,20 @@ class DiffusionModel:
 
         NOTE: stacking copies the packed leaves — transiently ~2× model
         HBM. Prefer stacking right after load, before anything else
-        occupies the chip. SD3.5-medium (dual-attention layers) is not
-        depth-homogeneous and stays unstacked."""
+        occupies the chip. SD3.5-medium's dual-attention blocks form a
+        contiguous prefix in the published checkpoints and stack as
+        their own scan group; only a (hypothetical) non-contiguous dual
+        layout stays unstacked."""
         if self.arch == "flux" and "double_blocks" not in self.params:
             from .models import flux as flux_model
 
             return dataclasses.replace(
                 self, params=flux_model.stack_flux_params(self.params,
                                                           self.config))
+        _dual = (self.config.dual_attn_layers
+                 if self.arch == "sd3" else ())
         if self.arch == "sd3" and "joint_blocks" not in self.params \
-                and not self.config.dual_attn_layers:
+                and _dual == tuple(range(len(_dual))):
             from .models import sd3 as sd3_model
 
             return dataclasses.replace(
