@@ -401,6 +401,7 @@ class TinySD3Dims:
     in_ch: int = 16
     pos_max: int = 8
     qk_norm: bool = True
+    dual_prefix: int = 0  # sd3.5-medium: first N blocks carry attn2
 
     def config(self):
         from .sd3 import SD3Config
@@ -409,13 +410,20 @@ class TinySD3Dims:
             hidden=self.hidden, depth=self.depth, n_heads=self.heads,
             in_channels=self.in_ch, context_dim=self.ctx_dim,
             pooled_dim=self.pooled, pos_embed_max=self.pos_max,
-            qk_norm=self.qk_norm)
+            qk_norm=self.qk_norm,
+            dual_attn_layers=tuple(range(self.dual_prefix)))
 
 
 # sd3.5-large real dims (8B params): hidden 2432, 38 heads, 38 joint blocks
 SD35_LARGE_DIMS = TinySD3Dims(
     hidden=2432, heads=38, depth=38, ctx_dim=4096, pooled=2048,
     in_ch=16, pos_max=192, qk_norm=True)
+
+# sd3.5-medium real dims (2.5B, MMDiT-X): hidden 1536, 24 heads (hd 64),
+# 24 blocks with dual x-stream attention in the first 13, pos grid 384
+SD35_MEDIUM_DIMS = TinySD3Dims(
+    hidden=1536, heads=24, depth=24, ctx_dim=4096, pooled=2048,
+    in_ch=16, pos_max=384, qk_norm=True, dual_prefix=13)
 
 
 def _sd3_nonblock(dims: TinySD3Dims, rng, dense):
@@ -443,21 +451,33 @@ def _sd3_nonblock(dims: TinySD3Dims, rng, dense):
     }
 
 
-def _sd3_block_leaves(dims: TinySD3Dims, packed, dense, pre_only: bool):
-    """One joint block's relative-keyed leaves (n=None → unstacked)."""
+def _sd3_block_leaves(dims: TinySD3Dims, packed, dense, pre_only: bool,
+                      dual: bool = False):
+    """One joint block's relative-keyed leaves (n=None → unstacked).
+    ``dual``: sd3.5-medium MMDiT-X x_block with a second self-attention
+    (9-chunk adaLN + attn2 projections)."""
     HID = dims.hidden
     hd = HID // dims.heads
     w = {}
     for blk in ("context_block", "x_block"):
         po = pre_only and blk == "context_block"
+        du = dual and blk == "x_block"
         w[f"{blk}.attn.qkv.weight"] = packed(3 * HID, HID)
         w[f"{blk}.attn.qkv.bias"] = dense(3 * HID)
         if dims.qk_norm:
             w[f"{blk}.attn.ln_q.weight"] = dense(hd)
             w[f"{blk}.attn.ln_k.weight"] = dense(hd)
-        w[f"{blk}.adaLN_modulation.1.weight"] = packed(
-            (2 if po else 6) * HID, HID)
-        w[f"{blk}.adaLN_modulation.1.bias"] = dense((2 if po else 6) * HID)
+        n_mod = 2 if po else (9 if du else 6)
+        w[f"{blk}.adaLN_modulation.1.weight"] = packed(n_mod * HID, HID)
+        w[f"{blk}.adaLN_modulation.1.bias"] = dense(n_mod * HID)
+        if du:
+            w[f"{blk}.attn2.qkv.weight"] = packed(3 * HID, HID)
+            w[f"{blk}.attn2.qkv.bias"] = dense(3 * HID)
+            if dims.qk_norm:
+                w[f"{blk}.attn2.ln_q.weight"] = dense(hd)
+                w[f"{blk}.attn2.ln_k.weight"] = dense(hd)
+            w[f"{blk}.attn2.proj.weight"] = packed(HID, HID)
+            w[f"{blk}.attn2.proj.bias"] = dense(HID)
         if not po:
             w[f"{blk}.attn.proj.weight"] = packed(HID, HID)
             w[f"{blk}.attn.proj.bias"] = dense(HID)
@@ -480,7 +500,8 @@ def sd3_flat_state_dict(dims: TinySD3Dims, seed: int = 0) -> dict:
     sd = dict(_sd3_nonblock(dims, rng, dense))
     for i in range(dims.depth):
         blk = _sd3_block_leaves(dims, packed=dense, dense=dense,
-                                pre_only=(i == dims.depth - 1))
+                                pre_only=(i == dims.depth - 1),
+                                dual=(i < dims.dual_prefix))
         sd.update({f"joint_blocks.{i}.{k}": v for k, v in blk.items()})
     return {k: np.asarray(v, np.float32) for k, v in sd.items()}
 
@@ -504,7 +525,8 @@ def sd3_random_quant_params(dims: TinySD3Dims, qtype=Q.Q4_K, seed: int = 0,
     params = _sd3_nonblock(dims, rng, dense)
     for i in range(dims.depth):
         blk = _sd3_block_leaves(dims, packed, dense,
-                                pre_only=(i == dims.depth - 1))
+                                pre_only=(i == dims.depth - 1),
+                                dual=(i < dims.dual_prefix))
         params.update({f"joint_blocks.{i}.{k}": v for k, v in blk.items()})
     return params
 
@@ -517,7 +539,8 @@ def sd3_random_stacked_params(dims: TinySD3Dims, qtype=Q.Q4_K,
     import jax.numpy as jnp
 
     rng = np.random.default_rng(seed)
-    n = dims.depth - 1
+    n_dual = dims.dual_prefix
+    n = dims.depth - 1 - n_dual
 
     def dense(*shape):
         dt = jnp.float32 if len(shape) <= 1 else jnp.bfloat16
@@ -525,6 +548,12 @@ def sd3_random_stacked_params(dims: TinySD3Dims, qtype=Q.Q4_K,
             (rng.standard_normal(shape) * 0.02).astype(np.float32), dtype=dt)
 
     params = _sd3_nonblock(dims, rng, dense)
+    if n_dual:  # sd3.5-medium MMDiT-X prefix group
+        params["joint_blocks_dual"] = _sd3_block_leaves(
+            dims,
+            packed=lambda r, k: random_planar(qtype, (r, k), rng,
+                                              device=device, stack=n_dual),
+            dense=lambda *s: dense(n_dual, *s), pre_only=False, dual=True)
     params["joint_blocks"] = _sd3_block_leaves(
         dims,
         packed=lambda r, k: random_planar(qtype, (r, k), rng, device=device,

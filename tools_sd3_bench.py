@@ -33,6 +33,10 @@ def main():
     ap.add_argument("--steps", type=int, default=28)
     ap.add_argument("--reps", type=int, default=3)
     ap.add_argument("--skip-ref", action="store_true")
+    ap.add_argument("--medium", action="store_true",
+                    help="sd3.5-MEDIUM dims (hidden 1536, 24 blocks, "
+                         "13 dual-attention prefix blocks — the MMDiT-X "
+                         "stacked path)")
     ap.add_argument("--i8", action="store_true",
                     help="requantize to the w8a8 integer-MXU path "
                          "(modulation projections stay planar)")
@@ -52,12 +56,14 @@ def main():
         print(msg, file=sys.stderr, flush=True)
 
     if on_tpu:
-        dims = testing.SD35_LARGE_DIMS  # hidden 2432, 38 joint blocks
+        dims = (testing.SD35_MEDIUM_DIMS if args.medium
+                else testing.SD35_LARGE_DIMS)
         h_lat = w_lat = 128             # 1024² pixels
         ctx_len = 154                   # 77 clip-pooled + 77 t5 rows
         steps, reps = args.steps, args.reps
     else:  # CPU smoke
-        dims = testing.TinySD3Dims(depth=3)
+        dims = testing.TinySD3Dims(depth=3, dual_prefix=1 if args.medium
+                                   else 0)
         h_lat = w_lat = 8
         ctx_len = 8
         steps, reps = 2, 1
@@ -126,7 +132,7 @@ def main():
 
     print(json.dumps({
         "metric": f"sec/image MEASURED full-depth {steps}-step denoise "
-                  f"(sd3.5-large-dims {args.qtype}"
+                  f"(sd3.5-{'medium' if args.medium else 'large'}-dims {args.qtype}"
                   f"{'→w8a8' if args.i8 else ''}, 1024², "
                   + ("v5e-1)" if on_tpu else "cpu-smoke)"),
         "value": round(sec_image, 3),
