@@ -25,6 +25,13 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
 def main():
+    # persistent XLA compile cache (content-addressed, survives
+    # process churn) — the other benches and tools_warmup share it
+    os.environ.setdefault("GGUF_TPU_COMPILE_CACHE",
+                          "/tmp/gguf_tpu_compile_cache")
+    from comfyui_gguf_tpu import compile_cache
+    compile_cache.enable(os.environ["GGUF_TPU_COMPILE_CACHE"])
+
     ap = argparse.ArgumentParser()
     ap.add_argument("--qtype", default="Q4_K")
     ap.add_argument("--lat", type=int, default=128,
