@@ -207,3 +207,38 @@ def test_resident_model_server_two_models_lru():
     srv.run_until_drained()
     np.testing.assert_allclose(req_a2.result, reqs["m_a"].result,
                                rtol=1e-5, atol=1e-5)
+
+
+def test_bucket_router_over_flux_engines(model):
+    """BucketRouter over REAL flux engines: two resolution buckets share
+    one model's params, requests route by latent shape, results match
+    per-bucket standalone engines."""
+    from comfyui_gguf_tpu.serving import BucketRouter
+
+    mdl, dims = model
+
+    def factory(shape):
+        L = shape[0]  # (L_img, C) latent tokens
+        side = int((L ** 0.5)) * 2  # h_tok == w_tok buckets here
+        return pipeline.flux_engine(mdl, side, side, TXT_LEN, max_batch=2)
+
+    router = BucketRouter(factory)
+    rng = np.random.default_rng(17)
+    x_small = rng.standard_normal((16, dims.in_ch)).astype(np.float32)
+    x_big = rng.standard_normal((36, dims.in_ch)).astype(np.float32)
+    c1, c2 = _cond(dims, 18), _cond(dims, 19)
+    s = linear_schedule(3)
+
+    r1 = router.submit(x_small.copy(), c1, s)
+    r2 = router.submit(x_big.copy(), c2, s)
+    router.run_until_drained()
+    assert r1.finished and r2.finished
+    assert set(router.engines) == {(16, dims.in_ch), (36, dims.in_ch)}
+
+    for x, c, r, side in ((x_small, c1, r1, 8), (x_big, c2, r2, 12)):
+        eng = pipeline.flux_engine(mdl, side, side, TXT_LEN, max_batch=2)
+        ref = eng.submit(x.copy(), c, s)
+        eng.run_until_drained()
+        np.testing.assert_allclose(np.asarray(r.result),
+                                   np.asarray(ref.result), rtol=1e-5,
+                                   atol=1e-5)
