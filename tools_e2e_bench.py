@@ -55,14 +55,16 @@ def main():
 
     from comfyui_gguf_tpu.gguf.constants import GGMLQuantizationType as Q
     from comfyui_gguf_tpu.models import clip as clip_mod
-    from comfyui_gguf_tpu.models import flux, t5 as t5_mod, testing, vae
+    from comfyui_gguf_tpu.models import (flux, sd3 as sd3_mod,
+                                         t5 as t5_mod, testing, vae)
     from comfyui_gguf_tpu.nn.layers import QuantConfig
     from comfyui_gguf_tpu.sampling import flow_match
     from bench_util import timed_reps
 
     argv = [a for a in sys.argv[1:] if not a.startswith("--")]
     use_i8 = "--bf16" not in sys.argv[1:]
-    steps = int(argv[0]) if len(argv) > 0 else 20
+    use_sd3 = "--sd3" in sys.argv[1:]  # sd3.5-large family e2e
+    steps = int(argv[0]) if len(argv) > 0 else (28 if use_sd3 else 20)
     reps = int(argv[1]) if len(argv) > 1 else 3
 
     def log(m):
@@ -72,16 +74,18 @@ def main():
     rng = np.random.default_rng(0)
 
     if on_tpu:
-        dims = testing.FLUX_DEV_DIMS
+        dims = (testing.SD35_LARGE_DIMS if use_sd3
+                else testing.FLUX_DEV_DIMS)
         h_lat = w_lat = 128             # 1024² pixels
-        t5_len, clip_len = 512, 77
+        t5_len, clip_len = (77, 77) if use_sd3 else (512, 77)
         t5_cfg = t5_mod.T5Config(d_model=4096, d_ff=10240, n_layers=24,
                                  n_heads=64, d_kv=64, vocab_size=32128)
         cl_cfg = clip_mod.CLIPTextConfig(hidden=768, n_layers=12,
                                          n_heads=12, intermediate=3072)
         vae_cfg = vae.VAEConfig()       # real flux VAE geometry
     else:  # cpu smoke
-        dims = testing.TinyFluxDims(depth_double=2, depth_single=2)
+        dims = (testing.TinySD3Dims(depth=3) if use_sd3
+                else testing.TinyFluxDims(depth_double=2, depth_single=2))
         h_lat = w_lat = 16
         t5_len, clip_len = 16, 8
         steps, reps = 2, 1
@@ -223,11 +227,65 @@ def main():
     _free(clp)
     del clp
 
+    # ---- stage 2b (sd3 only): CLIP-G encode (penultimate + pooled)
+    if use_sd3:
+        if on_tpu:
+            cg_cfg = clip_mod.CLIPTextConfig(hidden=1280, n_layers=32,
+                                             n_heads=20, intermediate=5120)
+        else:
+            cg_cfg = clip_mod.CLIPTextConfig(hidden=64, n_layers=2,
+                                             n_heads=4, intermediate=128,
+                                             vocab_size=512,
+                                             eos_token_id=None)
+        t0 = time.perf_counter()
+        cgp = {"text_model.embeddings.token_embedding.weight": jnp.asarray(
+            (rng.standard_normal((cg_cfg.vocab_size, cg_cfg.hidden)) * 0.02
+             ).astype(np.float32)),
+            "text_model.embeddings.position_embedding.weight": jnp.asarray(
+                rng.standard_normal((cg_cfg.max_positions, cg_cfg.hidden))
+                .astype(np.float32)),
+            "text_model.final_layer_norm.weight": jnp.ones(
+                cg_cfg.hidden, jnp.float32),
+            "text_model.final_layer_norm.bias": jnp.zeros(
+                cg_cfg.hidden, jnp.float32)}
+        for i in range(cg_cfg.n_layers):
+            pfx = f"text_model.encoder.layers.{i}"
+            for nm, shp in (
+                    ("self_attn.q_proj", (cg_cfg.hidden, cg_cfg.hidden)),
+                    ("self_attn.k_proj", (cg_cfg.hidden, cg_cfg.hidden)),
+                    ("self_attn.v_proj", (cg_cfg.hidden, cg_cfg.hidden)),
+                    ("self_attn.out_proj", (cg_cfg.hidden, cg_cfg.hidden)),
+                    ("mlp.fc1", (cg_cfg.intermediate, cg_cfg.hidden)),
+                    ("mlp.fc2", (cg_cfg.hidden, cg_cfg.intermediate))):
+                cgp[f"{pfx}.{nm}.weight"] = jnp.asarray(
+                    (rng.standard_normal(shp) * 0.02).astype(np.float32))
+                cgp[f"{pfx}.{nm}.bias"] = jnp.zeros(shp[0], jnp.float32)
+            for nm in ("layer_norm1", "layer_norm2"):
+                cgp[f"{pfx}.{nm}.weight"] = jnp.ones(cg_cfg.hidden,
+                                                     jnp.float32)
+                cgp[f"{pfx}.{nm}.bias"] = jnp.zeros(cg_cfg.hidden,
+                                                    jnp.float32)
+        jax.block_until_ready(jax.tree_util.tree_leaves(cgp))
+        log(f"clip-g params in {time.perf_counter()-t0:.1f}s")
+        cg_ids = jnp.asarray(rng.integers(
+            0, cg_cfg.vocab_size, (1, clip_len)).astype(np.int32))
+        results["clip_g_encode_s"] = chained_encode_time(
+            "clip-g-encode", cgp,
+            lambda p, i: clip_mod.encode(p, cg_cfg, i, qcfg=qcfg)["pooled"],
+            cg_ids)
+        _free(cgp)
+        del cgp
+
     # ---- stage 3: denoise (the existing headline, same machinery)
     t0 = time.perf_counter()
-    sparams = testing.flux_random_stacked_params(dims, qtype=Q.Q4_K, seed=0)
+    if use_sd3:
+        sparams = testing.sd3_random_stacked_params(dims, qtype=Q.Q4_K,
+                                                    seed=0)
+    else:
+        sparams = testing.flux_random_stacked_params(dims, qtype=Q.Q4_K,
+                                                     seed=0)
     cfg = dims.config()
-    log(f"flux params in {time.perf_counter()-t0:.1f}s")
+    log(f"dit params in {time.perf_counter()-t0:.1f}s")
     if use_i8:
         from comfyui_gguf_tpu.quant.i8 import (convert_tree_i8,
                                                is_modulation_key)
@@ -238,20 +296,40 @@ def main():
         jax.block_until_ready(jax.tree_util.tree_leaves(sparams))
         log(f"requantize_i8 in {time.perf_counter()-t0:.1f}s")
 
-    img, img_ids, txt, txt_ids, t, y, g = testing.flux_example_inputs(
-        dims, batch=1, h_lat=h_lat, w_lat=w_lat, txt_len=t5_len)
-    sigmas = flow_match.flux_schedule(steps, img.shape[1])
+    if use_sd3:
+        img, context, pooled, _tv = testing.sd3_example_inputs(
+            dims, h_lat=h_lat, w_lat=w_lat,
+            ctx_len=154 if on_tpu else 8)
+        sigmas = flow_match.shift_sigmas(
+            flow_match.linear_schedule(steps), 3.0)
 
-    @jax.jit
-    def denoise(sparams, x0, txt):
-        def velocity(x, sigma):
-            tt = jnp.full((x.shape[0],), sigma, jnp.float32)
-            return flux.forward_stacked(sparams, cfg, x, img_ids, txt,
-                                        txt_ids, tt, y, g, qcfg=qcfg)
-        return flow_match.euler_sample(velocity, x0, sigmas)
+        @jax.jit
+        def denoise(sparams, x0, ctx):
+            def velocity(x, sigma):
+                tt = jnp.full((x.shape[0],), sigma, jnp.float32)
+                return sd3_mod.forward_stacked(sparams, cfg, x, ctx,
+                                               pooled, tt, qcfg=qcfg)
+            return flow_match.euler_sample(velocity, x0, sigmas)
 
-    sec, lat = timed_reps(lambda x: denoise(sparams, x, txt), img,
-                          reps=reps, steps=steps, tag="denoise", log=log)
+        sec, lat = timed_reps(lambda x: denoise(sparams, x, context), img,
+                              reps=reps, steps=steps, tag="denoise",
+                              log=log)
+    else:
+        img, img_ids, txt, txt_ids, t, y, g = testing.flux_example_inputs(
+            dims, batch=1, h_lat=h_lat, w_lat=w_lat, txt_len=t5_len)
+        sigmas = flow_match.flux_schedule(steps, img.shape[1])
+
+        @jax.jit
+        def denoise(sparams, x0, txt):
+            def velocity(x, sigma):
+                tt = jnp.full((x.shape[0],), sigma, jnp.float32)
+                return flux.forward_stacked(sparams, cfg, x, img_ids, txt,
+                                            txt_ids, tt, y, g, qcfg=qcfg)
+            return flow_match.euler_sample(velocity, x0, sigmas)
+
+        sec, lat = timed_reps(lambda x: denoise(sparams, x, txt), img,
+                              reps=reps, steps=steps, tag="denoise",
+                              log=log)
     results["denoise_s"] = sec
     _free(sparams)
     del sparams
@@ -279,12 +357,13 @@ def main():
     results["vae_decode_s"] = sec
     log(f"decoded image {img_out.shape}")
 
-    total = (results["tokenize_s"] + results["t5_encode_s"]
-             + results["clip_encode_s"] + results["denoise_s"]
-             + results["vae_decode_s"])
+    total = sum(v for k, v in results.items())
+    arch_lbl = "sd3.5-large-dims" if use_sd3 else "flux-dev-dims"
+    enc_lbl = ("t5 + clip-l + clip-g" if use_sd3
+               else "t5-xxl Q8_0 + clip-l")
     print(json.dumps({
-        "metric": ("sec/image END-TO-END prompt→image (tokenize + t5-xxl "
-                   f"Q8_0 + clip-l + {steps}-step flux-dev-dims "
+        "metric": ("sec/image END-TO-END prompt→image (tokenize + "
+                   f"{enc_lbl} + {steps}-step {arch_lbl} "
                    f"Q4_K{'→w8a8' if use_i8 else ''} denoise + VAE decode, "
                    + ("1024², v5e-1)" if on_tpu else "cpu-smoke)")),
         "value": round(total, 3),
@@ -293,7 +372,9 @@ def main():
         "denoise_pct": round(100 * results["denoise_s"] / total, 1),
         "vae_pct": round(100 * results["vae_decode_s"] / total, 1),
         "encode_pct": round(100 * (results["t5_encode_s"]
-                                   + results["clip_encode_s"]) / total, 1),
+                                   + results["clip_encode_s"]
+                                   + results.get("clip_g_encode_s", 0.0))
+                            / total, 1),
     }))
 
 
