@@ -51,18 +51,9 @@ AXIS = "tp"
 # param sharding (host-side, load-time)
 # ---------------------------------------------------------------------------
 
-def _split_dense(w: np.ndarray, tp: int, groups=None) -> np.ndarray:
-    """(R, …) dense → (tp, R/tp, …) with optional segment groups on R."""
-    if groups is None:
-        return np.stack(np.split(w, tp, axis=0))
-    parts = []
-    base = 0
-    for g in groups:
-        seg = w[base: base + g]
-        parts.append(np.split(seg, tp, axis=0))
-        base += g
-    return np.stack([np.concatenate([p[s] for p in parts], axis=0)
-                     for s in range(tp)])
+# dense (R, …) → (tp, R/tp, …) splitter shared with the spec-driven
+# sharder (one definition of the head-uniform group semantics)
+from .tp_spec import _split_dense  # noqa: E402
 
 
 def _pack_shards(w: np.ndarray, qtype, tp: int, axis: str,

@@ -241,6 +241,17 @@ def heun_sample_sigma(denoiser, x: jax.Array, sigmas) -> jax.Array:
     return x
 
 
+def _ancestral_split(s, s_next, eta):
+    """(σ_down, σ_up) per k-diffusion get_ancestral_step; σ_up clamped
+    to σ_next (matters for eta > 1: without it σ_down collapses to 0 and
+    x is discarded entirely)."""
+    su2 = (eta ** 2 * s_next ** 2 * (s ** 2 - s_next ** 2)
+           / jnp.maximum(s ** 2, 1e-12))
+    su = jnp.minimum(jnp.sqrt(jnp.maximum(su2, 0.0)), s_next)
+    sd = jnp.sqrt(jnp.maximum(s_next ** 2 - su ** 2, 0.0))
+    return sd, su
+
+
 def euler_ancestral_sample_sigma(denoiser, x: jax.Array, sigmas,
                                  key, eta: float = 1.0) -> jax.Array:
     """Euler-ancestral: stochastic σ-down/σ-up split per step
@@ -250,12 +261,7 @@ def euler_ancestral_sample_sigma(denoiser, x: jax.Array, sigmas,
     def step(carry, i):
         x, key = carry
         s, s_next = sigmas[i], sigmas[i + 1]
-        su2 = (eta ** 2 * s_next ** 2 * (s ** 2 - s_next ** 2)
-               / jnp.maximum(s ** 2, 1e-12))
-        # k-diffusion clamps sigma_up to sigma_to (matters for eta > 1:
-        # without it sd collapses to 0 and x is discarded entirely)
-        su = jnp.minimum(jnp.sqrt(jnp.maximum(su2, 0.0)), s_next)
-        sd = jnp.sqrt(jnp.maximum(s_next ** 2 - su ** 2, 0.0))
+        sd, su = _ancestral_split(s, s_next, eta)
         xf = x.astype(jnp.float32)
         d = (xf - denoiser(x, s).astype(jnp.float32)) / s
         xf = xf + (sd - s) * d
@@ -577,10 +583,7 @@ def dpm_2_ancestral_sample_sigma(denoiser, x: jax.Array, sigmas, key,
     def step(carry, i):
         x, key = carry
         s, s_next = sigmas[i], sigmas[i + 1]
-        su2 = (eta ** 2 * s_next ** 2 * (s ** 2 - s_next ** 2)
-               / jnp.maximum(s ** 2, 1e-12))
-        su = jnp.minimum(jnp.sqrt(jnp.maximum(su2, 0.0)), s_next)
-        sd = jnp.sqrt(jnp.maximum(s_next ** 2 - su ** 2, 0.0))
+        sd, su = _ancestral_split(s, s_next, eta)
         xf = x.astype(jnp.float32)
         d = (xf - denoiser(x, s).astype(jnp.float32)) / s
 

@@ -31,13 +31,9 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
 def _free(tree):
-    import jax
+    from comfyui_gguf_tpu.lifecycle import free_tree
 
-    for leaf in jax.tree_util.tree_leaves(tree):
-        try:
-            leaf.delete()
-        except Exception:
-            pass
+    free_tree(tree)
 
 
 def main():
