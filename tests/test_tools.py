@@ -539,3 +539,23 @@ def test_validate_checkpoint_qwen_spec(tmp_path):
 
     rep = V.validate(str(p))
     assert rep.ok and rep.arch == "qwen_image" and rep.spec == "full"
+
+
+def test_tp_plan_cli():
+    """TP mesh-sizing CLI: the analytic per-shard bytes must reproduce
+    the MEASURED qwen_image-20B single-chip planar footprint (15.29 GB,
+    BASELINE round 4) and flip to 'fits' at tp=2."""
+    import json as _json
+
+    from comfyui_gguf_tpu.tools import tp_plan
+
+    import contextlib, io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        rc = tp_plan.main(["--arch", "qwen_image", "--json"])
+    assert rc == 0
+    rows = {r["tp"]: r for r in _json.loads(buf.getvalue())}
+    assert abs(rows[1]["planar_gb_per_shard"] - 15.29) < 0.05
+    assert not rows[1]["fits_i8"] and rows[2]["fits_i8"]
+    assert tp_plan.main(["--arch", "bogus"]) == 2
