@@ -802,6 +802,65 @@ def hidream_random_stacked_params(dims: TinyHiDreamDims, qtype=Q.Q4_K,
     return params
 
 
+def hidream_shape_spec(d: TinyHiDreamDims):
+    """(nonblock, groups) flat shape spec mirroring models/hidream.py key
+    expectations — the FLAT (per-block, per-expert) key layout the spec
+    TP sharder consumes (parallel/tp_spec.shard_hidream_params); MoE
+    experts stay un-stacked so the dense dispatch slices them by key."""
+    H, F, E = d.hidden, d.ffn, d.n_experts
+    hd = H // d.heads
+    C4 = d.in_ch * d.patch ** 2
+    nonblock = {
+        "x_embedder.proj.weight": (H, C4), "x_embedder.proj.bias": (H,),
+        "t_embedder.mlp.0.weight": (H, 256), "t_embedder.mlp.0.bias": (H,),
+        "t_embedder.mlp.2.weight": (H, H), "t_embedder.mlp.2.bias": (H,),
+        "p_embedder.mlp.0.weight": (H, d.pooled),
+        "p_embedder.mlp.0.bias": (H,),
+        "p_embedder.mlp.2.weight": (H, H), "p_embedder.mlp.2.bias": (H,),
+        # published ordering: 0..N-2 = llama taps, LAST = t5
+        "caption_projection.0.linear.weight": (H, d.llama_dim),
+        "caption_projection.1.linear.weight": (H, d.t5_dim),
+        "final_layer.linear.weight": (C4, H),
+        "final_layer.linear.bias": (C4,),
+        "final_layer.adaLN_modulation.1.weight": (2 * H, H),
+        "final_layer.adaLN_modulation.1.bias": (2 * H,),
+    }
+
+    def moe_suffixes(prefix):
+        s = {f"{prefix}.gate.weight": (E, H)}
+        for p2 in ([f"{prefix}.shared_experts"]
+                   + [f"{prefix}.experts.{e}" for e in range(E)]):
+            s[f"{p2}.w1.weight"] = (F, H)
+            s[f"{p2}.w2.weight"] = (H, F)
+            s[f"{p2}.w3.weight"] = (F, H)
+        return s
+
+    double = {"block.adaLN_modulation.1.weight": (12 * H, H),
+              "block.adaLN_modulation.1.bias": (12 * H,)}
+    for t in ("", "_t"):
+        for n in ("to_q", "to_k", "to_v", "to_out"):
+            double[f"block.attn1.{n}{t}.weight"] = (H, H)
+        double[f"block.attn1.q_rms_norm{t}.weight"] = (hd,)
+        double[f"block.attn1.k_rms_norm{t}.weight"] = (hd,)
+    double.update(moe_suffixes("block.ff_i"))
+    double["block.ff_t.w1.weight"] = (F, H)
+    double["block.ff_t.w2.weight"] = (H, F)
+    double["block.ff_t.w3.weight"] = (F, H)
+
+    single = {"block.adaLN_modulation.1.weight": (6 * H, H),
+              "block.adaLN_modulation.1.bias": (6 * H,)}
+    for n in ("to_q", "to_k", "to_v", "to_out"):
+        single[f"block.attn1.{n}.weight"] = (H, H)
+    single["block.attn1.q_rms_norm.weight"] = (hd,)
+    single["block.attn1.k_rms_norm.weight"] = (hd,)
+    single.update(moe_suffixes("block.ff_i"))
+
+    return nonblock, {
+        "double_stream_blocks": (d.depth_double, double),
+        "single_stream_blocks": (d.depth_single, single),
+    }
+
+
 # ---------------------------------------------------------------------------
 # Generic spec-driven full-depth generators (wan / hyvid / aura / lumina2 /
 # qwen-image / ltxv / cosmos full-dims benches)

@@ -601,6 +601,51 @@ def tp_sd3_forward(params: dict, cfg, latent, context, pooled, timesteps,
                   qcfg=qcfg)
 
 
+def hidream_rules(n_experts: int) -> dict:
+    """HiDream-I1 MoE MMDiT (models/hidream.py): per-stream q/k/v (and
+    ``_t`` twins) column-parallel, out-projections row, 12/6-chunk adaLN
+    gathered; every SwiGLU — shared expert, each routed expert, and the
+    txt ff_t — splits w1/w3 column (same split → the local silu gate
+    aligns) and w2 row. The tiny (E, H) router gate and the per-head
+    (hd,) RMS qk-norm scales replicate; the MoE runs the dense dispatch
+    over flat per-expert keys, so each expert's row-parallel w2
+    contributes its own psum (exact — masked probs are zero off the
+    top-k). This is the table that makes the 17B tree (i8 ≈ 17.8 GB,
+    unconvertible on one chip — round-4's f=19.8% budget cap) fully
+    int8-convertible at tp=2 (see test_hidream_17b_fits_int8_at_tp2)."""
+    r = {"block.adaLN_modulation.1.weight": ShardRule("gather")}
+    for t in ("", "_t"):
+        for n in ("to_q", "to_k", "to_v"):
+            r[f"block.attn1.{n}{t}.weight"] = ShardRule("col")
+        r[f"block.attn1.to_out{t}.weight"] = ShardRule("row")
+    for pre in (["block.ff_i.shared_experts", "block.ff_t"]
+                + [f"block.ff_i.experts.{e}" for e in range(n_experts)]):
+        r[f"{pre}.w1.weight"] = ShardRule("col")
+        r[f"{pre}.w3.weight"] = ShardRule("col")
+        r[f"{pre}.w2.weight"] = ShardRule("row")
+    return r
+
+
+def shard_hidream_params(sd: dict, cfg, tp: int, qtype) -> dict:
+    return shard_stacked_params(
+        sd, block_groups=[("double_stream_blocks", cfg.depth_double),
+                          ("single_stream_blocks", cfg.depth_single)],
+        rules=hidream_rules(cfg.n_experts), tp=tp, qtype=qtype)
+
+
+def tp_hidream_forward(params: dict, cfg, latent, t5_states, llama_states,
+                       pooled, timesteps, *, mesh: Mesh, qcfg):
+    from ..models import hidream
+
+    tp = mesh.shape[AXIS]
+    local = dataclasses.replace(cfg, n_heads=cfg.n_heads // tp)
+    return tp_run(hidream.forward_stacked, params, local,
+                  (latent, t5_states, llama_states, pooled, timesteps),
+                  mesh=mesh,
+                  block_keys=("double_stream_blocks",
+                              "single_stream_blocks"), qcfg=qcfg)
+
+
 # ---------------------------------------------------------------------------
 # w8a8-at-tp byte planning (the qwen_image-20B story)
 # ---------------------------------------------------------------------------

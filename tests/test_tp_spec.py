@@ -557,3 +557,75 @@ def test_wan_engine_tp_mesh_matches_unsharded():
     (a1, a2), (b1, b2) = results
     np.testing.assert_allclose(b1, a1, rtol=2e-2, atol=2e-2)
     np.testing.assert_allclose(b2, a2, rtol=2e-2, atol=2e-2)
+
+
+# --------------------------------------------------------------------------
+# hidream (MoE: per-expert SwiGLU shards, dense dispatch, replicated gate)
+# --------------------------------------------------------------------------
+
+HIDREAM_DIMS = testing.TinyHiDreamDims(
+    hidden=512, heads=4, depth_double=1, depth_single=1, ffn=1024,
+    n_experts=2, top_k=2, t5_dim=64, llama_dim=96, pooled=48)
+
+
+def _hidream_setup(seed=29):
+    nonblock, groups = testing.hidream_shape_spec(HIDREAM_DIMS)
+    sd = testing.random_flat_sd_from_spec(nonblock, groups, seed=seed)
+    cfg = HIDREAM_DIMS.config()
+    rng = np.random.default_rng(seed + 1)
+    latent = jnp.asarray(
+        rng.standard_normal((1, 8, 8, HIDREAM_DIMS.in_ch)), jnp.float32)
+    t5 = jnp.asarray(rng.standard_normal((1, 6, HIDREAM_DIMS.t5_dim)),
+                     jnp.float32)
+    llama = jnp.asarray(
+        rng.standard_normal((1, 5, HIDREAM_DIMS.llama_dim)), jnp.float32)
+    pooled = jnp.asarray(rng.standard_normal((1, HIDREAM_DIMS.pooled)),
+                         jnp.float32)
+    t = jnp.full((1,), 0.4, jnp.float32)
+    return sd, cfg, (latent, t5, llama, pooled, t)
+
+
+def test_tp_hidream_matches_unsharded():
+    """The MoE flagship under spec TP: every SwiGLU (shared expert,
+    routed experts, ff_t) col/row-sharded, gate replicated, 12-chunk
+    adaLN gathered — exact vs the dense forward with identically
+    quantized weights."""
+    from comfyui_gguf_tpu.models import hidream
+
+    sd, cfg, inputs = _hidream_setup()
+    bg = [("double_stream_blocks", cfg.depth_double),
+          ("single_stream_blocks", cfg.depth_single)]
+    rules = tp_spec.hidream_rules(cfg.n_experts)
+    ref = tp_spec.quantize_unsharded(sd, block_groups=bg, rules=rules,
+                                     qtype=Q.Q8_0)
+    want = np.asarray(jax.jit(
+        lambda p, *a: hidream.forward(p, cfg, *a, qcfg=F32))(ref, *inputs),
+        np.float32)
+
+    mesh = _mesh()
+    sharded = tp_spec.place_tp_params(
+        tp_spec.shard_hidream_params(sd, cfg, TP, Q.Q8_0), mesh,
+        ("double_stream_blocks", "single_stream_blocks"))
+    got = np.asarray(jax.jit(
+        lambda p, *a: tp_spec.tp_hidream_forward(
+            p, cfg, *a, mesh=mesh, qcfg=F32_PALLAS))(sharded, *inputs),
+        np.float32)
+    np.testing.assert_allclose(got, want, rtol=2e-3, atol=2e-3)
+
+
+def test_hidream_17b_fits_int8_at_tp2():
+    """Round-4 weak item 1's endgame: the single chip caps HiDream-I1's
+    w8a8 conversion at 19.8% of tree bytes (i8 of the FULL 17B tree
+    exceeds any one-chip budget); at tp=2 the whole rule-named tree
+    converts with headroom."""
+    _, groups = testing.hidream_shape_spec(testing.HIDREAM_I1_DIMS)
+    rules = tp_spec.hidream_rules(testing.HIDREAM_I1_DIMS.n_experts)
+    rep1 = tp_spec.i8_plan_report(groups, rules, tp=1, qtype=Q.Q4_K)
+    rep2 = tp_spec.i8_plan_report(groups, rules, tp=2, qtype=Q.Q4_K)
+
+    budget = 14.4e9
+    assert rep1["i8_per_shard"] > budget, rep1
+    assert rep2["i8_per_shard"] < budget - 2e9, rep2
+    # sanity: the analytic planar total tracks the measured 13.51 GB
+    # whole-tree footprint (nonblock/bias/gate leaves excluded here)
+    assert 11e9 < rep1["planar_per_shard"] < 14.5e9, rep1
