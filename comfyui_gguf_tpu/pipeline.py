@@ -1144,18 +1144,31 @@ def unet_engine(model: DiffusionModel, max_batch: int = 4,
 
 def hidream_engine(model: DiffusionModel, max_batch: int = 2,
                    pipeline_depth: int = 1, sampler: str = "euler",
-                   dp_mesh=None):
+                   dp_mesh=None, mesh=None):
     """Continuous-batching engine for a loaded HiDream-I1 MoE model:
     requests carry (H, W, C) spatial latents + cond {"t5", "llama",
     "pooled"} (quad-encoder states, guidance-distilled — one forward per
     tick). The MoE FFNs run in whatever dispatch mode the process has
-    configured (dense / capacity / ep)."""
+    configured (dense / capacity / ep).
+
+    ``mesh``: serve tensor-parallel through
+    parallel.tp_spec.tp_hidream_forward (params from
+    shard_hidream_params + place_tp_params) — the serving configuration
+    that fits the FULL 17B int8 tree at tp=2 where one chip caps the
+    conversion at ~20% of tree bytes."""
+    import functools
+
     from .models import hidream as hidream_model
     from .serving import ContinuousBatchEngine
 
-    fwd = (hidream_model.forward_stacked
-           if "double_stream_blocks" in model.params
-           else hidream_model.forward)
+    if mesh is not None:
+        from .parallel import tp_spec
+
+        fwd = functools.partial(tp_spec.tp_hidream_forward, mesh=mesh)
+    else:
+        fwd = (hidream_model.forward_stacked
+               if "double_stream_blocks" in model.params
+               else hidream_model.forward)
 
     def velocity(params, x, s_cur, cond):
         return fwd(params, model.config, x, cond["t5"],

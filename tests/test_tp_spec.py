@@ -629,3 +629,49 @@ def test_hidream_17b_fits_int8_at_tp2():
     # sanity: the analytic planar total tracks the measured 13.51 GB
     # whole-tree footprint (nonblock/bias/gate leaves excluded here)
     assert 11e9 < rep1["planar_per_shard"] < 14.5e9, rep1
+
+
+def test_hidream_engine_tp_mesh_matches_unsharded():
+    """hidream_engine(mesh=...): the MoE flagship serving through the
+    spec-driven TP forward equals the unsharded engine over the same
+    quantized values (mixed-progress pool)."""
+    from comfyui_gguf_tpu import pipeline
+    from comfyui_gguf_tpu.sampling import linear_schedule
+
+    sd, cfg, _ = _hidream_setup(seed=31)
+    bg = [("double_stream_blocks", cfg.depth_double),
+          ("single_stream_blocks", cfg.depth_single)]
+    rules = tp_spec.hidream_rules(cfg.n_experts)
+    ref = tp_spec.quantize_unsharded(sd, block_groups=bg, rules=rules,
+                                     qtype=Q.Q8_0)
+    m_ref = pipeline.DiffusionModel(arch="hidream", params=ref,
+                                    config=cfg, qcfg=F32)
+    mesh = _mesh()
+    sharded = tp_spec.place_tp_params(
+        tp_spec.shard_hidream_params(sd, cfg, TP, Q.Q8_0), mesh,
+        ("double_stream_blocks", "single_stream_blocks"))
+    m_tp = pipeline.DiffusionModel(arch="hidream", params=sharded,
+                                   config=cfg, qcfg=F32)
+
+    rng = np.random.default_rng(32)
+    d = HIDREAM_DIMS
+    x1 = rng.standard_normal((8, 8, d.in_ch)).astype(np.float32)
+    x2 = rng.standard_normal((8, 8, d.in_ch)).astype(np.float32)
+    mk_cond = lambda: {
+        "t5": rng.standard_normal((6, d.t5_dim)).astype(np.float32),
+        "llama": rng.standard_normal((5, d.llama_dim)).astype(np.float32),
+        "pooled": rng.standard_normal((d.pooled,)).astype(np.float32)}
+    c1, c2 = mk_cond(), mk_cond()
+
+    results = []
+    for mdl, kw in ((m_ref, {}), (m_tp, {"mesh": mesh})):
+        eng = pipeline.hidream_engine(mdl, max_batch=2, **kw)
+        r1 = eng.submit(x1.copy(), c1, linear_schedule(2))
+        r2 = eng.submit(x2.copy(), c2, linear_schedule(3))
+        eng.run_until_drained()
+        assert r1.finished and r2.finished and r1.error is None
+        results.append((np.asarray(r1.result, np.float32),
+                        np.asarray(r2.result, np.float32)))
+    (a1, a2), (b1, b2) = results
+    np.testing.assert_allclose(b1, a1, rtol=2e-2, atol=2e-2)
+    np.testing.assert_allclose(b2, a2, rtol=2e-2, atol=2e-2)
