@@ -42,6 +42,8 @@ def _specs():
                     tp_spec.lumina2_rules(T.LUMINA2_DIMS.dim)),
         "cosmos": (spec(T.cosmos_shape_spec, T.COSMOS_7B_DIMS),
                    tp_spec.cosmos_rules()),
+        "hidream": (spec(T.hidream_shape_spec, T.HIDREAM_I1_DIMS),
+                    tp_spec.hidream_rules(T.HIDREAM_I1_DIMS.n_experts)),
     }
 
 
