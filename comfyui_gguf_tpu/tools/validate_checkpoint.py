@@ -107,7 +107,7 @@ def _count_blocks(sd, prefix: str) -> int:
 def expected_shapes(arch: str, sd) -> dict | None:
     """Full expected {key: shape} for ``arch``, dims introspected from
     the checkpoint's own shapes; None when only structural checks are
-    available (hidream/sd1/sdxl — PARITY tier-3 / sgm-UNet layouts)."""
+    available (sd1/sdxl — sgm-UNet layouts)."""
     from ..models import testing as T
 
     def flat(nonblock, groups):
@@ -206,6 +206,49 @@ def expected_shapes(arch: str, sd) -> dict | None:
                             n_layers=cfg.n_layers, in_ch=cfg.in_channels,
                             text_dim=cfg.text_dim)
         return flat(*T.cosmos_shape_spec(dims))
+    if arch == "hidream":
+        from ..models.hidream import HiDreamConfig
+
+        cfg = HiDreamConfig.from_state_dict(sd)
+        shared = "double_stream_blocks.0.block.ff_i.shared_experts"
+        C4 = sd["x_embedder.proj.weight"].shape[1]
+        dims = T.TinyHiDreamDims(
+            hidden=cfg.hidden, heads=cfg.n_heads,
+            depth_double=cfg.depth_double,
+            depth_single=cfg.depth_single,
+            ffn=sd[f"{shared}.w1.weight"].shape[0],
+            n_experts=cfg.n_experts, top_k=cfg.top_k,
+            t5_dim=64, llama_dim=64,  # overridden from the file below
+            pooled=sd["p_embedder.mlp.0.weight"].shape[1],
+            in_ch=C4 // cfg.patch_size ** 2, patch=cfg.patch_size)
+        want = flat(*T.hidream_shape_spec(dims))
+        # caption projections vary in count and per-tap input width
+        # (published layout: 0..N-2 llama taps, last t5) — take both
+        # from the file itself, only the out-width is spec-checked
+        want = {k: v for k, v in want.items()
+                if not k.startswith("caption_projection.")}
+        i = 0
+        while f"caption_projection.{i}.linear.weight" in sd:
+            k = f"caption_projection.{i}.linear.weight"
+            want[k] = (cfg.hidden, sd[k].shape[1])
+            i += 1
+        # routed-expert and ff_t FFN widths may differ from the shared
+        # expert's — introspect each family separately
+        for probe, match in (
+                ("double_stream_blocks.0.block.ff_i.experts.0.w1.weight",
+                 ".ff_i.experts."),
+                ("double_stream_blocks.0.block.ff_t.w1.weight",
+                 ".ff_t.")):
+            if probe not in sd:
+                continue
+            fw = sd[probe].shape[0]
+            for k in want:
+                if match in k and k.endswith((".w1.weight",
+                                              ".w3.weight")):
+                    want[k] = (fw, cfg.hidden)
+                elif match in k and k.endswith(".w2.weight"):
+                    want[k] = (cfg.hidden, fw)
+        return want
     return None
 
 

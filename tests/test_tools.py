@@ -559,3 +559,51 @@ def test_tp_plan_cli():
     assert abs(rows[1]["planar_gb_per_shard"] - 15.29) < 0.05
     assert not rows[1]["fits_i8"] and rows[2]["fits_i8"]
     assert tp_plan.main(["--arch", "bogus"]) == 2
+
+
+def test_validate_checkpoint_hidream_spec(tmp_path):
+    """hidream validates through its own full shape spec (r5: was
+    structural-only). Expert/ff_t FFN widths and the caption-projection
+    count are introspected from the FILE, so a checkpoint whose routed
+    experts differ in width from the shared expert (or that carries an
+    extra llama tap) still validates clean — while a genuinely
+    misshaped attention weight fails."""
+    from comfyui_gguf_tpu.gguf.writer import GGUFWriter
+    from comfyui_gguf_tpu.models import testing
+    from comfyui_gguf_tpu.tools import validate_checkpoint as V
+
+    d = testing.TinyHiDreamDims()
+    nonblock, groups = testing.hidream_shape_spec(d)
+    sd = testing.random_flat_sd_from_spec(nonblock, groups, seed=3)
+    # routed experts narrower than the shared expert + a third caption
+    # projection: both legal per-file variations
+    for k in list(sd):
+        if ".ff_i.experts." in k:
+            if k.endswith((".w1.weight", ".w3.weight")):
+                sd[k] = sd[k][: d.ffn // 2]
+            elif k.endswith(".w2.weight"):
+                sd[k] = sd[k][:, : d.ffn // 2]
+    sd["caption_projection.2.linear.weight"] = np.zeros(
+        (d.hidden, d.llama_dim), np.float32)
+
+    def write(name, misshape=None):
+        w = GGUFWriter("hidream")
+        for k, v in sd.items():
+            if misshape and k == misshape:
+                v = np.zeros((v.shape[0], v.shape[1] + 16), np.float32)
+            w.add_tensor("model.diffusion_model." + k,
+                         np.asarray(v, np.float32))
+        p = tmp_path / name
+        w.write_to_file(str(p))
+        return str(p)
+
+    rep = V.validate(write("hid.gguf"))
+    assert rep.ok and rep.arch == "hidream" and rep.spec == "full"
+    assert not (rep.missing or rep.unexpected or rep.misshaped)
+
+    bad = V.validate(write(
+        "hidbad.gguf",
+        misshape="single_stream_blocks.0.block.attn1.to_q.weight"))
+    assert not bad.ok
+    assert [m[0] for m in bad.misshaped] == [
+        "single_stream_blocks.0.block.attn1.to_q.weight"]
