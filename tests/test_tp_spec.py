@@ -675,3 +675,44 @@ def test_hidream_engine_tp_mesh_matches_unsharded():
     (a1, a2), (b1, b2) = results
     np.testing.assert_allclose(b1, a1, rtol=2e-2, atol=2e-2)
     np.testing.assert_allclose(b2, a2, rtol=2e-2, atol=2e-2)
+
+
+def test_tp_hidream_from_real_gguf(tmp_path):
+    """The REAL-checkpoint MoE TP path: a quantized hidream GGUF loads
+    to QTensors and the sharder splits the EXISTING packed blocks —
+    per-expert leaves included — matching the single-chip load of the
+    same file."""
+    from comfyui_gguf_tpu import loader as L
+    from comfyui_gguf_tpu.gguf.writer import GGUFWriter
+    from comfyui_gguf_tpu.models import hidream
+    from comfyui_gguf_tpu.quant import codecs
+
+    sd, cfg, inputs = _hidream_setup(seed=35)
+    rules = tp_spec.hidream_rules(cfg.n_experts)
+
+    w = GGUFWriter("hidream")
+    for k, v in sd.items():
+        suffix = (k.split(".", 2)[2]
+                  if k.startswith(("double_stream_blocks.",
+                                   "single_stream_blocks.")) else None)
+        if suffix in rules:
+            blocks = codecs.quantize(np.asarray(v, np.float32), Q.Q4_K)
+            w.add_tensor("model.diffusion_model." + k, blocks,
+                         raw_dtype=Q.Q4_K, raw_shape=v.shape)
+        else:
+            w.add_tensor("model.diffusion_model." + k,
+                         np.asarray(v, np.float32))
+    p = tmp_path / "hid.gguf"
+    w.write_to_file(str(p))
+
+    sd_qt = L.gguf_sd_loader(str(p))
+    want = np.asarray(hidream.forward(
+        L.to_jax_params(sd_qt), cfg, *inputs, qcfg=F32), np.float32)
+
+    mesh = _mesh()
+    sharded = tp_spec.place_tp_params(
+        tp_spec.shard_hidream_params(sd_qt, cfg, TP, Q.Q4_K), mesh,
+        ("double_stream_blocks", "single_stream_blocks"))
+    got = np.asarray(tp_spec.tp_hidream_forward(
+        sharded, cfg, *inputs, mesh=mesh, qcfg=F32_PALLAS), np.float32)
+    np.testing.assert_allclose(got, want, rtol=2e-3, atol=2e-3)
