@@ -606,6 +606,99 @@ def dpm_2_ancestral_sample_sigma(denoiser, x: jax.Array, sigmas, key,
     return x
 
 
+def dpmpp_2s_ancestral_sample_sigma(denoiser, x: jax.Array, sigmas, key,
+                                    eta: float = 1.0) -> jax.Array:
+    """DPM-Solver++ (2S) ancestral (k-diffusion
+    sample_dpmpp_2s_ancestral): a single-step 2nd-order exponential-
+    integrator update to the ancestral σ_down (midpoint in log-σ time),
+    fresh noise at σ_up. eta=0 is the deterministic 2S solver; the
+    σ_down=0 tail degrades to the exact Euler→denoised step."""
+    sigmas = jnp.asarray(sigmas, jnp.float32)
+    eps = 1e-12
+
+    def step(carry, i):
+        x, key = carry
+        s, s_next = sigmas[i], sigmas[i + 1]
+        sd, su = _ancestral_split(s, s_next, eta)
+        denoised = denoiser(x, s).astype(jnp.float32)
+        xf = x.astype(jnp.float32)
+
+        def euler(_):
+            d = (xf - denoised) / s
+            return xf + (sd - s) * d
+
+        def two_s(_):
+            t = -jnp.log(jnp.maximum(s, eps))
+            t_next = -jnp.log(jnp.maximum(sd, eps))
+            h = t_next - t
+            s_mid = jnp.exp(-(t + 0.5 * h))
+            x2 = (s_mid / s) * xf - jnp.expm1(-0.5 * h) * denoised
+            den2 = denoiser(x2.astype(x.dtype), s_mid).astype(jnp.float32)
+            return (sd / s) * xf - jnp.expm1(-h) * den2
+
+        out = jax.lax.cond(sd > 0, two_s, euler, operand=None)
+        key, sub = jax.random.split(key)
+        noise = jax.random.normal(sub, x.shape, jnp.float32)
+        out = jnp.where(s_next > 0, out + noise * su, out)
+        return (out.astype(x.dtype), key), None
+
+    (x, _), _ = jax.lax.scan(step, (x, key),
+                             jnp.arange(sigmas.shape[0] - 1))
+    return x
+
+
+def dpmpp_3m_sde_sample_sigma(denoiser, x: jax.Array, sigmas, key,
+                              eta: float = 1.0) -> jax.Array:
+    """DPM-Solver++ (3M) SDE (k-diffusion sample_dpmpp_3m_sde): 3rd-
+    order multistep in log-σ time with an exponential-decay SDE noise
+    channel. Order warms up 1→2→3 over the first steps (the counter
+    gates the φ₂/φ₃ correction terms — jnp.where keeps the scan body
+    shape-static); eta=0 is the deterministic 3M solver. Both history
+    slots live in the scan carry; all branches stay finite so the
+    unselected where-arms never poison the selected one."""
+    sigmas = jnp.asarray(sigmas, jnp.float32)
+    eps = 1e-12
+
+    def step(carry, i):
+        x, key, den1, den2, h1, h2 = carry
+        s, s_next = sigmas[i], sigmas[i + 1]
+        denoised = denoiser(x, s).astype(jnp.float32)
+        xf = x.astype(jnp.float32)
+        t = -jnp.log(jnp.maximum(s, eps))
+        t_next = -jnp.log(jnp.maximum(s_next, eps))
+        h = t_next - t
+        h_eta = h * (eta + 1.0)
+        x_base = jnp.exp(-h_eta) * xf - jnp.expm1(-h_eta) * denoised
+
+        phi2 = jnp.expm1(-h_eta) / h_eta + 1.0
+        phi3 = phi2 / h_eta - 0.5
+        r0 = jnp.maximum(h1 / h, eps)
+        r1 = jnp.maximum(h2 / h, eps)
+        d1_0 = (denoised - den1) / r0
+        d1_1 = (den1 - den2) / r1
+        d1 = d1_0 + (d1_0 - d1_1) * r0 / (r0 + r1)
+        d2 = (d1_0 - d1_1) / (r0 + r1)
+        x3 = x_base + phi2 * d1 - phi3 * d2
+        x2_ = x_base + phi2 * d1_0
+        out = jnp.where(i >= 2, x3, jnp.where(i == 1, x2_, x_base))
+
+        if eta > 0:
+            key, sub = jax.random.split(key)
+            noise = jax.random.normal(sub, x.shape, jnp.float32)
+            amp = s_next * jnp.sqrt(
+                jnp.maximum(-jnp.expm1(-2.0 * h * eta), 0.0))
+            out = out + noise * amp
+        # final σ=0 step: exact denoised output
+        out = jnp.where(s_next > 0, out, denoised)
+        return (out.astype(x.dtype), key, denoised, den1, h, h1), None
+
+    z = jnp.zeros_like(x, jnp.float32)
+    one = jnp.ones((), jnp.float32)
+    (x, *_), _ = jax.lax.scan(step, (x, key, z, z, one, one),
+                              jnp.arange(sigmas.shape[0] - 1))
+    return x
+
+
 def ipndm_sample_sigma(denoiser, x: jax.Array, sigmas) -> jax.Array:
     """iPNDM: 4th-order Adams–Bashforth on d over σ (ComfyUI/k-diffusion
     sampler_ipndm), warming up through orders 1→4 — one model call per
@@ -759,6 +852,8 @@ STOCHASTIC_SAMPLERS = {
     "dpmpp_2m_sde": dpmpp_2m_sde_sample_sigma,
     "dpmpp_sde": dpmpp_sde_sample_sigma,
     "dpm_2_ancestral": dpm_2_ancestral_sample_sigma,
+    "dpmpp_2s_ancestral": dpmpp_2s_ancestral_sample_sigma,
+    "dpmpp_3m_sde": dpmpp_3m_sde_sample_sigma,
 }
 
 

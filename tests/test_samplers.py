@@ -419,3 +419,47 @@ def test_new_schedulers_shapes_and_monotonicity():
 
     with pytest.raises(ValueError, match="scheduler"):
         kd.make_schedule("bogus", 10, table)
+
+
+def test_dpmpp_2s_ancestral_and_3m_sde_reach_clean_target():
+    """Perfect denoiser: both new samplers land exactly on c (their
+    final σ→0 step collapses to the denoised output); eta=1 noise
+    channels vanish at the σ=0 tail."""
+    c = jnp.full((2, 8), -2.25, jnp.float32)
+    den = lambda x, s: c
+    x0 = jnp.asarray(np.random.default_rng(8).standard_normal((2, 8)) * 10,
+                     jnp.float32)
+    sig = _sched(8)
+    for fn in (kd.dpmpp_2s_ancestral_sample_sigma,
+               kd.dpmpp_3m_sde_sample_sigma):
+        out = fn(den, x0, sig, jax.random.key(3))
+        np.testing.assert_allclose(np.asarray(out), np.asarray(c),
+                                   rtol=1e-4, atol=1e-4)
+
+
+def test_dpmpp_2s_3m_eta0_deterministic_and_beat_euler():
+    """eta=0: both are deterministic solvers (key-independent) and
+    higher-order — closer than Euler to the exact endpoint of the
+    power ODE D(x,σ)=x/2 (exact: x0·√(σ_end/σ0))."""
+    den = lambda x, s: 0.5 * x
+    x0 = jnp.full((4,), 8.0, jnp.float32)
+    sig = _sched(8, smax=10.0, smin=0.5, end_zero=False)
+    exact = 8.0 * np.sqrt(float(sig[-1]) / float(sig[0]))
+    e_eul = abs(float(kd.euler_sample_sigma(den, x0, sig)[0]) - exact)
+    for fn in (kd.dpmpp_2s_ancestral_sample_sigma,
+               kd.dpmpp_3m_sde_sample_sigma):
+        a = fn(den, x0, sig, jax.random.key(4), eta=0.0)
+        b = fn(den, x0, sig, jax.random.key(5), eta=0.0)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=0, atol=0)
+        assert abs(float(a[0]) - exact) < e_eul, (fn, float(a[0]), exact)
+
+
+def test_run_sampler_dispatch_2s_3m():
+    den = lambda x, s: jnp.zeros_like(x)
+    x0 = jnp.ones((2, 2), jnp.float32)
+    sig = _sched(5)
+    for name in ("dpmpp_2s_ancestral", "dpmpp_3m_sde"):
+        out = kd.run_sampler(name, den, x0, sig, key=jax.random.key(6))
+        assert np.isfinite(np.asarray(out)).all()
+        np.testing.assert_allclose(np.asarray(out), 0.0, atol=1e-5)
