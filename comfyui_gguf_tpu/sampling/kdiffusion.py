@@ -36,6 +36,16 @@ def karras_schedule(num_steps: int, sigma_min: float, sigma_max: float,
     return np.concatenate([sigmas, [0.0]]).astype(np.float32)
 
 
+def simple_schedule(num_steps: int, sigma_table: np.ndarray) -> np.ndarray:
+    """Host 'simple' scheduler: even fractional strides through the
+    (ascending) discrete table measured from the top — the host UI's
+    σ_i = table[-(1 + ⌊(T/steps)·i⌋)] — plus σ=0. (num_steps+1,)."""
+    T = len(sigma_table)
+    x = T / num_steps
+    sig = [float(sigma_table[-(1 + int(x * i))]) for i in range(num_steps)]
+    return np.concatenate([sig, [0.0]]).astype(np.float32)
+
+
 def normal_schedule(num_steps: int, sigma_table: np.ndarray) -> np.ndarray:
     """Evenly-spaced indices into the discrete sigma table + σ=0."""
     idx = np.linspace(len(sigma_table) - 1, 0, num_steps).round().astype(int)
@@ -132,6 +142,8 @@ def make_schedule(name: str, num_steps: int,
     """Scheduler menu (host UI parity): name → (num_steps+1,) descending
     sigmas ending at 0, derived from the model's discrete table."""
     smin, smax = float(sigma_table[0]), float(sigma_table[-1])
+    if name == "simple":
+        return simple_schedule(num_steps, sigma_table)
     if name == "normal":
         return normal_schedule(num_steps, sigma_table)
     if name == "karras":
@@ -149,7 +161,7 @@ def make_schedule(name: str, num_steps: int,
     if name == "linear_quadratic":
         return linear_quadratic_schedule(num_steps, smax)
     raise ValueError(
-        f"unknown scheduler {name!r}; have ['normal', 'karras', "
+        f"unknown scheduler {name!r}; have ['simple', 'normal', 'karras', "
         "'exponential', 'sgm_uniform', 'ddim_uniform', 'beta', "
         "'kl_optimal', 'linear_quadratic']")
 

@@ -426,16 +426,15 @@ def test_sd3_pipeline_tiny_stacked_matches_unrolled():
     np.testing.assert_allclose(out2, out, rtol=2e-2, atol=2e-2)
 
 
-def test_sd1_pipeline_sampler_menu():
-    """Every registered sampler (deterministic + stochastic) runs through
-    SD1Pipeline end-to-end; stochastic ones are seed-reproducible."""
+def _tiny_sd1_pipe():
+    """Minimal SD1Pipeline over a 4-block toy UNet (shared by the
+    sampler-menu and scheduler-menu tests)."""
     import dataclasses
 
     import jax.numpy as jnp
 
     from comfyui_gguf_tpu.models import unet as unet_model
     from comfyui_gguf_tpu.nn.layers import QuantConfig
-    from comfyui_gguf_tpu.sampling import kdiffusion as kd
     from tests.test_unet import _res, CTX as UCTX
 
     F32 = QuantConfig(dequant_dtype=jnp.float32, compute_dtype=jnp.float32,
@@ -474,7 +473,15 @@ def test_sd1_pipeline_sampler_menu():
                                     qcfg=F32)
     pipe = pipeline.SD1Pipeline(model,
                                 clip_l=StubEncoder("clip_l", UCTX, 16))
-    ids = jnp.zeros((1, 7), jnp.int32)
+    return pipe, jnp.zeros((1, 7), jnp.int32)
+
+
+def test_sd1_pipeline_sampler_menu():
+    """Every registered sampler (deterministic + stochastic) runs through
+    SD1Pipeline end-to-end; stochastic ones are seed-reproducible."""
+    from comfyui_gguf_tpu.sampling import kdiffusion as kd
+
+    pipe, ids = _tiny_sd1_pipe()
     names = sorted(kd.SAMPLERS) + sorted(kd.STOCHASTIC_SAMPLERS)
     for name in names:
         out = pipe.generate_from_ids(ids, width=32, height=32, steps=2,
@@ -489,6 +496,20 @@ def test_sd1_pipeline_sampler_menu():
                                cfg_scale=1.0, sampler="dpmpp_2m_sde",
                                seed=3)
     np.testing.assert_array_equal(a, b)
+
+
+def test_sd1_pipeline_scheduler_menu():
+    """Every registered scheduler runs through SD1Pipeline end-to-end
+    (the generate path derives its sigma grid via make_schedule)."""
+    pipe, ids = _tiny_sd1_pipe()
+    for name in ("simple", "normal", "karras", "exponential",
+                 "sgm_uniform", "ddim_uniform", "beta", "kl_optimal",
+                 "linear_quadratic"):
+        out = pipe.generate_from_ids(ids, width=32, height=32, steps=3,
+                                     cfg_scale=1.0, scheduler=name,
+                                     seed=4)
+        assert out.shape == (4, 4, 4), name
+        assert np.isfinite(out).all(), name
 
 
 def test_sd3_img2img_and_inpaint_tiny():

@@ -463,3 +463,16 @@ def test_run_sampler_dispatch_2s_3m():
         out = kd.run_sampler(name, den, x0, sig, key=jax.random.key(6))
         assert np.isfinite(np.asarray(out)).all()
         np.testing.assert_allclose(np.asarray(out), 0.0, atol=1e-5)
+
+
+def test_simple_schedule():
+    """'simple': even fractional strides from the top of the table,
+    descending, σ=0 tail, exact host formula at divisible counts."""
+    table = np.linspace(0.03, 14.6, 1000).astype(np.float32)
+    sig = kd.make_schedule("simple", 10, table)
+    assert sig.shape == (11,) and sig[-1] == 0.0
+    assert np.all(np.diff(sig) < 0)
+    np.testing.assert_allclose(sig[0], table[-1], rtol=1e-6)
+    # host formula: σ_i = table[-(1 + int((T/steps)·i))]
+    want = [table[-(1 + int(100 * i))] for i in range(10)]
+    np.testing.assert_allclose(sig[:-1], want, rtol=1e-6)
