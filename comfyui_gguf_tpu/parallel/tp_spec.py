@@ -627,6 +627,14 @@ def hidream_rules(n_experts: int) -> dict:
 
 
 def shard_hidream_params(sd: dict, cfg, tp: int, qtype) -> dict:
+    # HiDream-I1 has 20 heads — the first TP arch whose head count is
+    # not divisible by every pow2 mesh; fail BEFORE the (expensive)
+    # shard build instead of at trace time with a rms-broadcast error
+    if cfg.n_heads % tp:
+        raise ValueError(
+            f"hidream TP requires n_heads % tp == 0 (heads "
+            f"{cfg.n_heads}, tp {tp}); HiDream-I1's 20 heads allow "
+            "tp in {1, 2, 4, 5, 10, 20}")
     return shard_stacked_params(
         sd, block_groups=[("double_stream_blocks", cfg.depth_double),
                           ("single_stream_blocks", cfg.depth_single)],
@@ -638,6 +646,9 @@ def tp_hidream_forward(params: dict, cfg, latent, t5_states, llama_states,
     from ..models import hidream
 
     tp = mesh.shape[AXIS]
+    if cfg.n_heads % tp:
+        raise ValueError(f"hidream TP requires n_heads % tp == 0 "
+                         f"(heads {cfg.n_heads}, tp {tp})")
     local = dataclasses.replace(cfg, n_heads=cfg.n_heads // tp)
     return tp_run(hidream.forward_stacked, params, local,
                   (latent, t5_states, llama_states, pooled, timesteps),

@@ -137,33 +137,36 @@ def linear_quadratic_schedule(num_steps: int, sigma_max: float = 1.0,
     return np.concatenate([sig[:-1], [0.0]]).astype(np.float32)
 
 
+# scheduler registry: every entry takes (num_steps, sigma_table) — the
+# (σ_min, σ_max)-parameterized schedules read the table's endpoints.
+# Dispatch, the error message, and the menu tests all derive from this
+# one table (same pattern as SAMPLERS/STOCHASTIC_SAMPLERS below).
+SCHEDULES = {
+    "simple": simple_schedule,
+    "normal": normal_schedule,
+    "karras": lambda n, tab: karras_schedule(
+        n, float(tab[0]), float(tab[-1])),
+    "exponential": lambda n, tab: exponential_schedule(
+        n, float(tab[0]), float(tab[-1])),
+    "sgm_uniform": sgm_uniform_schedule,
+    "ddim_uniform": ddim_uniform_schedule,
+    "beta": beta_schedule,
+    "kl_optimal": lambda n, tab: kl_optimal_schedule(
+        n, float(tab[0]), float(tab[-1])),
+    "linear_quadratic": lambda n, tab: linear_quadratic_schedule(
+        n, float(tab[-1])),
+}
+
+
 def make_schedule(name: str, num_steps: int,
                   sigma_table: np.ndarray) -> np.ndarray:
     """Scheduler menu (host UI parity): name → (num_steps+1,) descending
     sigmas ending at 0, derived from the model's discrete table."""
-    smin, smax = float(sigma_table[0]), float(sigma_table[-1])
-    if name == "simple":
-        return simple_schedule(num_steps, sigma_table)
-    if name == "normal":
-        return normal_schedule(num_steps, sigma_table)
-    if name == "karras":
-        return karras_schedule(num_steps, smin, smax)
-    if name == "exponential":
-        return exponential_schedule(num_steps, smin, smax)
-    if name == "sgm_uniform":
-        return sgm_uniform_schedule(num_steps, sigma_table)
-    if name == "ddim_uniform":
-        return ddim_uniform_schedule(num_steps, sigma_table)
-    if name == "beta":
-        return beta_schedule(num_steps, sigma_table)
-    if name == "kl_optimal":
-        return kl_optimal_schedule(num_steps, smin, smax)
-    if name == "linear_quadratic":
-        return linear_quadratic_schedule(num_steps, smax)
-    raise ValueError(
-        f"unknown scheduler {name!r}; have ['simple', 'normal', 'karras', "
-        "'exponential', 'sgm_uniform', 'ddim_uniform', 'beta', "
-        "'kl_optimal', 'linear_quadratic']")
+    fn = SCHEDULES.get(name)
+    if fn is None:
+        raise ValueError(f"unknown scheduler {name!r}; have "
+                         f"{sorted(SCHEDULES)}")
+    return fn(num_steps, sigma_table)
 
 
 def sigma_to_t(sigma, sigma_table) -> jax.Array:

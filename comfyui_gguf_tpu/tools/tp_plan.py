@@ -24,26 +24,32 @@ def _specs():
     from ..models import testing as T
     from ..parallel import tp_spec
 
-    def spec(shape_fn, dims):
-        return shape_fn(dims)[1]
+    def ent(shape_fn, dims, rules):
+        # head count (when the dims object carries one) gates which tp
+        # values are actually runnable: a byte plan at a head-indivisible
+        # tp would print "fits" for an unusable mesh (HiDream-I1's 20
+        # heads are the first non-pow2-friendly count)
+        heads = getattr(dims, "n_heads", None) or getattr(dims, "heads",
+                                                          None)
+        return (shape_fn(dims)[1], rules, heads)
 
     return {
-        "flux": (spec(T.flux_shape_spec, T.FLUX_DEV_DIMS),
-                 tp_spec.flux_rules(T.FLUX_DEV_DIMS.hidden)),
-        "qwen_image": (spec(T.qwen_image_shape_spec, T.QWEN_IMAGE_20B_DIMS),
-                       tp_spec.qwen_image_rules()),
-        "wan": (spec(T.wan_shape_spec, T.WAN_14B_DIMS),
-                tp_spec.wan_rules()),
-        "hyvid": (spec(T.hyvid_shape_spec, T.HYVID_13B_DIMS),
-                  tp_spec.hyvid_rules(T.HYVID_13B_DIMS.hidden)),
-        "aura": (spec(T.aura_shape_spec, T.AURA_V03_DIMS),
-                 tp_spec.aura_rules()),
-        "lumina2": (spec(T.lumina2_shape_spec, T.LUMINA2_DIMS),
-                    tp_spec.lumina2_rules(T.LUMINA2_DIMS.dim)),
-        "cosmos": (spec(T.cosmos_shape_spec, T.COSMOS_7B_DIMS),
-                   tp_spec.cosmos_rules()),
-        "hidream": (spec(T.hidream_shape_spec, T.HIDREAM_I1_DIMS),
-                    tp_spec.hidream_rules(T.HIDREAM_I1_DIMS.n_experts)),
+        "flux": ent(T.flux_shape_spec, T.FLUX_DEV_DIMS,
+                    tp_spec.flux_rules(T.FLUX_DEV_DIMS.hidden)),
+        "qwen_image": ent(T.qwen_image_shape_spec, T.QWEN_IMAGE_20B_DIMS,
+                          tp_spec.qwen_image_rules()),
+        "wan": ent(T.wan_shape_spec, T.WAN_14B_DIMS, tp_spec.wan_rules()),
+        "hyvid": ent(T.hyvid_shape_spec, T.HYVID_13B_DIMS,
+                     tp_spec.hyvid_rules(T.HYVID_13B_DIMS.hidden)),
+        "aura": ent(T.aura_shape_spec, T.AURA_V03_DIMS,
+                    tp_spec.aura_rules()),
+        "lumina2": ent(T.lumina2_shape_spec, T.LUMINA2_DIMS,
+                       tp_spec.lumina2_rules(T.LUMINA2_DIMS.dim)),
+        "cosmos": ent(T.cosmos_shape_spec, T.COSMOS_7B_DIMS,
+                      tp_spec.cosmos_rules()),
+        "hidream": ent(T.hidream_shape_spec, T.HIDREAM_I1_DIMS,
+                       tp_spec.hidream_rules(
+                           T.HIDREAM_I1_DIMS.n_experts)),
     }
 
 
@@ -68,8 +74,10 @@ def main(argv=None):
             print(f"error: no TP spec for {arch!r}; have "
                   f"{sorted(specs)}", file=sys.stderr)
             return 2
-        groups, rules = specs[arch]
+        groups, rules, heads = specs[arch]
         for tp in (1, 2, 4, 8):
+            if heads is not None and heads % tp:
+                continue  # head-indivisible tp: mesh not runnable
             try:
                 rep = tp_spec.i8_plan_report(groups, rules, tp=tp,
                                              qtype=qtype)

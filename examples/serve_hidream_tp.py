@@ -107,8 +107,12 @@ def main():
 
     # published HiDream-I1 conditioning widths (t5-xxl 4096 / llama
     # 4096 / pooled 2048); smoke shapes follow the checkpoint's own
-    # caption-projection input dims
-    t5_dim = sd["caption_projection.1.linear.weight"].shape[1]
+    # caption-projection input dims — projections 0..N-2 take llama
+    # taps, the LAST takes t5 (models/hidream.py _prelude ordering)
+    n_proj = 0
+    while f"caption_projection.{n_proj}.linear.weight" in sd:
+        n_proj += 1
+    t5_dim = sd[f"caption_projection.{n_proj - 1}.linear.weight"].shape[1]
     ll_dim = sd["caption_projection.0.linear.weight"].shape[1]
     pooled_dim = sd["p_embedder.mlp.0.weight"].shape[1]
     cond = {"t5": states(args.t5_states, (128, t5_dim)),

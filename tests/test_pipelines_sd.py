@@ -500,11 +500,12 @@ def test_sd1_pipeline_sampler_menu():
 
 def test_sd1_pipeline_scheduler_menu():
     """Every registered scheduler runs through SD1Pipeline end-to-end
-    (the generate path derives its sigma grid via make_schedule)."""
+    (the generate path derives its sigma grid via make_schedule; the
+    menu iterates the registry, so new schedules are auto-covered)."""
+    from comfyui_gguf_tpu.sampling import kdiffusion as kd
+
     pipe, ids = _tiny_sd1_pipe()
-    for name in ("simple", "normal", "karras", "exponential",
-                 "sgm_uniform", "ddim_uniform", "beta", "kl_optimal",
-                 "linear_quadratic"):
+    for name in sorted(kd.SCHEDULES):
         out = pipe.generate_from_ids(ids, width=32, height=32, steps=3,
                                      cfg_scale=1.0, scheduler=name,
                                      seed=4)
